@@ -1,0 +1,107 @@
+"""Text-analysis column expressions (all JVM-native — no Python UDFs).
+
+Covers the reference's text surface (abstract cleaning / word counting,
+``spark/jobs/research_challenge_analysis.py:99-104,117-131``) rewritten as
+native expressions (SURVEY.md §4.3 item 1), plus the LLM-data-pipeline text
+ops: language-ID heuristic, quality scoring, token counting,
+fingerprinting. Everything here is a Column→Column builder so it stays
+inside whole-stage codegen — at 100 TB the difference between these and a
+row-at-a-time Python UDF is ~10-100× (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language for the n-gram/lexicon language-ID heuristic.
+# Deterministic toy lexicons over the synthetic corpus vocabulary; on real
+# data these would be the top character n-grams per language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "fast", "slow"],
+    "es": ["data", "row", "column"],
+    "de": ["hash", "sort", "merge"],
+    "fr": ["window", "stream", "batch"],
+    "zh": ["vector", "spark", "scan"],
+}
+
+STOPWORDS = ["a", "the"]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse runs of whitespace — the native rewrite of
+    the reference's ``generate_cleaned_abstracts`` row UDF
+    (spark/jobs/research_challenge_analysis.py:117-124)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count — ``size(split(...))``
+    (ref: spark/jobs/research_challenge_analysis.py:100)."""
+    return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: alphanumeric runs capped at 4 chars, the
+    cheap deterministic stand-in for a BPE tokenizer's token count."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]{1,4}")).cast("bigint")
+
+
+def word_occurrences(col: Column, word: str) -> Column:
+    """Non-overlapping whole-word occurrence count."""
+    return F.regexp_count(col, F.lit(rf"\b{word}\b")).cast("bigint")
+
+
+def stopword_ratio(col: Column) -> Column:
+    stops = sum(
+        (word_occurrences(col, w) for w in STOPWORDS), F.lit(0).cast("bigint")
+    )
+    return stops / token_count(col)
+
+
+def avg_token_length(col: Column) -> Column:
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    return nonspace / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]-ish: rewards moderate
+    length and penalizes stopword stuffing. Rounded by callers."""
+    toks = token_count(col)
+    length_term = F.least(toks / F.lit(100.0), F.lit(1.0))
+    return length_term * (F.lit(1.0) - stopword_ratio(col))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-lexicon score per language."""
+    return {
+        lang: sum(
+            (word_occurrences(col, w) for w in words), F.lit(0).cast("bigint")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_language(col: Column) -> Column:
+    """Argmax of lang_scores with deterministic lexicographic tiebreak:
+    build array<struct<score,neg-ordered lang>> and take array_max."""
+    scores = lang_scores(col)
+    pairs = [
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items())
+    ]
+    # array_max on struct compares field-by-field: highest score, then
+    # lexicographically greatest lang. To make ties pick the SMALLEST lang
+    # deterministically we invert via sort+reverse trick: sort desc by
+    # (score, -lang) is not directly expressible, so order langs descending
+    # and rely on array_max tie-breaking by the later struct field.
+    arr = F.array(*pairs)
+    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
+    firsts = F.filter(arr, lambda s: s["score"] == best_score)
+    return F.element_at(F.transform(firsts, lambda s: s["lang"]), 1)
+
+
+def fingerprint(col: Column, bits: int = 64) -> Column:
+    """Document fingerprint: md5 of the normalized text, truncated to
+    ``bits``/4 hex chars. Stable across engines (md5 is md5 everywhere)."""
+    return F.substring(F.md5(normalize_text(col)), 1, bits // 4)

@@ -1,0 +1,114 @@
+"""Source readers (SURVEY.md §2.1 S1-S5, S7, S9).
+
+Differences from the reference, by design:
+- S1: the reference reads CSV schema-less so every column is a string
+  (``spark/jobs/cases_time_analysis.py:86-89``); we take an explicit
+  schema (inference is a separate full pass over 100 TB).
+- S2: the reference unions one JSON read per source dir in a Python loop
+  (``spark/jobs/research_challenge_analysis.py:39-69``); we pass the list
+  of paths to a single read so Spark plans one scan.
+- S3: images/binary via the ``binaryFile`` source with label derived from
+  the path, not four reads + ``lit`` tags
+  (``spark/jobs/radiography_analysis.py:71-89``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with an explicit schema (S1).
+
+    If ``schema`` is None we fall back to all-string columns like the
+    reference, but loudly: callers at scale should always pass a schema so
+    the scan prunes and pushes down correctly.
+    """
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    schema: StructType | None = None,
+    multiline: bool = False,
+    source_tag_column: str | None = None,
+) -> DataFrame:
+    """JSON scan with explicit nested schema (S2).
+
+    ``source_tag_column`` reproduces the reference's ``lit(source)`` tag
+    (``spark/jobs/research_challenge_analysis.py:61-63``) from the file path
+    itself — one scan, no loop+union.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.option("multiLine", str(multiline).lower()).json(list(paths))
+    if source_tag_column:
+        df = df.withColumn(
+            source_tag_column,
+            F.regexp_extract(F.input_file_name(), r"([^/]+)/[^/]+$", 1),
+        )
+    return df
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary/image directory scan (S3) → columns
+    (path, modificationTime, length, content) with a ``label`` column
+    extracted from the parent directory name."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.withColumn(
+        "label", F.regexp_extract(F.col("path"), r"([^/]+)/[^/]+$", 1)
+    )
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = TESTDATA_TABLES,
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic star schema (TESTDATA.md)."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = spark.read.parquet(p)
+    return out

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (LLM-data surface).
+
+Two paths:
+- brute-force cosine top-k — the correctness baseline. Probe set is
+  broadcast; candidates stream once; per-probe top-k via window row_number
+  (no global sort, no collect);
+- LSH-bucketed top-k — the 100 TB scale path: a sign-bit bucket (random
+  hyperplane family ≈ first ``m`` dimension signs) partitions candidates so
+  each probe only scans its bucket. At scale the bucket id becomes the
+  partition key of a pre-bucketed parquet layout, turning ANN into a
+  partition-pruned scan.
+
+All arithmetic is JVM-native (zip_with + aggregate over array<double>);
+cosines are rounded BEFORE ranking so rank order is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    k: int = 5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe id.
+
+    Output: (query_id, neighbor_id, cos_sim, rank). Self-matches excluded.
+    Cosine is rounded to ``decimals`` before ranking; ties break on
+    neighbor id — fully deterministic.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    probes = (
+        df.where(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+        )
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(probes))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q"), F.col("v")), decimals).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec: Column, m: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first ``m`` dimensions —
+    a fixed random-hyperplane family (axis-aligned planes). Returns bigint
+    in [0, 2^m)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for i in range(m)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    decimals: int = 4,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the probe's sign bucket.
+
+    Recall < 1 by construction (that's the ANN trade); at 100 TB the bucket
+    column is the layout partition key so each probe reads ~1/2^m of data.
+    """
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+    )
+    probes = (
+        df.where(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+            sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(probes), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q"), F.col("v")), decimals).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,64 @@
+"""ML layer (SURVEY.md §2.10 M1-M7): assembler + classifiers + evaluation.
+
+Mirrors the reference's clinical/radiography classifier benches
+(spark/jobs/cases_clinical_spectrum_analysis.py:168-212;
+spark/jobs/radiography_analysis.py:181-214) with three deliberate fixes:
+- every randomSplit is seeded (the reference left one unseeded);
+- the confusion matrix is DataFrame-native (groupBy label/prediction +
+  pivot) instead of the RDD MulticlassMetrics API (M7);
+- features come straight from array columns via array_to_vector — no
+  per-row Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def features_from_array(df: DataFrame, array_col: str, label_col: str) -> DataFrame:
+    """array<float> column → MLlib features vector (M1 without a UDF;
+    the reference built DenseVectors in Python per row,
+    spark/jobs/radiography_analysis.py:353-354)."""
+    return df.select(
+        array_to_vector(F.col(array_col).cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+
+
+def train_classifiers(
+    train: DataFrame, which: list[str] | None = None, seed: int = 2020
+) -> dict[str, object]:
+    """M2-M5: fit the reference's four classifier families."""
+    zoo = {
+        "random_forest": RandomForestClassifier(maxDepth=5, seed=seed),
+        "decision_tree": DecisionTreeClassifier(maxDepth=3, seed=seed),
+        "logistic_regression": LogisticRegression(maxIter=10),
+        "gbt": GBTClassifier(seed=seed),  # binary-only, like the reference
+    }
+    names = which or ["random_forest", "decision_tree", "logistic_regression"]
+    return {n: zoo[n].fit(train) for n in names}
+
+
+def evaluate_accuracy(model, test: DataFrame) -> float:
+    """M6."""
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+    return float(ev.evaluate(model.transform(test)))
+
+
+def confusion_matrix(predictions: DataFrame) -> DataFrame:
+    """M7, DataFrame-native: one groupBy, no RDD round-trip."""
+    return (
+        predictions.groupBy(F.col("label").cast("bigint").alias("label"))
+        .pivot("prediction")
+        .count()
+        .na.fill(0)
+    )

@@ -1,0 +1,93 @@
+"""Aggregation surface (SURVEY.md §2.4 A1-A10).
+
+All hash aggregates with map-side partials; group keys are the shuffle keys.
+Aliases are always explicit — the reference leaned on Spark's generated
+``sum(confirmed)`` names as an output contract
+(`visualization/scripts/cases_time_visualization.py:53`); we expose a compat
+helper for that but default to clean names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_sum(
+    df: DataFrame, keys: list[str], measures: list[str], spark_names: bool = False
+) -> DataFrame:
+    """A1/A2 — ``groupBy(keys).sum(measures)``
+    (`spark/jobs/cases_time_analysis.py:123,163`).
+
+    ``spark_names=True`` reproduces the reference's generated-name contract
+    (``sum(confirmed)``)."""
+    aggs = [
+        F.sum(m).alias(f"sum({m})" if spark_names else f"sum_{m}") for m in measures
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def grouped_agg(df: DataFrame, keys: list[str], *aggs: Column) -> DataFrame:
+    """A3/A4 — arbitrary agg list with aliases."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def group_count(df: DataFrame, keys: list[str], alias: str = "count") -> DataFrame:
+    """A5 — `groupBy('result').count()`
+    (`spark/jobs/cases_clinical_spectrum_analysis.py:238`)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def count_with_share(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A3 — group count + percentage of total
+    (`spark/jobs/radiography_analysis.py:107-112`).
+
+    The reference ran a *separate* ``df.count()`` job for the denominator;
+    we get the total from a single extra reduce over the (tiny) aggregated
+    result via an unpartitioned window — one scan instead of two.
+    """
+    from pyspark.sql.window import Window
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+
+    counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    total = F.sum("count").over(Window.partitionBy())
+    return counted.withColumn(
+        "percentage", pround(F.col("count") / total * 100.0, 2)
+    )
+
+
+def ordered_collect(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alias: str = "ordered_values",
+    joiner: str | None = None,
+) -> DataFrame:
+    """A8 — order-preserving list agg.
+
+    The reference reassembled abstract sentences with a running window
+    ``collect_list().over(partitionBy.orderBy)`` then ``max`` of arrays
+    (`spark/jobs/research_challenge_analysis.py:94-98`) — that materializes
+    O(n²) intermediate arrays per group. The idiomatic single-shuffle form is
+    ``sort_array(collect_list(struct(order, value)))``.
+    """
+    pairs = F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+    ordered = F.transform(F.array_sort(pairs), lambda s: s[value_col])
+    if joiner is None:
+        out = ordered
+    else:
+        out = F.array_join(F.transform(ordered, lambda v: v.cast("string")), joiner)
+    return df.groupBy(*keys).agg(out.alias(alias))
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A9 — full-row distinct, or any-one-row-per-key.
+
+    ``dropDuplicates(subset)`` keeps an arbitrary row per key
+    (`spark/jobs/radiography_analysis.py:119`) — nondeterministic under
+    parallelism. For testable pipelines prefer ``latest_per_group`` in
+    :mod:`windows` with an explicit ordering.
+    """
+    return df.dropDuplicates(subset) if subset else df.distinct()

@@ -1,0 +1,60 @@
+"""Join surface (SURVEY.md §2.3).
+
+The reference implements NO joins (verified across all four jobs); this is
+green-field capability required by the star-schema test corpus. Strategy
+rules encoded here, sized for 100 TB:
+
+- dimension tables (region/nation/supplier/part at TPC-H ratios) are always
+  broadcast — ``F.broadcast`` hint, no shuffle of the fact side;
+- fact-fact joins (orders⋈lineitem) are shuffle joins on the key; AQE
+  handles skew-splitting at runtime;
+- semi/anti joins are expressed as real LEFT SEMI / LEFT ANTI (not
+  distinct+inner), so Catalyst can push them into the scan side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ broadcast(dimension)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def join_fact(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ fact — shuffle join on the key, AQE skew handling on."""
+    return left.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on=on, how="left_anti")
+
+
+def latest_per_group_via_join(
+    df: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Greatest-row-per-group, join formulation — the semantic twin of
+    ``windows.latest_per_group`` (reference idiom W1/P14,
+    `spark/jobs/cases_time_analysis.py:158-161`). Kept so tests can verify
+    the two formulations agree; the window form avoids re-scanning."""
+    maxes = df.groupBy(*keys).agg(F.max(order_col).alias("__max"))
+    cond = [df[k] == maxes[k] for k in keys] + [df[order_col] == maxes["__max"]]
+    return df.join(F.broadcast(maxes), on=cond, how="inner").select(df["*"])

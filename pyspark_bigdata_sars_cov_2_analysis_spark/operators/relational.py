@@ -1,0 +1,86 @@
+"""Projection / column-op / predicate surface (SURVEY.md §2.2 P1-P16).
+
+Everything here is a thin, named composition of Catalyst-native expressions;
+nothing shuffles, everything stays inside whole-stage codegen and pushes down
+to the scan. The reference implemented several of these as Python row UDFs
+(D3/D4 recodes, ``spark/jobs/cases_clinical_spectrum_analysis.py:128-144``);
+we write them natively so pushdown and codegen survive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select_columns(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1 — narrow projection (`spark/jobs/cases_time_analysis.py:213`)."""
+    return df.select(*cols)
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """P2/P3 — the reference's list-comprehension exclusion
+    (`spark/jobs/cases_time_analysis.py:157`) is just ``drop``."""
+    return df.drop(*cols)
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P4 — bulk rename (`spark/jobs/cases_time_analysis.py:95-102`)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def with_derived(df: DataFrame, **exprs: Column) -> DataFrame:
+    """P5 — derived columns, e.g. active = confirmed - deaths - recovered
+    (`spark/jobs/cases_time_analysis.py:107-111`)."""
+    return df.withColumns(dict(exprs))
+
+
+def cast_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P6 — imperative casts (`spark/jobs/cases_time_analysis.py:114-117`)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in mapping.items()})
+
+
+def fill_nulls(df: DataFrame, value, subset: list[str] | None = None) -> DataFrame:
+    """P8 — `fillna` (`spark/jobs/cases_time_analysis.py:104-105`)."""
+    return df.na.fill(value, subset=subset)
+
+
+def recode_values(
+    df: DataFrame, column: str, mapping: Mapping[str, str], default: str | None = None
+) -> DataFrame:
+    """P9/D4 — dictionary recode. The reference used both ``replace`` and
+    row UDFs (`spark/jobs/cases_clinical_spectrum_analysis.py:87,128-144`);
+    a single when-chain keeps it codegen'd and pushdown-safe."""
+    col = F.col(column)
+    expr: Column | None = None
+    for k, v in mapping.items():
+        expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
+    assert expr is not None, "empty recode mapping"
+    expr = expr.otherwise(F.lit(default) if default is not None else col)
+    return df.withColumn(column, expr)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """P10-P15 — all predicate forms funnel through one operator; Catalyst
+    pushes them below projections into the scan."""
+    return df.filter(predicate)
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A7/P16 — single-pass null/NaN count for every column
+    (`spark/jobs/cases_clinical_spectrum_analysis.py:220-225`).
+
+    One aggregate job, map-side partial — no per-column passes.
+    NaN only applies to float/double columns; others check isNull.
+    """
+    cols = columns or df.columns
+    numeric_floats = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
+    }
+    aggs = []
+    for c in cols:
+        cond = (F.isnan(c) | F.isnull(c)) if c in numeric_floats else F.isnull(c)
+        aggs.append(F.count(F.when(cond, c)).alias(c))
+    return df.select(aggs)

@@ -1,0 +1,118 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference has no streaming at all (SURVEY.md §2.12); this is the
+additive surface. The batch formulations here are oracle-checked; the
+Structured Streaming twins (same logical transforms over readStream) live
+in :mod:`..streaming.events` and are covered by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
+
+
+@query(
+    "e01_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {sql_round("SUM(value)", 2)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e01_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window agg — the batch twin of the streaming
+    watermarked window (streaming/events.py)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e02_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS session_start_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def e02_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of streaming session_window()."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    order = [F.asc("us"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w_lag) > gap_us, 1
+        ).otherwise(F.when(F.lag("us").over(w_lag).isNull(), 1).otherwise(0)),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@query(
+    "e03_dedup_latest_state",
+    oracle=f"""
+    SELECT user_id, event_id, event_type, {sql_round("value", 2)} AS value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def e03_dedup_latest_state(spark, sf_dir):
+    """Latest-event-per-user (stateful-dedup batch twin; keyed state in the
+    streaming variant)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", pround(F.col("value"), 2).alias("value"))
+    )

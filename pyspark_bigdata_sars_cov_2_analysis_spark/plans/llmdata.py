@@ -1,0 +1,235 @@
+"""LLM-data-pipeline plans: dedup, similarity search, multimodal (oracle-checked).
+
+The Spark implementations live in :mod:`..llmdata`; the oracles replicate
+the exact same md5-based hash families in DuckDB SQL, so the hash-compare
+verifies the *algorithm*, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    query,
+    sql_round,
+    table,
+)
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+# word 3-shingles, distinct, per doc — shared CTE text for dedup oracles
+_SHINGLES_CTE = f"""
+  toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)])) AS shingle
+    FROM toks WHERE len(w) >= 3
+  )
+"""
+
+
+@query(
+    "d01_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def d01_exact_dedup(spark, sf_dir):
+    """Exact dedup via md5-fingerprint groupBy (shuffle key = 32-byte hash,
+    never the document text)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text")
+
+
+@query(
+    "d02_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, j, MIN(md5(shingle || '#' || CAST(j AS VARCHAR))) AS mh
+      FROM sh CROSS JOIN generate_series(0, 11) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INT) AS band,
+             string_agg(mh, ',' ORDER BY j) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def d02_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 3-word shingles, 12 md5-family
+    min-hashes, 4 bands × 3 rows (s-curve threshold ≈ 0.63 Jaccard)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=12, band_rows=3
+    )
+
+
+@query(
+    "d03_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             {sql_round('n_inter / (sa.n_sh + sb.n_sh - n_inter)', 4)} AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE jaccard >= 0.1
+    """,
+)
+def d03_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.1 over pairs sharing ≥1 shingle
+    (inverted-index join — never all-pairs)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
+
+
+@query(
+    "d04_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split({_NORM}, ' '))) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+      FROM toks
+    ),
+    contrib AS (
+      SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS p,
+             CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM th CROSS JOIN generate_series(0, 31) t(b)
+    ),
+    votes AS (
+      SELECT doc_id, b, p, SUM(sgn) AS vote FROM contrib GROUP BY doc_id, b, p
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def d04_simhash(spark, sf_dir):
+    """32-bit SimHash signatures (bit-majority over md5 token hashes)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d, "doc_id", "text", bits=32)
+
+
+_PROBES = [0, 1, 2, 3, 4]
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@query(
+    "s01_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS q FROM v
+      WHERE vec_id IN ({", ".join(map(str, _PROBES))})
+    ),
+    scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {sql_round(_cos_sql("q", "e"), 4)} AS cos_sim
+      FROM v CROSS JOIN probes WHERE v.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s01_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 probe vectors — the ANN correctness
+    baseline. Probe side broadcast; candidates scanned once."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, "vec_id", "embedding", _PROBES, k=5)
+
+
+def _bucket_sql(e: str, m: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN {e}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(m)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "s02_bucketed_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS q, bucket FROM v
+      WHERE vec_id IN ({", ".join(map(str, _PROBES))})
+    ),
+    scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {sql_round(_cos_sql("q", "e"), 4)} AS cos_sim
+      FROM v JOIN probes USING (bucket) WHERE v.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s02_bucketed_topk(spark, sf_dir):
+    """LSH (sign-bit) bucketed ANN top-5 — the scale path: each probe only
+    scans its bucket (≈1/256 of data with m=8)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(e, "vec_id", "embedding", _PROBES, k=5, m=8)
+
+
+@query(
+    "m01_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(list_aggregate(list_transform(string_split(text, ''),
+                x -> ascii(x)), 'sum') AS BIGINT) % 997 AS byte_sum_mod
+    FROM documents
+    """,
+)
+def m01_binary_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + Arrow-batched
+    mapInPandas feature extraction (byte stats as the deterministic decoder
+    stand-in — media libs are stubbed, SURVEY.md §7.2 step 11)."""
+    d = table(spark, sf_dir, "documents")
+    return multimodal.binary_stats(multimodal.attach_binary_payload(d))

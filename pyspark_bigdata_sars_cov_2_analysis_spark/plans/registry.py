@@ -1,0 +1,65 @@
+"""Registry wiring query implementations to their DuckDB oracle SQL.
+
+Contract (driver, see ``__spark_entry__.py``): every registered query is a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle`` is equivalent ANSI SQL
+DuckDB runs against the same parquet files (views pre-registered with the
+table names). Column names must match exactly — the driver sorts columns by
+name and hash-compares values.
+
+Conventions that make the hashes match (SURVEY.md §7.3 "hard parts"):
+- timestamps/dates are returned as ``yyyy-MM-dd[ HH:mm:ss]`` strings;
+- floating aggregates are ``round``-ed (2-6 dp depending on magnitude);
+- integer-ish computed columns are cast to BIGINT on both sides;
+- every ``limit`` is preceded by a total order with a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (  # noqa: F401
+    pround,
+    pyround,
+    sql_round,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` → driver does a rows-only check
+    (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        assert name not in QUERIES, f"duplicate query name {name}"
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it lands
+    as a bigint of nanos and we rebuild the timestamp by integer floor-div
+    to micros — the same truncation DuckDB applies reading ns into its
+    µs-precision TIMESTAMP, so both engines see identical values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer DIV, not double division — nanos ~1.7e18 exceed double's
+        # 53-bit exact range, so float division drifts by microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

@@ -1,0 +1,440 @@
+"""Core relational operator coverage (SURVEY.md §2.2/2.4/2.5/2.6/2.7).
+
+One registered, oracle-checked query per operator family; each composes the
+library operators in :mod:`..operators` rather than inlining DataFrame calls,
+so the t2 gate exercises the same code paths the pipelines use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import (
+    aggregates,
+    relational,
+    setops,
+    sorts,
+    windows,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
+
+
+@query(
+    "p01_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def p01_project_filter(spark, sf_dir):
+    """P1 + P10 — narrow projection with a pushed-down predicate
+    (ref: spark/jobs/cases_time_analysis.py:129,213)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = relational.filter_rows(li, F.col("l_quantity") > 45)
+    return relational.select_columns(out, "l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "p05_derived_cast",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_round("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def p05_derived_cast(spark, sf_dir):
+    """P5 + P6 + F2/F3 — derived arithmetic column and cast
+    (ref: spark/jobs/cases_time_analysis.py:107-117)."""
+    li = table(spark, sf_dir, "lineitem")
+    li = relational.filter_rows(li, F.col("l_linenumber") == 1)
+    li = relational.with_derived(
+        li,
+        revenue=pround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2),
+        qty_int=F.col("l_quantity").cast("bigint"),
+    )
+    return li.select("l_orderkey", "l_linenumber", "revenue", "qty_int")
+
+
+@query(
+    "p09_recode",
+    oracle="""
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'pending' END AS status,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def p09_recode(spark, sf_dir):
+    """P9/D4 — dictionary recode as a native when-chain; the reference used
+    Python row UDFs for this (spark/jobs/cases_clinical_spectrum_analysis.py:128-144)."""
+    o = table(spark, sf_dir, "orders")
+    o = relational.recode_values(
+        o, "o_orderstatus", {"O": "open", "F": "finished"}, default="pending"
+    )
+    return aggregates.group_count(
+        o.withColumnRenamed("o_orderstatus", "status"), ["status"], alias="n"
+    )
+
+
+@query(
+    "p11_filter_isin",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA', 'BRAZIL')
+    """,
+)
+def p11_filter_isin(spark, sf_dir):
+    """P11 — membership filter (ref: spark/jobs/cases_time_analysis.py:164)."""
+    n = table(spark, sf_dir, "nation")
+    out = relational.filter_rows(
+        n, F.col("n_name").isin("FRANCE", "GERMANY", "CHINA", "BRAZIL")
+    )
+    return out.select("n_nationkey", "n_name")
+
+
+@query(
+    "p12_compound_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_returnflag <> 'A'
+    """,
+)
+def p12_compound_predicate(spark, sf_dir):
+    """P12/P13 — conjunctive + inequality predicates
+    (ref: spark/jobs/radiography_analysis.py:98-100,241)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = relational.filter_rows(
+        li,
+        F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+        & (F.col("l_returnflag") != "A"),
+    )
+    return out.select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "p16_null_profile",
+    oracle="""
+    SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS l_orderkey,
+           COUNT(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 END) AS l_quantity,
+           COUNT(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 END) AS l_extendedprice,
+           COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS l_returnflag,
+           COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS l_shipdate
+    FROM lineitem
+    """,
+)
+def p16_null_profile(spark, sf_dir):
+    """A7/P16 — single-pass null/NaN profile
+    (ref: spark/jobs/cases_clinical_spectrum_analysis.py:220-225)."""
+    li = table(spark, sf_dir, "lineitem")
+    return relational.null_profile(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+
+
+@query(
+    "a01_grouped_sum",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_round("SUM(l_quantity)", 2)} AS sum_l_quantity,
+           {sql_round("SUM(l_extendedprice)", 2)} AS sum_l_extendedprice
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a01_grouped_sum(spark, sf_dir):
+    """A1/A2 — groupBy multi-sum (ref: spark/jobs/cases_time_analysis.py:123,163)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = aggregates.grouped_sum(
+        li, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        pround(F.col("sum_l_quantity"), 2).alias("sum_l_quantity"),
+        pround(F.col("sum_l_extendedprice"), 2).alias("sum_l_extendedprice"),
+    )
+
+
+@query(
+    "a03_count_share",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS count,
+           {sql_round("COUNT(*) * 100.0 / SUM(COUNT(*)) OVER ()", 2)} AS percentage
+    FROM documents GROUP BY lang
+    """,
+)
+def a03_count_share(spark, sf_dir):
+    """A3 — group count + share of total in ONE scan; the reference ran a
+    second job for the denominator (spark/jobs/radiography_analysis.py:107-112)."""
+    d = table(spark, sf_dir, "documents")
+    return aggregates.count_with_share(d, ["lang"])
+
+
+@query(
+    "a04_max_avg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_round("MAX(o_totalprice)", 2)} AS max_price,
+           {sql_round("AVG(o_totalprice)", 2)} AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a04_max_avg(spark, sf_dir):
+    """A4 — max+avg agg (ref: spark/jobs/cases_clinical_spectrum_analysis.py:119)."""
+    o = table(spark, sf_dir, "orders")
+    return aggregates.grouped_agg(
+        o,
+        ["o_orderpriority"],
+        pround(F.max("o_totalprice"), 2).alias("max_price"),
+        pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "a05_group_count",
+    oracle="SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type",
+)
+def a05_group_count(spark, sf_dir):
+    """A5 (ref: spark/jobs/cases_clinical_spectrum_analysis.py:238)."""
+    e = table(spark, sf_dir, "events")
+    return aggregates.group_count(e, ["event_type"])
+
+
+@query(
+    "a08_ordered_collect",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR),
+                      ',' ORDER BY l_linenumber, l_partkey) AS parts
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a08_ordered_collect(spark, sf_dir):
+    """A8 — order-preserving list agg in one shuffle via
+    sort_array(collect_list(struct)) instead of the reference's O(n²)
+    running-window collect (spark/jobs/research_challenge_analysis.py:94-98)."""
+    li = table(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # the struct sort's implicit value tiebreak must appear in the oracle too
+    return aggregates.ordered_collect(
+        li, ["l_orderkey"], "l_linenumber", "l_partkey", alias="parts", joiner=","
+    )
+
+
+@query(
+    "a09_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a09_distinct(spark, sf_dir):
+    """A9 — full-row distinct (ref: spark/jobs/cases_time_analysis.py:222)."""
+    li = table(spark, sf_dir, "lineitem")
+    return aggregates.distinct_rows(li.select("l_returnflag", "l_linestatus"))
+
+
+@query(
+    "w01_latest_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (SELECT *, MAX(o_orderdate) OVER (PARTITION BY o_custkey) AS mx
+          FROM orders)
+    WHERE o_orderdate = mx
+    """,
+)
+def w01_latest_per_group(spark, sf_dir):
+    """W1/P14 — the reference's latest-snapshot idiom: partition max +
+    equality filter, keeping ties (spark/jobs/cases_time_analysis.py:158-161)."""
+    o = table(spark, sf_dir, "orders")
+    out = windows.latest_per_group(o, ["o_custkey"], "o_orderdate")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+@query(
+    "w02_running_sum",
+    oracle=f"""
+    SELECT event_id,
+           {sql_round("SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)}
+             AS running_value
+    FROM events
+    """,
+)
+def w02_running_sum(spark, sf_dir):
+    """W2 — running aggregate over the growing frame
+    (ref: spark/jobs/research_challenge_analysis.py:96)."""
+    e = table(spark, sf_dir, "events")
+    out = windows.running_agg(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")], F.sum("value"), "running_value"
+    )
+    return out.select(
+        "event_id", pround(F.col("running_value"), 2).alias("running_value")
+    )
+
+
+@query(
+    "w03_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def w03_topn_per_group(spark, sf_dir):
+    """W3 — deterministic top-n per group via row_number with a unique
+    tiebreaker (green-field; SURVEY.md §2.5 W3)."""
+    o = table(spark, sf_dir, "orders")
+    out = windows.top_n_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], n=2
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn")
+    )
+
+
+@query(
+    "o03_topk_resort",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+    ORDER BY c_acctbal ASC, c_custkey
+    """,
+)
+def o03_topk_resort(spark, sf_dir):
+    """O3 — top-k then re-sort for display, exactly the reference's
+    mortality-rate pattern (spark/jobs/cases_time_analysis.py:183-189).
+    Plans as TakeOrderedAndProject — no global sort of the input."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return sorts.top_k_resorted(
+        c,
+        10,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+    )
+
+
+@query(
+    "u01_union",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+      SELECT event_type FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_type FROM events WHERE event_type = 'purchase'
+    ) GROUP BY event_type
+    """,
+)
+def u01_union(spark, sf_dir):
+    """U1 — n-way unionByName (ref: spark/jobs/radiography_analysis.py:93-96)."""
+    e = table(spark, sf_dir, "events")
+    parts = [
+        e.where(F.col("event_type") == t).select("event_type")
+        for t in ("click", "purchase")
+    ]
+    return aggregates.group_count(setops.union_all(parts), ["event_type"], alias="n")
+
+
+@query(
+    "u03_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def u03_intersect(spark, sf_dir):
+    """U3 — intersect (green-field; SURVEY.md §2.7)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return setops.intersect_rows(c, o)
+
+
+@query(
+    "u04_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def u04_except(spark, sf_dir):
+    """U3 — except/subtract: customers with no orders (set form)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return setops.except_rows(c, o)
+
+
+@query(
+    "f01_string_funcs",
+    oracle=f"""
+    SELECT p_partkey,
+           regexp_replace(p_brand, '#', '-') AS brand_norm,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words,
+           upper(p_type) AS type_upper,
+           {sql_round("p_retailprice", 1)} AS price_r
+    FROM part
+    """,
+)
+def f01_string_funcs(spark, sf_dir):
+    """F1/F2/F4 — regexp_replace / split+size / round
+    (ref: spark/jobs/cases_time_analysis.py:112; research…py:100)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_brand", "#", "-").alias("brand_norm"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("name_words"),
+        F.upper("p_type").alias("type_upper"),
+        pround(F.col("p_retailprice"), 1).alias("price_r"),
+    )
+
+
+@query(
+    "f11_date_funcs",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS oyear,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS omonth,
+           COUNT(*) AS n, {sql_round("SUM(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def f11_date_funcs(spark, sf_dir):
+    """F11 — real date functions; the reference kept dates as strings and
+    relied on lexicographic ordering (SURVEY.md §1.3)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("oyear"),
+        F.month("o_orderdate").cast("bigint").alias("omonth"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "f12_json_extract",
+    oracle=f"""
+    SELECT event_type,
+           {sql_round("AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))", 2)}
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f12_json_extract(spark, sf_dir):
+    """F12 — JSON scalar extraction over a string column (green-field;
+    SURVEY.md §2.8 F12)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(pround(F.avg(k), 2).alias("avg_k"))

@@ -1,0 +1,132 @@
+"""Text-analysis plans over the ``documents`` table (LLM-data surface).
+
+Every query here is pure JVM expression work (functions/text.py) with a
+line-by-line DuckDB oracle — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions import text as T
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
+
+
+def _occ_sql(word: str) -> str:
+    return f"len(regexp_extract_all(text, '\\b{word}\\b'))"
+
+
+def _score_sql(words: list[str]) -> str:
+    return " + ".join(_occ_sql(w) for w in words)
+
+
+@query(
+    "t01_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}')) AS BIGINT) AS n_bpeish
+    FROM documents
+    """,
+)
+def t01_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (LLM-data op; also F4,
+    ref: spark/jobs/research_challenge_analysis.py:100)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpeish"),
+    )
+
+
+_NTOK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_QUALITY_EXPR = (
+    f"least({_NTOK} / 100.0, 1.0) * "
+    f"(1.0 - ({_score_sql(T.STOPWORDS)}) / {_NTOK})"
+)
+
+
+@query(
+    "t02_quality_score",
+    oracle=f"""
+    SELECT doc_id, {sql_round(_QUALITY_EXPR, 4)} AS quality
+    FROM documents
+    """,
+)
+def t02_quality_score(spark, sf_dir):
+    """Deterministic quality heuristic (length term × stopword penalty)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", pround(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@query(
+    "t03_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+             {_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+             {_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+             {_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+             {_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def t03_language_id(spark, sf_dir):
+    """Lexicon/n-gram language-ID heuristic; argmax with alphabetical
+    tiebreak (LLM-data op)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.detect_language(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "t04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+             AS fp
+    FROM documents
+    """,
+)
+def t04_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over normalized text (LLM-data op)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "t05_clean_wordcount",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS cleaned,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS words
+    FROM documents
+    WHERE n_chars > 100
+    """,
+)
+def t05_clean_wordcount(spark, sf_dir):
+    """The reference's abstract-clean + word-count transform, natively
+    (ref: spark/jobs/research_challenge_analysis.py:99-104,117-124)."""
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 100)
+    return d.select(
+        "doc_id",
+        T.normalize_text(F.col("text")).alias("cleaned"),
+        T.token_count(F.col("text")).alias("words"),
+    )

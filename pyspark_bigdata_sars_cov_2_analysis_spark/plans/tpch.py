@@ -1,0 +1,275 @@
+"""Headline analytical queries on the star schema (joins + heavy aggs).
+
+The reference has no joins (SURVEY.md §2.3); this module is the green-field
+join surface, shaped after the classic TPC-H queries the synthetic tables
+mirror. These are also the bench queries (bench.py).
+
+Scale notes: dimension sides (region/nation/customer/supplier/part) are
+broadcast via ``joins.join_dim``; fact-fact joins shuffle on the join key
+with AQE skew handling; every top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins, sorts
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_round("SUM(l_quantity)", 2)}                                    AS sum_qty,
+           {sql_round("SUM(l_extendedprice)", 2)}                               AS sum_base_price,
+           {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+           {sql_round("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+           {sql_round("AVG(l_quantity)", 2)}                                    AS avg_qty,
+           {sql_round("AVG(l_extendedprice)", 2)}                               AS avg_price,
+           {sql_round("AVG(l_discount)", 4)}                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 family — the flagship scan+agg (the reference's
+    confirmed/deaths global rollup is the same shape,
+    spark/jobs/cases_time_analysis.py:122-125). Single scan, map-side
+    partial agg, 6-group output."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 family — selective dim filter broadcast into a fact-fact
+    join, then top-k. Customer (filtered) is broadcast; orders⋈lineitem
+    shuffles on orderkey."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    j = joins.join_fact(
+        joins.join_dim(o, c.select("c_custkey"), on=o.o_custkey == c.c_custkey),
+        li,
+        on=F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    out = agg.select(
+        "o_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+    return sorts.top_k(out, 10, F.desc("revenue"), F.asc("o_orderkey"))
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 family — 6-table star join. All dimensions broadcast; the
+    only shuffle is orders⋈lineitem + the final small agg."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    j = joins.join_fact(o, li, on=F.col("o_orderkey") == F.col("l_orderkey"))
+    j = joins.join_dim(j, c, on=F.col("o_custkey") == F.col("c_custkey"))
+    j = joins.join_dim(
+        j,
+        s,
+        on=(F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    j = joins.join_dim(j, n, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    j = joins.join_dim(j, r, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.groupBy("n_name").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_round("SUM(l_extendedprice * l_discount)", 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 family — pure pushdown test: all three predicates must reach
+    the parquet scan (verify via .explain → PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 family — returned-item revenue, top 20 customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    j = joins.join_fact(o, li, on=F.col("o_orderkey") == F.col("l_orderkey"))
+    j = joins.join_dim(j, c, on=F.col("o_custkey") == F.col("c_custkey"))
+    j = joins.join_dim(j, n, on=F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    out = agg.select("c_custkey", "c_name", "revenue", "n_name")
+    return sorts.top_k(out, 20, F.desc("revenue"), F.asc("c_custkey"))
+
+
+@query(
+    "j01_left_join",
+    oracle=f"""
+    SELECT n_name, COUNT(c_custkey) AS n_customers,
+           {sql_round("COALESCE(SUM(c_acctbal), 0)", 2)} AS total_acctbal
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def j01_left_join(spark, sf_dir):
+    """Left outer join keeping empty dimension rows (green-field §2.3)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    j = n.join(c, on=n.n_nationkey == c.c_nationkey, how="left")
+    return j.groupBy("n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        pround(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "j02_semi_join",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def j02_semi_join(spark, sf_dir):
+    """LEFT SEMI join — existence test without duplicating fact rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    out = joins.semi_join(c, o, on=c.c_custkey == o.o_custkey)
+    return out.select("c_custkey", "c_name")
+
+
+@query(
+    "j03_anti_join",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j03_anti_join(spark, sf_dir):
+    """LEFT ANTI join — customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    out = joins.anti_join(c, o, on=c.c_custkey == o.o_custkey)
+    return out.select("c_custkey", "c_name")
+
+
+@query(
+    "j04_latest_via_join_equiv",
+    oracle=f"""
+    SELECT o.o_custkey, o.o_orderkey
+    FROM orders o
+    JOIN (SELECT o_custkey, MAX(o_orderdate) AS mx FROM orders GROUP BY o_custkey) m
+      ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.mx
+    """,
+)
+def j04_latest_via_join_equiv(spark, sf_dir):
+    """Greatest-per-group, join formulation — must agree with
+    w01_latest_per_group (reference idiom equivalence, SURVEY.md §2.3)."""
+    o = table(spark, sf_dir, "orders")
+    out = joins.latest_per_group_via_join(o, ["o_custkey"], "o_orderdate")
+    return out.select("o_custkey", "o_orderkey")

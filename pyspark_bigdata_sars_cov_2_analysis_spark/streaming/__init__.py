@@ -1,0 +1,13 @@
+from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+    latest_state_per_key,
+    read_event_stream,
+    sessionized,
+    tumbling_counts,
+)
+
+__all__ = [
+    "latest_state_per_key",
+    "read_event_stream",
+    "sessionized",
+    "tumbling_counts",
+]

@@ -1,0 +1,40 @@
+"""Arrow-batched pandas-UDF surface (SURVEY.md §2.9 D7).
+
+``batch_inference_udf`` mirrors the reference's SCALAR_ITER Keras
+inference UDF (``predict_batch_udf``,
+spark/jobs/radiography_analysis.py:306-326): the model is loaded ONCE per
+Python worker (outside the batch loop), then applied per Arrow batch. Here
+the "model" is a deterministic stand-in (sigmoid of the embedding mean) —
+the container has no DL frameworks — but the loading/batching shape is the
+real one; swap ``_load_model`` for a Keras/torch call in deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def _load_model():
+    """Stand-in for an expensive model load (per-worker, once)."""
+
+    def predict(batch: np.ndarray) -> np.ndarray:
+        # sigmoid over the feature mean — deterministic fake inference
+        m = batch.mean(axis=1)
+        return 1.0 / (1.0 + np.exp(-m))
+
+    return predict
+
+
+@pandas_udf(DoubleType())
+def batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    model = _load_model()  # once per worker, NOT per batch
+    for series in it:
+        batch = np.stack(series.map(lambda v: np.asarray(v, dtype="float64")))
+        # portable rounding (see functions.compat) — np.round is half-even
+        yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)
