@@ -64,14 +64,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, j, mh): per-seed min-hash. Hash family = md5(shingle || '#j');
     the min is taken over the *hex string* ordering, which every engine
-    agrees on. One groupBy, map-side partial min."""
-    spark = shingled.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("j"))
-    h = F.md5(F.concat_ws("#", F.col("shingle"), F.col("j").cast("string")))
-    return (
-        shingled.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "j")
-        .agg(F.min(h).alias("mh"))
+    agrees on.
+
+    Shape matters at scale: instead of a seeds crossJoin (which multiplies
+    the shingle stream ``num_hashes``× before the shuffle), compute all
+    seeds as ``num_hashes`` min-aggregates in ONE groupBy — map-side
+    partials reduce each partition to one row per (doc, seed) before any
+    data moves — then unpivot the tiny aggregated result."""
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    wide = shingled.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{j}, mh_{j}" for j in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (j, mh)"),
     )
 
 

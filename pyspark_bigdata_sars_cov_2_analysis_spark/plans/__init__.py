@@ -7,6 +7,7 @@ every plan module here so registration runs on package import.
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans import (  # noqa: F401
     events,
+    extended,
     llmdata,
     ml,
     relational,

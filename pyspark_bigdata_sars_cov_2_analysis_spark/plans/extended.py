@@ -1,0 +1,304 @@
+"""Extended operator coverage: multi-dim aggregation (cube/rollup/grouping
+sets), pivot, ranking/frame windows, explode/posexplode, the SQL-string
+entry point, null handling with real nulls, and deterministic sampling.
+
+These are the §2 rows the reference never exercised but a complete engine
+must expose (SURVEY.md A10, W3, F6-F8, S5, O4) — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import windows
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
+
+
+@query(
+    "a10_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_round("SUM(l_quantity)", 2)} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a10_rollup(spark, sf_dir):
+    """A10 — hierarchical rollup (flag → flag+status → grand total)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "a11_cube",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS oyear,
+           o_orderstatus, COUNT(*) AS n,
+           {sql_round("SUM(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY CUBE (1, o_orderstatus)
+    """,
+)
+def a11_cube(spark, sf_dir):
+    """A10 — full cube over (year, status)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube(
+        F.year("o_orderdate").cast("bigint").alias("oyear"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "a12_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {sql_round("AVG(o_totalprice)", 2)} AS avg_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a12_grouping_sets(spark, sf_dir):
+    """A10 + S5 — explicit grouping sets through the SQL-string entry point
+    (the engine's spark.sql surface, ref: the reference's one SQL query,
+    spark/jobs/cases_clinical_spectrum_analysis.py:118)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {sql_round("AVG(o_totalprice)", 2)} AS avg_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "a13_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round("SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)", 2)} AS F,
+           {sql_round("SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)", 2)} AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a13_pivot(spark, sf_dir):
+    """Pivot: linestatus columns × returnflag rows (the DataFrame-native
+    confusion-matrix shape, ref M7 spark/jobs/radiography_analysis.py:208)."""
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        pround(F.col("F"), 2).alias("F"),
+        pround(F.col("O"), 2).alias("O"),
+    )
+
+
+@query(
+    "a14_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_count_distinct(spark, sf_dir):
+    """Multi distinct-agg (expand-based plan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("a15_approx_count_distinct", oracle=None)
+def a15_approx_count_distinct(spark, sf_dir):
+    """A10 — approx_count_distinct (HLL). Sketches differ across engines by
+    design → rows-only check; the exact twin is a14."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx")
+    )
+
+
+@query(
+    "w04_lag_lead_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w04_lag_lead_rank(spark, sf_dir):
+    """W3 — lag/lead navigation + rank with deterministic tiebreaks."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.rank().over(wr).cast("bigint").alias("price_rank"),
+    )
+
+
+@query(
+    "w05_moving_frame",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           {sql_round("AVG(n) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)", 3)}
+             AS ma4
+    FROM daily
+    """,
+)
+def w05_moving_frame(spark, sf_dir):
+    """W3 — explicit rows frame: 4-day moving average of daily counts."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        pround(F.avg("n").over(w), 3).alias("ma4"),
+    )
+
+
+@query(
+    "f06_posexplode_roundtrip",
+    oracle="""
+    WITH packed AS (
+      SELECT l_orderkey,
+             list(l_partkey ORDER BY l_linenumber, l_partkey) AS arr
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           unnest([{'pos': CAST(i - 1 AS INT), 'l_partkey': arr[i]}
+                   for i in generate_series(1, len(arr))], recursive := true)
+    FROM packed
+    """,
+)
+def f06_posexplode_roundtrip(spark, sf_dir):
+    """F6/F7/F8 — collect into an ordered array, then posexplode back out
+    (the reference's abstract-sentence pattern,
+    spark/jobs/research_challenge_analysis.py:94-98)."""
+    li = table(spark, sf_dir, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("arr")
+    )
+    return packed.select(
+        "l_orderkey", F.posexplode("arr").alias("pos", "l_partkey")
+    )
+
+
+_SQL01 = """
+WITH spend AS (
+  SELECT o_custkey, SUM(o_totalprice) AS s FROM {orders} GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, {spend_round} AS spend
+FROM {customer} JOIN spend ON c_custkey = o_custkey
+WHERE s > 2 * (SELECT AVG(s) FROM spend)
+"""
+
+
+@query(
+    "sql01_subquery",
+    oracle=_SQL01.format(
+        orders="orders", customer="customer", spend_round=sql_round("s", 2)
+    ),
+)
+def sql01_subquery(spark, sf_dir):
+    """S5 — pure SQL-string query (scalar subquery + CTE) through
+    spark.sql; identical ANSI text runs on both engines."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        _SQL01.format(
+            orders="orders_sq",
+            customer="customer_sq",
+            spend_round=sql_round("s", 2),
+        )
+    )
+
+
+@query(
+    "f13_null_handling",
+    oracle="""
+    WITH big AS (
+      SELECT c_nationkey, COUNT(*) AS n_big
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey)
+    SELECT n_name,
+           COALESCE(n_big, 0) AS n_big_filled,
+           CASE WHEN n_big IS NULL THEN 'none' ELSE 'some' END AS flag
+    FROM nation LEFT JOIN big ON n_nationkey = c_nationkey
+    """,
+)
+def f13_null_handling(spark, sf_dir):
+    """P8/F9 — real nulls from a left join, then fillna + isnull recode
+    (ref fillna: spark/jobs/cases_time_analysis.py:104-105)."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        c.where(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    j = n.join(big, on=n.n_nationkey == big.c_nationkey, how="left")
+    return j.select(
+        "n_name",
+        F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big_filled"),
+        F.when(F.col("n_big").isNull(), "none").otherwise("some").alias("flag"),
+    )
+
+
+@query(
+    "o04_deterministic_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def o04_deterministic_sample(spark, sf_dir):
+    """O4 made testable — the reference's per-class ``limit(1000)`` sampling
+    (spark/jobs/radiography_analysis.py:133-154) picks arbitrary rows; the
+    engine's sampling policy orders by a content hash so the 'random-ish'
+    subset is reproducible on any engine/cluster (SURVEY.md §4.3 item 4)."""
+    d = table(spark, sf_dir, "documents")
+    out = windows.top_n_per_group(
+        d, ["lang"], [F.md5("text"), F.asc("doc_id")], n=20
+    )
+    return out.select("lang", "doc_id")
