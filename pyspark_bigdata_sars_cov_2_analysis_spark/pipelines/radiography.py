@@ -1,0 +1,133 @@
+"""radiography pipeline — engine recomposition of
+``/root/reference/spark/jobs/radiography_analysis.py``.
+
+Image rows = struct<origin,height,width,nChannels,mode,data:binary> + label.
+Differences by design (SURVEY.md §4.3/§7.3):
+- pixel stats (D1) run as ONE Arrow-batched mapInPandas over the binary
+  column — the reference called four separate row UDFs per image;
+- origin normalization and class names (D3) are native expressions;
+- per-class sampling is deterministic (content-hash order, not bare limit);
+- confusion matrix is DataFrame-native (M7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
+    label_from_code,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.aggregates import (
+    count_with_share,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.windows import (
+    top_n_per_group,
+)
+
+CLASS_NAMES = {0: "Normal", 1: "COVID", 2: "Lung_Opacity", 3: "Viral_Pneumonia"}
+
+STATS_SCHEMA = (
+    "origin string, label int, min_pixel double, max_pixel double, "
+    "mean_pixel double, std_pixel double"
+)
+
+
+def extract(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def valid_images(df: DataFrame, height: int = 16, width: int = 16) -> DataFrame:
+    """compound predicate over nested fields (P12, ref …:98-100)."""
+    return df.where(
+        (F.col("image.height") == height) & (F.col("image.width") == width)
+    )
+
+
+def class_distribution(df: DataFrame) -> DataFrame:
+    """per-class count + percentage in one scan (A3, ref …:107-112) with
+    native class names (D3 de-UDF-ed, ref …:357-378)."""
+    named = df.withColumn(
+        "class_name", label_from_code(F.col("label"), CLASS_NAMES)
+    )
+    return count_with_share(named, ["class_name"])
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """D1 — min/max/mean/std over image bytes via mapInPandas (one Arrow
+    batch per partition; the reference pickled every row 4× through
+    separate Python UDFs, ref …:127-131,337-350)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = pdf["data"].map(
+                lambda b: np.frombuffer(b, dtype=np.uint8).astype("float64")
+            )
+            yield pd.DataFrame(
+                {
+                    "origin": pdf["origin"],
+                    "label": pdf["label"],
+                    "min_pixel": arrs.map(np.min),
+                    "max_pixel": arrs.map(np.max),
+                    "mean_pixel": arrs.map(np.mean),
+                    "std_pixel": arrs.map(lambda a: float(np.std(a))),
+                }
+            )
+
+    flat = df.select(
+        # native origin normalization (D3): strip scheme prefix
+        F.regexp_replace("image.origin", r"^[a-z]+:(//)?", "").alias("origin"),
+        F.col("label").cast("int").alias("label"),
+        F.col("image.data").alias("data"),
+    )
+    return flat.mapInPandas(stats, STATS_SCHEMA)
+
+
+def sampled_per_class(df: DataFrame, n: int = 1000) -> DataFrame:
+    """the reference's per-class limit(1000) sampling (O4, ref …:133-154)
+    made deterministic: order by content hash inside each class."""
+    return top_n_per_group(
+        df,
+        ["label"],
+        [F.md5(F.col("image.origin")), F.asc("image.origin")],
+        n=n,
+    ).drop("rn")
+
+
+def classifier_with_confusion(
+    stats: DataFrame, seed: int = 2020
+) -> tuple[DataFrame, DataFrame]:
+    """M1/M2/M6/M7 — RF on [min,max,mean,std] features, seeded 0.9/0.1
+    split, accuracy + DataFrame-native confusion matrix (ref …:181-214)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.ml import (
+        confusion_matrix,
+        evaluate_accuracy,
+        train_classifiers,
+    )
+
+    assembled = (
+        VectorAssembler(
+            inputCols=["min_pixel", "max_pixel", "mean_pixel", "std_pixel"],
+            outputCol="features",
+        )
+        .transform(stats)
+        .select("features", F.col("label").cast("double"))
+    )
+    train, test = assembled.randomSplit([0.9, 0.1], seed=seed)
+    model = train_classifiers(train, which=["random_forest"], seed=seed)[
+        "random_forest"
+    ]
+    acc = evaluate_accuracy(model, test)
+    spark = stats.sparkSession
+    acc_df = spark.createDataFrame(
+        [("random_forest", float(acc))], "model string, accuracy double"
+    )
+    cm = confusion_matrix(model.transform(test).select("label", "prediction"))
+    return acc_df, cm

@@ -1,0 +1,98 @@
+"""Unit tests for sinks, set-op edge cases, and operators without a
+cross-engine oracle (SURVEY.md §5.2 items 1 and 4)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+    write_json_single_file,
+    write_parquet,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import setops, sorts
+from tests.conftest import SF_TEST
+
+
+def test_json_single_file_contract(spark, tmp_path):
+    """S6 — coalesce(1) JSON-lines: exactly one part file, rereadable
+    (ref: spark/jobs/cases_time_analysis.py:309-314)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    out = str(tmp_path / "single")
+    write_json_single_file(df, out)
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 1
+    with open(parts[0]) as f:
+        lines = [json.loads(line) for line in f]
+    assert len(lines) == 100 and lines[0].keys() == {"id", "doubled"}
+    back = spark.read.json(out)
+    assert back.count() == 100
+
+
+def test_parquet_partitioned_writer(spark, tmp_path):
+    df = spark.read.parquet(f"{SF_TEST}/orders.parquet")
+    out = str(tmp_path / "by_status")
+    write_parquet(df, out, partition_by=["o_orderstatus"])
+    # partition dirs exist → partition pruning is possible on read
+    dirs = {p.split("=")[-1] for p in glob.glob(os.path.join(out, "o_orderstatus=*"))}
+    assert dirs == {"F", "O", "P"}
+    pruned = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    assert pruned.count() == df.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_union_by_name_missing_columns(spark):
+    """U1 — unionByName with allowMissingColumns (the safe version of the
+    reference's positional unions)."""
+    a = spark.createDataFrame([(1, "x")], "id int, extra string")
+    b = spark.createDataFrame([(2,)], "id int")
+    out = a.unionByName(b, allowMissingColumns=True)
+    rows = {(r["id"], r["extra"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None)}
+
+
+def test_intersect_except_all_duplicates(spark):
+    """U3 — *All variants preserve duplicate multiplicity."""
+    a = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    b = spark.createDataFrame([(1,), (2,), (2,)], "v int")
+    assert sorted(
+        r["v"] for r in setops.intersect_rows(a, b, keep_duplicates=True).collect()
+    ) == [1, 2]
+    assert [r["v"] for r in setops.except_rows(a, b, keep_duplicates=True).collect()] == [1]
+
+
+def test_seeded_split_reproducible(spark):
+    df = spark.read.parquet(f"{SF_TEST}/customer.parquet")
+    a1, b1 = sorts.seeded_split(df, [0.8, 0.2], seed=2020)
+    a2, b2 = sorts.seeded_split(df, [0.8, 0.2], seed=2020)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+    assert sorted(r["c_custkey"] for r in b1.collect()) == sorted(
+        r["c_custkey"] for r in b2.collect()
+    )
+
+
+def test_recode_values_default_passthrough(spark):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import (
+        recode_values,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    out = recode_values(df, "k", {"a": "A"}, default=None)
+    assert {r["k"] for r in out.collect()} == {"A", "b", "c"}
+
+
+def test_multimodal_decode_stub_raises(spark):
+    """The image-decode path is an explicit stub (no media libs here) —
+    it must fail loudly, not silently return garbage."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary")
+    with pytest.raises((Py4JJavaError, Exception)):
+        multimodal.decode_image(df).collect()

@@ -1,0 +1,85 @@
+"""Structured Streaming tests (SURVEY.md §2.12 — green-field surface).
+
+Strategy: run each streaming transform over the events parquet with an
+``availableNow`` trigger into a memory sink, then assert the result equals
+the oracle-checked BATCH twin in plans/events.py — same logical semantics,
+streaming execution.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark import streaming as S
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans import registry
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """A directory of parquet files (file-stream source needs a dir); two
+    files so maxFilesPerTrigger exercises multiple micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    df = registry.table(spark, SF_TEST, "events")
+    df.repartition(2).write.mode("overwrite").parquet(str(d / "data"))
+    yield str(d / "data")
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.tumbling_counts(stream), "tumbling_mem", "complete"
+    )
+    # batch twin: same transform applied to the static frame
+    batch = registry.table(spark, SF_TEST, "events")
+    expected = S.tumbling_counts(batch)
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_match_batch_sessionize(spark, events_dir):
+    """session_window(gap=30m) must produce the same (user, session_start,
+    n_events) sets as the batch lag/cumsum sessionizer (e02)."""
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.sessionized(stream), "sessions_mem", "complete"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    batch = QUERIES["e02_sessionize"](spark, SF_TEST)
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in result.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.latest_state_per_key(stream), "dedup_mem", "append"
+    )
+    n_events = registry.table(spark, SF_TEST, "events").count()
+    assert result.count() == n_events  # event_ids unique → all pass through
