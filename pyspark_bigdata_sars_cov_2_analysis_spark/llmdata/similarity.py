@@ -96,6 +96,43 @@ def sign_bucket(vec: Column, m: int = 8) -> Column:
     return sum(bits[1:], bits[0])
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    m: int = 4,
+    decimals: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding family).
+
+    Candidates = pairs sharing a sign bucket (LSH recall trade: a pair with
+    opposite signs in the first ``m`` dims is missed — acceptable for
+    near-dup candidates since high-cosine pairs mostly agree on signs).
+    At 100 TB the bucket is the shuffle key; within-bucket comparison is
+    quadratic only in bucket size."""
+    v = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+    )
+    w2 = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+    )
+    pairs = (
+        v.join(w2, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(cosine(F.col("va"), F.col("vb")), decimals).alias("cos_sim"),
+        )
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)
+
+
 def bucketed_topk(
     df: DataFrame,
     id_col: str,

@@ -217,6 +217,30 @@ def s02_bucketed_topk(spark, sf_dir):
 
 
 @query(
+    "d05_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_bucket_sql("embedding", 4)} AS bucket
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {sql_round(_cos_sql("a.e", "b.e"), 4)} AS cos_sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.35
+    """,
+)
+def d05_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.35 within 4-bit sign buckets
+    (the dedup-by-embedding family; bucket = LSH candidate generation)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, m=4
+    )
+
+
+@query(
     "m01_binary_stats",
     oracle="""
     SELECT doc_id,
