@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import spread_compute
 
 
 def _normalize(col: Column) -> Column:
@@ -45,74 +46,135 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_array(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of a text column as a per-row array (row-local; no
+    explode). Documents shorter than k tokens yield an empty array."""
+    toks = F.split(_normalize(col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    # sequence(1, n<1) counts DOWN, so guard short documents explicitly
+    return F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """Distinct word k-shingles per document → (id, shingle) exploded.
-    Documents shorter than k tokens produce no rows."""
-    toks = F.split(_normalize(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return (
-        df.where(F.size(toks) >= k)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    Documents shorter than k tokens produce no rows. The scan is spread
+    to full parallelism first — shingling is the CPU-heavy step."""
+    sh = shingle_array(F.col(text_col), k)
+    return spread_compute(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, num_hashes: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
 ) -> DataFrame:
-    """(id, j, mh): per-seed min-hash. Hash family = md5(shingle || '#j');
-    the min is taken over the *hex string* ordering, which every engine
-    agrees on.
+    """One row per document with columns ``mh_0..mh_{n-1}`` — the MinHash
+    signature, computed entirely row-locally (no explode, no shuffle).
 
-    Shape matters at scale: instead of a seeds crossJoin (which multiplies
-    the shingle stream ``num_hashes``× before the shuffle), compute all
-    seeds as ``num_hashes`` min-aggregates in ONE groupBy — map-side
-    partials reduce each partition to one row per (doc, seed) before any
-    data moves — then unpivot the tiny aggregated result."""
-    mins = [
-        F.min(
-            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))
-        ).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    wide = shingled.groupBy(id_col).agg(*mins)
-    stack_args = ", ".join(f"{j}, mh_{j}" for j in range(num_hashes))
-    return wide.select(
+    Hash family: seed ``j`` uses the 8-hex-char chunk ``j % 4`` of
+    ``md5(shingle || '#' || (j // 4))``, so 12 seeds cost only 3 md5
+    evaluations per shingle; the min is over hex-string ordering, which
+    every engine agrees on. Documents shorter than ``k`` tokens drop out
+    (empty shingle set has no signature).
+
+    Scale shape: the whole signature is a per-row expression inside
+    whole-stage codegen — the old (doc, shingle)-exploded formulation
+    shuffled every shingle occurrence; this one shuffles nothing."""
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
+    groups = num_hashes // 4
+    # Explode → aggregate, not per-row array transforms: Aggregate is a
+    # pipeline breaker, so shingling runs exactly once per document and
+    # each md5 exactly once per shingle — higher-order array functions are
+    # interpreted (no codegen) and projection collapse would re-evaluate
+    # the whole chain once per signature column. Map-side partials reduce
+    # each partition to one row per doc before the (only) shuffle.
+    sh = word_shingles(df, id_col, text_col, k)
+    hashed = sh.select(
         F.col(id_col),
-        F.expr(f"stack({num_hashes}, {stack_args}) AS (j, mh)"),
+        *[
+            F.md5(F.concat_ws("#", "shingle", F.lit(str(g)))).alias(f"hg_{g}")
+            for g in range(groups)
+        ],
     )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(F.col(f"hg_{j // 4}"), 8 * (j % 4) + 1, 8)
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig): concatenate each ``band_rows`` consecutive
+    min-hashes into a band signature and unpivot — ``num_hashes/band_rows``
+    small rows per document are all that ever reaches a shuffle."""
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{j}")
+                        for j in range(b * band_rows, (b + 1) * band_rows)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("bs")
+    ).select(F.col(id_col), F.col("bs.band"), F.col("bs.band_sig"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, band_rows: int = 3
+    banded: DataFrame, id_col: str
 ) -> DataFrame:
-    """Band the signatures (band = j // band_rows), equi-join docs sharing a
-    (band, band_signature) bucket → distinct candidate pairs (a < b)."""
-    banded = signatures.withColumn("band", (F.col("j") / band_rows).cast("int"))
-    band_sig = (
-        banded.groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                ",",
-            ).alias("band_sig")
+    """Distinct candidate pairs (a < b) of docs sharing a
+    (band, band_signature) bucket.
+
+    Shape: groupBy bucket → sorted id list → row-local combination
+    expansion — NOT a self-join, which would execute the whole upstream
+    signature pipeline twice (once per join side) and is quadratic in the
+    bucket via the join anyway. One shuffle on the bucket key; the
+    collect_list state is bounded by bucket size (near-dup group), the
+    same bound the join shape has."""
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
-    a = band_sig.select(
-        F.col(id_col).alias("id_a"), "band", "band_sig"
-    )
-    b = band_sig.select(
-        F.col(id_col).alias("id_b"), "band", "band_sig"
-    )
     return (
-        a.join(b, on=["band", "band_sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -125,10 +187,11 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     band_rows: int = 3,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup candidate pipeline."""
-    sh = word_shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    return lsh_candidate_pairs(sig, id_col, band_rows)
+    """Full MinHash+LSH near-dup candidate pipeline (signature → bands →
+    bucket self-join; one shuffle end-to-end)."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = lsh_bands(sig, id_col, num_hashes, band_rows)
+    return lsh_candidate_pairs(banded, id_col)
 
 
 def jaccard_pairs(

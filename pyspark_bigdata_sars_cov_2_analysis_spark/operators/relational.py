@@ -84,3 +84,19 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         cond = (F.isnan(c) | F.isnull(c)) if c in numeric_floats else F.isnull(c)
         aggs.append(F.count(F.when(cond, c)).alias(c))
     return df.select(aggs)
+
+
+def spread_compute(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy row-local work (X1 family —
+    the reference's manual ``repartition(200)`` after the image union,
+    `spark/jobs/radiography_analysis.py:102`, made adaptive).
+
+    Small files arrive as one input split, serializing expression-heavy
+    stages (hashing, shingling, vector math) onto one core. Repartition to
+    the session's default parallelism ONLY when the scan is narrower —
+    at real scale inputs already carry enough splits and this is a no-op,
+    so the round-robin shuffle only ever moves small data."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

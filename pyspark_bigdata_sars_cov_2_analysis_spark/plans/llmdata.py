@@ -51,19 +51,42 @@ def d01_exact_dedup(spark, sf_dir):
     return dedup.exact_duplicates(d, "doc_id", "text")
 
 
+# MinHash seed j = 8-hex chunk (j % 4) of md5(shingle || '#' || (j // 4)) —
+# 12 seeds from 3 md5 calls; identical family in the Spark implementation.
+_MH_SQL = {
+    j: (
+        f"list_min(list_transform(s, x -> "
+        f"substr(md5(x || '#{j // 4}'), {8 * (j % 4) + 1}, 8)))"
+    )
+    for j in range(12)
+}
+_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, "
+    + " || ',' || ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
+    + " AS band_sig FROM mh"
+    for b in range(4)
+)
+
+
 @query(
     "d02_minhash_lsh",
     oracle=f"""
-    WITH {_SHINGLES_CTE},
-    sig AS (
-      SELECT doc_id, j, MIN(md5(shingle || '#' || CAST(j AS VARCHAR))) AS mh
-      FROM sh CROSS JOIN generate_series(0, 11) t(j)
-      GROUP BY doc_id, j
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
     ),
     bands AS (
-      SELECT doc_id, CAST(j // 3 AS INT) AS band,
-             string_agg(mh, ',' ORDER BY j) AS band_sig
-      FROM sig GROUP BY doc_id, 2
+{_BANDS_SQL}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
