@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import spread_compute
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -54,15 +55,21 @@ def brute_force_topk(
     Cosine is rounded to ``decimals`` before ranking; ties break on
     neighbor id — fully deterministic.
     """
-    vecs = df.select(
+    # Norms are computed once per vector here, not once per pair — the
+    # per-pair expression is a single dot product (same arithmetic, same
+    # bits: sqrt(dot(v,v)) is evaluated identically, just hoisted).
+    vec = F.col(vec_col).cast("array<double>")
+    vecs = spread_compute(df).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        vec.alias("v"),
+        _norm(vec).alias("nv"),
     )
     probes = (
         df.where(F.col(id_col).isin(probe_ids))
         .select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("q"),
+            vec.alias("q"),
+            _norm(vec).alias("nq"),
         )
     )
     scored = (
@@ -71,7 +78,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            pround(cosine(F.col("q"), F.col("v")), decimals).alias("cos_sim"),
+            pround(
+                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                decimals,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -111,15 +121,24 @@ def embedding_neardup_pairs(
     near-dup candidates since high-cosine pairs mostly agree on signs).
     At 100 TB the bucket is the shuffle key; within-bucket comparison is
     quadratic only in bucket size."""
-    v = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+    vec = F.col(vec_col).cast("array<double>")
+    base = spread_compute(df).select(
+        F.col(id_col).alias("vid"),
+        vec.alias("v"),
+        _norm(vec).alias("nrm"),
+        sign_bucket(vec, m).alias("bucket"),
     )
-    w2 = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+    v = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    w2 = base.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
     pairs = (
         v.join(w2, on="bucket")
@@ -127,7 +146,10 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            pround(cosine(F.col("va"), F.col("vb")), decimals).alias("cos_sim"),
+            pround(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                decimals,
+            ).alias("cos_sim"),
         )
     )
     return pairs.where(F.col("cos_sim") >= threshold)
@@ -147,17 +169,20 @@ def bucketed_topk(
     Recall < 1 by construction (that's the ANN trade); at 100 TB the bucket
     column is the layout partition key so each probe reads ~1/2^m of data.
     """
-    base = df.select(
+    vec = F.col(vec_col).cast("array<double>")
+    base = spread_compute(df).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+        vec.alias("v"),
+        _norm(vec).alias("nv"),
+        sign_bucket(vec, m).alias("bucket"),
     )
     probes = (
         df.where(F.col(id_col).isin(probe_ids))
         .select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("q"),
-            sign_bucket(F.col(vec_col).cast("array<double>"), m).alias("bucket"),
+            vec.alias("q"),
+            _norm(vec).alias("nq"),
+            sign_bucket(vec, m).alias("bucket"),
         )
     )
     scored = (
@@ -166,7 +191,10 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            pround(cosine(F.col("q"), F.col("v")), decimals).alias("cos_sim"),
+            pround(
+                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                decimals,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -13,6 +13,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans import (  # noqa: F401
     relational,
     text,
     tpch,
+    tpch_ext,
     udfs,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
