@@ -116,3 +116,54 @@ def e03_dedup_latest_state(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", pround(F.col("value"), 2).alias("value"))
     )
+
+
+@query(
+    "e04_sliding_window",
+    oracle=f"""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {sql_round("SUM(value)", 2)} AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                     time_bucket(INTERVAL '30 minutes', ts)]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def e04_sliding_window(spark, sf_dir):
+    """Sliding 1-hour/30-min hopping window agg — batch twin of
+    streaming/events.sliding_counts. Each event contributes to
+    width/slide = 2 windows."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "e05_user_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_round("SUM(value)", 2)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def e05_user_totals(spark, sf_dir):
+    """Per-user lifetime totals — the batch twin of the custom stateful
+    streaming operator (streaming/events.running_user_totals)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )

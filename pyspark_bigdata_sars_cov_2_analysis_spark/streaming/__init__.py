@@ -1,13 +1,17 @@
 from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
     latest_state_per_key,
     read_event_stream,
+    running_user_totals,
     sessionized,
+    sliding_counts,
     tumbling_counts,
 )
 
 __all__ = [
     "latest_state_per_key",
     "read_event_stream",
+    "running_user_totals",
     "sessionized",
+    "sliding_counts",
     "tumbling_counts",
 ]

@@ -84,3 +84,68 @@ def latest_state_per_key(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding (hopping) window count+sum per event_type —
+    streaming twin of plans/events.e04_sliding_window. Each event lands in
+    width/slide windows; state per open window is bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    applyInPandasWithState — the escape hatch for semantics the native
+    windows can't express (SURVEY.md §2.12). Emits one updated row per
+    user per micro-batch; keyed state is two scalars per user, eviction by
+    GroupStateTimeout is the caller's policy knob.
+
+    After an availableNow backfill the latest row per user equals the
+    batch aggregate (plans/events.e05_user_totals) — covered by tests."""
+    import pandas as pd  # local import: Arrow path only
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests prove the small-SF answers; these prove the PLAN is the
+one that survives a 1000-executor scale-up: filters reach the parquet scan,
+dimensions broadcast, top-k never global-sorts, signature pipelines don't
+multiply shuffles. A regression here is a performance bug even while every
+value stays right.
+"""
+
+from __future__ import annotations
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+from tests.conftest import SF_TEST
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    mode_obj = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(mode_obj)
+
+
+def test_q6_filters_push_to_scan(spark):
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF_TEST))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, f"{col} not pushed: {line}"
+    # column pruning: the scan must not read the full 11-column lineitem
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read and "l_tax" not in read, read
+
+
+def test_q3_dimension_broadcast(spark):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q3_topk_is_take_ordered(spark):
+    plan = _plan(QUERIES["q3_shipping_priority"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_only_fact_join_shuffles(spark):
+    """Q5 joins six tables; every dimension must broadcast — the only
+    Exchanges allowed are the orders⋈lineitem shuffle + final agg."""
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, SF_TEST), mode="simple")
+    n_broadcast = plan.count("BroadcastExchange")
+    assert n_broadcast >= 4, f"expected >=4 broadcast dims, got {n_broadcast}\n{plan}"
+    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
+def test_minhash_single_aggregate_shuffle(spark):
+    """The signature stage must be ONE groupBy with map-side partials —
+    not a per-seed row multiplication before the shuffle."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    sig = dedup.minhash_signatures(
+        table(spark, SF_TEST, "documents"), "doc_id", "text"
+    )
+    plan = _plan(sig, mode="simple")
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle == 1, f"signature stage should shuffle once\n{plan}"
+    assert "partial_min" in plan, plan
+
+
+def test_w01_single_window_shuffle(spark):
+    plan = _plan(QUERIES["w01_latest_per_group"](spark, SF_TEST), mode="simple")
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 1, f"latest-per-group must shuffle at most once\n{plan}"
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: the agg must plan as partial + final HashAggregate
+    pairs, not a raw shuffle of every row."""
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, SF_TEST), mode="simple")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    plan = _plan(QUERIES["s01_cosine_topk"](spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -83,3 +83,45 @@ def test_streaming_dedup_within_watermark(spark, events_dir):
     )
     n_events = registry.table(spark, SF_TEST, "events").count()
     assert result.count() == n_events  # event_ids unique → all pass through
+
+
+def test_sliding_counts_matches_batch(spark, events_dir):
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.sliding_counts(stream), "sliding_mem", "complete"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    batch = QUERIES["e04_sliding_window"](spark, SF_TEST)
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState running totals: after an availableNow
+    backfill, the LAST emitted row per user equals the batch aggregate."""
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.running_user_totals(stream), "usertotals_mem", "update"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    # memory sink in update mode appends every emission; the final state
+    # per user is its max n_events (counts only grow)
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    batch = QUERIES["e05_user_totals"](spark, SF_TEST)
+    got = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 2))
+        for r in final.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["total_value"]) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
