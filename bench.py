@@ -37,8 +37,13 @@ def main() -> None:
     spark = start_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # warm the JVM + parquet footers + Python UDF workers once so timings
+    # measure the queries, not process startup
     plans.QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+    spark.range(2).toPandas()
+    spark.range(2).groupBy("id").applyInPandas(
+        lambda pdf: pdf, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -78,26 +78,24 @@ def minhash_signatures(
     num_hashes: int = 12,
 ) -> DataFrame:
     """One row per document with columns ``mh_0..mh_{n-1}`` — the MinHash
-    signature, computed entirely row-locally (no explode, no shuffle).
+    signature as ``num_hashes`` bigints.
 
-    Hash family: seed ``j`` uses the 8-hex-char chunk ``j % 4`` of
-    ``md5(shingle || '#' || (j // 4))``, so 12 seeds cost only 3 md5
-    evaluations per shingle; the min is over hex-string ordering, which
-    every engine agrees on. Documents shorter than ``k`` tokens drop out
-    (empty shingle set has no signature).
+    Hash family: seed ``j`` is the 8-hex-char chunk ``j % 4`` of
+    ``md5(shingle || '#' || (j // 4))`` parsed as an unsigned 32-bit int,
+    so 12 seeds cost only 3 md5 evaluations per shingle; fixed-width hex
+    parses order-preservingly, and every engine agrees on integer min.
+    Documents shorter than ``k`` tokens drop out.
 
-    Scale shape: the whole signature is a per-row expression inside
-    whole-stage codegen — the old (doc, shingle)-exploded formulation
-    shuffled every shingle occurrence; this one shuffles nothing."""
+    Scale shape: explode → aggregate, not per-row array transforms —
+    Aggregate is a pipeline breaker, so shingling runs exactly once per
+    document and each md5 exactly once per shingle (higher-order array
+    functions are interpreted, and projection collapse would re-evaluate
+    the chain once per signature column). The min buffers are primitive
+    longs, so the agg plans as HashAggregate with map-side partials
+    reducing each partition to one row per doc before the only shuffle."""
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
     groups = num_hashes // 4
-    # Explode → aggregate, not per-row array transforms: Aggregate is a
-    # pipeline breaker, so shingling runs exactly once per document and
-    # each md5 exactly once per shingle — higher-order array functions are
-    # interpreted (no codegen) and projection collapse would re-evaluate
-    # the whole chain once per signature column. Map-side partials reduce
-    # each partition to one row per doc before the (only) shuffle.
     sh = word_shingles(df, id_col, text_col, k)
     hashed = sh.select(
         F.col(id_col),
@@ -109,7 +107,9 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(
         *[
             F.min(
-                F.substring(F.col(f"hg_{j // 4}"), 8 * (j % 4) + 1, 8)
+                F.conv(
+                    F.substring(F.col(f"hg_{j // 4}"), 8 * (j % 4) + 1, 8), 16, 10
+                ).cast("bigint")
             ).alias(f"mh_{j}")
             for j in range(num_hashes)
         ]

@@ -51,19 +51,21 @@ def d01_exact_dedup(spark, sf_dir):
     return dedup.exact_duplicates(d, "doc_id", "text")
 
 
-# MinHash seed j = 8-hex chunk (j % 4) of md5(shingle || '#' || (j // 4)) —
-# 12 seeds from 3 md5 calls; identical family in the Spark implementation.
+# MinHash seed j = 8-hex chunk (j % 4) of md5(shingle || '#' || (j // 4)),
+# parsed as an unsigned 32-bit int — identical family in the Spark
+# implementation (12 seeds from 3 md5 calls; integer min).
 _MH_SQL = {
     j: (
-        f"list_min(list_transform(s, x -> "
-        f"substr(md5(x || '#{j // 4}'), {8 * (j % 4) + 1}, 8)))"
+        f"list_min(list_transform(s, x -> CAST(CAST('0x' || "
+        f"substr(md5(x || '#{j // 4}'), {8 * (j % 4) + 1}, 8) AS UBIGINT) "
+        f"AS BIGINT)))"
     )
     for j in range(12)
 }
 _BANDS_SQL = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, {b} AS band, "
-    + " || ',' || ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
-    + " AS band_sig FROM mh"
+    f"      SELECT doc_id, {b} AS band, concat_ws(',', "
+    + ", ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
+    + ") AS band_sig FROM mh"
     for b in range(4)
 )
 
