@@ -264,3 +264,67 @@ def simhash_signatures(
     bit_votes = contrib.groupBy(id_col, "b", "p").agg(F.sum("sgn").alias("vote"))
     bit_val = F.when(F.col("vote") > 0, F.col("p")).otherwise(F.lit(0).cast("bigint"))
     return bit_votes.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of the
+    four signature bytes (pigeonhole: Hamming ≤ 6 over 32 bits guarantees
+    ≥1 identical byte... only for ≤3 differing bytes — with 4 bands any
+    pair within Hamming ≤ max_hamming that concentrates errors can still
+    split across bands; this is the standard recall trade), then verified
+    exactly with bit_count(xor) ≤ max_hamming.
+
+    Scale shape: same as MinHash-LSH — 4 small (band, value) rows per doc
+    to the shuffle, bucket-grouped row-local pair expansion carrying both
+    signatures, so the exact Hamming check needs no signature re-join."""
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("val"),
+            )
+            for b in range(bits // 8)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bs")
+    ).select(F.col(id_col), "simhash", "bs.band", "bs.val")
+    buckets = (
+        banded.groupBy("band", "val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("members")
+        )
+        .where(F.size("members") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size("members")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", F.col("p.hamming").cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

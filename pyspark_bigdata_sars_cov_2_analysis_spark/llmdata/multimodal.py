@@ -79,3 +79,85 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield pd.DataFrame()  # pragma: no cover
 
     return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 32,
+) -> DataFrame:
+    """Deterministic fake image decode: payload bytes are 8-bit grayscale
+    pixels in row-major order at fixed ``width``. Exercises the REAL
+    decode plumbing (Arrow batch in, typed feature frame out, multi-column
+    passthrough) with a decoder every engine can replicate; swap the body
+    for PIL in a real deployment (decode_image stays the lib-gated stub).
+
+    Variance uses the integer-sum formula (sum_sq - sum*sum/n)/n so both
+    engines perform the identical float ops on exact integer inputs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pyround
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            ns = payloads.map(len)
+            sums = payloads.map(lambda b: sum(b))
+            sqs = payloads.map(lambda b: sum(x * x for x in b))
+            mean = sums / ns
+            var = (sqs - sums * sums / ns) / ns
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "height": ((ns + width - 1) // width).astype("int32"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "mean_pixel": mean.map(lambda v: pyround(v, 4)),
+                    "std_pixel": var.map(
+                        lambda v: pyround(math.sqrt(v) if v > 0 else 0.0, 4)
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sum bigint"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 16,
+    every: int = 4,
+) -> DataFrame:
+    """Deterministic fake video frame sampling: payload is a byte stream of
+    fixed-size frames; emit every ``every``-th frame's index and byte sum
+    (the stand-in for a decoded keyframe). One input row fans out to many
+    output rows through the same mapInPandas plumbing a real ffmpeg
+    sampler would use."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                for i in range(0, (n + frame_bytes - 1) // frame_bytes, every):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sums.append(sum(payload[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, FRAME_SAMPLE_SCHEMA
+    )

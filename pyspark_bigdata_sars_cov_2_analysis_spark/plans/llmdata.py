@@ -130,37 +130,69 @@ def d03_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1)
 
 
-@query(
-    "d04_simhash",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_distinct(string_split({_NORM}, ' '))) AS tok
-      FROM documents
-    ),
-    th AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
-      FROM toks
-    ),
-    contrib AS (
-      SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS p,
-             CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
-                  THEN 1 ELSE -1 END AS sgn
-      FROM th CROSS JOIN generate_series(0, 31) t(b)
-    ),
-    votes AS (
-      SELECT doc_id, b, p, SUM(sgn) AS vote FROM contrib GROUP BY doc_id, b, p
-    )
+_SIMHASH_CTE = f"""
+  toks_sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split({_NORM}, ' '))) AS tok
+    FROM documents
+  ),
+  th AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+    FROM toks_sh
+  ),
+  contrib AS (
+    SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS p,
+           CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                THEN 1 ELSE -1 END AS sgn
+    FROM th CROSS JOIN generate_series(0, 31) t(b)
+  ),
+  votes AS (
+    SELECT doc_id, b, p, SUM(sgn) AS vote FROM contrib GROUP BY doc_id, b, p
+  ),
+  simsig AS (
     SELECT doc_id,
            CAST(SUM(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
+  )
+"""
+
+
+@query(
+    "d04_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM simsig
     """,
 )
 def d04_simhash(spark, sf_dir):
     """32-bit SimHash signatures (bit-majority over md5 token hashes)."""
     d = table(spark, sf_dir, "documents")
     return dedup.simhash_signatures(d, "doc_id", "text", bits=32)
+
+
+@query(
+    "d06_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS val
+      FROM simsig CROSS JOIN generate_series(0, 3) t(b)
+    )
+    SELECT DISTINCT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id)
+    WHERE hamming <= 6
+    """,
+)
+def d06_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: byte-band candidates, exact Hamming ≤ 6
+    verify via bit_count(xor) — no signature re-join (pairs carry both
+    signatures out of the bucket expansion)."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=6)
 
 
 _PROBES = [0, 1, 2, 3, 4]
@@ -282,3 +314,59 @@ def m01_binary_stats(spark, sf_dir):
     stand-in — media libs are stubbed, SURVEY.md §7.2 step 11)."""
     d = table(spark, sf_dir, "documents")
     return multimodal.binary_stats(multimodal.attach_binary_payload(d))
+
+
+@query(
+    "m02_image_decode_stats",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), x -> ascii(x)) AS bs
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, len(bs) AS n,
+             CAST(list_aggregate(bs, 'sum') AS DOUBLE) AS s,
+             CAST(list_aggregate(list_transform(bs, x -> x * x), 'sum')
+                  AS DOUBLE) AS sq
+      FROM bytes
+    )
+    SELECT doc_id,
+           CAST(ceil(n / 32.0) AS INT) AS height,
+           CAST(32 AS INT) AS width,
+           {sql_round("s / n", 4)} AS mean_pixel,
+           {sql_round("sqrt(greatest((sq - s * s / n) / n, 0.0))", 4)}
+             AS std_pixel
+    FROM sums
+    """,
+)
+def m02_image_decode_stats(spark, sf_dir):
+    """Multimodal decode path with a deterministic fake decoder (payload
+    bytes = grayscale pixels, width 32): real Arrow-batched mapInPandas
+    plumbing, engine-replicable math (integer sums; identical variance
+    formula both sides)."""
+    d = table(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.attach_binary_payload(d))
+
+
+@query(
+    "m03_frame_sample",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), x -> ascii(x)) AS bs
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(list_aggregate(bs[i * 16 + 1 : i * 16 + 16], 'sum') AS BIGINT)
+             AS frame_sum
+    FROM bytes CROSS JOIN generate_series(0, 63) t(i)
+    WHERE i % 4 = 0 AND i * 16 < len(bs)
+    """,
+)
+def m03_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling (payload = stream of 16-byte frames, every
+    4th sampled): one row fans out to many through mapInPandas — the video
+    keyframe-sampler shape."""
+    d = table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_binary_payload(d))
