@@ -204,3 +204,97 @@ def bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    assign_decimals: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (max cosine, rounded for cross-engine rank stability, centroid-id
+    tiebreak). Centroids are the vectors with id < n_centroids — the
+    deterministic stand-in for a k-means codebook trained offline; at
+    100 TB the cell id becomes the partition key of the at-rest layout.
+
+    Returns (id, cell)."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = spread_compute(df).select(
+        F.col(id_col).alias("__vid"), vec.alias("v"), _norm(vec).alias("nv")
+    )
+    cents = (
+        df.where(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            vec.alias("c"),
+            _norm(vec).alias("nc"),
+        )
+    )
+    d = pround(
+        _dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("nc")),
+        assign_decimals,
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "__vid", F.col("cid"), d.alias("d")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.desc("d"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("__vid").alias(id_col), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    decimals: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: each probe scans ONLY its own cell (nprobe=1 — the
+    recall/cost dial adds neighboring cells at higher nprobe). With cells
+    as partition keys the scan is partition-pruned to ~1/n_centroids of
+    the data per probe."""
+    cells = ivf_assign_cells(df, id_col, vec_col, n_centroids)
+    vec = F.col(vec_col).cast("array<double>")
+    base = (
+        df.select(
+            F.col(id_col).alias("neighbor_id"), vec.alias("v"), _norm(vec).alias("nv")
+        )
+        .join(
+            cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+            on="neighbor_id",
+        )
+    )
+    probes = (
+        df.where(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
+        )
+        .join(
+            cells.select(F.col(id_col).alias("query_id"), "cell"),
+            on="query_id",
+        )
+    )
+    scored = (
+        base.join(F.broadcast(probes), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(
+                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
+                decimals,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

@@ -58,3 +58,38 @@ def latest_per_group_via_join(
     maxes = df.groupBy(*keys).agg(F.max(order_col).alias("__max"))
     cond = [df[k] == maxes[k] for k in keys] + [df[order_col] == maxes["__max"]]
     return df.join(F.broadcast(maxes), on=cond, how="inner").select(df["*"])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side picks a
+    deterministic salt in [0, n_salts); the (smaller) right side is
+    replicated once per salt value; the join key becomes (key, salt), so a
+    hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    AQE's skew-join splitting handles most cases at runtime; this is the
+    explicit operator for when the skew is known at authoring time (e.g. a
+    null-heavy or celebrity key). Semantics are exactly ``left.join(right,
+    left_key == right_key, how)`` — verified by equivalence tests. The
+    salt must be deterministic (xxhash64 of the whole left row), never
+    rand(): retried tasks must re-derive the same salt or the join
+    duplicates/drops rows."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt.cast("int"))
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("__salt")
+    rhs = right.select("*", salts)
+    out = lhs.join(
+        rhs,
+        on=(F.col(left_key) == F.col(right_key))
+        & (lhs["__salt"] == rhs["__salt"]),
+        how=how,
+    )
+    return out.drop("__salt")

@@ -167,3 +167,26 @@ def e05_user_totals(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         pround(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "e06_view_purchase_attribution",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def e06_view_purchase_attribution(spark, sf_dir):
+    """Interval self-join (view→purchase attribution ≤ 30 min) — batch twin
+    of the watermarked stream-stream join
+    (streaming/events.view_purchase_attribution)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        view_purchase_attribution,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return view_purchase_attribution(e)

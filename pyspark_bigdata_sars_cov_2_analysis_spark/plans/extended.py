@@ -302,3 +302,27 @@ def o04_deterministic_sample(spark, sf_dir):
         d, ["lang"], [F.md5("text"), F.asc("doc_id")], n=20
     )
     return out.select("lang", "doc_id")
+
+
+@query(
+    "a16_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round("quantile_cont(l_extendedprice, 0.5)", 2)} AS p50,
+           {sql_round("quantile_cont(l_extendedprice, 0.9)", 2)} AS p90,
+           {sql_round("quantile_cont(l_extendedprice, 0.99)", 2)} AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a16_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (A10 family): Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition, so values hash-match after rounding. At
+    scale the approximate twin is a15/percentile_approx — same API slot,
+    sketch-based, no global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+        pround(F.percentile("l_extendedprice", 0.9), 2).alias("p90"),
+        pround(F.percentile("l_extendedprice", 0.99), 2).alias("p99"),
+    )

@@ -370,3 +370,47 @@ def m03_frame_sample(spark, sf_dir):
     keyframe-sampler shape."""
     d = table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_binary_payload(d))
+
+
+@query(
+    "s03_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 16),
+    dists AS (
+      SELECT v.vec_id, cid, {sql_round(_cos_sql("e", "c"), 6)} AS d
+      FROM v CROSS JOIN cents
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cid) AS rn FROM dists)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT v.vec_id AS query_id, e AS q, cell
+      FROM v JOIN cells USING (vec_id)
+      WHERE vec_id IN ({", ".join(map(str, _PROBES))})
+    ),
+    scored AS (
+      SELECT query_id, v.vec_id AS neighbor_id,
+             {sql_round(_cos_sql("q", "e"), 4)} AS cos_sim
+      FROM v JOIN cells USING (vec_id) JOIN probes USING (cell)
+      WHERE v.vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s03_ivf_topk(spark, sf_dir):
+    """IVF ANN top-5 (nprobe=1): coarse-quantize to 16 deterministic
+    centroid cells, probes scan only their cell — the partition-pruned
+    scale path next to the LSH variant (s02)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, "vec_id", "embedding", _PROBES, k=5, n_centroids=16)

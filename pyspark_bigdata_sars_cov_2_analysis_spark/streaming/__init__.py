@@ -5,6 +5,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
     sessionized,
     sliding_counts,
     tumbling_counts,
+    view_purchase_attribution,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sessionized",
     "sliding_counts",
     "tumbling_counts",
+    "view_purchase_attribution",
 ]

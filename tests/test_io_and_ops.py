@@ -96,3 +96,77 @@ def test_multimodal_decode_stub_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary")
     with pytest.raises((Py4JJavaError, Exception)):
         multimodal.decode_image(df).collect()
+
+
+def test_salted_join_equivalence(spark):
+    """salted_join must return exactly the plain join's rows (skew salting
+    is a physical rewrite, not a semantic one)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    o = table(spark, SF_TEST, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, SF_TEST, "lineitem").select("l_orderkey", "l_quantity")
+    plain = li.join(o, on=li.l_orderkey == o.o_orderkey)
+    salted = joins.salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=5)
+    assert "__salt" not in salted.columns
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.select(*plain.columns).collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A pathological single-key frame must land in n_salts distinct
+    (key, salt) groups — the whole point of the rewrite."""
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins
+
+    hot = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
+    dim = spark.range(10).select(F.col("id").alias("k2"), F.lit("x").alias("attr"))
+    out = joins.salted_join(hot, dim, "k", "k2", n_salts=4)
+    assert out.count() == 1000
+    salts = (
+        hot.withColumn(
+            "__salt", F.pmod(F.xxhash64("k", "payload"), F.lit(4)).cast("int")
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 4
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange nodes — the co-located-join contract write_bucketed_table
+    exists to provide."""
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_bucketed_table,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = table(spark, SF_TEST, "orders")
+        li = table(spark, SF_TEST, "lineitem")
+        write_bucketed_table(o, "t_orders_b", "o_orderkey", 4, "o_orderkey")
+        write_bucketed_table(li, "t_lineitem_b", "l_orderkey", 4, "l_orderkey")
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        j = lb.join(ob, on=lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        jvm = spark._jvm
+        plan = j._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

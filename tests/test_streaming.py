@@ -125,3 +125,21 @@ def test_stateful_user_totals_match_batch(spark, events_dir):
         (r["user_id"], r["n_events"], r["total_value"]) for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked interval join (view→purchase attribution) must produce
+    the batch twin's rows exactly once across micro-batches."""
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark,
+        S.view_purchase_attribution(stream),
+        "attribution_mem",
+        "append",
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    batch = QUERIES["e06_view_purchase_attribution"](spark, SF_TEST)
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
