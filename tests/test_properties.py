@@ -1,0 +1,157 @@
+"""Property tests (SURVEY.md §5.2 item 4).
+
+The reference's ETL doc claims transforms are idempotent pure functions
+(README.md:38-40) — here that's an executable property, plus the algebraic
+invariants the oracle harness depends on: cross-engine rounding agreement,
+union commutativity, aggregation invariance under physical layout, and the
+window↔join greatest-per-group equivalence.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+    pyround,
+    sql_round,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import normalize_text
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import (
+    joins,
+    relational,
+    setops,
+    windows,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+from tests.conftest import SF_TEST
+
+
+# ---------- cross-engine rounding agreement (the t2 keystone) ----------
+
+@given(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_pyround_matches_duckdb_sql_round(x: float, d: int):
+    """pyround (Python) and sql_round (DuckDB) are the same IEEE ops —
+    bit-identical on arbitrary doubles, including half-boundaries. The
+    value is bound as a parameter (bit-exact), not a SQL string literal:
+    DuckDB's string→DOUBLE parse can land 1 ulp off Python's, which is
+    irrelevant to t2 (oracle inputs come from parquet, never literals)."""
+    duck = duckdb.connect().execute(
+        f"SELECT {sql_round('CAST(? AS DOUBLE)', d)}", [x]
+    ).fetchone()[0]
+    assert pyround(x, d) == duck or (
+        math.isnan(pyround(x, d)) and math.isnan(duck)
+    )
+
+
+def test_pround_matches_pyround_on_spark(spark):
+    """The Spark twin produces the same values as the Python twin for a
+    deterministic sweep including .5/.25/.075 boundaries."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+
+    vals = [i / 8 for i in range(-1000, 1000)] + [37704.575, 0.125, 2.675]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for d in (0, 2, 4):
+        got = [r[0] for r in df.select(pround(F.col("v"), d)).collect()]
+        want = [pyround(v, d) for v in vals]
+        assert got == want, f"d={d}"
+
+
+# ---------- idempotence (reference README.md:38-40, executable) ----------
+
+def test_normalize_text_idempotent(spark):
+    d = table(spark, SF_TEST, "documents")
+    once = d.select(normalize_text(F.col("text")).alias("t"))
+    twice = once.select(normalize_text(F.col("t")).alias("t"))
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_fill_and_recode_idempotent(spark):
+    df = spark.createDataFrame(
+        [("positive",), ("negative",), (None,), ("nan",)], "result string"
+    )
+    f = lambda x: relational.recode_values(  # noqa: E731
+        relational.fill_nulls(x, {"result": "nan"}),
+        "result",
+        {"nan": "0", "positive": "1", "negative": "0"},
+    )
+    once, twice = f(df), f(f(df))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------- algebraic invariants ----------
+
+def test_union_commutative_as_multiset(spark):
+    a = table(spark, SF_TEST, "orders").where(F.col("o_orderkey") % 3 == 0)
+    b = table(spark, SF_TEST, "orders").where(F.col("o_orderkey") % 3 == 1)
+    ab = setops.union_all([a, b])
+    ba = setops.union_all([b, a])
+    assert ab.exceptAll(ba).count() == 0 and ba.exceptAll(ab).count() == 0
+
+
+def test_grouped_agg_invariant_under_layout(spark):
+    """The same aggregation over repartitioned/shuffled input must produce
+    identical results — the distributed-correctness property every oracle
+    comparison silently relies on."""
+    li = table(spark, SF_TEST, "lineitem")
+    base = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    shuffled = (
+        li.repartition(13, "l_partkey")
+        .sortWithinPartitions("l_shipdate")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+def test_latest_per_group_window_join_equivalence(spark):
+    """The reference's W1/P14 window idiom and the join formulation must
+    select the same rows (SURVEY.md §2.3)."""
+    o = table(spark, SF_TEST, "orders")
+    via_window = windows.latest_per_group(o, ["o_custkey"], "o_orderdate").select(
+        "o_custkey", "o_orderkey"
+    )
+    via_join = joins.latest_per_group_via_join(o, ["o_custkey"], "o_orderdate").select(
+        "o_custkey", "o_orderkey"
+    )
+    assert sorted(map(tuple, via_window.collect())) == sorted(
+        map(tuple, via_join.collect())
+    )
+
+
+def test_salting_preserves_join_under_any_fanout(spark):
+    o = table(spark, SF_TEST, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, SF_TEST, "lineitem").select("l_orderkey", "l_linenumber")
+    plain = sorted(
+        map(tuple, li.join(o, on=li.l_orderkey == o.o_orderkey).collect())
+    )
+    for n in (1, 3, 16):
+        salted = sorted(
+            map(
+                tuple,
+                joins.salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=n)
+                .select("l_orderkey", "l_linenumber", "o_orderkey", "o_totalprice")
+                .collect(),
+            )
+        )
+        assert salted == plain, f"n_salts={n}"
