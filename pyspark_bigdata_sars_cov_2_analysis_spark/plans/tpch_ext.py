@@ -471,3 +471,109 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 family — distinct-supplier counts with a NOT IN blacklist
+    subquery as LEFT ANTI join (lineitem stands in for partsupp as the
+    part-supplier bridge; the blacklist is negative-balance suppliers)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25)
+    )
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    j = joins.join_dim(li, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    j = joins.anti_join(j, bad, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=f"""
+    SELECT s_name, s_suppkey FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100
+    )
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 family — nested IN with a HAVING aggregate subquery, as a
+    LEFT SEMI join against the aggregated supplier set (availqty adapted
+    to shipped-quantity threshold; integral sums keep it exact)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    heavy = (
+        joins.join_dim(li, p.select("p_partkey"), on=F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    out = joins.semi_join(s, heavy, on=s.s_suppkey == heavy.l_suppkey)
+    return out.select("s_name", "s_suppkey")
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 family — the EXISTS + NOT EXISTS pair on the same fact
+    (sole at-fault supplier in a multi-supplier order; receipt/commit
+    lateness adapted to returnflag='R'). Both subqueries become one
+    aggregated self-frame joined once: per order, the distinct supplier
+    count and the distinct flagged-supplier count — cheaper than two
+    correlated semi/anti joins re-scanning lineitem."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    j = joins.join_fact(l1, o, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    j = joins.join_fact(j, per_order, on=F.col("l_orderkey") == F.col("ok"))
+    # multi-supplier order, and this supplier is the only flagged one
+    j = j.where((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
+    j = joins.join_dim(j, s, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
