@@ -112,3 +112,18 @@ def load_tables(
         if os.path.exists(p):
             out[t] = spark.read.parquet(p)
     return out
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized/pushdown treatment as parquet; the
+    columnar alternative for ORC-standardized lakes."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str | list[str], whole_file: bool = False
+) -> DataFrame:
+    """Line-per-row (or file-per-row) text scan — the raw-corpus entry
+    point for the LLM-data text surface."""
+    paths = path if isinstance(path, list) else [path]
+    return spark.read.text(paths, wholetext=whole_file)

@@ -170,3 +170,30 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_orc
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import write_orc
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    o = table(spark, SF_TEST, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path)
+    back = read_orc(spark, path)
+    assert back.schema == o.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_text_reader_lines_and_wholefile(spark, tmp_path):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert lines.count() == 3
+    whole = read_text(spark, str(p), whole_file=True)
+    assert whole.count() == 2
