@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import spread_compute
@@ -194,6 +195,79 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(banded, id_col)
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold with LOSSLESS prefix filtering
+    (the AllPairs/PPJoin bound): if J(A,B) ≥ t, the pair must share a
+    shingle among each side's first ``|X| - ⌈t·|X|⌉ + 1`` shingles in a
+    global rarest-first order — so the inverted index only stores those
+    prefixes, and hot shingles (the quadratic blowup in a naive
+    shingle-join) fall out of candidate generation entirely.
+
+    Verification is row-local: candidates join each side's (small) full
+    shingle array once and compute ``size(array_intersect)`` — no second
+    pass over the inverted index. Output is identical to ``jaccard_pairs``
+    (tested). MEASURED crossover: at sf0.1 (5k docs, short texts) the
+    extra shuffles cost 7× more than the naive join saves, so the naive
+    form stays the default; this one is for corpora whose hottest shingle
+    appears in a large fraction of documents (inverted-list length ~N →
+    naive candidate pairs ~N², while prefixes only index rare shingles)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, on="shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, on=id_col)
+    )
+    # ceil(t*n) via an epsilon guard: fp overshoot (0.1*40 = 4.0000…01)
+    # would shorten the prefix and break losslessness; undershooting only
+    # admits extra candidates.
+    need = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = ranked.where(F.col("rn") <= F.col("n_sh") - need + 1)
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr"), F.count(F.lit(1)).alias("n")
+    )
+    j = cands.join(
+        arrs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("arr").alias("sa"),
+            F.col("n").alias("n_a"),
+        ),
+        on="id_a",
+    ).join(
+        arrs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("arr").alias("sb"),
+            F.col("n").alias("n_b"),
+        ),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    jac = j.select(
+        "id_a",
+        "id_b",
+        pround(
+            inter / (F.col("n_a") + F.col("n_b") - inter), 4
+        ).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -201,8 +275,9 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (inverted-index
-    join). Returns (id_a, id_b, jaccard rounded 4dp) above threshold."""
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (full
+    inverted-index join) — fastest below the hot-shingle crossover
+    (see ``jaccard_pairs_prefix`` for the skew-proof variant)."""
     sh = word_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

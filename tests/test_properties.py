@@ -155,3 +155,15 @@ def test_salting_preserves_join_under_any_fanout(spark):
             )
         )
         assert salted == plain, f"n_salts={n}"
+
+
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """The AllPairs prefix-filtered Jaccard must emit exactly the naive
+    inverted-index join's pairs — the bound is a pruning rule, never a
+    semantic change."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    d = table(spark, SF_TEST, "documents")
+    fast = sorted(map(tuple, dedup.jaccard_pairs_prefix(d, "doc_id", "text").collect()))
+    naive = sorted(map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect()))
+    assert fast == naive and len(naive) > 0
