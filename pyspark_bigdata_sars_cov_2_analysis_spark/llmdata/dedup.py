@@ -1,18 +1,20 @@
 """Deduplication operators for training-data pipelines (LLM-data surface).
 
-Four families, all expressed as DataFrame compositions (no Python UDFs, no
-driver collects) so they scale to 100 TB:
+Four text families (embedding near-dup lives in :mod:`.similarity`), all
+DataFrame compositions (no Python UDFs, no driver collects) sized for
+100 TB:
 
 - exact: md5-fingerprint groupBy — the shuffle key is a 16-byte hash, never
   the document text itself;
-- MinHash + LSH: shingle → per-seed min-hash → band → bucket self-join;
-  candidate generation is equi-join on (band, band_signature), so the only
-  quadratic work happens inside a bucket;
+- MinHash + LSH: shingle → per-seed min-hash → band → bucket-grouped
+  row-local pair expansion; the only quadratic work happens inside a
+  bucket, and the signature pipeline executes once (no self-join);
 - SimHash: per-token 32-bit hashes, bit-majority vote → one signature per
-  doc; near-dup = small Hamming distance (cheap XOR popcount join on
-  band prefixes if needed);
-- n-gram Jaccard: exact set similarity verified only on pairs that share at
-  least one shingle (inverted-index join), never all-pairs.
+  doc; near-dup pairs via byte-band candidates + exact
+  ``bit_count(xor)`` Hamming verify;
+- n-gram Jaccard: exact set similarity over pairs sharing ≥1 shingle
+  (inverted-index join), with a lossless AllPairs prefix-filtered variant
+  for corpora whose hottest shingles make the naive join quadratic.
 
 Hashing is md5-based everywhere — deterministic, seed-stable, and
 reproducible in any engine (this is what the DuckDB oracles rely on).
