@@ -130,3 +130,33 @@ def t05_clean_wordcount(spark, sf_dir):
         T.normalize_text(F.col("text")).alias("cleaned"),
         T.token_count(F.col("text")).alias("words"),
     )
+
+
+@query(
+    "t06_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest([w[i] || ' ' || w[i+1]
+                     for i in generate_series(1, len(w) - 1)]) AS bigram
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def t06_top_bigrams(spark, sf_dir):
+    """Corpus-level top-20 bigram frequencies — vocabulary profiling for
+    the text surface. Non-distinct 2-shingles (frequency counts, unlike
+    the dedup shingles), map-side partial counts, TakeOrderedAndProject
+    top-k with a lexicographic tiebreak."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import shingle_array
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import top_k
+
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(shingle_array(F.col("text"), 2)).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, 20, F.desc("n"), F.asc("bigram"))

@@ -143,3 +143,39 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     got = sorted(map(tuple, result.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
+    """Restarting a checkpointed stream over the same source must not
+    duplicate or drop windows: run to completion, 'crash', restart with
+    the same checkpoint — the parquet sink holds each window exactly
+    once."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = S.read_event_stream(spark, events_dir)
+        q = (
+            S.tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    run_once()  # same checkpoint: no new input -> no new output
+    again = spark.read.parquet(out)
+    assert again.count() == first
+    # every (window, type) appears exactly once
+    dups = (
+        again.groupBy("window_start", "event_type")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0 and first > 0
