@@ -88,28 +88,132 @@ def latest_snapshot_by_country(df: DataFrame) -> DataFrame:
     )
 
 
-def most_affected_countries(df: DataFrame, k: int = 10) -> DataFrame:
-    """top-k mortality rate, re-sorted ascending for display (ref …:177-189):
-    ``mortalityRate = round(deaths/confirmed*100, 2)``."""
+def _rate_ranking(df: DataFrame, num: str, rate_name: str, k: int) -> DataFrame:
     snap = latest_snapshot_by_country(df)
     rated = snap.withColumn(
-        "mortalityRate",
-        pround(F.col("sum(deaths)") / F.col("sum(confirmed)") * 100.0, 2),
+        rate_name,
+        pround(F.col(num) / F.col("sum(confirmed)") * 100.0, 2),
     )
     return top_k_resorted(
         rated,
         k,
-        [F.desc("mortalityRate"), F.asc("country")],
-        [F.asc("mortalityRate"), F.asc("country")],
+        [F.desc(rate_name), F.asc("country")],
+        [F.asc(rate_name), F.asc("country")],
+    )
+
+
+def most_affected_countries(df: DataFrame, k: int = 10) -> DataFrame:
+    """top-k mortality rate, re-sorted ascending for display (ref …:177-189):
+    ``mortalityRate = round(deaths/confirmed*100, 2)``."""
+    return _rate_ranking(df, "sum(deaths)", "mortalityRate", k)
+
+
+def best_recovery_countries(df: DataFrame, k: int = 10) -> DataFrame:
+    """top-k recovery rate twin (ref …:194-207):
+    ``recoveryRate = round(recovered/confirmed*100, 2)``."""
+    return _rate_ranking(df, "sum(recovered)", "recoveryRate", k)
+
+
+def time_series(df: DataFrame) -> DataFrame:
+    """(ds, y) contract: per-date confirmed rollup renamed (ref …:212-217)."""
+    return (
+        df.groupBy("date")
+        .agg(F.sum("confirmed").alias("y"))
+        .orderBy("date")
+        .withColumnRenamed("date", "ds")
+    )
+
+
+def time_series_by_countries(df: DataFrame) -> DataFrame:
+    """(date, confirmed, country) distinct, date-ordered (ref …:220-226)."""
+    return (
+        df.where(F.col("country").isin(["Serbia", "Croatia", "Slovenia", "Montenegro"]))
+        .select("date", "confirmed", "country")
+        .dropDuplicates()
+        .orderBy("date")
+    )
+
+
+def time_series_test_data(df: DataFrame, seed: int = 2020) -> DataFrame:
+    """The held-out 20% of the (ds, y) series. The reference used an
+    UNSEEDED numpy mask (…:228-236 — non-reproducible, SURVEY.md §7.3);
+    the engine pins a seeded randomSplit."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
+
+    _, test = seeded_split(time_series(df), [0.8, 0.2], seed=seed)
+    return test
+
+
+def future_predictions(df: DataFrame, seed: int = 2020) -> DataFrame:
+    """Driver-side global-series fit predicting the held-out dates with
+    ``(ds, yhat, yhat_lower, yhat_upper)`` — the reference's Prophet
+    driver path (…:239-256, §3.3) with the engine's deterministic OLS +
+    ±2·residual-σ band behind the same contract."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
+
+    ts = time_series(df)
+    train, test = seeded_split(ts, [0.8, 0.2], seed=seed)
+    tp = train.select(
+        F.datediff(F.to_date("ds"), F.lit("2020-01-01")).alias("x"),
+        F.col("y").cast("double"),
+    ).toPandas()
+    xm, ym = tp["x"].mean(), tp["y"].mean()
+    dx = tp["x"] - xm
+    var = float((dx * dx).sum())
+    slope = float((dx * (tp["y"] - ym)).sum() / var) if var else 0.0
+    intercept = float(ym - slope * xm)
+    resid = tp["y"] - (intercept + slope * tp["x"])
+    band = 2.0 * float((resid * resid).mean() ** 0.5)
+    out = test.select(
+        "ds",
+        (
+            F.lit(intercept)
+            + F.lit(slope) * F.datediff(F.to_date("ds"), F.lit("2020-01-01"))
+        ).alias("yhat"),
+    )
+    return out.select(
+        "ds",
+        pround(F.col("yhat"), 3).alias("yhat"),
+        pround(F.col("yhat") - band, 3).alias("yhat_lower"),
+        pround(F.col("yhat") + band, 3).alias("yhat_upper"),
+    )
+
+
+def confirmed_cases_for_country(df: DataFrame, country: str) -> DataFrame:
+    """Per-country daily rollup: filter → groupBy(date).sum(confirmed) →
+    orderBy(date); column ``sum(confirmed)`` (ref …:128-154, the
+    serbia/norway/italy/china quadruplet is this one transform
+    parameterized)."""
+    return (
+        df.where(F.col("country") == country)
+        .groupBy("date")
+        .agg(F.sum("confirmed").alias("sum(confirmed)"))
+        .orderBy("date")
     )
 
 
 def europe_confirmed_cases(df: DataFrame) -> DataFrame:
-    """membership filter + per-date rollup over Europe (ref …:164-171)."""
+    """Latest snapshot per country → sum(confirmed) → Europe members →
+    ordered desc (ref …:156-168 — NOT a per-date series; the window-max
+    idiom feeds a country ranking)."""
+    latest = latest_per_group(df.drop("state"), ["country"], "date")
+    grouped = latest.groupBy("country").agg(
+        F.sum("confirmed").alias("sum(confirmed)")
+    )
+    return grouped.where(F.col("country").isin(EUROPE)).orderBy(
+        F.desc("sum(confirmed)")
+    )
+
+
+def confirmed_cases_comparison(df: DataFrame) -> DataFrame:
+    """Per-date recovered/deaths/active rollup (ref …:170-174)."""
     return (
-        df.where(F.col("country").isin(EUROPE))
-        .groupBy("date")
-        .agg(F.sum("confirmed").alias("sum(confirmed)"))
+        df.groupBy("date")
+        .agg(
+            F.sum("recovered").alias("sum(recovered)"),
+            F.sum("deaths").alias("sum(deaths)"),
+            F.sum("active").alias("sum(active)"),
+        )
         .orderBy("date")
     )
 
@@ -130,3 +234,41 @@ def forecast_per_country(
         )
     )
     return linear_forecast_by_group(daily, "country", "x", "y", horizon=horizon)
+
+
+def outputs(df: DataFrame) -> dict[str, DataFrame]:
+    """Every named output of the reference job (main(), …:27-78) from ONE
+    cached prep root — the reference re-executed the shared upstream plan
+    per sink (SURVEY.md §3.1 step 5)."""
+    four = ["Serbia", "Croatia", "Slovenia", "Montenegro"]
+    return {
+        "confirmed_cases_and_deaths_globally": confirmed_cases_and_deaths_globally(df),
+        "confirmed_cases_serbia": confirmed_cases_for_country(df, "Serbia"),
+        "confirmed_cases_norway": confirmed_cases_for_country(df, "Norway"),
+        "confirmed_cases_italy": confirmed_cases_for_country(df, "Italy"),
+        "confirmed_cases_china": confirmed_cases_for_country(df, "China"),
+        "confirmed_cases_europe": europe_confirmed_cases(df),
+        "confirmed_cases_comparison": confirmed_cases_comparison(df),
+        "confirmed_cases_mortality_rates": most_affected_countries(df),
+        "confirmed_cases_recovery_rates": best_recovery_countries(df),
+        "time_series": time_series(df),
+        "time_series_by_countries": time_series_by_countries(df),
+        "time_series_test_data": time_series_test_data(df),
+        "future_predictions": future_predictions(df),
+        "future_forecasting": forecast_per_country(df, four),
+    }
+
+
+def run_job(spark: SparkSession, csv_path: str, out_dir: str) -> list[str]:
+    """extract → prepare → all named outputs → single-file JSON-lines dirs,
+    the reference's exact ETL contract (…:309-314, S6)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_json_single_file,
+    )
+
+    df = prepare(extract(spark, csv_path))
+    written = []
+    for name, frame in outputs(df).items():
+        write_json_single_file(frame, f"{out_dir}/{name}")
+        written.append(name)
+    return written

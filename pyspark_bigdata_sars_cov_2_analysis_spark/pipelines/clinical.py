@@ -127,3 +127,68 @@ def classifier_bench(df: DataFrame, seed: int = 2020) -> DataFrame:
     spark = df.sparkSession
     rows = [(n, float(evaluate_accuracy(m, test))) for n, m in models.items()]
     return spark.createDataFrame(rows, "model string, accuracy double")
+
+
+def assay_values(df: DataFrame, column: str) -> DataFrame:
+    """Single-assay value series rounded to 2dp with nulls as 0 — the
+    reference's hemoglobin / red-blood-cells outputs are this one
+    transform parameterized (ref …:84-104)."""
+    return df.select(
+        pround(F.coalesce(F.col(column).cast("double"), F.lit(0.0)), 2).alias(column)
+    )
+
+
+def age_relations(df: DataFrame) -> DataFrame:
+    """(result, age, positive, negative) with the D4 indicator UDFs as
+    native when-chains (ref …:124-138)."""
+    pairs = df.select(
+        F.col(RESULT_COL).alias("result"), F.col(AGE_COL).alias("age")
+    )
+    return pairs.withColumn(
+        "positive", binary_indicator(F.col("result"), "positive").cast("string")
+    ).withColumn(
+        "negative", binary_indicator(F.col("result"), "negative").cast("string")
+    )
+
+
+def care_relations(df: DataFrame) -> DataFrame:
+    """Positive-case slice with a numeric ``result`` column (ref …:141-150;
+    ``negative_positive_to_numeric`` de-UDF-ed)."""
+    out = df.withColumn("result", binary_indicator(F.col(RESULT_COL), "positive"))
+    return out.where(F.col("result") == 1)
+
+
+def value_distribution(df: DataFrame) -> DataFrame:
+    """The recoded full frame (ref transform_predictions_value_distribution,
+    …:230-233 — dismiss_missing_values output)."""
+    return df
+
+
+def outputs(df: DataFrame) -> dict[str, DataFrame]:
+    """All named outputs of the reference job's main() (…:27-50)."""
+    return {
+        "hemoglobin_values": assay_values(df, "Hemoglobin"),
+        "red_blood_cells_values": assay_values(df, "Red blood Cells"),
+        "aggregate_age_result": aggregate_age_result(df),
+        "age_relations": age_relations(df),
+        "care_relations": care_relations(df),
+        "predictions_missing_values": missing_profile(df),
+        "predictions_value_distribution": value_distribution(df),
+        "predictions_test_result_distribution": result_counts(df),
+        "predictions": classifier_bench(df),
+    }
+
+
+def run_job(spark: SparkSession, csv_path: str, out_dir: str) -> list[str]:
+    """extract → prepare → all named outputs → single-file JSON-lines dirs
+    (the reference's load_data contract, …:295-300)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_json_single_file,
+    )
+
+    df = prepare(extract(spark, csv_path))
+    written = []
+    for name, frame in outputs(df).items():
+        write_json_single_file(frame, f"{out_dir}/{name}")
+        written.append(name)
+    return written

@@ -131,3 +131,52 @@ def classifier_with_confusion(
     )
     cm = confusion_matrix(model.transform(test).select("label", "prediction"))
     return acc_df, cm
+
+
+def dl_inference(df: DataFrame, limit: int = 100) -> DataFrame:
+    """SCALAR_ITER batch inference over image bytes (D7/M9, ref …:294-326):
+    deterministic order → limit → per-worker-cached model UDF. The model
+    itself is the engine's deterministic stub (no TF in this container);
+    the Arrow batching, ordering pin, and per-partition model reuse are
+    the real contract."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        image_batch_inference_udf,
+    )
+
+    sample = df.orderBy("image.origin").limit(limit)
+    return sample.select(
+        F.col("image.origin").alias("origin"),
+        "label",
+        image_batch_inference_udf(F.col("image.data")).alias("prediction"),
+    )
+
+
+def outputs(df: DataFrame) -> dict[str, DataFrame]:
+    """All (non-commented) named outputs of the reference job's main()
+    (…:27-66; the DL-training matrix/accuracy pair is commented out there
+    at :55-59 and stays out here)."""
+    valid = valid_images(df)
+    stats = pixel_stats(sampled_per_class(valid, n=1000))
+    acc, cm = classifier_with_confusion(stats)
+    return {
+        "percentage_of_samples": class_distribution(valid),
+        "take_samples": sampled_per_class(valid, n=1000).select(
+            "label", F.col("image.origin").alias("origin")
+        ),
+        "colour_distribution": stats,
+        "ml_classification": acc,
+        "dl_inference": dl_inference(valid),
+    }
+
+
+def run_job(spark: SparkSession, parquet_path: str, out_dir: str) -> list[str]:
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_json_single_file,
+    )
+
+    df = extract(spark, parquet_path).cache()
+    written = []
+    for name, frame in outputs(df).items():
+        write_json_single_file(frame, f"{out_dir}/{name}")
+        written.append(name)
+    return written

@@ -232,3 +232,24 @@ def bibliography_years(df: DataFrame) -> DataFrame:
         F.min("ref.year").alias("min_year"),
         F.max("ref.year").alias("max_year"),
     )
+
+
+def outputs(df: DataFrame) -> dict[str, DataFrame]:
+    """The reference job's two named outputs (main(), …:23-34)."""
+    return {
+        "paper_authors": authors_with_email(df),
+        "paper_abstracts": cleaned_with_sentiment(df),
+    }
+
+
+def run_job(spark: SparkSession, json_path: str | list[str], out_dir: str) -> list[str]:
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_json_single_file,
+    )
+
+    df = extract(spark, json_path)
+    written = []
+    for name, frame in outputs(df).items():
+        write_json_single_file(frame, f"{out_dir}/{name}")
+        written.append(name)
+    return written

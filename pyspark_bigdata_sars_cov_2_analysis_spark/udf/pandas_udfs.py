@@ -38,3 +38,19 @@ def batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         batch = np.stack(series.map(lambda v: np.asarray(v, dtype="float64")))
         # portable rounding (see functions.compat) — np.round is half-even
         yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)
+
+
+@pandas_udf(DoubleType())
+def image_batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """D7 for raw image bytes: same per-worker model load, with the
+    byte-buffer → float-tensor decode the reference's Keras UDF did via
+    tf.io (spark/jobs/radiography_analysis.py:313-326). Requires
+    same-sized images per batch (valid_images guarantees it)."""
+    model = _load_model()
+    for series in it:
+        batch = np.stack(
+            series.map(
+                lambda b: np.frombuffer(b, dtype=np.uint8).astype("float64") / 255.0
+            )
+        )
+        yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)

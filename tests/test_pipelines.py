@@ -200,3 +200,122 @@ class TestRadiography:
         acc = acc_df.collect()[0]["accuracy"]
         assert acc > 0.5  # classes are well separated by construction
         assert "label" in cm.columns and len(cm.columns) >= 2
+
+
+class TestCasesTimeJobParity:
+    """The full reference job: all 14 named outputs from main()
+    (spark/jobs/cases_time_analysis.py:27-78), written as single-file
+    JSON-lines dirs a reference consumer could read unchanged."""
+
+    REFERENCE_OUTPUTS = {
+        "confirmed_cases_and_deaths_globally",
+        "confirmed_cases_serbia",
+        "confirmed_cases_norway",
+        "confirmed_cases_italy",
+        "confirmed_cases_china",
+        "confirmed_cases_europe",
+        "confirmed_cases_comparison",
+        "confirmed_cases_mortality_rates",
+        "confirmed_cases_recovery_rates",
+        "time_series",
+        "time_series_by_countries",
+        "time_series_test_data",
+        "future_predictions",
+        "future_forecasting",
+    }
+
+    def test_run_job_writes_every_reference_output(
+        self, spark, tmp_fixtures, tmp_path
+    ):
+        import glob
+        import os
+
+        out = str(tmp_path / "cases_time_out")
+        written = cases_time.run_job(spark, tmp_fixtures["cases_time"], out)
+        assert set(written) == self.REFERENCE_OUTPUTS
+        for name in written:
+            parts = glob.glob(os.path.join(out, name, "part-*"))
+            assert len(parts) == 1, f"{name}: single-file contract"
+
+    def test_output_column_contracts(self, spark, tmp_fixtures):
+        df = cases_time.prepare(
+            cases_time.extract(spark, tmp_fixtures["cases_time"])
+        )
+        outs = cases_time.outputs(df)
+        assert outs["confirmed_cases_serbia"].columns == ["date", "sum(confirmed)"]
+        assert outs["confirmed_cases_europe"].columns == ["country", "sum(confirmed)"]
+        assert outs["confirmed_cases_comparison"].columns == [
+            "date", "sum(recovered)", "sum(deaths)", "sum(active)",
+        ]
+        assert outs["confirmed_cases_recovery_rates"].columns[-1] == "recoveryRate"
+        assert outs["time_series"].columns == ["ds", "y"]
+        assert outs["future_predictions"].columns == [
+            "ds", "yhat", "yhat_lower", "yhat_upper",
+        ]
+
+
+class TestClinicalJobParity:
+    REFERENCE_OUTPUTS = {
+        "hemoglobin_values",
+        "red_blood_cells_values",
+        "aggregate_age_result",
+        "age_relations",
+        "care_relations",
+        "predictions_missing_values",
+        "predictions_value_distribution",
+        "predictions_test_result_distribution",
+        "predictions",
+    }
+
+    def test_run_job_writes_every_reference_output(
+        self, spark, tmp_fixtures, tmp_path
+    ):
+        import glob
+        import os
+
+        out = str(tmp_path / "clinical_out")
+        written = clinical.run_job(spark, tmp_fixtures["clinical"], out)
+        assert set(written) == self.REFERENCE_OUTPUTS
+        for name in written:
+            parts = glob.glob(os.path.join(out, name, "part-*"))
+            assert len(parts) == 1, f"{name}: single-file contract"
+
+    def test_age_relations_contract(self, spark, tmp_fixtures):
+        df = clinical.prepare(clinical.extract(spark, tmp_fixtures["clinical"]))
+        out = clinical.age_relations(df)
+        assert out.columns == ["result", "age", "positive", "negative"]
+        rows = out.collect()
+        assert all(
+            (r["positive"], r["negative"]) in {("1", "0"), ("0", "1"), ("0", "0")}
+            for r in rows
+        )
+
+
+class TestResearchAndRadiographyJobParity:
+    def test_research_outputs(self, spark, tmp_fixtures, tmp_path):
+        import glob
+        import os
+
+        out = str(tmp_path / "research_out")
+        written = research.run_job(
+            spark, tmp_fixtures["cord19"] + "/*.json", out
+        )
+        assert set(written) == {"paper_authors", "paper_abstracts"}
+        for name in written:
+            assert glob.glob(os.path.join(out, name, "part-*")), name
+
+    def test_radiography_outputs(self, spark, tmp_fixtures, tmp_path):
+        import glob
+        import os
+
+        out = str(tmp_path / "radiography_out")
+        written = radiography.run_job(spark, tmp_fixtures["radiography"], out)
+        assert set(written) == {
+            "percentage_of_samples",
+            "take_samples",
+            "colour_distribution",
+            "ml_classification",
+            "dl_inference",
+        }
+        for name in written:
+            assert glob.glob(os.path.join(out, name, "part-*")), name
