@@ -326,3 +326,25 @@ def a16_percentiles(spark, sf_dir):
         pround(F.percentile("l_extendedprice", 0.9), 2).alias("p90"),
         pround(F.percentile("l_extendedprice", 0.99), 2).alias("p99"),
     )
+
+
+@query(
+    "sql02_file_scan",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {sql_round("SUM(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql02_file_scan(spark, sf_dir):
+    """S5 — SQL directly over parquet files with the reference's
+    ``parquet.`path``` table syntax (spark/jobs/
+    cases_clinical_spectrum_analysis.py:118), no registered view; the
+    scan still gets pushdown/pruning like any other."""
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               {sql_round("SUM(o_totalprice)", 2)} AS total
+        FROM parquet.`{sf_dir}/orders.parquet` GROUP BY o_orderstatus
+        """
+    )
