@@ -348,3 +348,32 @@ def sql02_file_scan(spark, sf_dir):
         FROM parquet.`{sf_dir}/orders.parquet` GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "w06_distribution_ranks",
+    oracle=f"""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           {sql_round("PERCENT_RANK() OVER w", 6)} AS pct_rank,
+           {sql_round("CUME_DIST() OVER w", 6)} AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w06_distribution_ranks(spark, sf_dir):
+    """W3 completeness — distribution window functions (ntile /
+    percent_rank / cume_dist) with a unique tiebreak so every engine
+    agrees on the frame order."""
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+    )
