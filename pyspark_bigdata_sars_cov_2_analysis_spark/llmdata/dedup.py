@@ -349,6 +349,7 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 6,
     bits: int = 32,
+    band_bits: int = 8,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of the
     four signature bytes (pigeonhole: Hamming ≤ 6 over 32 bits guarantees
@@ -357,19 +358,25 @@ def simhash_neardup_pairs(
     split across bands; this is the standard recall trade), then verified
     exactly with bit_count(xor) ≤ max_hamming.
 
-    Scale shape: same as MinHash-LSH — 4 small (band, value) rows per doc
-    to the shuffle, bucket-grouped row-local pair expansion carrying both
-    signatures, so the exact Hamming check needs no signature re-join."""
+    Scale shape: same as MinHash-LSH — bits/band_bits small (band, value)
+    rows per doc to the shuffle, bucket-grouped row-local pair expansion
+    carrying both signatures, so the exact Hamming check needs no
+    signature re-join. MEASURED: at 50k docs the default 32-bit/8-bit
+    banding saturates (≤1024 buckets per band → bucket sizes grow with N
+    and pair expansion goes quadratic); at scale raise ``band_bits`` (and
+    ``bits`` to 64 with a widened hash) so bucket count grows with the
+    corpus."""
     sig = simhash_signatures(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(F.col("simhash"), band_bits * b)
+                .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
-            for b in range(bits // 8)
+            for b in range(bits // band_bits)
         ]
     )
     banded = sig.select(
