@@ -377,3 +377,34 @@ def w06_distribution_ranks(spark, sf_dir):
         pround(F.percent_rank().over(w), 6).alias("pct_rank"),
         pround(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query("a17_hll_mergeable_sketch", oracle=None)
+def a17_hll_mergeable_sketch(spark, sf_dir):
+    """Mergeable-sketch distinct counting (rows-only — sketch binaries are
+    engine-specific): per-day HLL sketches of active users, merged with
+    hll_union_agg into a period-wide estimate. THE pattern for distinct
+    counts at 100 TB: daily partitions aggregate once into tiny sketch
+    blobs; any date-range distinct is then a union of sketches, never a
+    re-scan. Estimate must land within 5% of the exact count (asserted in
+    the returned frame)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        F.sum("exact_daily").alias("sum_daily"),
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    out = merged.crossJoin(F.broadcast(exact))
+    return out.select(
+        "est_users",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("within_5pct"),
+    )
