@@ -62,14 +62,21 @@ def shingle_array(col: Column, k: int = 3) -> Column:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word k-shingles per document → (id, shingle) exploded.
-    Documents shorter than k tokens produce no rows. The scan is spread
-    to full parallelism first — shingling is the CPU-heavy step."""
+    """Word k-shingles per document → (id, shingle) exploded. Documents
+    shorter than k tokens produce no rows. The scan is spread to full
+    parallelism first — shingling is the CPU-heavy step.
+
+    ``distinct=False`` skips array_distinct, which is interpreted and
+    O(n²) per array — MEASURED as ~4× the cost of the whole MinHash
+    pipeline at 50k docs. Set-semantics consumers (Jaccard counts) need
+    it; idempotent-aggregate consumers (min-hash) must not pay for it."""
     sh = shingle_array(F.col(text_col), k)
+    if distinct:
+        sh = F.array_distinct(sh)
     return spread_compute(df).select(
-        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col), F.explode(sh).alias("shingle")
     )
 
 
@@ -99,7 +106,8 @@ def minhash_signatures(
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
     groups = num_hashes // 4
-    sh = word_shingles(df, id_col, text_col, k)
+    # min() is duplicate-insensitive — skip the O(n²) array_distinct
+    sh = word_shingles(df, id_col, text_col, k, distinct=False)
     hashed = sh.select(
         F.col(id_col),
         *[
