@@ -612,3 +612,69 @@ def q11_important_stock(spark, sf_dir):
         F.col("value_") > F.col("__total") * 0.01
     )
     return out.select("l_suppkey", pround(F.col("value_"), 2).alias("value"))
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH regional AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             s_name, s_acctbal, n_name
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM regional GROUP BY l_partkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           {sql_round("s_acctbal", 2)} AS acctbal,
+           {sql_round("min_price", 2)} AS min_price
+    FROM regional r
+      JOIN mn ON r.l_partkey = mn.l_partkey
+             AND r.l_extendedprice = mn.min_price
+      JOIN part ON p_partkey = r.l_partkey
+    WHERE p_size <= 10
+    ORDER BY acctbal DESC, p_partkey, s_name LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 family — cheapest regional supplier per part (supplycost
+    adapted to observed sale price; lineitem bridges part↔supplier). The
+    correlated MIN subquery is a grouped-min joined back on exact double
+    equality — MIN over stored values is order-independent, so the match
+    is engine-stable with no rounding games. Top-100 by account balance
+    with unique tiebreaks."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+
+    reg = joins.join_dim(li, s, on=F.col("l_suppkey") == F.col("s_suppkey"))
+    reg = joins.join_dim(reg, n, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    reg = joins.join_dim(reg, r, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    reg = reg.select("l_partkey", "l_extendedprice", "s_name", "s_acctbal", "n_name")
+    mn = reg.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    j = joins.join_fact(
+        reg,
+        mn,
+        on=(F.col("l_partkey") == F.col("pk"))
+        & (F.col("l_extendedprice") == F.col("min_price")),
+    )
+    j = joins.join_dim(j, p, on=F.col("l_partkey") == F.col("p_partkey"))
+    out = j.select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        "n_name",
+        pround(F.col("s_acctbal"), 2).alias("acctbal"),
+        pround(F.col("min_price"), 2).alias("min_price"),
+    )
+    return sorts.top_k(
+        out, 100, F.desc("acctbal"), F.asc("p_partkey"), F.asc("s_name")
+    )
