@@ -76,10 +76,21 @@ def salted_join(
     AQE's skew-join splitting handles most cases at runtime; this is the
     explicit operator for when the skew is known at authoring time (e.g. a
     null-heavy or celebrity key). Semantics are exactly ``left.join(right,
-    left_key == right_key, how)`` — verified by equivalence tests. The
-    salt must be deterministic (xxhash64 of the whole left row), never
-    rand(): retried tasks must re-derive the same salt or the join
-    duplicates/drops rows."""
+    left_key == right_key, how)`` — verified by equivalence tests — but
+    ONLY for join types where the right side's replication cannot leak:
+    inner/left/left_semi. right/full/left_anti would emit each unmatched
+    replicated right row ``n_salts`` times (or wrongly suppress left rows),
+    so they are rejected. The salt must be deterministic (xxhash64 of the
+    whole left row), never rand(): retried tasks must re-derive the same
+    salt or the join duplicates/drops rows."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r}. "
+            "Right/full-outer and anti joins would replicate unmatched "
+            "right rows once per salt — use a plain join with AQE skew "
+            "handling instead."
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lhs = left.withColumn("__salt", salt.cast("int"))
     salts = F.explode(
@@ -88,7 +99,7 @@ def salted_join(
     rhs = right.select("*", salts)
     out = lhs.join(
         rhs,
-        on=(F.col(left_key) == F.col(right_key))
+        on=(lhs[left_key] == rhs[right_key])
         & (lhs["__salt"] == rhs["__salt"]),
         how=how,
     )

@@ -299,13 +299,26 @@ def d05_embedding_neardup(spark, sf_dir):
 
 @query(
     "m01_binary_stats",
+    # byte-true oracle: decode UTF-8 bytes via hex pairs (not per-character
+    # ascii() code points), so it stays correct on non-ASCII documents
     oracle="""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+                 i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INT)) AS bs
+      FROM hx
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-           CAST(list_aggregate(list_transform(string_split(text, ''),
-                x -> ascii(x)), 'sum') AS BIGINT) % 997 AS byte_sum_mod
-    FROM documents
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n = 0 THEN -1 ELSE bs[1] END AS BIGINT) AS first_byte,
+           CAST(COALESCE(list_aggregate(bs, 'sum'), 0) AS BIGINT) % 997
+             AS byte_sum_mod
+    FROM bytes
     """,
 )
 def m01_binary_stats(spark, sf_dir):
@@ -319,10 +332,16 @@ def m01_binary_stats(spark, sf_dir):
 @query(
     "m02_image_decode_stats",
     oracle=f"""
-    WITH bytes AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ''), x -> ascii(x)) AS bs
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
       FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             list_transform(range(0, nb),
+                 i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INT)) AS bs
+      FROM hx
     ),
     sums AS (
       SELECT doc_id, len(bs) AS n,
@@ -351,17 +370,30 @@ def m02_image_decode_stats(spark, sf_dir):
 
 @query(
     "m03_frame_sample",
+    # frame range derives from each payload's own length (no hard cap);
+    # byte-true hex decode as in m01/m02
     oracle="""
-    WITH bytes AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ''), x -> ascii(x)) AS bs
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
       FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             list_transform(range(0, nb),
+                 i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INT)) AS bs
+      FROM hx
+    ),
+    frames AS (
+      SELECT doc_id, bs,
+             unnest(range(0, CAST(ceil(len(bs) / 16.0) AS BIGINT))) AS i
+      FROM bytes
     )
     SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
            CAST(list_aggregate(bs[i * 16 + 1 : i * 16 + 16], 'sum') AS BIGINT)
              AS frame_sum
-    FROM bytes CROSS JOIN generate_series(0, 63) t(i)
-    WHERE i % 4 = 0 AND i * 16 < len(bs)
+    FROM frames
+    WHERE i % 4 = 0
     """,
 )
 def m03_frame_sample(spark, sf_dir):

@@ -53,8 +53,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as a bigint of nanos and we rebuild the timestamp by integer floor-div
     to micros — the same truncation DuckDB applies reading ns into its
     µs-precision TIMESTAMP, so both engines see identical values.
+
+    The session timezone is pinned to UTC here (not only in
+    ``start_session``) so that under the driver's vanilla SparkSession
+    date_format/window/year over timestamps match DuckDB's naive reads
+    regardless of the host TZ.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -583,35 +583,41 @@ def q21_waiting_supplier(spark, sf_dir):
     "q11_important_stock",
     oracle=f"""
     WITH sup AS (
-      SELECT l_suppkey, SUM(l_extendedprice * l_quantity) AS value_
+      SELECT l_suppkey,
+             {sql_round("SUM(l_extendedprice * l_quantity)", 2)} AS value_
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_suppkey
     )
-    SELECT l_suppkey, {sql_round("value_", 2)} AS value
+    SELECT l_suppkey, value_ AS value
     FROM sup
-    WHERE value_ > (SELECT SUM(value_) * 0.01 FROM sup)
+    WHERE value_ > (SELECT {sql_round("SUM(value_) * 0.01", 2)} FROM sup)
     """,
 )
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 family — groups exceeding a fraction-of-global-total
     threshold (partsupp value adapted to shipped value). The scalar
     subquery over the SAME aggregate is a window sum over the tiny
-    grouped frame — one scan, no re-aggregation."""
+    grouped frame — one scan, no re-aggregation. Both the per-group value
+    and the threshold product are rounded BEFORE the compare (the q15
+    pattern) so a borderline supplier can't flip between engines on float
+    summation order."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     j = joins.join_dim(li, s, on=F.col("l_suppkey") == F.col("s_suppkey"))
     j = joins.join_dim(j, n, on=F.col("s_nationkey") == F.col("n_nationkey"))
     sup = j.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_")
+        pround(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+        ).alias("value_")
     )
     w = Window.partitionBy()
-    out = sup.withColumn("__total", F.sum("value_").over(w)).where(
-        F.col("value_") > F.col("__total") * 0.01
-    )
-    return out.select("l_suppkey", pround(F.col("value_"), 2).alias("value"))
+    out = sup.withColumn(
+        "__thresh", pround(F.sum("value_").over(w) * 0.01, 2)
+    ).where(F.col("value_") > F.col("__thresh"))
+    return out.select("l_suppkey", F.col("value_").alias("value"))
 
 
 @query(
