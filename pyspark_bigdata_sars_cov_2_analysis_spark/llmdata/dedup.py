@@ -319,7 +319,16 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """(id, simhash): bit-majority SimHash over distinct whitespace tokens.
-    Token hash = first 8 hex chars of md5 as an unsigned 32-bit int."""
+    Token hash = first 8 hex chars of md5 as an unsigned 32-bit int.
+
+    Scale shape: each token row carries its ``bits`` ±1 votes as ``bits``
+    sum columns into ONE ``groupBy(id)`` — map-side partial sums combine
+    per bit, the shuffle moves one row of ``bits`` longs per (map
+    partition, id), and the signature is assembled from the votes as a
+    pure column expression. No joins, no row fan-out, single exchange
+    (the earlier formulation crossJoined every token with a broadcast
+    bit index, multiplying pre-shuffle rows ``bits``×, and needed a
+    second aggregate to fold bytes into the signature)."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -327,28 +336,24 @@ def simhash_signatures(
         ).alias("tok"),
     )
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-    spark = df.sparkSession
-    # (b, p=2^b): dividing by a power of two is exact in double arithmetic,
-    # so floor(h/p) % 2 is a portable bit test (shiftright needs a literal).
-    bit_idx = spark.range(bits).select(
-        F.col("id").cast("int").alias("b"),
-        F.pow(F.lit(2.0), F.col("id").cast("double")).cast("bigint").alias("p"),
-    )
-    contrib = (
-        toks.withColumn("h", h)
-        .crossJoin(F.broadcast(bit_idx))
-        .select(
-            F.col(id_col),
-            "b",
-            "p",
-            F.when((F.floor(F.col("h") / F.col("p")).cast("bigint") % 2) == 1, 1)
-            .otherwise(-1)
-            .alias("sgn"),
-        )
-    )
-    bit_votes = contrib.groupBy(id_col, "b", "p").agg(F.sum("sgn").alias("vote"))
-    bit_val = F.when(F.col("vote") > 0, F.col("p")).otherwise(F.lit(0).cast("bigint"))
-    return bit_votes.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+    t = toks.select(F.col(id_col), h.alias("h"))
+    # bit b of h via shiftright with a LITERAL shift (stays in codegen);
+    # vote = +1 when set, -1 when clear
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = t.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -357,7 +362,7 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 6,
     bits: int = 32,
-    band_bits: int = 8,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of the
     four signature bytes (pigeonhole: Hamming ≤ 6 over 32 bits guarantees
@@ -369,11 +374,23 @@ def simhash_neardup_pairs(
     Scale shape: same as MinHash-LSH — bits/band_bits small (band, value)
     rows per doc to the shuffle, bucket-grouped row-local pair expansion
     carrying both signatures, so the exact Hamming check needs no
-    signature re-join. MEASURED: at 50k docs the default 32-bit/8-bit
-    banding saturates (≤1024 buckets per band → bucket sizes grow with N
-    and pair expansion goes quadratic); at scale raise ``band_bits`` (and
-    ``bits`` to 64 with a widened hash) so bucket count grows with the
-    corpus."""
+    signature re-join. MEASURED: at 50k docs a fixed 8-bit banding
+    saturates (≤1024 buckets per band → bucket sizes grow with N and pair
+    expansion goes quadratic), so ``band_bits=None`` (the default)
+    auto-scales with corpus size: ``clamp(ceil(log2(n_docs)), 8,
+    bits // 2)`` — bucket count per band then grows at least linearly
+    with the corpus. The count() this costs is one columnar scan, noise
+    next to the dedup itself. Recall trade (standard LSH): fewer, wider
+    bands → a pair must agree on one of fewer bands — detection is only
+    GUARANTEED when Hamming < n_bands. Pass ``band_bits`` explicitly
+    (e.g. the d06 oracle pins 8) when the band layout itself is part of
+    the contract; raise ``bits`` to 64 (with a widened hash) for
+    corpora past ~100M docs."""
+    if band_bits is None:
+        import math
+
+        n_docs = df.count()
+        band_bits = min(bits // 2, max(8, math.ceil(math.log2(max(n_docs, 2)))))
     sig = simhash_signatures(df, id_col, text_col, bits)
     mask = (1 << band_bits) - 1
     bands = F.array(

@@ -190,9 +190,13 @@ def d04_simhash(spark, sf_dir):
 def d06_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs: byte-band candidates, exact Hamming ≤ 6
     verify via bit_count(xor) — no signature re-join (pairs carry both
-    signatures out of the bucket expansion)."""
+    signatures out of the bucket expansion). band_bits is pinned to 8
+    because the oracle's band layout is part of this query's contract;
+    the operator default auto-scales with corpus size."""
     d = table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=6)
+    return dedup.simhash_neardup_pairs(
+        d, "doc_id", "text", max_hamming=6, band_bits=8
+    )
 
 
 _PROBES = [0, 1, 2, 3, 4]

@@ -68,6 +68,24 @@ def test_minhash_single_aggregate_shuffle(spark):
     assert "partial_min" in plan, plan
 
 
+def test_simhash_single_aggregate_shuffle(spark):
+    """The SimHash signature stage must be ONE groupBy(id) carrying the 32
+    per-bit ±1 votes as map-side partial sums — no broadcast bit-index
+    crossJoin fanning every token row out 32× and no second fold-up
+    aggregate (the round-1 shape)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    sig = dedup.simhash_signatures(
+        table(spark, SF_TEST, "documents"), "doc_id", "text"
+    )
+    plan = _plan(sig, mode="simple")
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle == 1, f"signature stage should shuffle once\n{plan}"
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, f"no joins in the signature stage\n{plan}"
+
+
 def test_w01_single_window_shuffle(spark):
     plan = _plan(QUERIES["w01_latest_per_group"](spark, SF_TEST), mode="simple")
     n_shuffle = plan.count("Exchange hashpartitioning")
