@@ -100,6 +100,25 @@ def read_binary_files(
     )
 
 
+def read_images(
+    spark: SparkSession, path: str, drop_invalid: bool = True
+) -> DataFrame:
+    """Real ``format("image")`` directory scan (S3) — the reference's
+    radiography ingest (``spark/jobs/radiography_analysis.py:71-89``):
+    JVM-side ImageIO decode to struct<origin,height,width,nChannels,mode,
+    data> plus a ``label`` column from the parent directory name. Works on
+    BMPs produced by ``llmdata.imaging.encode_bmp`` in this
+    media-lib-less container (ImageIO ships a BMP plugin)."""
+    df = (
+        spark.read.format("image")
+        .option("dropInvalid", str(drop_invalid).lower())
+        .load(path)
+    )
+    return df.withColumn(
+        "label", F.regexp_extract(F.col("image.origin"), r"([^/]+)/[^/]+$", 1)
+    )
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -5,11 +5,12 @@ next to typed metadata columns. Decode / feature-extract run as
 Arrow-batched ``mapInPandas`` — the only part of the engine where Python
 touches row data, and it does so a batch at a time, never per row.
 
-The actual media decoders (PIL/ffmpeg/etc.) are NOT in this container, so
-``decode_image`` is a clearly-marked stub (NotImplementedError); the
-Spark-side plumbing — schema declaration, batch iteration, column
-passthrough — is real and tested via ``binary_stats`` which computes
-deterministic byte-level features through the exact same path.
+Decoders: uncompressed BMP decodes for real through the dependency-free
+numpy codec in ``llmdata/imaging.py`` (so ``decode_image`` is exercised
+end-to-end on true pixel data in this PIL-less container); compressed
+formats (JPEG/PNG/video) remain gated behind an import-try of PIL with a
+clear NotImplementedError otherwise. ``binary_stats`` / ``sample_frames``
+keep the deterministic byte-level contract used by the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -60,23 +61,57 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Image decode + stats — the reference computed these with per-row
-    Python UDFs over image.data (spark/jobs/radiography_analysis.py:127-131).
-    STUB: no imaging library in this container. The plumbing (schema, batch
-    shape) matches ``binary_stats``; swap ``_decode`` for PIL/turbojpeg in a
-    real deployment.
-    """
+    """REAL image decode + stats over a binary payload column — the
+    reference computed these with per-row Python UDFs over image.data
+    (spark/jobs/radiography_analysis.py:127-131); here it's one
+    Arrow-batched mapInPandas.
+
+    Decoder resolution per payload: uncompressed 24/32-bit BMPs decode via
+    the dependency-free numpy codec (``llmdata/imaging.py`` — real pixel
+    geometry, padding, channel handling); other formats (JPEG/PNG/…) fall
+    through to PIL when importable, else raise with a clear message. So in
+    this container the BMP path is fully real and tested; only the
+    compressed-format path needs an imaging library."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _decode(_: bytes):
-            raise NotImplementedError(
-                "image decoding requires PIL/libjpeg — not available in this "
-                "container; use binary_stats for the tested byte-level path"
-            )
+        import numpy as np
+
+        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.imaging import (
+            decode_bmp,
+        )
+
+        try:
+            from PIL import Image  # type: ignore
+
+            import io as _io
+
+            def _pil_decode(b: bytes) -> np.ndarray:
+                return np.asarray(Image.open(_io.BytesIO(b)).convert("RGB"))
+
+        except ImportError:
+            def _pil_decode(b: bytes) -> np.ndarray:
+                raise NotImplementedError(
+                    "non-BMP image decoding requires PIL — not available in "
+                    "this container; encode test images as uncompressed BMP "
+                    "(llmdata.imaging.encode_bmp) or install pillow"
+                )
+
+        def _decode(b: bytes) -> np.ndarray:
+            if b[:2] == b"BM":
+                return decode_bmp(b)
+            return _pil_decode(b)
 
         for pdf in batches:
-            _decode(b"")
-            yield pd.DataFrame()  # pragma: no cover
+            px = pdf[payload_col].map(lambda b: _decode(b).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "height": px.map(lambda a: a.shape[0]).astype("int32"),
+                    "width": px.map(lambda a: a.shape[1]).astype("int32"),
+                    "mean_pixel": px.map(lambda a: float(a.mean())),
+                    "std_pixel": px.map(lambda a: float(a.std())),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
@@ -122,6 +157,47 @@ def decode_image_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def encode_text_as_bmp(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+) -> DataFrame:
+    """(id, payload): deterministic REAL images — each document's UTF-8
+    bytes, truncated to a multiple of ``width``, become a (h, ``width``)
+    grayscale image encoded as a true 24-bit BMP. Gives the real
+    encode→decode pixel path an engine-replicable corpus (the decoded
+    pixel population is exactly the truncated byte sequence, each byte
+    appearing in all 3 channels). Docs shorter than ``width`` bytes are
+    dropped (zero-height images don't exist)."""
+    import numpy as np
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.imaging import (
+        encode_bmp,
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            keep = raw.map(len) >= width
+            payloads = raw[keep].map(
+                lambda b: encode_bmp(
+                    np.frombuffer(b[: (len(b) // width) * width], dtype=np.uint8)
+                    .reshape(-1, width)
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col][keep].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        enc, "doc_id bigint, payload binary"
     )
 
 

@@ -15,6 +15,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import (
     similarity,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
     query,
     sql_round,
     table,
@@ -406,6 +407,50 @@ def m03_frame_sample(spark, sf_dir):
     keyframe-sampler shape."""
     d = table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_binary_payload(d))
+
+
+@query(
+    "m04_real_bmp_roundtrip",
+    # oracle = byte math: the decoded pixel population IS the truncated
+    # UTF-8 byte sequence (BMP roundtrip is exact; 3 identical channels
+    # leave the mean unchanged). Mean stays integer-sum/size — exact in
+    # double on both engines, so rounding is drift-free.
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, h, nb // 16 AS ht FROM hx WHERE nb >= 16
+    ),
+    bytes AS (
+      SELECT doc_id, ht,
+             list_transform(range(0, ht * 16),
+                 i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INT)) AS bs
+      FROM dims
+    )
+    SELECT doc_id, CAST(ht AS INT) AS height, CAST(16 AS INT) AS width,
+           {sql_round("CAST(list_aggregate(bs, 'sum') AS DOUBLE) / (ht * 16)", 6)}
+             AS mean_pixel
+    FROM bytes
+    """,
+)
+def m04_real_bmp_roundtrip(spark, sf_dir):
+    """REAL image decode under the driver gate: document bytes → true
+    24-bit BMP (numpy codec) → ``decode_image`` (the same mapInPandas
+    path a PIL deployment uses) → per-image geometry + mean pixel.
+    Unlike m02's fake decoder, the bytes crossing this path are a real
+    BMP with headers, bottom-up rows and padding."""
+    d = table(spark, sf_dir, "documents")
+    imgs = multimodal.encode_text_as_bmp(d, "doc_id", "text", width=16)
+    stats = multimodal.decode_image(imgs)
+    return stats.select(
+        "doc_id",
+        "height",
+        "width",
+        pround(F.col("mean_pixel"), 6).alias("mean_pixel"),
+    )
 
 
 @query(

@@ -85,19 +85,6 @@ def test_recode_values_default_passthrough(spark):
     assert {r["k"] for r in out.collect()} == {"A", "b", "c"}
 
 
-def test_multimodal_decode_stub_raises(spark):
-    """The image-decode path is an explicit stub (no media libs here) —
-    it must fail loudly, not silently return garbage."""
-    import pytest
-    from py4j.protocol import Py4JJavaError
-
-    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import multimodal
-
-    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary")
-    with pytest.raises((Py4JJavaError, Exception)):
-        multimodal.decode_image(df).collect()
-
-
 def test_salted_join_equivalence(spark):
     """salted_join must return exactly the plain join's rows (skew salting
     is a physical rewrite, not a semantic one)."""
