@@ -13,10 +13,15 @@ Same named outputs and generated-column contracts (``sum(confirmed)``,
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+    pround,
+    pyround,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_csv
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import top_k_resorted
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.windows import (
@@ -144,39 +149,49 @@ def time_series_test_data(df: DataFrame, seed: int = 2020) -> DataFrame:
     return test
 
 
-def future_predictions(df: DataFrame, seed: int = 2020) -> DataFrame:
+def future_predictions(df: DataFrame, seed: int = 2020, fitter=None) -> DataFrame:
     """Driver-side global-series fit predicting the held-out dates with
     ``(ds, yhat, yhat_lower, yhat_upper)`` — the reference's Prophet
-    driver path (…:239-256, §3.3) with the engine's deterministic OLS +
-    ±2·residual-σ band behind the same contract."""
-    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
+    driver path (…:239-256, §3.3) behind the same contract. ``fitter`` is
+    the pluggable seam (``timeseries.forecast.Fitter``): default OLS +
+    ±2·residual-σ band (deterministic, oracle-checked); pass
+    ``forecast.prophet_fitter()`` where the library exists.
 
+    The ``toPandas`` here is deliberate and BOUNDED: its input is the
+    per-date aggregate (one row per day), mirroring the reference's
+    driver-side fit — never point it at an unaggregated frame."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
+    from pyspark_bigdata_sars_cov_2_analysis_spark.timeseries.forecast import (
+        ols_fitter,
+    )
+
+    fitter = fitter or ols_fitter
     ts = time_series(df)
     train, test = seeded_split(ts, [0.8, 0.2], seed=seed)
     tp = train.select(
         F.datediff(F.to_date("ds"), F.lit("2020-01-01")).alias("x"),
         F.col("y").cast("double"),
     ).toPandas()
-    xm, ym = tp["x"].mean(), tp["y"].mean()
-    dx = tp["x"] - xm
-    var = float((dx * dx).sum())
-    slope = float((dx * (tp["y"] - ym)).sum() / var) if var else 0.0
-    intercept = float(ym - slope * xm)
-    resid = tp["y"] - (intercept + slope * tp["x"])
+    predict = fitter(tp["x"].astype("float64"), tp["y"])
+    resid = tp["y"] - predict(tp["x"])
     band = 2.0 * float((resid * resid).mean() ** 0.5)
-    out = test.select(
-        "ds",
-        (
-            F.lit(intercept)
-            + F.lit(slope) * F.datediff(F.to_date("ds"), F.lit("2020-01-01"))
-        ).alias("yhat"),
+    xp = test.select(
+        "ds", F.datediff(F.to_date("ds"), F.lit("2020-01-01")).alias("x")
+    ).toPandas()
+    yhat = predict(xp["x"].astype("float64"))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ds": xp["ds"],
+                "yhat": [pyround(float(v), 3) for v in yhat],
+                "yhat_lower": [pyround(float(v) - band, 3) for v in yhat],
+                "yhat_upper": [pyround(float(v) + band, 3) for v in yhat],
+            }
+        ),
+        "ds string, yhat double, yhat_lower double, yhat_upper double",
     )
-    return out.select(
-        "ds",
-        pround(F.col("yhat"), 3).alias("yhat"),
-        pround(F.col("yhat") - band, 3).alias("yhat_lower"),
-        pround(F.col("yhat") + band, 3).alias("yhat_upper"),
-    )
+    return out
 
 
 def confirmed_cases_for_country(df: DataFrame, country: str) -> DataFrame:

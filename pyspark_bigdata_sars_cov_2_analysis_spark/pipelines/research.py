@@ -201,24 +201,45 @@ def _lexicon_polarity(col: Column) -> Column:
     return pround((pos - neg) / toks, 2)
 
 
-def cleaned_with_sentiment(df: DataFrame) -> DataFrame:
-    """native clean (D5 de-UDF-ed) + sentiment. Uses TextBlob when the
-    library exists (pandas-UDF, Arrow-batched), else the lexicon fallback."""
+def textblob_sentiment_column(col: str | Column) -> Column:
+    """TextBlob polarity as an Arrow-batched pandas UDF — the reference's
+    ``generate_sentiment`` (D5, ref …:91,117-131) without the row-at-a-time
+    pickling. Import is deferred to executor call time; use only where the
+    library is installed (see the skipped-if-absent parity test)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def sentiment(s: pd.Series) -> pd.Series:
+        from textblob import TextBlob  # gated optional dependency
+
+        return s.map(lambda t: round(TextBlob(t).sentiment.polarity, 2))
+
+    return sentiment(col)
+
+
+def cleaned_with_sentiment(df: DataFrame, scorer: str = "auto") -> DataFrame:
+    """native clean (D5 de-UDF-ed) + sentiment behind a pluggable scorer
+    seam: ``"lexicon"`` (deterministic, oracle-checked default gate),
+    ``"textblob"`` (the reference's model, requires the library), or
+    ``"auto"`` (textblob when importable, else lexicon)."""
     packed = abstracts_reassembled(df)
     cleaned = packed.withColumn("cleaned", normalize_text(F.col("abstract_text")))
-    try:  # optional dependency — not in this container
-        from textblob import TextBlob  # noqa: F401
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import DoubleType
+    if scorer == "auto":
+        try:  # optional dependency — not in this container
+            import textblob  # noqa: F401
 
-        @pandas_udf(DoubleType())
-        def sentiment(s: pd.Series) -> pd.Series:
-            return s.map(lambda t: round(TextBlob(t).sentiment.polarity, 2))
-
-        return cleaned.withColumn("sentiment", sentiment("cleaned"))
-    except ImportError:
+            scorer = "textblob"
+        except ImportError:
+            scorer = "lexicon"
+    if scorer == "textblob":
+        return cleaned.withColumn(
+            "sentiment", textblob_sentiment_column("cleaned")
+        )
+    if scorer == "lexicon":
         return cleaned.withColumn("sentiment", _lexicon_polarity(F.col("cleaned")))
+    raise ValueError(f"unknown sentiment scorer {scorer!r}")
 
 
 def bibliography_years(df: DataFrame) -> DataFrame:

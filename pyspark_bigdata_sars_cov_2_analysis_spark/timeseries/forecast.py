@@ -16,6 +16,8 @@ sibling code path collected to the driver, toPandas — SURVEY.md §3.3).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -23,6 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pyround
 
 FORECAST_SCHEMA = "key string, step bigint, yhat double"
+
+# A fitter trains on numeric (x, y) and returns predict: x_new -> yhat.
+# This is the pluggable seam the reference filled with Prophet; anything
+# honoring it drops into the same applyInPandas execution shape.
+Fitter = Callable[[pd.Series, pd.Series], Callable[[pd.Series], pd.Series]]
 
 
 def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float, float]:
@@ -35,6 +42,45 @@ def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float, float]:
     return float(slope), float(ym - slope * xm)
 
 
+def ols_fitter(x: pd.Series, y: pd.Series) -> Callable[[pd.Series], pd.Series]:
+    """Default fitter: deterministic closed-form OLS — dependency-free and
+    oracle-checkable via SQL regr_slope/regr_intercept."""
+    slope, intercept = _ols_line(x, y)
+    return lambda xn: intercept + slope * xn.astype("float64")
+
+
+def prophet_fitter(
+    epoch: str = "2020-01-01",
+) -> Fitter:
+    """Prophet behind the same seam (reference
+    spark/jobs/cases_time_analysis.py:268-306 fit one per group). Numeric
+    x is interpreted as days since ``epoch`` to build Prophet's ``ds``
+    column. Import is deferred to fit time so the engine loads without the
+    library; callers gate on availability (see the skipped-if-absent smoke
+    test)."""
+
+    def fit(x: pd.Series, y: pd.Series) -> Callable[[pd.Series], pd.Series]:
+        from prophet import Prophet  # gated optional dependency
+
+        base = pd.Timestamp(epoch)
+        m = Prophet()
+        m.fit(
+            pd.DataFrame(
+                {"ds": base + pd.to_timedelta(x.astype("int64"), unit="D"), "y": y}
+            )
+        )
+
+        def predict(xn: pd.Series) -> pd.Series:
+            future = pd.DataFrame(
+                {"ds": base + pd.to_timedelta(xn.astype("int64"), unit="D")}
+            )
+            return m.predict(future)["yhat"]
+
+        return predict
+
+    return fit
+
+
 def linear_forecast_by_group(
     df: DataFrame,
     key_col: str,
@@ -42,25 +88,25 @@ def linear_forecast_by_group(
     y_col: str,
     horizon: int = 7,
     decimals: int = 3,
+    fitter: Fitter = ols_fitter,
 ) -> DataFrame:
-    """For each key: fit y ~ x, predict ``horizon`` steps past max(x).
+    """For each key: fit y ~ x with ``fitter``, predict ``horizon`` steps
+    past max(x).
 
     Output: (key, step ∈ 1..horizon, yhat rounded)."""
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[x_col].astype("float64")
         y = pdf[y_col].astype("float64")
-        slope, intercept = _ols_line(x, y)
+        predict = fitter(x, y)
         x_max = x.max()
-        steps = list(range(1, horizon + 1))
+        steps = pd.Series(range(1, horizon + 1), dtype="int64")
+        yhat = predict(x_max + steps)
         return pd.DataFrame(
             {
                 "key": pdf[key_col].iloc[0],
-                "step": pd.Series(steps, dtype="int64"),
-                "yhat": [
-                    pyround(intercept + slope * (x_max + s), decimals)
-                    for s in steps
-                ],
+                "step": steps,
+                "yhat": [pyround(float(v), decimals) for v in yhat],
             }
         )
 
