@@ -21,7 +21,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     "w01_latest_per_group",
     "e01_tumbling_window",
     "e02_sessionize",
@@ -30,6 +33,13 @@ HEADLINE = [
     "t03_language_id",
     "u05_grouped_forecast",
 ]
+
+# Frozen round-1 numbers (BASELINE_BENCH.json): regression gate. A query
+# >1.5x its frozen time is flagged in the output; new headline queries
+# have no baseline entry and ratio null until the next freeze.
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
+)
 
 
 def main() -> None:
@@ -45,28 +55,53 @@ def main() -> None:
         lambda pdf: pdf, schema="id long"
     ).count()
 
+    # best-of-2: one-shot timings of sub-second queries swing 2-4x with
+    # machine noise and flagged different "regressions" on every run; the
+    # min of two executions measures the steady-state plan, which is what
+    # the baseline gate is for
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "agg": "min",
+    }
+    try:
+        with open(BASELINE_PATH) as f:
+            base = json.load(f)
+        if base.get("sf") == out["sf"]:
+            ratios = {
+                name: (
+                    round(timings[name] / base["queries"][name], 2)
+                    if base["queries"].get(name)
+                    else None
+                )
+                for name in timings
             }
-        )
-    )
+            out["vs_baseline"] = ratios
+            out["regressions"] = sorted(
+                n for n, r in ratios.items() if r is not None and r > 1.5
+            )
+    except (OSError, ValueError, KeyError):
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 

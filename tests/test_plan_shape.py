@@ -53,6 +53,43 @@ def test_q5_only_fact_join_shuffles(spark):
     assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
 
 
+def test_q9_bounded_shuffles(spark):
+    """Q9 (5-table profit rollup) — the most join-heavy headline query:
+    dimensions must broadcast; the only hash exchanges allowed are the
+    fact-side join/agg shuffles."""
+    plan = _plan(QUERIES["q9_product_profit"](spark, SF_TEST), mode="simple")
+    assert plan.count("BroadcastExchange") >= 3, plan
+    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
+def test_q18_semi_join_and_topk(spark):
+    """Q18 — the HAVING subquery must plan as a semi join against the
+    aggregated keyset (no distinct+inner), top-100 must never global-sort."""
+    plan = _plan(QUERIES["q18_large_volume"](spark, SF_TEST))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+    simple = _plan(QUERIES["q18_large_volume"](spark, SF_TEST), mode="simple")
+    n_shuffle = simple.count("Exchange hashpartitioning") + simple.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{simple}"
+
+
+def test_q21_bounded_shuffles(spark):
+    """Q21 (multi-condition existence chain) — the two correlated
+    subqueries fold into ONE per-order aggregate frame, so the plan stays
+    at a handful of exchanges, not one per subquery."""
+    plan = _plan(QUERIES["q21_waiting_supplier"](spark, SF_TEST), mode="simple")
+    assert plan.count("BroadcastExchange") >= 2, plan
+    n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_shuffle <= 5, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
 def test_minhash_single_aggregate_shuffle(spark):
     """The signature stage must be ONE groupBy with map-side partials —
     not a per-seed row multiplication before the shuffle."""
