@@ -273,3 +273,26 @@ def j04_latest_via_join_equiv(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     out = joins.latest_per_group_via_join(o, ["o_custkey"], "o_orderdate")
     return out.select("o_custkey", "o_orderkey")
+
+
+@query(
+    "j05_salted_join_equiv",
+    oracle=f"""
+    SELECT c_custkey, c_name, COUNT(*) AS n_events,
+           {sql_round("SUM(value)", 2)} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def j05_salted_join_equiv(spark, sf_dir):
+    """Skew-salted join under the driver gate: events.user_id concentrates
+    on a handful of hot users (the authoring-time-skew case salting
+    exists for), and the oracle is the PLAIN join — proving
+    salted == unsalted end-to-end, not just in unit tests."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    j = joins.salted_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )

@@ -145,6 +145,82 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_available_now_incremental_lifecycle(spark, tmp_path):
+    """Actual streaming-query lifecycle over a time-ordered multi-file
+    layout: one file per micro-batch, watermark advancing batch to batch,
+    state growing then EVICTING (observable in StreamingQueryProgress),
+    and append-mode emissions that are exactly the batch twin's finalized
+    windows — incremental execution evidence, not just plan equivalence."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = registry.table(spark, SF_TEST, "events")
+    bucketed = df.withColumn("b", F.ntile(6).over(Window.orderBy("ts")))
+    for i in range(1, 7):
+        bucketed.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.2)  # distinct modTimes -> deterministic file order
+
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        S.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("lifecycle_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+
+    # multiple micro-batches actually ran (one per file)
+    assert len(progresses) >= 6, [p["numInputRows"] for p in q.recentProgress]
+
+    # the event-time watermark advanced across batches (the final no-data
+    # finalization batch availableNow runs carries the last advance, so
+    # scan ALL progress entries for the cutoff)
+    watermarks = [
+        p["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if "watermark" in p.get("eventTime", {})
+    ]
+    assert len(set(watermarks)) > 1, watermarks
+    assert watermarks == sorted(watermarks), watermarks
+
+    # windowed-agg state was held AND evicted as the watermark passed
+    state = [p["stateOperators"][0] for p in progresses if p["stateOperators"]]
+    assert max(s["numRowsTotal"] for s in state) > 0
+    assert sum(s.get("numRowsRemoved", 0) for s in state) > 0, (
+        "watermark never evicted state"
+    )
+
+    # append emissions == batch twin's windows finalized by the last
+    # watermark (never more, never duplicated)
+    emitted = spark.table("lifecycle_mem")
+    batch = S.tumbling_counts(registry.table(spark, SF_TEST, "events"))
+    final_wm = watermarks[-1].replace("T", " ").split(".")[0]
+    want = sorted(
+        map(
+            tuple,
+            batch.where(
+                # window END (start + 1h) must be <= watermark to finalize
+                F.col("window_start")
+                <= F.date_format(
+                    F.to_timestamp(F.lit(final_wm)) - F.expr("INTERVAL 1 HOUR"),
+                    "yyyy-MM-dd HH:mm:ss",
+                )
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, emitted.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
     """Restarting a checkpointed stream over the same source must not
     duplicate or drop windows: run to completion, 'crash', restart with
