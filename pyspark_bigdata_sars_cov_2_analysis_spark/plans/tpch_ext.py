@@ -648,11 +648,18 @@ def q11_important_stock(spark, sf_dir):
 )
 def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 family — cheapest regional supplier per part (supplycost
-    adapted to observed sale price; lineitem bridges part↔supplier). The
-    correlated MIN subquery is a grouped-min joined back on exact double
-    equality — MIN over stored values is order-independent, so the match
-    is engine-stable with no rounding games. Top-100 by account balance
-    with unique tiebreaks."""
+    adapted to observed sale price; lineitem bridges part↔supplier).
+
+    Determinism of the exact-double-equality min join, precisely: both
+    engines read the same parquet doubles bit-for-bit; MIN is a selection
+    (returns one of the stored bit patterns, no arithmetic), so it is
+    order-independent even over floats; and ``stored == stored-min`` is a
+    bitwise comparison with no computed intermediate on either side.
+    Unlike a rounded-aggregate compare there is NO summation-order
+    dependence anywhere in the predicate — the only rounding (acctbal /
+    min_price display) happens after row selection. Verified by the
+    sf0.001 and sf0.01 hash compares. Top-100 by account balance with
+    unique tiebreaks (p_partkey, s_name)."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")

@@ -18,6 +18,9 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.timeseries import (
     linear_forecast_by_group,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.udf import batch_inference_udf
+from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+    mlp_inference_udf,
+)
 
 
 @query(
@@ -64,6 +67,20 @@ def u06_batch_inference(spark, sf_dir):
     """D7 — SCALAR_ITER batch inference with per-worker model load (the
     reference's Keras predict_batch_udf shape,
     spark/jobs/radiography_analysis.py:306-326); deterministic stand-in
-    model = sigmoid(mean(embedding))."""
+    model = sigmoid(mean(embedding)) so the oracle stays SQL-expressible
+    (u07 runs the real-tensor variant)."""
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", batch_inference_udf("embedding").alias("score"))
+
+
+@query("u07_mlp_inference", oracle=None)  # rows-only: matmul isn't SQL
+def u07_mlp_inference(spark, sf_dir):
+    """D7/M9 — batch inference with REAL tensor compute: a deterministic
+    seeded 2-layer MLP (matmul → tanh → matmul → sigmoid) applied per
+    Arrow batch, weights built once per worker. The closest
+    framework-free approximation of the reference's DenseNet path
+    (spark/jobs/radiography_analysis.py:306-326); correctness is pinned
+    by a driver-side numpy golden test instead of a DuckDB oracle
+    (tests/test_io_and_ops.py::test_mlp_inference_matches_numpy)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", mlp_inference_udf("embedding").alias("score"))

@@ -85,6 +85,29 @@ def test_recode_values_default_passthrough(spark):
     assert {r["k"] for r in out.collect()} == {"A", "b", "c"}
 
 
+def test_mlp_inference_matches_numpy(spark):
+    """u07's real-MLP UDF must equal a driver-side numpy forward pass with
+    the same seeded weights — the golden that replaces a SQL oracle for
+    non-SQL-expressible tensor compute."""
+    import numpy as np
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import _load_mlp
+
+    got = {
+        r["vec_id"]: r["score"]
+        for r in QUERIES["u07_mlp_inference"](spark, SF_TEST).collect()
+    }
+    emb = table(spark, SF_TEST, "embeddings").collect()
+    model = _load_mlp()
+    batch = np.stack([np.asarray(r["embedding"], dtype="float64") for r in emb])
+    want = np.floor(model(batch) * 1e6 + 0.5) / 1e6
+    assert len(got) == len(emb) > 0
+    for r, w in zip(emb, want):
+        assert got[r["vec_id"]] == w
+
+
 def test_salted_join_equivalence(spark):
     """salted_join must return exactly the plain join's rows (skew salting
     is a physical rewrite, not a semantic one)."""
