@@ -101,6 +101,47 @@ def detect_language(col: Column) -> Column:
     return F.element_at(F.transform(firsts, lambda s: s["lang"]), 1)
 
 
+def repetition_ratio(col: Column, k: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word k-gram OCCURRENCES
+    that are repeats of an earlier k-gram, i.e. 1 - distinct/total.
+    Row-local array compute — zero shuffle, the ideal 100 TB shape for a
+    per-document quality column (array_distinct is O(n²) interpreted, but
+    n = tokens-per-doc, not corpus size). Docs shorter than k tokens
+    score 0.0."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
+        shingle_array,
+    )
+
+    arr = shingle_array(col, k)
+    total = F.size(arr)
+    dist = F.size(F.array_distinct(arr))
+    return F.when(total > 0, (total - dist) / total).otherwise(F.lit(0.0))
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): plain char classes, \d, \b, escaped dots — no lookarounds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3,4}-\d{4}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind])).cast("bigint")
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask every PII pattern with a typed placeholder — the masking pass a
+    training-data pipeline runs before tokenization. Order matters: emails
+    first (an IP-like string inside an email host must not be half-masked
+    by the IP rule)."""
+    out = col
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def fingerprint(col: Column, bits: int = 64) -> Column:
     """Document fingerprint: md5 of the normalized text, truncated to
     ``bits``/4 hex chars. Stable across engines (md5 is md5 everywhere)."""

@@ -205,6 +205,62 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(banded, id_col)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id), where cluster_id is the MINIMUM doc id in the component —
+    the step that turns pairwise dedup output into keep-one-per-cluster
+    decisions (keeper = the row where doc_id == cluster_id).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in
+    O(graph diameter) rounds. Near-dup graphs are dense clique-ish
+    clusters with tiny diameters (LSH buckets emit all intra-bucket
+    pairs), so this beats the O(log n) large-star/small-star alternates
+    that exist for long-path graphs — and each round is ONE shuffle join
+    + agg on (id, label) pairs, never touching document text. The
+    convergence check is a driver-side count per round (the standard
+    iterative-algorithm action; everything else stays distributed).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = sym.distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        nb_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb"))
+        )
+        stepped = labels.join(nb_min, labels.id == nb_min.src, "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nb", "label")).alias("label"),
+        )
+        stepped = stepped.cache()
+        changed = stepped.where(F.col("label") < F.col("old")).count()
+        old_labels = labels
+        labels = stepped.select("id", "label").cache()
+        old_labels.unpersist()
+        stepped.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

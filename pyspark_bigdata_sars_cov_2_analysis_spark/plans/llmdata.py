@@ -106,6 +106,59 @@ def d02_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "d07_dup_clusters",
+    # connected components of the d02 pair graph by recursive transitive
+    # closure (bounded: near-dup components are small cliques); cluster
+    # label = min doc_id reachable
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e
+        ON r.dst = e.src AND e.dst <> r.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def d07_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the d02 candidate pairs resolved into connected
+    components by iterative min-label propagation — the step that turns
+    pairwise dedup output into keep-one-per-cluster decisions (keeper =
+    row where doc_id == cluster_id). Oracle computes the same components
+    via a recursive-CTE transitive closure."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=3, num_hashes=12, band_rows=3)
+    return dedup.dup_clusters(pairs)
+
+
+@query(
     "d03_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},

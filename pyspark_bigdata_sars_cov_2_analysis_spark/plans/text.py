@@ -17,6 +17,9 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
 )
 
 
+_DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
 def _occ_sql(word: str) -> str:
     return f"len(regexp_extract_all(text, '\\b{word}\\b'))"
 
@@ -129,6 +132,91 @@ def t05_clean_wordcount(spark, sf_dir):
         "doc_id",
         T.normalize_text(F.col("text")).alias("cleaned"),
         T.token_count(F.col("text")).alias("words"),
+    )
+
+
+@query(
+    "t07_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           {sql_round('''CASE WHEN len(g) > 0
+                 THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+                 ELSE 0.0 END''', 4)} AS rep_ratio
+    FROM grams
+    """,
+)
+def t07_repetition_ratio(spark, sf_dir):
+    """Gopher-style duplicated-3-gram fraction per document — the standard
+    repetition quality gate for training corpora. Row-local array math,
+    zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", pround(T.repetition_ratio(F.col("text"), 3), 4).alias("rep_ratio")
+    )
+
+
+# deterministic synthetic PII appended per doc so the scrubber has real
+# matches to find on any corpus (the base synthetic text contains none)
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-010-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@query(
+    "t08_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["email"]}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["ipv4"]}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(t, '{T.PII_PATTERNS["phone"]}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{T.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                 '{T.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+                 '{T.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM enriched
+    """,
+)
+def t08_pii_scrub(spark, sf_dir):
+    """PII masking pass (emails / IPv4 / phone) with per-kind counts and a
+    fingerprint of the scrubbed text. Deterministic synthetic PII is
+    appended per doc_id so the patterns have real matches to find;
+    patterns are dialect-portable (Java regex == RE2 here). The masking
+    itself is pure regexp_replace — whole-stage codegen, no Python."""
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-010-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_count(t, "email").alias("n_emails"),
+        T.pii_count(t, "ipv4").alias("n_ips"),
+        T.pii_count(t, "phone").alias("n_phones"),
+        F.md5(T.scrub_pii(t)).alias("scrubbed_fp"),
     )
 
 

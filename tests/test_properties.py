@@ -167,3 +167,19 @@ def test_jaccard_prefix_filter_is_lossless(spark):
     fast = sorted(map(tuple, dedup.jaccard_pairs_prefix(d, "doc_id", "text").collect()))
     naive = sorted(map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect()))
     assert fast == naive and len(naive) > 0
+
+
+def test_dup_clusters_known_graph(spark):
+    """Min-label propagation must produce exact connected components:
+    chain, clique, pair, and a diameter-4 path (multi-round convergence)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    pairs = [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21),
+             (30, 31), (31, 32), (32, 33), (33, 34)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = sorted(map(tuple, dedup.dup_clusters(df).collect()))
+    want = sorted(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (20, 20),
+         (21, 20), (30, 30), (31, 30), (32, 30), (33, 30), (34, 30)]
+    )
+    assert got == want
