@@ -88,6 +88,9 @@ def test_q21_bounded_shuffles(spark):
         "Exchange rangepartitioning"
     )
     assert n_shuffle <= 5, f"too many shuffles ({n_shuffle})\n{plan}"
+    # the two-level distinct rewrite must keep Expand out of the plan
+    # (multi-count_distinct would double every pre-shuffle row)
+    assert "Expand" not in plan, plan
 
 
 def test_minhash_single_aggregate_shuffle(spark):
