@@ -1,4 +1,5 @@
 from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+    latest_per_user_state,
     latest_state_per_key,
     read_event_stream,
     running_user_totals,
@@ -9,6 +10,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
 )
 
 __all__ = [
+    "latest_per_user_state",
     "latest_state_per_key",
     "read_event_stream",
     "running_user_totals",

@@ -78,11 +78,64 @@ def latest_state_per_key(
 ) -> DataFrame:
     """Streaming dedup-to-latest via dropDuplicatesWithinWatermark on the
     event id (exactly-once per id), keeping the stream append-only. The
-    full latest-per-user compaction is the batch plan
-    plans/events.e03_dedup_latest_state; in streaming it would be
-    applyInPandasWithState keyed by user_id."""
+    full latest-per-user compaction is ``latest_per_user_state`` below
+    (applyInPandasWithState keyed by user_id); its batch twin is
+    plans/events.e03_dedup_latest_state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming latest-per-user compaction: keyed state holds each user's
+    max-ts event; every micro-batch emits the user's current latest row
+    (update mode). The streaming twin of the batch window-max plan
+    plans/events.e03_dedup_latest_state — after an availableNow backfill
+    the last emission per user equals the batch answer (tested). State is
+    one (ts, event_type, value) triple per user; the ts tiebreak matches
+    the batch twin's (ts DESC, event_id DESC) via max on the
+    (ts_us, event_id) pair."""
+    import pandas as pd  # local import: Arrow path only
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, ts_us bigint, event_id bigint, "
+        "event_type string, value double"
+    )
+    state_schema = "ts_us bigint, event_id bigint, event_type string, value double"
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            for t, eid, etype, val in zip(
+                ts_us, pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                cand = (int(t), int(eid), str(etype), float(val))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [best[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

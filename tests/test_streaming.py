@@ -145,6 +145,37 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_latest_per_user_state_matches_batch(spark, events_dir):
+    """applyInPandasWithState latest-per-user: after an availableNow
+    backfill the final emission per user equals the batch window-max plan
+    (e03), including the (ts DESC, event_id DESC) tiebreak."""
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.latest_per_user_state(stream), "latestuser_mem", "update"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    # update-mode memory sink keeps every emission; the final state per
+    # user is the row with the max (ts_us, event_id)
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts_us", "event_id", "event_type", "value")).alias("s")
+        )
+        .select("user_id", "s.event_id", "s.event_type", "s.value")
+    )
+    batch = QUERIES["e03_dedup_latest_state"](spark, SF_TEST)
+    got = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], round(r["value"], 2))
+        for r in final.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["event_type"], r["value"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_available_now_incremental_lifecycle(spark, tmp_path):
     """Actual streaming-query lifecycle over a time-ordered multi-file
     layout: one file per micro-batch, watermark advancing batch to batch,
