@@ -247,6 +247,40 @@ def ivf_assign_cells(
     )
 
 
+def ivf_probe_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    nprobe: int = 1,
+    n_centroids: int = 16,
+    assign_decimals: int = 6,
+) -> DataFrame:
+    """(query_id, cell): each probe's ``nprobe`` nearest centroid cells —
+    the recall/cost dial of IVF search. Scoring is |probes| × n_centroids
+    rows against the broadcast codebook (driver-free, tiny)."""
+    vec = F.col(vec_col).cast("array<double>")
+    probes = df.where(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
+    )
+    cents = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), vec.alias("c"), _norm(vec).alias("nc")
+    )
+    d = pround(
+        _dot(F.col("q"), F.col("c")) / (F.col("nq") * F.col("nc")),
+        assign_decimals,
+    )
+    scored = probes.crossJoin(F.broadcast(cents)).select(
+        "query_id", F.col("cid"), d.alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -255,11 +289,13 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     decimals: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: each probe scans ONLY its own cell (nprobe=1 — the
-    recall/cost dial adds neighboring cells at higher nprobe). With cells
-    as partition keys the scan is partition-pruned to ~1/n_centroids of
-    the data per probe."""
+    """IVF ANN top-k: each probe scans only its ``nprobe`` nearest cells.
+    With cells as partition keys the scan is partition-pruned to
+    ~nprobe/n_centroids of the data per probe. Every data vector belongs
+    to exactly one cell, so the cell join emits each (query, neighbor)
+    pair at most once — no post-dedup needed at any nprobe."""
     cells = ivf_assign_cells(df, id_col, vec_col, n_centroids)
     vec = F.col(vec_col).cast("array<double>")
     base = (
@@ -271,15 +307,15 @@ def ivf_topk(
             on="neighbor_id",
         )
     )
+    probe_cells = ivf_probe_cells(
+        df, id_col, vec_col, probe_ids, nprobe, n_centroids
+    )
     probes = (
         df.where(F.col(id_col).isin(probe_ids))
         .select(
             F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
         )
-        .join(
-            cells.select(F.col(id_col).alias("query_id"), "cell"),
-            on="query_id",
-        )
+        .join(probe_cells, on="query_id")
     )
     scored = (
         base.join(F.broadcast(probes), on="cell")
