@@ -226,6 +226,10 @@ def dup_clusters(
     convergence check is a driver-side count per round (the standard
     iterative-algorithm action; everything else stays distributed).
     """
+    # NOTE: no cache on the pair frame — the union's two branches share
+    # their upstream shuffles via ReusedExchange (A/B-measured: caching
+    # the pairs first was ~25% SLOWER end-to-end; same anti-lesson as the
+    # Jaccard size-agg fusion in git history)
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
