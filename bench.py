@@ -29,6 +29,7 @@ HEADLINE = [
     "e01_tumbling_window",
     "e02_sessionize",
     "d02_minhash_lsh",
+    "d07_dup_clusters",
     "s01_cosine_topk",
     "t03_language_id",
     "u05_grouped_forecast",
