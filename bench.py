@@ -62,15 +62,23 @@ def main() -> None:
     # the baseline gate is for
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-            assert n >= 0
+        # failure-tolerant: one broken query must not zero out the whole
+        # round's measurements — record its error and keep timing the rest
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+                assert n >= 0
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            if best == float("inf"):
+                continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -84,6 +92,8 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
     }
+    if errors:
+        out["errors"] = errors
     try:
         with open(BASELINE_PATH) as f:
             base = json.load(f)

@@ -240,6 +240,7 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .cache()
     )
+    converged = False
     for _ in range(max_iterations):
         nb_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -251,15 +252,27 @@ def dup_clusters(
             F.col("label").alias("old"),
             F.least("label", F.coalesce("nb", "label")).alias("label"),
         )
-        stepped = stepped.cache()
+        # eager localCheckpoint MATERIALIZES the round's result and
+        # truncates its lineage before the predecessor is released —
+        # a plain cache().unpersist() sequence here left each round
+        # recomputing the full i-deep plan from `edges` (quadratic total
+        # work, linearly growing plan). Label frames are (id, label)
+        # pairs, so the checkpointed blocks are tiny.
+        stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.where(F.col("label") < F.col("old")).count()
         old_labels = labels
-        labels = stepped.select("id", "label").cache()
+        labels = stepped.select("id", "label")
         old_labels.unpersist()
-        stepped.unpersist()
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds max_iterations); labels "
+            "would be silently wrong — raise max_iterations"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -416,6 +429,20 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_band_layout(bits: int, band_bits: int) -> list[tuple[int, int]]:
+    """Band layout as (shift, width) slices covering EVERY signature bit
+    exactly once. When ``band_bits`` does not divide ``bits`` the top
+    ``bits % band_bits`` bits get a narrower remainder band — without it
+    they would sit outside every band and two signatures differing only
+    there would never become candidates (silent recall loss)."""
+    assert 0 < band_bits <= bits
+    layout = [(b * band_bits, band_bits) for b in range(bits // band_bits)]
+    rem = bits % band_bits
+    if rem:
+        layout.append((bits - rem, rem))
+    return layout
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -451,19 +478,29 @@ def simhash_neardup_pairs(
 
         n_docs = df.count()
         band_bits = min(bits // 2, max(8, math.ceil(math.log2(max(n_docs, 2)))))
-    sig = simhash_signatures(df, id_col, text_col, bits)
-    mask = (1 << band_bits) - 1
+    layout = simhash_band_layout(bits, band_bits)
+    if len(layout) <= max_hamming:
+        import warnings
+
+        warnings.warn(
+            f"simhash_neardup_pairs: {len(layout)} bands <= max_hamming="
+            f"{max_hamming}; pigeonhole detection is not guaranteed — pairs "
+            "within the Hamming budget can split across all bands. Lower "
+            "band_bits or raise bits.",
+            stacklevel=2,
+        )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), band_bits * b)
-                .bitwiseAND(F.lit(mask))
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("val"),
             )
-            for b in range(bits // band_bits)
+            for b, (shift, width) in enumerate(layout)
         ]
     )
+    sig = simhash_signatures(df, id_col, text_col, bits)
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("bs")
     ).select(F.col(id_col), "simhash", "bs.band", "bs.val")

@@ -61,11 +61,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4 defaults spark.sql.parquet.inferTimestampNTZ.enabled=true, so a
+    # parquet timestamp[us] without tz lands as TIMESTAMP_NTZ — which
+    # unix_micros()/window() callers reject. With the session tz pinned UTC
+    # the instant interpretation is identical either way (and matches
+    # DuckDB's naive read), so pin inference off for a plain TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        # integer DIV, not double division — nanos ~1.7e18 exceed double's
-        # 53-bit exact range, so float division drifts by microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "bigint":
+            # integer DIV, not double division — nanos ~1.7e18 exceed
+            # double's 53-bit exact range, so float division drifts by
+            # microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # belt-and-braces: if the conf pin above didn't take (e.g. a
+            # reader cached before this call), the cast under the UTC pin is
+            # value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

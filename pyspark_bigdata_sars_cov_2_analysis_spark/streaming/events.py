@@ -26,7 +26,14 @@ EVENTS_SCHEMA = (
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over a directory of parquet event files."""
+    """File-source stream over a directory of parquet event files.
+
+    The explicit schema forces ``ts`` to TIMESTAMP even where Spark 4's
+    parquet NTZ inference would otherwise yield TIMESTAMP_NTZ (the session
+    tz is pinned UTC by the session factory, so the instants agree); the
+    conf pin below covers any code path that re-infers.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1,0 +1,70 @@
+"""Environment-contract guard (round-3 postmortem).
+
+Round 3 broke because the environment moved (PySpark 4.1.2 infers parquet
+``timestamp[us]`` as TIMESTAMP_NTZ) and nothing in tests/ exercised the
+driver's exact path: a VANILLA SparkSession — no ``start_session`` conf
+pins — calling ``plans.registry.table()``. This test runs that path in a
+fresh subprocess interpreter so the session fixture's pins can't mask an
+inference drift, and asserts the load-bearing dtypes/confs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("env-contract-probe")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+ev = table(spark, "/root/testdata/sf0.001", "events")
+out = {{
+    "ts_dtype": dict(ev.dtypes).get("ts"),
+    "tz": spark.conf.get("spark.sql.session.timeZone"),
+    "nanos_as_long": spark.conf.get("spark.sql.legacy.parquet.nanosAsLong"),
+    "infer_ntz": spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"),
+    "n": ev.limit(5).count(),
+    "unix_micros_ok": True,
+}}
+# the exact expression that hard-failed in round 3 on TIMESTAMP_NTZ
+try:
+    from pyspark.sql import functions as F
+    ev.select(F.unix_micros("ts")).limit(1).collect()
+except Exception as exc:
+    out["unix_micros_ok"] = False
+    out["err"] = str(exc)[:200]
+print("CONTRACT:" + json.dumps(out))
+spark.stop()
+"""
+
+
+def test_vanilla_session_events_contract():
+    proc = subprocess.run(
+        [sys.executable, "-c", PROBE.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("CONTRACT:")]
+    assert lines, f"probe produced no contract line\n{proc.stdout}\n{proc.stderr}"
+    got = json.loads(lines[-1][len("CONTRACT:"):])
+    assert got["ts_dtype"] == "timestamp", got
+    assert got["tz"] == "UTC", got
+    assert got["nanos_as_long"] == "true", got
+    assert got["infer_ntz"] == "false", got
+    assert got["n"] == 5, got
+    assert got["unix_micros_ok"], got

@@ -183,3 +183,55 @@ def test_dup_clusters_known_graph(spark):
          (21, 20), (30, 30), (31, 30), (32, 30), (33, 30), (34, 30)]
     )
     assert got == want
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """If label propagation exits its iteration budget with labels still
+    changing, the operator must FAIL LOUDLY — a silent return would hand
+    back split clusters (chain graphs are exactly the shape that needs
+    O(diameter) rounds)."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(df, max_iterations=2).collect()
+    # and with budget, the same chain converges to one component
+    got = sorted(map(tuple, dedup.dup_clusters(df, max_iterations=20).collect()))
+    assert got == [(i, 0) for i in range(11)]
+
+
+def test_simhash_band_layout_covers_every_bit():
+    """Every signature bit must land in exactly one band for ANY
+    (bits, band_bits) — non-divisor widths get a remainder band instead of
+    silently orphaning the top bits (undocumented recall loss)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
+        simhash_band_layout,
+    )
+
+    for bits in (32, 64):
+        for band_bits in range(1, bits + 1):
+            layout = simhash_band_layout(bits, band_bits)
+            covered = sorted(
+                b for shift, width in layout for b in range(shift, shift + width)
+            )
+            assert covered == list(range(bits)), (bits, band_bits, layout)
+
+
+def test_simhash_neardup_warns_when_bands_below_hamming(spark):
+    """n_bands <= max_hamming voids the pigeonhole detection guarantee —
+    the operator must say so instead of silently losing recall."""
+    import warnings as _warnings
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    d = table(spark, SF_TEST, "documents").limit(20)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        # band_bits=16 over 32 bits -> 2 bands <= max_hamming=6
+        dedup.simhash_neardup_pairs(
+            d, "doc_id", "text", max_hamming=6, band_bits=16
+        )
+        assert any("not guaranteed" in str(w.message) for w in rec)
