@@ -35,9 +35,11 @@ HEADLINE = [
     "u05_grouped_forecast",
 ]
 
-# Frozen round-1 numbers (BASELINE_BENCH.json): regression gate. A query
-# >1.5x its frozen time is flagged in the output; new headline queries
-# have no baseline entry and ratio null until the next freeze.
+# Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
+# SAME best-of-2 protocol this script runs (round 4 re-freeze — the round-1
+# single-shot numbers biased every ratio low). A query >1.5x its frozen
+# time is flagged; new headline queries have ratio null until the next
+# freeze.
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
 )

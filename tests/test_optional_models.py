@@ -29,13 +29,28 @@ def test_fitter_seam_default_is_ols(spark):
 
 
 def test_prophet_fitter_smoke(spark):
+    """Exercise the reference's actual Prophet path (ref M8,
+    spark/jobs/cases_time_analysis.py:268-306) through the same
+    applyInPandas seam as the default OLS fitter. On a noiseless-ish
+    linear series Prophet's trend must land in a tolerance band around
+    the closed-form OLS extrapolation — a value check, not just
+    non-null. Skips cleanly where prophet is absent; never fails."""
     pytest.importorskip("prophet")
     df = _series(spark)
-    out = forecast.linear_forecast_by_group(
+    got = forecast.linear_forecast_by_group(
         df, "k", "x", "y", horizon=3, fitter=forecast.prophet_fitter()
     ).collect()
-    assert len(out) == 6  # 2 keys x 3 steps
-    assert all(r["yhat"] is not None for r in out)
+    assert len(got) == 6  # 2 keys x 3 steps
+    ols = {
+        (r["key"], r["step"]): r["yhat"]
+        for r in forecast.linear_forecast_by_group(
+            df, "k", "x", "y", horizon=3, fitter=forecast.ols_fitter
+        ).collect()
+    }
+    for r in got:
+        want = ols[(r["key"], r["step"])]
+        tol = max(2.0, 0.15 * abs(want))
+        assert abs(r["yhat"] - want) <= tol, (r, want)
 
 
 def test_textblob_sentiment_parity(spark):
