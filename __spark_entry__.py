@@ -35,6 +35,8 @@ _PRIORITY_FIRST = [
     # round-3 TIMESTAMP_NTZ regressions — re-attest the fix
     "e02_sessionize",
     "e06_view_purchase_attribution",
+    # new in round 4 — never attested by construction
+    "j06_asof_join",
 ]
 _NEVER_ATTESTED = [
     "w03_topn_per_group", "o03_topk_resort", "u01_union", "u03_intersect",

@@ -60,6 +60,95 @@ def latest_per_group_via_join(
     return df.join(F.broadcast(maxes), on=cond, how="inner").select(df["*"])
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """As-of (nearest-preceding) join: for every left row, attach the
+    right row with the LARGEST ``right_ts <= left_ts`` for the same key —
+    the time-series primitive Spark's join surface lacks (market-data /
+    attribution "latest state as of this event").
+
+    Spark-first formulation: instead of the naive interval join
+    (key-equi join + ts inequality → every left row pairs with ALL its
+    earlier right rows, then a window keeps one — row explosion is
+    O(|left| × avg right history)), tag both sides, UNION them, and run
+    ``last(col, ignorenulls=True)`` over a window partitioned by key and
+    ordered by (ts, side). One shuffle on the key, sort within partition,
+    zero row fan-out — the same cost shape as a sort-merge join, and it
+    survives hot keys with long histories (the explosion case) unharmed.
+    Ties (right_ts == left_ts) order the right row first, so a state
+    change AT the event timestamp is visible to it, matching DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` (the j06 oracle).
+
+    ``tolerance_us`` (pandas ``merge_asof`` semantics): a match farther
+    back than the tolerance is nulled out, not redirected — applied as a
+    row-local post-filter, no extra shuffle.
+
+    Right side must be unique per (key, right_ts) — pre-aggregate if not
+    (duplicate instants have no deterministic "latest" in either engine).
+    """
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    from pyspark.sql import Window
+
+    marked_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    marked_l = left.select(
+        "*",
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(marked_r.dtypes)[f"__r_{c}"]).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    both = marked_l.unionByName(
+        marked_r.select(
+            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+            "__k", "__ts", "__side",
+            *[f"__r_{c}" for c in right_cols],
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
+          for c in right_cols],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__a_ts"),
+    ).where(F.col("__side") == 1)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__a_ts"))
+        ) <= F.lit(tolerance_us)
+        filled = filled.select(
+            *left.columns,
+            *[F.when(in_tol, F.col(f"__a_{c}")).alias(f"__a_{c}")
+              for c in right_cols],
+            F.when(in_tol, F.col("__a_ts")).alias("__a_ts"),
+        )
+    return filled.select(
+        *left.columns,
+        *[F.col(f"__a_{c}").alias(f"{c}_asof") for c in right_cols],
+        F.col("__a_ts").alias(f"{right_ts}_asof"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

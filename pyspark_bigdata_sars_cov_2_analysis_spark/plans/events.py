@@ -190,3 +190,50 @@ def e06_view_purchase_attribution(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     return view_purchase_attribution(e)
+
+
+@query(
+    "j06_asof_join",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           v.view_id AS last_view_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j06_asof_join(spark, sf_dir):
+    """As-of join: each purchase picks up the same user's most recent view
+    at-or-before it (unbounded lookback — contrast e06's bounded interval
+    join). Runs through operators/joins.asof_join — union+window, one
+    shuffle, no row fan-out; the oracle is DuckDB's native ASOF LEFT JOIN.
+    The view side is pre-aggregated to one row per (user, instant) so the
+    "latest" is deterministic in both engines."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join(p, v, on="user_id", left_ts="ts", right_ts="ts",
+                    right_cols=["view_id"])
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("view_id_asof").alias("last_view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )

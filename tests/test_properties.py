@@ -235,3 +235,41 @@ def test_simhash_neardup_warns_when_bands_below_hamming(spark):
             d, "doc_id", "text", max_hamming=6, band_bits=16
         )
         assert any("not guaranteed" in str(w.message) for w in rec)
+
+
+def test_asof_join_semantics(spark):
+    """asof_join must (a) pick the LARGEST right_ts <= left_ts per key,
+    (b) see a right row landing exactly AT the left timestamp (>= tie
+    rule), (c) null out rows with no preceding right row, and (d) null —
+    not redirect — matches beyond tolerance_us."""
+    import datetime as dt
+
+    ts = lambda h, m=0: dt.datetime(2020, 1, 1, h, m)
+    right = spark.createDataFrame(
+        [(1, ts(1), 10), (1, ts(3), 30), (2, ts(5), 50)],
+        "k bigint, rts timestamp, v bigint",
+    )
+    left = spark.createDataFrame(
+        [(1, ts(0), 100), (1, ts(2), 200), (1, ts(3), 300), (2, ts(9), 400)],
+        "k bigint, lts timestamp, x bigint",
+    )
+    got = {
+        (r["k"], r["x"]): (r["v_asof"], r["rts_asof"])
+        for r in joins.asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+    assert got[(1, 100)] == (None, None)          # nothing at-or-before
+    assert got[(1, 200)] == (10, ts(1))           # latest preceding
+    assert got[(1, 300)] == (30, ts(3))           # tie: row AT the instant
+    assert got[(2, 400)] == (50, ts(5))           # per-key isolation
+    # tolerance: 1-hour budget nulls the 4-hour-stale match, keeps fresh ones
+    tol = {
+        (r["k"], r["x"]): r["v_asof"]
+        for r in joins.asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["v"], tolerance_us=3600 * 1_000_000,
+        ).collect()
+    }
+    assert tol[(1, 200)] == 10 and tol[(1, 300)] == 30
+    assert tol[(2, 400)] is None  # 4h stale > 1h tolerance
