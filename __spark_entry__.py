@@ -37,6 +37,7 @@ _PRIORITY_FIRST = [
     "e06_view_purchase_attribution",
     # new in round 4 — never attested by construction
     "j06_asof_join",
+    "j07_range_join_binned",
 ]
 _NEVER_ATTESTED = [
     "w03_topn_per_group", "o03_topk_resort", "u01_union", "u03_intersect",

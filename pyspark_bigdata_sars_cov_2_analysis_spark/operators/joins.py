@@ -149,6 +149,59 @@ def asof_join(
     )
 
 
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: Column,
+    left_hi: Column,
+    right_point: Column,
+    bin_width_us: int,
+) -> DataFrame:
+    """Range (interval-containment) join WITHOUT an equi key: match every
+    left interval ``[left_lo, left_hi]`` (timestamp expressions) with every
+    right row whose ``right_point`` falls inside it.
+
+    Plain Spark executes a pure theta-join like this as
+    BroadcastNestedLoopJoin (O(|L|·|R|) comparisons — dead at scale). The
+    standard fix, encoded here: quantize time into ``bin_width_us``-wide
+    bins, explode each left interval to the bins it covers, tag each right
+    point with its single bin, equi-join on the bin, then apply the exact
+    containment predicate. Each true pair is found exactly once (the right
+    row's one bin is covered at most once per left interval), so no dedup
+    pass is needed. Cost: shuffle of |L|·(span/bin_width + 1) + |R| rows
+    on the bin key — a sort-merge/hash join Catalyst and AQE can optimize,
+    with skew (hot seconds) handled by AQE splitting. Choose
+    ``bin_width_us`` on the order of the typical interval span: wider bins
+    → fewer exploded rows but more false candidates to filter; narrower →
+    the reverse.
+
+    Columns from both sides are kept (caller projects/aggregates); name
+    collisions are the caller's to avoid.
+    """
+    lo_us = F.unix_micros(left_lo)
+    hi_us = F.unix_micros(left_hi)
+    # subtract the remainder before dividing: the numerator becomes an
+    # exact multiple of w, so the double division is exact — a raw
+    # float-divide-then-cast of a µs epoch (~1.6e15) risks an off-by-one
+    # bin on boundary values
+    w = F.lit(bin_width_us)
+
+    def to_bin(us: Column) -> Column:
+        return ((us - us % w) / w).cast("bigint")
+
+    bins = F.explode(F.sequence(to_bin(lo_us), to_bin(hi_us))).alias("__bin")
+    lhs = left.select("*", lo_us.alias("__lo"), hi_us.alias("__hi"), bins)
+    pt_us = F.unix_micros(right_point)
+    rhs = right.select(
+        "*", to_bin(pt_us).alias("__bin"), pt_us.alias("__pt")
+    )
+    return (
+        lhs.join(rhs, on="__bin")
+        .where((F.col("__pt") >= F.col("__lo")) & (F.col("__pt") <= F.col("__hi")))
+        .drop("__bin", "__lo", "__hi", "__pt")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

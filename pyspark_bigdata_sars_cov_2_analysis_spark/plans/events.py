@@ -237,3 +237,48 @@ def j06_asof_join(spark, sf_dir):
         .cast("bigint")
         .alias("gap_us"),
     )
+
+
+@query(
+    "j07_range_join_binned",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(v.event_id) AS co_views
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, ts FROM events WHERE event_type = 'view') v
+      ON v.ts >= p.ts - INTERVAL '2 minutes'
+     AND v.ts <= p.ts + INTERVAL '2 minutes'
+    GROUP BY p.event_id
+    """,
+)
+def j07_range_join_binned(spark, sf_dir):
+    """Pure range join (NO equi key): for each purchase, count ALL views
+    site-wide within ±2 minutes — co-occurrence density at purchase time.
+    Runs through operators/joins.binned_range_join: the interval is
+    quantized to 2-minute bins and equi-joined on the bin, so Catalyst
+    gets a shuffle hash join where the naive theta-join would be a
+    BroadcastNestedLoopJoin (O(|P|x|V|) — dead at 100 TB). Inner-join
+    semantics: purchases with zero co-views don't appear (matches the
+    oracle's plain JOIN)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    matched = binned_range_join(
+        p,
+        v,
+        left_lo=F.col("p_ts") - F.expr("INTERVAL 2 MINUTES"),
+        left_hi=F.col("p_ts") + F.expr("INTERVAL 2 MINUTES"),
+        right_point=F.col("v_ts"),
+        bin_width_us=2 * 60 * 1_000_000,
+    )
+    return matched.groupBy("purchase_id").agg(
+        F.count("view_id").alias("co_views")
+    )

@@ -160,3 +160,30 @@ def test_ann_bucketed_layout_prunes_partitions(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "bucket" in pf[0], plan
     assert probe.count() > 0
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """binned_range_join exists to turn a pure theta range join into a
+    bin-keyed equi join — the plan must contain a real equi join (sort-
+    merge or shuffled hash) and NO BroadcastNestedLoopJoin/Cartesian."""
+    plan = _plan(QUERIES["j07_range_join_binned"](spark, SF_TEST))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # AQE may broadcast the small side
+    ), plan
+
+
+def test_asof_join_single_window_shuffle(spark):
+    """asof_join's whole point is ONE key-shuffle (union + window) instead
+    of an interval join's pair explosion — the plan must have no join node
+    at all and exactly one Exchange hashpartitioning on the key."""
+    plan = _plan(QUERIES["j06_asof_join"](spark, SF_TEST))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) <= 2, plan  # key window + pre-agg of the view side
