@@ -38,6 +38,8 @@ _PRIORITY_FIRST = [
     # new in round 4 — never attested by construction
     "j06_asof_join",
     "j07_range_join_binned",
+    "o05_stratified_sample",
+    "d08_leakage_free_split",
 ]
 _NEVER_ATTESTED = [
     "w03_topn_per_group", "o03_topk_resort", "u01_union", "u03_intersect",

@@ -1,0 +1,87 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Random sampling (``df.sample``/``rand()``) is a reproducibility bug at
+pipeline scale: a retried task re-draws and the output shifts between runs
+and between engines. Everything here keys decisions off a content hash, so
+the same row gets the same decision on every run, every engine, every
+cluster size — and the DuckDB oracles can replicate the exact rule.
+
+The hash rule: ``substring(md5(key), 1, 4) < threshold_hex`` — md5 hex is
+uniform, a 4-hex-digit prefix gives 16-bit (1/65536) rate granularity, and
+lexicographic comparison on lowercase hex is identical in Spark, DuckDB,
+and Python. No conv()/bit tricks that differ across engines.
+
+Scale shape: both operators are pure row-local projections/filters — zero
+shuffles beyond what the caller already has; the split is stable under
+repartitioning by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_to_hex(rate: float, digits: int = 4) -> str:
+    """Largest ``digits``-hex threshold with P(prefix < threshold) <= rate
+    — the exact effective rate is ``int(threshold, 16) / 16**digits``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(int(rate * (16**digits)), f"0{digits}x")
+
+
+def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean column: deterministically true for ~``rate`` of distinct
+    keys. ``salt`` decorrelates independent gates over the same key (a
+    sample gate and a split gate must not select nested subsets)."""
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+    return prefix < F.lit(rate_to_hex(rate))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sample: stratum ``s`` keeps ~``rates[s]``
+    of its rows (``default_rate`` for unlisted strata). The per-row
+    decision hashes (salt, id) only — adding or removing strata from the
+    config never reshuffles which rows survive in other strata (the
+    property that makes corpus-mix tuning reproducible)."""
+    gate = F.lit(None).cast("boolean")
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        g = hash_gate(F.col(id_col), rate, salt)
+        expr = F.when(cond, g) if expr is None else expr.when(cond, g)
+    gate = (
+        expr.otherwise(hash_gate(F.col(id_col), default_rate, salt))
+        if expr is not None
+        else hash_gate(F.col(id_col), default_rate, salt)
+    )
+    return df.where(gate)
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    group_key: Column,
+    train_rate: float = 0.9,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/eval split that can't leak near-identical content across the
+    boundary: the split decision hashes ``group_key`` (e.g. a dup-cluster
+    id or a content fingerprint), so every member of a group lands on the
+    SAME side. Splitting i.i.d. by row is how eval contamination happens
+    in deduplicated-but-clustered corpora.
+
+    Output: input columns + ``split`` ∈ {'train', 'eval'}."""
+    return df.select(
+        "*",
+        F.when(hash_gate(group_key, train_rate, salt), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

@@ -597,3 +597,53 @@ def s04_ivf_multiprobe(spark, sf_dir):
     return similarity.ivf_topk(
         e, "vec_id", "embedding", _PROBES, k=5, n_centroids=16, nprobe=2
     )
+
+
+@query(
+    "o05_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                    ELSE '1999' END
+    """,
+)
+def o05_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (corpus-mix control): keep ~50%
+    of en, ~25% of zh, ~10% of everything else, decided by an md5 prefix
+    of (salt, doc_id) — identical on every run/engine/partitioning, unlike
+    rand()-based sample(). Pure row-local filter, zero added shuffles;
+    thresholds are 16-bit hex cutoffs (llmdata/sampling.rate_to_hex)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", rates={"en": 0.5, "zh": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+@query(
+    "d08_leakage_free_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split' || md5(text)), 1, 4) < 'e666'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def d08_leakage_free_split(spark, sf_dir):
+    """Train/eval split keyed on a CONTENT fingerprint (md5 of the raw
+    text), not the row id: byte-identical duplicates always land on the
+    same side, so dedup-survivor choice can't contaminate eval. 90/10 via
+    the same deterministic md5-prefix gate as o05 (different salt —
+    independent decisions). Row-local projection, no shuffle."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        leakage_free_split,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return leakage_free_split(
+        d, "doc_id", group_key=F.md5("text"), train_rate=0.9
+    ).select("doc_id", "split")

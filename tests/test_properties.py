@@ -29,7 +29,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.operators import (
     windows,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
-from tests.conftest import SF_TEST
+from tests.conftest import SF_ORACLE, SF_TEST
 
 
 # ---------- cross-engine rounding agreement (the t2 keystone) ----------
@@ -273,3 +273,58 @@ def test_asof_join_semantics(spark):
     }
     assert tol[(1, 200)] == 10 and tol[(1, 300)] == 30
     assert tol[(2, 400)] is None  # 4h stale > 1h tolerance
+
+
+def test_stratified_sample_deterministic_and_isolated(spark):
+    """The hash gate must (a) be identical across runs and partitionings,
+    (b) hit somewhere near the target rate, and (c) keep per-stratum
+    decisions independent — changing one stratum's rate must not change
+    which rows survive in another stratum."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sampling
+
+    d = table(spark, SF_ORACLE, "documents")
+    pick = lambda rates: sorted(
+        r[0] for r in sampling.stratified_hash_sample(
+            d, "doc_id", "lang", rates=rates, default_rate=0.0
+        ).select("doc_id").collect()
+    )
+    a = pick({"en": 0.5})
+    assert a == pick({"en": 0.5})                      # rerun-stable
+    b = sorted(
+        r[0] for r in sampling.stratified_hash_sample(
+            d.repartition(13), "doc_id", "lang", rates={"en": 0.5},
+            default_rate=0.0,
+        ).select("doc_id").collect()
+    )
+    assert a == b                                       # layout-stable
+    n_en = d.where("lang = 'en'").count()
+    assert abs(len(a) / n_en - 0.5) < 0.15              # near target
+    with_zh = pick({"en": 0.5, "zh": 1.0})
+    assert [x for x in with_zh if x in set(a)] == a     # en picks unchanged
+
+
+def test_leakage_free_split_keeps_dups_together(spark):
+    """Exact duplicates (same text bytes) must land on the same side of
+    the split — the whole point of keying on the content fingerprint."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sampling
+
+    base = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    # the synthetic corpus has no byte-identical texts — inject copies
+    # under fresh ids so the same-side property is actually exercised
+    dups = base.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    d = base.unionByName(dups)
+    assert d.count() > d.select("text").distinct().count()
+    split = sampling.leakage_free_split(
+        d, "doc_id", group_key=F.md5("text"), train_rate=0.9
+    )
+    mixed = (
+        split.groupBy(F.md5("text").alias("fp"))
+        .agg(F.countDistinct("split").alias("sides"))
+        .where("sides > 1")
+        .count()
+    )
+    assert mixed == 0
+    rates = dict(split.groupBy("split").count().collect())
+    assert abs(rates.get("train", 0) / d.count() - 0.9) < 0.08
