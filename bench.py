@@ -28,6 +28,8 @@ HEADLINE = [
     "w01_latest_per_group",
     "e01_tumbling_window",
     "e02_sessionize",
+    "j06_asof_join",
+    "j07_range_join_binned",
     "d02_minhash_lsh",
     "d07_dup_clusters",
     "s01_cosine_topk",

@@ -248,3 +248,66 @@ def t06_top_bigrams(spark, sf_dir):
     bg = d.select(F.explode(shingle_array(F.col("text"), 2)).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return top_k(counts, 20, F.desc("n"), F.asc("bigram"))
+
+
+@query(
+    "t09_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS dfq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfq), 4) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def t09_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the corpus-statistics two-pass
+    pattern (per-doc counts + global document frequencies joined back).
+
+    Scale shape: after tokenize, everything moves (doc_id, tok, count)
+    triples, never text — tf agg shuffles on (doc_id, tok), dfreq derives
+    FROM tf (shuffles only (tok, count)), the 1-row corpus size broadcasts
+    via crossJoin, idf joins back on tok, and the final top-3 is a bounded
+    window per doc_id. Ranking orders by the ROUNDED score (then tok) so
+    fp noise in ln() can't flip ranks between engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            pround(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
