@@ -282,3 +282,27 @@ def j07_range_join_binned(spark, sf_dir):
     return matched.groupBy("purchase_id").agg(
         F.count("view_id").alias("co_views")
     )
+
+
+@query(
+    "e07_segment_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment AS segment, COUNT(*) AS n,
+           {sql_round("SUM(e.value)", 2)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def e07_segment_window(spark, sf_dir):
+    """Dimension-enriched windowed aggregation — batch twin of the
+    stream-static broadcast join (streaming/events.segment_window_counts).
+    The customer dim broadcasts; the only shuffle is the (window, segment)
+    aggregate of pre-joined rows."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        segment_window_counts,
+    )
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return segment_window_counts(e, c)

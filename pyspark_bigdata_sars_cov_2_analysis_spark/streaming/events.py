@@ -250,3 +250,41 @@ def view_purchase_attribution(
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def segment_window_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static
+    customer dimension, then watermarked tumbling counts per market
+    segment — the canonical "enrich then aggregate" streaming shape.
+
+    A stream-static equi-join is STATELESS: the static side is just
+    re-planned into every micro-batch (broadcast hash join — the dim
+    never shuffles the stream side), so unlike the stream-stream join
+    there is no join state to watermark-evict; the watermark here bounds
+    only the window-agg state. Batch twin: plans/events.e07_segment_window.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, on="user_id")
+        .groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "total_value",
+        )
+    )

@@ -286,3 +286,23 @@ def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
         .count()
     )
     assert dups == 0 and first > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast join + windowed agg must equal the
+    oracle-checked batch twin (e07) after an availableNow backfill —
+    and being stateless on the join, it needs no join watermark."""
+    stream = S.read_event_stream(spark, events_dir)
+    customers = registry.table(spark, SF_TEST, "customer")
+    result = _run_stream(
+        spark,
+        S.segment_window_counts(stream, customers),
+        "segment_mem",
+        "complete",
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    batch = QUERIES["e07_segment_window"](spark, SF_TEST)
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
