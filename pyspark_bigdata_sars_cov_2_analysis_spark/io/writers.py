@@ -30,6 +30,26 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition untouched — the idempotent
+    incremental-backfill write. With static overwrite (the default), an
+    'overwrite' of one late-arriving day would DELETE the other N thousand
+    date partitions of a 100 TB table; the per-write option scopes the
+    overwrite to the partitions being written, so re-running a failed
+    backfill converges instead of compounding."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
