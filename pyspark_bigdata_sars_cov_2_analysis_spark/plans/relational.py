@@ -438,3 +438,33 @@ def f12_json_extract(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(pround(F.avg(k), 2).alias("avg_k"))
+
+
+@query(
+    "f14_variant_json",
+    oracle="""
+    SELECT event_type,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f14_variant_json(spark, sf_dir):
+    """Semi-structured access via Spark 4's VARIANT type: parse the JSON
+    props column once into a variant, then typed-path extraction with
+    ``variant_get`` — the binary-encoded representation is parsed a single
+    time per row instead of re-parsing the JSON string per extraction the
+    way chained ``get_json_object`` calls do (f12 keeps the string-path
+    form for comparison). Oracle uses DuckDB's JSON extraction — same
+    values, different encodings."""
+    e = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )

@@ -3,6 +3,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
     latest_state_per_key,
     read_event_stream,
     running_user_totals,
+    running_user_totals_v2,
     segment_window_counts,
     sessionized,
     sliding_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "latest_state_per_key",
     "read_event_stream",
     "running_user_totals",
+    "running_user_totals_v2",
     "segment_window_counts",
     "sessionized",
     "sliding_counts",

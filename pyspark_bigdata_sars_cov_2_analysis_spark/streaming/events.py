@@ -288,3 +288,54 @@ def segment_window_counts(
             "total_value",
         )
     )
+
+
+def running_user_totals_v2(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user running (count, sum) on Spark 4's ``transformWithStateInPandas``
+    StatefulProcessor API — the successor to ``applyInPandasWithState``
+    (which ``running_user_totals`` keeps for comparison). The processor owns
+    a typed ValueState handle; the runtime manages encoding, TTL hooks, and
+    timers, so this path picks up state-store improvements (changelog
+    checkpointing, RocksDB) without code changes. Emits one updated row per
+    user per micro-batch, exactly like the v1 operator — after an
+    availableNow backfill the final row per user equals the batch aggregate
+    (plans/events.e05_user_totals); tested (skipped where the env lacks
+    google.protobuf, which the TWS state-server protocol requires — v1
+    remains the oracle-tested default there)."""
+    import pandas as pd  # local import: Arrow path only
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -306,3 +306,36 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
     got = sorted(map(tuple, result.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_v2_matches_batch(spark, events_dir):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas) running
+    totals must converge to the same per-user aggregates as the v1
+    applyInPandasWithState operator and the batch twin (e05).
+
+    The TWS state-server protocol needs google.protobuf in the Python
+    workers; where the env lacks it (this container), skip — the v1
+    applyInPandasWithState path stays the oracle-tested default."""
+    pytest.importorskip("google.protobuf")
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.running_user_totals_v2(stream), "usertotals_v2_mem", "update"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    final = (
+        result.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    batch = QUERIES["e05_user_totals"](spark, SF_TEST)
+    got = sorted(
+        (r["user_id"], r["n_events"], round(r["total_value"], 2))
+        for r in final.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["total_value"]) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
