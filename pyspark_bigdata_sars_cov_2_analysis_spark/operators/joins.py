@@ -202,6 +202,70 @@ def binned_range_join(
     )
 
 
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """``asof_join`` semantics executed as a cogrouped-pandas
+    ``merge_asof`` per key — the Arrow cogroup escape hatch
+    (``groupBy().cogroup().applyInPandas``) for when per-key merge logic
+    outgrows what window expressions can say (custom interpolation,
+    per-key config, multi-column nearest rules).
+
+    Same one-shuffle-per-side cost shape as the native formulation (both
+    sides hash-partition on the key; each key's pair of Arrow batches
+    meets in one Python worker), but the merge itself runs in pandas —
+    so for the plain backward-asof rule prefer ``asof_join`` (stays in
+    codegen). Kept as the extensibility seam AND as an executable
+    equivalence witness: tested row-identical to ``asof_join`` on the
+    events corpus (ties, no-match nulls, tolerance)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    rtype = {f.name: f.dataType for f in right.schema.fields}
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{c}_asof", rtype[c]) for c in right_cols]
+        + [StructField(f"{right_ts}_asof", rtype[right_ts])]
+    )
+    lcols = list(left.columns)
+    tol = pd.Timedelta(microseconds=tolerance_us) if tolerance_us is not None else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        r = rpdf[[right_ts, *right_cols]].rename(
+            columns={right_ts: "__rts", **{c: f"{c}_asof" for c in right_cols}}
+        )
+        merged = pd.merge_asof(
+            lpdf.sort_values(left_ts, kind="mergesort"),
+            r.sort_values("__rts", kind="mergesort"),
+            left_on=left_ts,
+            right_on="__rts",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=tol,
+        )
+        return merged.rename(columns={"__rts": f"{right_ts}_asof"})[
+            lcols + [f"{c}_asof" for c in right_cols] + [f"{right_ts}_asof"]
+        ]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda lk, rk: merge(lk, rk), out_schema)
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

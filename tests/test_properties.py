@@ -328,3 +328,30 @@ def test_leakage_free_split_keeps_dups_together(spark):
     assert mixed == 0
     rates = dict(split.groupBy("split").count().collect())
     assert abs(rates.get("train", 0) / d.count() - 0.9) < 0.08
+
+
+def test_asof_cogroup_equals_native(spark):
+    """The cogrouped-pandas merge_asof formulation must be row-identical
+    to the native union+window asof_join — ties, no-match nulls, and
+    tolerance included — on the real events corpus."""
+    d = table(spark, SF_ORACLE, "events")
+    views = (
+        d.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = d.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    for tol in (None, 10 * 60 * 1_000_000):
+        native = joins.asof_join(
+            purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["view_id"], tolerance_us=tol,
+        )
+        cg = joins.asof_join_cogroup(
+            purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["view_id"], tolerance_us=tol,
+        )
+        got = sorted(map(tuple, cg.collect()))
+        want = sorted(map(tuple, native.collect()))
+        assert got == want and len(got) > 0, f"tolerance_us={tol}"
