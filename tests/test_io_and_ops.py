@@ -263,3 +263,46 @@ def test_partitioned_layout_prunes_on_read(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0], plan
     assert one.count() == e.where(F.date_format("ts", "yyyy-MM-dd") == sorted(days)[0]).count()
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """Spark 4 Python Data Source: deterministic, partition-parallel, and
+    re-sliceable — the same corpus regardless of partition count."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    read = lambda parts: (  # noqa: E731
+        spark.read.format("synthetic_docs")
+        .option("n", 300).option("parts", parts).load()
+    )
+    df = read(4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 300 and df.select("doc_id").distinct().count() == 300
+    a = sorted(map(tuple, df.collect()))
+    assert a == sorted(map(tuple, read(4).collect()))   # rerun-stable
+    assert a == sorted(map(tuple, read(7).collect()))   # slicing-invariant
+
+
+def test_python_datasource_planted_duplicates(spark):
+    """dup_every plants exact duplicates with a count known by
+    construction — the end-to-end ground truth for the dedup pipeline."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        register_synthetic_docs,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
+        exact_duplicates,
+    )
+
+    register_synthetic_docs(spark)
+    n, k = 400, 10
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", n).option("parts", 4).option("dup_every", k).load()
+    )
+    groups = exact_duplicates(df, "doc_id", "text")
+    dup_groups = groups.where(F.col("n_copies") > 1)
+    # every k-th doc copies its neighbor's text -> exactly n/k 2-copy groups
+    assert dup_groups.count() == n // k
+    assert {r["n_copies"] for r in dup_groups.collect()} == {2}
