@@ -408,3 +408,54 @@ def a17_hll_mergeable_sketch(spark, sf_dir):
             < 0.05
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "a18_theta_sketch_setops",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'view') AS BIGINT) AS n_viewers,
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE event_type = 'purchase') AS BIGINT) AS n_purchasers,
+      CAST((SELECT COUNT(*) FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      )) AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            UNION
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      )) AS BIGINT) AS n_either
+    """,
+)
+def a18_theta_sketch_setops(spark, sf_dir):
+    """Audience-overlap set algebra on theta sketches: distinct viewers,
+    purchasers, their intersection and union — from ONE scan building two
+    sketches via null-skipping conditional aggregation, then sketch-level
+    set ops. Unlike HLL (union-only, always approximate), theta sketches
+    support intersection/difference AND are EXACT below their sampling
+    threshold (default 2^12 retained hashes), which the 150-user corpus
+    sits far under — hence a hash-exact DuckDB oracle against 4-subquery
+    exact counts. At 100 TB the same plan yields bounded-error estimates
+    from kilobyte blobs where the exact INTERSECT would shuffle every
+    distinct key; per-partition sketches merge with theta_union_agg like
+    a17's HLL pattern."""
+    e = table(spark, sf_dir, "events")
+    s_v = F.theta_sketch_agg(
+        F.when(F.col("event_type") == "view", F.col("user_id"))
+    )
+    s_p = F.theta_sketch_agg(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    )
+    return e.agg(s_v.alias("sv"), s_p.alias("sp")).select(
+        F.theta_sketch_estimate("sv").cast("bigint").alias("n_viewers"),
+        F.theta_sketch_estimate("sp").cast("bigint").alias("n_purchasers"),
+        F.theta_sketch_estimate(F.theta_intersection("sv", "sp"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.theta_sketch_estimate(F.theta_union("sv", "sp"))
+        .cast("bigint")
+        .alias("n_either"),
+    )
