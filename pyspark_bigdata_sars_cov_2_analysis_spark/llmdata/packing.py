@@ -1,0 +1,104 @@
+"""Sequence packing: concat-and-chunk token layout for training pipelines.
+
+Pretraining data loaders concatenate documents in a fixed order and slice
+the token stream into fixed-length sequences; a document's placement is
+its GLOBAL token offset — a prefix sum over the corpus. The naive Spark
+formulation (``sum() over (ORDER BY ...)`` with no PARTITION BY) collapses
+to a single partition and dies at scale, so this module implements the
+two-level scan: per-chunk local prefix sums in parallel, a tiny prefix sum
+over the per-chunk totals (one row per chunk), and a broadcast join back.
+Cost: one narrow shuffle per level; the only single-partition work is over
+``n_chunks`` rows.
+
+Offsets are identical to the naive formulation by associativity of
+addition (asserted in tests), and deterministic because the order key is
+the stable ``doc_id``, not arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Input + ``offset`` = total tokens in all docs ordered before this
+    one by ``id_col``. Two-level distributed prefix sum (see module doc);
+    ``n_chunks`` bounds the second level's single-partition frame and
+    should be ~the cluster's core count at real scale."""
+    # contiguous ranges of the order key -> chunk ids that preserve order
+    # BETWEEN chunks (chunk k's ids all precede chunk k+1's)
+    lo_hi = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1, 1)
+    width = -(-span // n_chunks)  # ceil
+    with_chunk = df.withColumn(
+        "__chunk",
+        ((F.col(id_col) - F.lit(int(lo_hi["lo"]))) / F.lit(width)).cast("bigint"),
+    )
+    w_local = (
+        Window.partitionBy("__chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_chunk.withColumn(
+        "__local_cum", F.sum(tokens_col).over(w_local)
+    )
+    totals = local.groupBy("__chunk").agg(F.max("__local_cum").alias("__total"))
+    w_chunks = (
+        Window.orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = totals.select(
+        "__chunk",
+        (F.sum("__total").over(w_chunks) - F.col("__total")).alias("__before"),
+    )
+    return (
+        local.join(F.broadcast(prefix), on="__chunk")
+        .withColumn(
+            "offset",
+            (F.col("__before") + F.col("__local_cum") - F.col(tokens_col)).cast(
+                "bigint"
+            ),
+        )
+        .drop("__chunk", "__local_cum", "__before")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk packing: assign each doc its global token offset,
+    the fixed-length sequence its first token lands in, and whether it
+    straddles a sequence boundary (real packing semantics — pretraining
+    chunkers split straddling docs across sequences rather than padding).
+
+    Output: (id, n_tokens, offset, seq_id, straddles)."""
+    out = global_token_offsets(df, id_col, tokens_col, n_chunks)
+
+    # subtract the remainder before dividing so the double division is
+    # exact — a raw divide-then-cast drifts once offsets pass double's
+    # 53-bit integer range (a 100 TB corpus has ~1e13+ tokens)
+    def idiv(col, d):
+        return ((col - col % d) / d).cast("bigint")
+
+    first = idiv(F.col("offset"), seq_len)
+    last = idiv(F.col("offset") + F.col(tokens_col) - 1, seq_len)
+    return out.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        "offset",
+        first.alias("seq_id"),
+        (last > first).alias("straddles"),
+    )

@@ -647,3 +647,47 @@ def d08_leakage_free_split(spark, sf_dir):
     return leakage_free_split(
         d, "doc_id", group_key=F.md5("text"), train_rate=0.9
     ).select("doc_id", "split")
+
+
+@query(
+    "t10_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, "offset",
+           CAST("offset" // 512 AS BIGINT) AS seq_id,
+           (CAST(("offset" + n_tokens - 1) // 512 AS BIGINT)
+              > CAST("offset" // 512 AS BIGINT)) AS straddles
+    FROM offs
+    """,
+)
+def t10_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (seq_len=512): every document's
+    global token offset, its first sequence id, and whether it straddles a
+    sequence boundary — the pretraining chunker's bookkeeping. Runs the
+    two-level distributed prefix sum (llmdata/packing.py): per-chunk local
+    window sums in parallel, a tiny single-partition prefix over the
+    per-chunk totals, broadcast join back — the naive formulation the
+    oracle uses (one global ORDER BY window) is correct SQL but collapses
+    Spark to a single partition at scale. Equality of the two is exactly
+    what the hash-compare proves."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import token_count
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.packing import (
+        pack_sequences,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", seq_len=512)

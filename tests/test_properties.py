@@ -355,3 +355,35 @@ def test_asof_cogroup_equals_native(spark):
         got = sorted(map(tuple, cg.collect()))
         want = sorted(map(tuple, native.collect()))
         assert got == want and len(got) > 0, f"tolerance_us={tol}"
+
+
+def test_two_level_prefix_sum_equals_naive(spark):
+    """The scalable two-level prefix sum must produce exactly the naive
+    single-window offsets for ANY chunking — associativity made
+    executable — and the chunk count must not leak into results."""
+    from pyspark.sql.window import Window
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import token_count
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import packing
+
+    d = table(spark, SF_ORACLE, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = d.select(
+        "doc_id",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint").alias("offset"),
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for n_chunks in (1, 3, 64, 1000):
+        got = sorted(
+            map(
+                tuple,
+                packing.global_token_offsets(d, "doc_id", "n_tokens", n_chunks)
+                .select("doc_id", "offset")
+                .collect(),
+            )
+        )
+        assert got == want, f"n_chunks={n_chunks}"
