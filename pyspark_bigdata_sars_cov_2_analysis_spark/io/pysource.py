@@ -10,12 +10,15 @@ benchmarks: ``spark.read.format("synthetic_docs").option("n", 10**9)``
 is a billion-doc corpus with a known duplicate structure and zero bytes
 at rest.
 
-``dup_every=k`` plants exact duplicates with known ground truth: every
-doc_id divisible by k copies the text of doc_id+1, so downstream
-exact-dedup must find exactly ``n // k`` duplicate groups (asserted in
-tests) — end-to-end validation of a dedup pipeline against a corpus whose
-true duplicate count is known by construction, which no sampled real
-corpus gives you.
+``dup_every=k`` (k >= 2) plants exact duplicates with known ground truth:
+every doc_id divisible by k copies the text of doc_id+1, so downstream
+exact-dedup must find exactly ``len(range(0, n - 1, k))`` two-copy
+duplicate groups (one per multiple of k whose neighbor exists; the copy
+of an out-of-range neighbor is just a unique text) — end-to-end
+validation of a dedup pipeline against a corpus whose true duplicate
+count is known by construction, which no sampled real corpus gives you.
+``k == 1`` is rejected: every doc copying its neighbor degenerates into a
+chain of all-distinct texts.
 
 Batch-only (DataSourceReader); the events stream already covers the
 streaming-source surface.
@@ -49,6 +52,11 @@ class SyntheticDocsReader(DataSourceReader):
         self.parts = int(options.get("parts", 8))
         self.doc_len = int(options.get("doc_len", 30))
         self.dup_every = int(options.get("dup_every", 0))
+        if self.dup_every == 1:
+            raise ValueError(
+                "dup_every=1 makes every doc copy its neighbor — a chain of "
+                "all-distinct texts, no duplicates; use dup_every >= 2"
+            )
         self.seed = int(options.get("seed", 7))
 
     def partitions(self) -> list[InputPartition]:

@@ -240,7 +240,20 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .cache()
     )
+    def release_checkpoint(ckpt: DataFrame) -> None:
+        # Dataset.unpersist() does NOT free localCheckpoint blocks (they
+        # live on the internal LogicalRDD, not in the CacheManager —
+        # verified empirically); without this, every round's (id, label)
+        # snapshot stays in executor storage until JVM GC. Private-API
+        # reach-in, so failure just defers cleanup to the ContextCleaner
+        # (the status quo), never breaks the computation.
+        try:
+            ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     converged = False
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iterations):
         nb_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -262,7 +275,10 @@ def dup_clusters(
         changed = stepped.where(F.col("label") < F.col("old")).count()
         old_labels = labels
         labels = stepped.select("id", "label")
-        old_labels.unpersist()
+        old_labels.unpersist()  # releases only the round-0 cache()
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
         if changed == 0:
             converged = True
             break

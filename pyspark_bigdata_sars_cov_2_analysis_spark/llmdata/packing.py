@@ -37,12 +37,13 @@ def global_token_offsets(
     lo_hi = df.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
+    if lo_hi["lo"] is None:  # empty input: offset column, no rows
+        return df.withColumn("offset", F.lit(None).cast("bigint"))
     span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1, 1)
     width = -(-span // n_chunks)  # ceil
     with_chunk = df.withColumn(
-        "__chunk",
-        ((F.col(id_col) - F.lit(int(lo_hi["lo"]))) / F.lit(width)).cast("bigint"),
-    )
+        "__rel", F.col(id_col) - F.lit(int(lo_hi["lo"]))
+    ).withColumn("__chunk", F.expr(f"__rel DIV {width}")).drop("__rel")
     w_local = (
         Window.partitionBy("__chunk")
         .orderBy(id_col)
@@ -85,16 +86,14 @@ def pack_sequences(
     chunkers split straddling docs across sequences rather than padding).
 
     Output: (id, n_tokens, offset, seq_id, straddles)."""
-    out = global_token_offsets(df, id_col, tokens_col, n_chunks)
-
-    # subtract the remainder before dividing so the double division is
-    # exact — a raw divide-then-cast drifts once offsets pass double's
-    # 53-bit integer range (a 100 TB corpus has ~1e13+ tokens)
-    def idiv(col, d):
-        return ((col - col % d) / d).cast("bigint")
-
-    first = idiv(F.col("offset"), seq_len)
-    last = idiv(F.col("offset") + F.col(tokens_col) - 1, seq_len)
+    out = global_token_offsets(df, id_col, tokens_col, n_chunks).withColumn(
+        "__end", F.col("offset") + F.col(tokens_col) - 1
+    )
+    # true integer DIV (same idiom as registry's `ts DIV 1000`): double
+    # division — even of an exact multiple — rounds the NUMERATOR first
+    # and drifts once offsets pass 2^53 (~9e15 tokens)
+    first = F.expr(f"offset DIV {seq_len}")
+    last = F.expr(f"__end DIV {seq_len}")
     return out.select(
         F.col(id_col),
         F.col(tokens_col),

@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 
 def rate_to_hex(rate: float, digits: int = 4) -> str:
     """Largest ``digits``-hex threshold with P(prefix < threshold) <= rate
-    — the exact effective rate is ``int(threshold, 16) / 16**digits``."""
+    — the exact effective rate is ``int(threshold, 16) / 16**digits``.
+    ``rate >= 1`` returns ``"g"``: lexicographically greater than every hex
+    prefix, so the gate keeps everything (the naive ``format`` would emit a
+    5-char ``"10000"``, which compares SMALLER than ``"ffff"`` and would
+    silently keep ~6% instead of 100%)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(int(rate * (16**digits)), f"0{digits}x")
+    n = int(rate * (16**digits))
+    if n >= 16**digits:
+        return "g"
+    return format(n, f"0{digits}x")
 
 
 def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
@@ -51,7 +58,6 @@ def stratified_hash_sample(
     decision hashes (salt, id) only — adding or removing strata from the
     config never reshuffles which rows survive in other strata (the
     property that makes corpus-mix tuning reproducible)."""
-    gate = F.lit(None).cast("boolean")
     expr = None
     for stratum, rate in sorted(rates.items()):
         cond = F.col(strata_col) == stratum

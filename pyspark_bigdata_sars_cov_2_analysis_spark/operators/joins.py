@@ -78,13 +78,17 @@ def asof_join(
     (key-equi join + ts inequality → every left row pairs with ALL its
     earlier right rows, then a window keeps one — row explosion is
     O(|left| × avg right history)), tag both sides, UNION them, and run
-    ``last(col, ignorenulls=True)`` over a window partitioned by key and
-    ordered by (ts, side). One shuffle on the key, sort within partition,
-    zero row fan-out — the same cost shape as a sort-merge join, and it
-    survives hot keys with long histories (the explosion case) unharmed.
-    Ties (right_ts == left_ts) order the right row first, so a state
-    change AT the event timestamp is visible to it, matching DuckDB's
-    ``ASOF JOIN ... ON l.ts >= r.ts`` (the j06 oracle).
+    ONE ``last(struct, ignorenulls=True)`` over a window partitioned by
+    key and ordered by (ts, side). One shuffle on the key, sort within
+    partition, zero row fan-out — the same cost shape as a sort-merge
+    join, and it survives hot keys with long histories (the explosion
+    case) unharmed. The fill carries the whole right row as a single
+    STRUCT — filling each column independently would let a NULL attribute
+    on the true as-of row fall through to a STALE older row's value and
+    tear columns across different right rows. Ties (right_ts == left_ts)
+    order the right row first, so a state change AT the event timestamp
+    is visible to it, matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``
+    (the j06 oracle).
 
     ``tolerance_us`` (pandas ``merge_asof`` semantics): a match farther
     back than the tolerance is nulled out, not redirected — applied as a
@@ -98,25 +102,30 @@ def asof_join(
     ]
     from pyspark.sql import Window
 
+    # the full right row travels as one nullable struct: NULL marks
+    # "left-side row", a non-null struct may still hold NULL attributes
+    row_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
     marked_r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        row_struct.alias("__r"),
     )
+    struct_type = marked_r.schema["__r"].dataType
     marked_l = left.select(
         "*",
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(marked_r.dtypes)[f"__r_{c}"]).alias(f"__r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     both = marked_l.unionByName(
         marked_r.select(
             *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-            "__k", "__ts", "__side",
-            *[f"__r_{c}" for c in right_cols],
+            "__k", "__ts", "__side", "__r",
         )
     )
     w = (
@@ -125,27 +134,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
-          for c in right_cols],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__a_ts"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__a")
     ).where(F.col("__side") == 1)
     if tolerance_us is not None:
         in_tol = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__a_ts"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__a.__rts"))
         ) <= F.lit(tolerance_us)
         filled = filled.select(
             *left.columns,
-            *[F.when(in_tol, F.col(f"__a_{c}")).alias(f"__a_{c}")
-              for c in right_cols],
-            F.when(in_tol, F.col("__a_ts")).alias("__a_ts"),
+            F.when(in_tol, F.col("__a")).alias("__a"),
         )
     return filled.select(
         *left.columns,
-        *[F.col(f"__a_{c}").alias(f"{c}_asof") for c in right_cols],
-        F.col("__a_ts").alias(f"{right_ts}_asof"),
+        *[F.col(f"__a.{c}").alias(f"{c}_asof") for c in right_cols],
+        F.col("__a.__rts").alias(f"{right_ts}_asof"),
     )
 
 

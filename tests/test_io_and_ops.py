@@ -296,13 +296,16 @@ def test_python_datasource_planted_duplicates(spark):
     )
 
     register_synthetic_docs(spark)
-    n, k = 400, 10
-    df = (
-        spark.read.format("synthetic_docs")
-        .option("n", n).option("parts", 4).option("dup_every", k).load()
-    )
-    groups = exact_duplicates(df, "doc_id", "text")
-    dup_groups = groups.where(F.col("n_copies") > 1)
-    # every k-th doc copies its neighbor's text -> exactly n/k 2-copy groups
-    assert dup_groups.count() == n // k
-    assert {r["n_copies"] for r in dup_groups.collect()} == {2}
+    # non-divisible n included: ground truth is one 2-copy group per
+    # multiple of k whose neighbor id exists, i.e. len(range(0, n-1, k))
+    for n, k in ((400, 10), (405, 10), (401, 10)):
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n", n).option("parts", 4).option("dup_every", k).load()
+        )
+        dup_groups = exact_duplicates(df, "doc_id", "text").where(
+            F.col("n_copies") > 1
+        )
+        want = len(range(0, n - 1, k))
+        assert dup_groups.count() == want, (n, k)
+        assert {r["n_copies"] for r in dup_groups.collect()} == {2}

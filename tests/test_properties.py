@@ -273,6 +273,26 @@ def test_asof_join_semantics(spark):
     }
     assert tol[(1, 200)] == 10 and tol[(1, 300)] == 30
     assert tol[(2, 400)] is None  # 4h stale > 1h tolerance
+    # NULL attribute on the true as-of row must come through as NULL, not
+    # fall back to a stale older row's value (struct fill, not per-column)
+    right_n = spark.createDataFrame(
+        [(1, ts(1), 10), (1, ts(2), None)],
+        "k bigint, rts timestamp, v bigint",
+    )
+    left_n = spark.createDataFrame([(1, ts(3), 99)], "k bigint, lts timestamp, x bigint")
+    for fn in (joins.asof_join, joins.asof_join_cogroup):
+        row = fn(
+            left_n, right_n, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["v"],
+        ).collect()[0]
+        assert row["v_asof"] is None and row["rts_asof"] == ts(2), (fn.__name__, row)
+    # and with tolerance: the stale-but-within-window older row must not
+    # resurface either
+    row = joins.asof_join(
+        left_n, right_n, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], tolerance_us=3 * 3600 * 1_000_000,
+    ).collect()[0]
+    assert row["v_asof"] is None and row["rts_asof"] == ts(2), row
 
 
 def test_stratified_sample_deterministic_and_isolated(spark):
@@ -301,6 +321,13 @@ def test_stratified_sample_deterministic_and_isolated(spark):
     assert abs(len(a) / n_en - 0.5) < 0.15              # near target
     with_zh = pick({"en": 0.5, "zh": 1.0})
     assert [x for x in with_zh if x in set(a)] == a     # en picks unchanged
+    # rate=1.0 must keep EVERY row of the stratum (the hex-overflow trap)
+    n_zh = d.where("lang = 'zh'").count()
+    assert len(with_zh) == len(a) + n_zh and n_zh > 0
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        rate_to_hex,
+    )
+    assert rate_to_hex(1.0) > "ffff" and rate_to_hex(0.0) == "0000"
 
 
 def test_leakage_free_split_keeps_dups_together(spark):
