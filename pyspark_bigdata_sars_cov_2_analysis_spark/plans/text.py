@@ -273,25 +273,29 @@ def t06_top_bigrams(spark, sf_dir):
     """,
 )
 def t09_tfidf_top_terms(spark, sf_dir):
-    """Per-document top-3 TF-IDF terms — the corpus-statistics two-pass
-    pattern (per-doc counts + global document frequencies joined back).
+    """Per-document top-3 TF-IDF terms — global corpus statistics without
+    re-reading the corpus.
 
     Scale shape: after tokenize, everything moves (doc_id, tok, count)
-    triples, never text — tf agg shuffles on (doc_id, tok), dfreq derives
-    FROM tf (shuffles only (tok, count)), the 1-row corpus size broadcasts
-    via crossJoin, idf joins back on tok, and the final top-3 is a bounded
-    window per doc_id. Ranking orders by the ROUNDED score (then tok) so
-    fp noise in ln() can't flip ranks between engines."""
+    triples, never text. Document frequency comes from a COUNT window
+    partitioned by tok over the tf frame — NOT a self-join of tf with a
+    tok-level aggregate, which planned as two full tokenize+agg subtrees
+    (no exchange reuse; measured 3 parquet scans, 8 exchanges vs 1 scan,
+    3 exchanges this way). The 1-row corpus size broadcasts via crossJoin
+    (the scalar-subquery execution shape), and the final top-3 is a
+    bounded window per doc_id. Ranking orders by the ROUNDED score (then
+    tok) so fp noise in ln() can't flip ranks between engines."""
+    from pyspark.sql.window import Window
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
     n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfreq, on="tok")
+        tf.withColumn("dfq", F.count(F.lit(1)).over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -303,8 +307,6 @@ def t09_tfidf_top_terms(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
         scored.select("*", F.row_number().over(w).alias("rn"))
