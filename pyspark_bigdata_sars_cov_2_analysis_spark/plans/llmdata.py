@@ -691,3 +691,36 @@ def t10_sequence_packing(spark, sf_dir):
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, "doc_id", "n_tokens", seq_len=512)
+
+
+@query(
+    "m05_audio_frame_energy",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, frame_idx,
+             ((doc_id * 31 + (frame_idx * 64 + j) * 17) % 65536 - 32768) AS v
+      FROM documents,
+           generate_series(0, 3) AS g1(frame_idx),
+           generate_series(0, 63) AS g2(j)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY 1, 2
+    """,
+)
+def m05_audio_frame_energy(spark, sf_dir):
+    """Audio modality end-to-end: synthesize REAL RIFF/WAVE PCM16 payloads
+    per document (samples from a pure integer formula of (doc_id, i)),
+    then decode + frame into 64-sample windows and emit integer-exact
+    energies — 256 samples -> 4 frames per doc. The oracle recomputes the
+    same energies symbolically from the formula, so a hash match proves
+    the encode->decode->frame byte path, not just the arithmetic
+    (llmdata/audio.py; the audio twin of m04's BMP roundtrip)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.audio import (
+        audio_frame_energy,
+        synthesize_pcm,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    wav = synthesize_pcm(d, "doc_id", n_samples=256)
+    return audio_frame_energy(wav, "doc_id", "payload", frame_len=64)

@@ -146,3 +146,47 @@ def test_format_image_reader_end_to_end(spark, tmp_path):
         g = golden[key]
         assert r["mean_pixel"] == pytest.approx(g.mean())
         assert r["std_pixel"] == pytest.approx(g.std())
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav -> decode_wav must be lossless for arbitrary int16
+    sample arrays (incl. extremes and odd lengths), and the header must
+    carry the sample rate through."""
+    import numpy as np
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 63, 256, 1001):
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        b = encode_wav(samples, sample_rate=16000)
+        rate, back = decode_wav(b)
+        assert rate == 16000 and np.array_equal(back, samples), n
+    extremes = np.array([-32768, 32767, 0, -1, 1], dtype=np.int16)
+    _, back = decode_wav(encode_wav(extremes))
+    assert np.array_equal(back, extremes)
+
+
+def test_wav_decode_rejects_non_pcm16():
+    """Invalid RIFF and non-PCM16 formats must fail loudly, not decode
+    garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    # corrupt the fmt chunk to stereo: must raise NotImplementedError
+    b = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    b[22] = 2  # channels field inside fmt chunk
+    with pytest.raises(NotImplementedError, match="PCM16 mono"):
+        decode_wav(bytes(b))
