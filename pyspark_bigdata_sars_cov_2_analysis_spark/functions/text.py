@@ -146,3 +146,26 @@ def fingerprint(col: Column, bits: int = 64) -> Column:
     """Document fingerprint: md5 of the normalized text, truncated to
     ``bits``/4 hex chars. Stable across engines (md5 is md5 everywhere)."""
     return F.substring(F.md5(normalize_text(col)), 1, bits // 4)
+
+
+def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
+    """Overlapping token-window chunks of a text column, as a per-row
+    array of (chunk_idx, chunk) structs — the RAG-prep / context-window
+    chunker, entirely in JVM expressions (transform over sequence + slice,
+    the same row-local shape as ``shingle_array``; no Python, no explode
+    until the caller asks). Chunk c covers tokens [c*stride, c*stride +
+    window); a trailing chunk may be short; stride < window gives overlap.
+    Empty/whitespace-only docs produce no chunks."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
+        ),
+    )
+    return F.when(n > 0, chunks).otherwise(
+        F.array().cast("array<struct<chunk_idx:bigint,chunk:string>>")
+    )

@@ -313,3 +313,44 @@ def t09_tfidf_top_terms(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+@query(
+    "t11_chunk_text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+             array_to_string(w[c*30 + 1 : c*30 + 40], ' ') AS chunk
+      FROM toks, generate_series(0, 100000) AS g(c)
+      WHERE len(w) > 0 AND c*30 < len(w)
+    )
+    SELECT doc_id, chunk_idx, chunk,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def t11_chunk_text(spark, sf_dir):
+    """Overlapping context-window chunking (window=40 tokens, stride=30 —
+    10-token overlap): the RAG-prep fan-out. Chunks are built row-locally
+    as a JVM expression array (functions/text.chunk_array) and exploded
+    only at the end — no Python in the path; the UDTF formulation exists
+    as an extensibility twin (udf/udtfs.py), equivalence-tested but kept
+    off the hot path because UDTF eval is row-at-a-time."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(T.chunk_array(F.col("text"), 40, 30)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.size(F.split(F.col("c.chunk"), " ")).cast("bigint").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

@@ -1,0 +1,36 @@
+"""Python UDTFs (Spark 3.5+ table functions) — the extensibility twin of
+the native expression operators.
+
+UDTF ``eval`` is row-at-a-time Python, so nothing here sits on a hot
+path; the native formulations (``functions/text.chunk_array`` for
+chunking) are the defaults, and each UDTF is equivalence-tested against
+its twin. The surface exists because a real deployment will eventually
+need a table function no expression can say (calling a tokenizer library,
+yielding variable-arity rows from an opaque parser) — this is the
+registered, tested seam for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="chunk_idx bigint, chunk string")
+class ChunkText:
+    """Overlapping token-window chunker — semantics identical to
+    functions/text.chunk_array (window tokens per chunk, stride apart,
+    normalized whitespace/case, empty docs yield nothing)."""
+
+    def eval(self, text: str, window: int, stride: int):
+        if text is None:
+            return
+        toks = " ".join(text.lower().split()).split(" ")
+        if toks == [""]:
+            return
+        for i, start in enumerate(range(0, len(toks), stride)):
+            yield i, " ".join(toks[start : start + window])
+
+
+def register_udtfs(spark) -> None:
+    """Idempotent SQL registration: ``SELECT * FROM chunk_text(...)``."""
+    spark.udtf.register("chunk_text", ChunkText)

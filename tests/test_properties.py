@@ -414,3 +414,26 @@ def test_two_level_prefix_sum_equals_naive(spark):
             )
         )
         assert got == want, f"n_chunks={n_chunks}"
+
+
+def test_chunk_udtf_equals_native(spark):
+    """The UDTF chunker must produce exactly the native expression
+    chunker's rows on the real corpus — the extensibility seam can't
+    drift from the hot-path operator."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import chunk_array
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = table(spark, SF_TEST, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_chunking")
+    via_udtf = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk
+           FROM docs_for_chunking d,
+                LATERAL chunk_text(d.text, 40, 30) c"""
+    )
+    native = d.select(
+        "doc_id", F.explode(chunk_array(F.col("text"), 40, 30)).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    got = sorted(map(tuple, via_udtf.collect()))
+    want = sorted(map(tuple, native.collect()))
+    assert got == want and len(got) > 0
