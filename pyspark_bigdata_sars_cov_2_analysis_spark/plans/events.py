@@ -306,3 +306,52 @@ def e07_segment_window(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     c = table(spark, sf_dir, "customer")
     return segment_window_counts(e, c)
+
+
+@query(
+    "e08_gapfill_daily",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def e08_gapfill_daily(spark, sf_dir):
+    """Calendar gap-fill: daily event counts with EVERY day of the span
+    present, zero for silent days — the completeness contract time-series
+    consumers (forecasters, anomaly detectors) assume and raw GROUP BY
+    silently breaks. Spark-first: the day spine is
+    explode(sequence(min_day, max_day)) off a 1-row aggregate — a
+    broadcast-joined calendar, not a recursive CTE and not a driver-side
+    date loop; the only real shuffle is the daily aggregate of facts."""
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("ts")).cast("date").alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(daily, on="day", how="left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
