@@ -187,3 +187,13 @@ def test_asof_join_single_window_shuffle(spark):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(exchanges) <= 2, plan  # key window + pre-agg of the view side
+
+
+def test_packing_avoids_global_window(spark):
+    """t10's two-level prefix sum exists to dodge the single-partition
+    global window: the plan may contain at most ONE SinglePartition
+    exchange (the per-chunk totals — n_chunks rows), and the heavy local
+    cumsum must run under a hash-partitioned window."""
+    plan = _plan(QUERIES["t10_sequence_packing"](spark, SF_TEST))
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(__chunk" in plan, plan
