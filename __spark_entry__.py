@@ -28,44 +28,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks a static window of the FIRST 50 registered queries, so
 # raw registration order left the whole TPC-H/join/text/udf surface without
 # driver attestation for three rounds (ADVICE r3). Emit the dict in an
-# explicit priority order instead: queries never green in any
-# CORRECTNESS_r*.json first (registration order within the group), then the
-# round-3 regressions whose fix needs re-attestation, then the rest.
+# explicit priority order instead, re-derived each round from the union of
+# CORRECTNESS_r*.json: queries never green in ANY round first, then the
+# stalest attestations, newest-attested last.
+#
+# Round-5 window: CORRECTNESS_r04 was 50/50 green, so the r4 head moves to
+# the back and the head becomes the 14 never-attested queries (10 with
+# DuckDB oracles, 4 rows-only by design: a15/a17 sketches, ml01/ml02
+# training bands), then the 3 queries last attested in round 1, then the
+# first 33 of the round-3-attested group in registration order.
 _PRIORITY_FIRST = [
-    # round-3 TIMESTAMP_NTZ regressions — re-attest the fix
-    "e02_sessionize",
-    "e06_view_purchase_attribution",
-    # new in round 4 — never attested by construction
-    "j06_asof_join",
-    "j07_range_join_binned",
-    "o05_stratified_sample",
-    "d08_leakage_free_split",
+    # never attested in any round's window — front-load all 14
+    "t09_tfidf_top_terms", "t10_sequence_packing", "t11_chunk_text",
+    "e07_segment_window", "e08_gapfill_daily", "f14_variant_json",
+    "a18_theta_sketch_setops", "m05_audio_frame_energy",
+    "j04_latest_via_join_equiv", "u07_mlp_inference",
+    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
+    "ml01_classifier_bench", "ml02_confusion_matrix",
+    # last attested round 1
+    "a09_distinct", "w01_latest_per_group", "w02_running_sum",
 ]
-_NEVER_ATTESTED = [
-    "w03_topn_per_group", "o03_topk_resort", "u01_union", "u03_intersect",
-    "u04_except", "f01_string_funcs", "f11_date_funcs", "f12_json_extract",
-    "t01_token_count", "t02_quality_score", "t03_language_id",
-    "t04_fingerprint", "t05_clean_wordcount", "t07_repetition_ratio",
-    "t08_pii_scrub", "t06_top_bigrams", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q10_returned_items", "j01_left_join", "j02_semi_join", "j03_anti_join",
-    "j05_salted_join_equiv", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q12_priority_shipping", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity", "q18_large_volume",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q16_parts_supplier_relationship", "q20_potential_promotion",
-    "q21_waiting_supplier", "q11_important_stock", "q2_min_cost_supplier",
-    "u05_grouped_forecast", "u06_batch_inference",
-    # deliberately last (the head exceeds the checker's 50-query window by
-    # two): u07 is rows-only (weakest check) and j04 is the equivalence
-    # twin of already-attested w01 — least is lost if these wait a round
-    "u07_mlp_inference", "j04_latest_via_join_equiv",
+_STALE_R3 = [
+    # last attested round 3; first 33 in registration order fill the window
+    "e01_tumbling_window", "e03_dedup_latest_state", "e04_sliding_window",
+    "e05_user_totals", "a10_rollup", "a11_cube", "a12_grouping_sets",
+    "a13_pivot", "a14_count_distinct", "w04_lag_lead_rank",
+    "w05_moving_frame", "f06_posexplode_roundtrip", "sql01_subquery",
+    "f13_null_handling", "o04_deterministic_sample", "a16_percentiles",
+    "sql02_file_scan", "w06_distribution_ranks", "d01_exact_dedup",
+    "d02_minhash_lsh", "d07_dup_clusters", "d03_ngram_jaccard",
+    "d04_simhash", "d06_simhash_neardup", "s01_cosine_topk",
+    "s02_bucketed_topk", "d05_embedding_neardup", "m01_binary_stats",
+    "m02_image_decode_stats", "m03_frame_sample", "m04_real_bmp_roundtrip",
+    "s03_ivf_topk", "s04_ivf_multiprobe",
+    # remaining r3 group (outside the 50-window this round; next in line)
+    "p01_project_filter", "p05_derived_cast", "p09_recode",
+    "p11_filter_isin", "p12_compound_predicate", "p16_null_profile",
+    "a01_grouped_sum", "a03_count_share", "a04_max_avg", "a05_group_count",
+    "a08_ordered_collect",
 ]
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _PRIORITY_FIRST + _NEVER_ATTESTED if n in plans.QUERIES]
+    head = [n for n in _PRIORITY_FIRST + _STALE_R3 if n in plans.QUERIES]
     seen = set(head)
     return head + [n for n in plans.QUERIES if n not in seen]
 
