@@ -277,14 +277,23 @@ def t09_tfidf_top_terms(spark, sf_dir):
     re-reading the corpus.
 
     Scale shape: after tokenize, everything moves (doc_id, tok, count)
-    triples, never text. Document frequency comes from a COUNT window
-    partitioned by tok over the tf frame — NOT a self-join of tf with a
-    tok-level aggregate, which planned as two full tokenize+agg subtrees
-    (no exchange reuse; measured 3 parquet scans, 8 exchanges vs 1 scan,
-    3 exchanges this way). The 1-row corpus size broadcasts via crossJoin
-    (the scalar-subquery execution shape), and the final top-3 is a
-    bounded window per doc_id. Ranking orders by the ROUNDED score (then
-    tok) so fp noise in ln() can't flip ranks between engines."""
+    triples, never text. Document frequency is a hash AGGREGATE over the
+    cached tf frame, broadcast-joined back — NOT a window partitioned by
+    tok (r4 shape): a window puts every row for a hot token (stopwords)
+    into ONE task and AQE cannot split window partitions, so at 100× a
+    stopword's partition approaches one row per document. groupBy(tok)
+    has map-side partial aggregation — the shuffle carries at most one
+    row per token per map partition regardless of skew. tf is cached
+    (MEMORY_AND_DISK) because the dfreq branch otherwise re-plans the
+    whole tokenize+agg subtree: column pruning makes the two exchanges
+    canonically different, so neither plan-time ReuseExchange nor AQE
+    stage reuse deduplicates them (measured: 2 full tokenize subtrees,
+    0 ReusedExchange). The cached frame is (doc_id, tok, tf) triples —
+    strictly smaller than the raw text it derives from, and spillable.
+    The 1-row corpus size broadcasts via crossJoin (the scalar-subquery
+    execution shape), and the final top-3 is a bounded window per
+    doc_id. Ranking orders by the ROUNDED score (then tok) so fp noise
+    in ln() can't flip ranks between engines."""
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
@@ -292,10 +301,15 @@ def t09_tfidf_top_terms(spark, sf_dir):
         "doc_id",
         F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
     n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # join back UNHINTED: AQE broadcasts dfreq when the vocabulary is
+    # small (it is, at every test SF) and falls back to a sort-merge join
+    # with skew-split when a web-scale vocab outgrows the broadcast
+    # threshold — a forced broadcast() would OOM there instead.
     scored = (
-        tf.withColumn("dfq", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -197,3 +197,22 @@ def test_packing_avoids_global_window(spark):
     plan = _plan(QUERIES["t10_sequence_packing"](spark, SF_TEST))
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "hashpartitioning(__chunk" in plan, plan
+
+
+def test_tfidf_df_is_aggregate_not_window(spark):
+    """t09's document frequency must come from a hash aggregate (map-side
+    partials compress hot tokens to one row per map partition), never a
+    window partitioned by tok — a stopword's window partition holds one
+    row per document containing it and AQE cannot split window
+    partitions. The only window allowed is the bounded per-doc top-3.
+    The tokenize subtree must also plan exactly once (cached)."""
+    df = QUERIES["t09_tfidf_top_terms"](spark, SF_TEST)
+    plan = _plan(df)
+    low = plan.lower()
+    assert "windowspecdefinition(tok" not in low, plan
+    assert "windowspecdefinition(doc_id" in low, plan
+    assert "InMemoryRelation" in plan, plan
+    # the documents scan appears once under the cached tf subtree and once
+    # for the 1-row corpus-size aggregate; never a third time for dfreq
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 3, plan
