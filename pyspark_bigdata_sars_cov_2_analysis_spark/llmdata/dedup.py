@@ -467,12 +467,14 @@ def simhash_neardup_pairs(
     bits: int = 32,
     band_bits: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: candidates share at least one of the
-    four signature bytes (pigeonhole: Hamming ≤ 6 over 32 bits guarantees
-    ≥1 identical byte... only for ≤3 differing bytes — with 4 bands any
-    pair within Hamming ≤ max_hamming that concentrates errors can still
-    split across bands; this is the standard recall trade), then verified
-    exactly with bit_count(xor) ≤ max_hamming.
+    """SimHash near-duplicate pairs: candidates share at least one band
+    slice of the signature, then verified exactly with
+    bit_count(xor) ≤ max_hamming. Detection is GUARANTEED (pigeonhole)
+    only when the layout has more bands than max_hamming: ≤h differing
+    bits touch ≤h bands, so with n_bands > h at least one band matches
+    exactly. With n_bands ≤ h a pair inside the Hamming budget can split
+    its errors across every band and be missed — the warning below fires
+    for such configs (the standard LSH recall trade, made explicit).
 
     Scale shape: same as MinHash-LSH — bits/band_bits small (band, value)
     rows per doc to the shuffle, bucket-grouped row-local pair expansion
@@ -486,9 +488,9 @@ def simhash_neardup_pairs(
     next to the dedup itself. Recall trade (standard LSH): fewer, wider
     bands → a pair must agree on one of fewer bands — detection is only
     GUARANTEED when Hamming < n_bands. Pass ``band_bits`` explicitly
-    (e.g. the d06 oracle pins 8) when the band layout itself is part of
-    the contract; raise ``bits`` to 64 (with a widened hash) for
-    corpora past ~100M docs."""
+    (e.g. the d06 oracle pins 4 → 8 bands > max_hamming=6) when the band
+    layout itself is part of the contract; raise ``bits`` to 64 (with a
+    widened hash) for corpora past ~100M docs."""
     if band_bits is None:
         import math
 

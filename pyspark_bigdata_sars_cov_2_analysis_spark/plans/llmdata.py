@@ -230,8 +230,8 @@ def d04_simhash(spark, sf_dir):
     oracle=f"""
     WITH {_SIMHASH_CTE},
     banded AS (
-      SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS val
-      FROM simsig CROSS JOIN generate_series(0, 3) t(b)
+      SELECT doc_id, simhash, b AS band, (simhash >> (4 * b)) & 15 AS val
+      FROM simsig CROSS JOIN generate_series(0, 7) t(b)
     )
     SELECT DISTINCT id_a, id_b, hamming FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -242,14 +242,19 @@ def d04_simhash(spark, sf_dir):
     """,
 )
 def d06_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs: byte-band candidates, exact Hamming ≤ 6
+    """SimHash near-dup pairs: nibble-band candidates, exact Hamming ≤ 6
     verify via bit_count(xor) — no signature re-join (pairs carry both
-    signatures out of the bucket expansion). band_bits is pinned to 8
-    because the oracle's band layout is part of this query's contract;
-    the operator default auto-scales with corpus size."""
+    signatures out of the bucket expansion). band_bits is pinned to 4 —
+    8 bands over 32 bits — because the oracle's band layout is part of
+    this query's contract AND 8 bands > max_hamming=6 keeps the
+    pigeonhole guarantee: ≤6 differing bits touch ≤6 bands, so at least
+    two bands always match exactly (the r4 byte-band layout had only 4
+    bands, which silently voided that guarantee —
+    tests/test_llmdata.py pins recall with planted Hamming-5/6 pairs).
+    The operator default auto-scales band width with corpus size."""
     d = table(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(
-        d, "doc_id", "text", max_hamming=6, band_bits=8
+        d, "doc_id", "text", max_hamming=6, band_bits=4
     )
 
 

@@ -437,3 +437,49 @@ def test_chunk_udtf_equals_native(spark):
     got = sorted(map(tuple, via_udtf.collect()))
     want = sorted(map(tuple, native.collect()))
     assert got == want and len(got) > 0
+
+
+def test_simhash_attested_layout_finds_hamming_budget_pairs(spark):
+    """The d06-attested layout (band_bits=4 -> 8 bands over 32 bits) must
+    DETECT every pair inside the Hamming budget: 8 bands > max_hamming=6
+    restores the pigeonhole guarantee the r4 byte-band layout (4 bands)
+    silently voided. A single-token document's signature IS its token's
+    32-bit hash (one ±1 vote per bit), so planting tokens whose hashes
+    differ in exactly 5 and 6 bits plants signature pairs at exactly that
+    Hamming distance. Also pins that the attested config is warning-free."""
+    import hashlib
+    import warnings as _warnings
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    def h32(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    toks = [f"w{i}" for i in range(3000)]
+    hashes = [h32(t) for t in toks]
+    planted = {}
+    for want in (5, 6):
+        found = next(
+            (i, j)
+            for i in range(len(toks))
+            for j in range(i + 1, len(toks))
+            if bin(hashes[i] ^ hashes[j]).count("1") == want
+        )
+        planted[want] = found
+    (a5, b5), (a6, b6) = planted[5], planted[6]
+    rows = [
+        (1, toks[a5]), (2, toks[b5]),
+        (3, toks[a6]), (4, toks[b6]),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.simhash_neardup_pairs(
+                d, "doc_id", "text", max_hamming=6, band_bits=4
+            ).collect()
+        }
+        assert not [w for w in rec if "not guaranteed" in str(w.message)]
+    assert got.get((1, 2)) == 5, got
+    assert got.get((3, 4)) == 6, got
