@@ -73,14 +73,41 @@ def u06_batch_inference(spark, sf_dir):
     return e.select("vec_id", batch_inference_udf("embedding").alias("score"))
 
 
-@query("u07_mlp_inference", oracle=None)  # rows-only: matmul isn't SQL
+_MLP_Z = """
+list_aggregate(list_transform(generate_series(0, 7), j ->
+  ( ((j*11)%5) - 2 ) * (1.0 - 2.0 / (exp(2.0 * (
+    CAST(list_aggregate(list_transform(generate_series(1, len(q)), i ->
+        q[i] * ((((i-1)*7 + j*13) % 5) - 2)), 'sum') AS DOUBLE)
+    / (32768.0 * sqrt(CAST(len(q) AS DOUBLE)))
+    + 0.1 * ((j % 3) - 1) )) + 1.0))
+), 'sum') / 8.0 + 0.25
+"""
+
+
+@query(
+    "u07_mlp_inference",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    )
+    SELECT vec_id, {sql_round(f"1.0 / (1.0 + exp(-({_MLP_Z})))", 6)} AS score
+    FROM t
+    """,
+)
 def u07_mlp_inference(spark, sf_dir):
-    """D7/M9 — batch inference with REAL tensor compute: a deterministic
-    seeded 2-layer MLP (matmul → tanh → matmul → sigmoid) applied per
-    Arrow batch, weights built once per worker. The closest
-    framework-free approximation of the reference's DenseNet path
-    (spark/jobs/radiography_analysis.py:306-326); correctness is pinned
-    by a driver-side numpy golden test instead of a DuckDB oracle
-    (tests/test_io_and_ops.py::test_mlp_inference_matches_numpy)."""
+    """D7/M9 — batch inference with REAL tensor compute: a 2-layer MLP
+    (int64 matmul → tanh → weighted sum → sigmoid) applied per Arrow
+    batch, weights built once per worker. The closest framework-free
+    approximation of the reference's DenseNet path
+    (spark/jobs/radiography_analysis.py:306-326). The weights are a
+    closed integer formula over a 1/32768-quantized input, so the oracle
+    recomputes the full forward pass symbolically in SQL (the m05
+    integer-oracle trick applied to tensor compute — see
+    udf/pandas_udfs._load_mlp for the exactness argument); a driver-side
+    numpy golden (tests/test_io_and_ops.py) pins the UDF independently."""
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", mlp_inference_udf("embedding").alias("score"))

@@ -40,30 +40,47 @@ def batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)
 
 
-def _load_mlp(hidden: int = 16, seed: int = 2020):
-    """A REAL (if tiny) model: 2-layer MLP forward pass with deterministic
-    seeded weights, weight matrices cached per input dim per worker. This
-    is actual tensor compute per Arrow batch — matmul → tanh → matmul →
-    sigmoid — i.e. the execution shape of the reference's DenseNet
-    inference (spark/jobs/radiography_analysis.py:306-326) without the
-    framework. Not SQL-expressible; checked against a driver-side numpy
-    golden instead of a DuckDB oracle."""
-    cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, float]] = {}
+def _load_mlp(hidden: int = 8):
+    """A REAL (if tiny) model: 2-layer MLP forward pass, weight matrices
+    cached per input dim per worker. This is actual tensor compute per
+    Arrow batch — int64 matmul → tanh → weighted sum → sigmoid — i.e. the
+    execution shape of the reference's DenseNet inference
+    (spark/jobs/radiography_analysis.py:306-326) without the framework.
+
+    The weights are small integers from a closed formula
+    (``w1[i][j] = (i*7 + j*13) % 5 - 2``) and the input is quantized to
+    the 1/32768 grid with the repo's half-up floor convention
+    (functions/compat.py), so the first-layer sums are EXACT int64 in any
+    summation order and DuckDB can recompute the whole forward pass
+    symbolically — the m05 integer-symbolic-oracle trick applied to
+    tensor compute. tanh is expanded as ``1 - 2/(exp(2x)+1)`` because
+    DuckDB 1.0 has no tanh; the UDF uses the identical expression so the
+    only cross-engine divergence is exp() ulps, absorbed by the final
+    6-decimal rounding. The hidden-layer sum accumulates sequentially in
+    j-order to mirror the oracle's ordered list_aggregate."""
+    cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def weights(d: int):
         if d not in cache:
-            rng = np.random.default_rng(seed + d)
-            w1 = rng.standard_normal((d, hidden)) / np.sqrt(d)
-            b1 = rng.standard_normal(hidden) * 0.1
-            w2 = rng.standard_normal((hidden, 1)) / np.sqrt(hidden)
-            b2 = float(rng.standard_normal())
-            cache[d] = (w1, b1, w2, b2)
+            i = np.arange(d)[:, None]
+            j = np.arange(hidden)[None, :]
+            w1 = ((i * 7 + j * 13) % 5 - 2).astype(np.int64)
+            b1 = 0.1 * ((np.arange(hidden) % 3) - 1)
+            w2 = ((np.arange(hidden) * 11) % 5 - 2).astype(np.float64)
+            cache[d] = (w1, b1, w2)
         return cache[d]
 
     def predict(batch: np.ndarray) -> np.ndarray:
-        w1, b1, w2, b2 = weights(batch.shape[1])
-        h = np.tanh(batch @ w1 + b1)
-        z = (h @ w2).ravel() + b2
+        d = batch.shape[1]
+        w1, b1, w2 = weights(d)
+        q = np.floor(batch * 32768.0 + 0.5).astype(np.int64)
+        s = q @ w1  # exact: int64 products of quantized grid × small ints
+        x = s / (32768.0 * np.sqrt(d)) + b1
+        h = 1.0 - 2.0 / (np.exp(2.0 * x) + 1.0)  # tanh, DuckDB-portable form
+        acc = np.zeros(len(batch))
+        for jj in range(hidden):  # sequential j-order == list_aggregate
+            acc = acc + w2[jj] * h[:, jj]
+        z = acc / hidden + 0.25
         return 1.0 / (1.0 + np.exp(-z))
 
     return predict
