@@ -155,8 +155,13 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
     the same row-local shape as ``shingle_array``; no Python, no explode
     until the caller asks). Chunk c covers tokens [c*stride, c*stride +
     window); a trailing chunk may be short; stride < window gives overlap.
-    Empty/whitespace-only docs produce no chunks."""
-    toks = F.split(normalize_text(col), " ")
+    Empty/whitespace-only/NULL docs produce no chunks — the guard is on
+    the NORMALIZED TEXT length, not the token-array size: splitting the
+    empty string yields [''] (size 1), which would otherwise emit one
+    (0, '') chunk (the r4 bug ADVICE flagged; the ChunkText UDTF twin
+    always had the no-chunks behavior)."""
+    norm = normalize_text(col)
+    toks = F.split(norm, " ")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
     chunks = F.transform(
@@ -166,6 +171,6 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
             F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
         ),
     )
-    return F.when(n > 0, chunks).otherwise(
+    return F.when(F.length(norm) > 0, chunks).otherwise(
         F.array().cast("array<struct<chunk_idx:bigint,chunk:string>>")
     )

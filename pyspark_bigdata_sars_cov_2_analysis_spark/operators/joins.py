@@ -20,6 +20,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _assert_no_reserved(op: str, reserved: Sequence[str], **frames: DataFrame) -> None:
+    """Fail fast when an input frame already uses one of an operator's
+    internal working-column names — silently clobbering it (or dying later
+    with an ambiguous-column error deep in the plan) hides the real cause
+    from the caller."""
+    for side, df in frames.items():
+        clash = sorted(set(df.columns) & set(reserved))
+        if clash:
+            raise ValueError(
+                f"{op}: {side} input columns {clash} collide with internal "
+                f"working names (reserved: {sorted(reserved)}); rename them "
+                "before calling"
+            )
+
+
 def join_dim(
     fact: DataFrame,
     dim: DataFrame,
@@ -97,6 +112,10 @@ def asof_join(
     Right side must be unique per (key, right_ts) — pre-aggregate if not
     (duplicate instants have no deterministic "latest" in either engine).
     """
+    _assert_no_reserved(
+        "asof_join", ("__k", "__ts", "__side", "__r", "__a"),
+        left=left, right=right,
+    )
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -180,6 +199,10 @@ def binned_range_join(
     Columns from both sides are kept (caller projects/aggregates); name
     collisions are the caller's to avoid.
     """
+    _assert_no_reserved(
+        "binned_range_join", ("__bin", "__lo", "__hi", "__pt"),
+        left=left, right=right,
+    )
     lo_us = F.unix_micros(left_lo)
     hi_us = F.unix_micros(left_hi)
     # subtract the remainder before dividing: the numerator becomes an
@@ -226,6 +249,7 @@ def asof_join_cogroup(
     codegen). Kept as the extensibility seam AND as an executable
     equivalence witness: tested row-identical to ``asof_join`` on the
     events corpus (ties, no-match nulls, tolerance)."""
+    _assert_no_reserved("asof_join_cogroup", ("__rts",), left=left, right=right)
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType

@@ -331,15 +331,25 @@ def t09_tfidf_top_terms(spark, sf_dir):
 
 @query(
     "t11_chunk_text",
+    # chunk indices come from a per-row range() bounded by the document's
+    # own token count (unnest of a scalar-range list — DuckDB 1.0 rejects
+    # lateral column params to generate_series), so the oracle is exact
+    # for any document length instead of silently capping at 100001
+    # chunks; the length() filter mirrors chunk_array's empty-doc guard
+    # (empty/whitespace/NULL text emits no chunks).
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS w FROM documents
+      SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS w
+      FROM documents WHERE length({_DUCK_NORM}) > 0
+    ),
+    idx AS (
+      SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // 30) + 1)) AS c
+      FROM toks
     ),
     chunks AS (
       SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
              array_to_string(w[c*30 + 1 : c*30 + 40], ' ') AS chunk
-      FROM toks, generate_series(0, 100000) AS g(c)
-      WHERE len(w) > 0 AND c*30 < len(w)
+      FROM idx
     )
     SELECT doc_id, chunk_idx, chunk,
            CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens

@@ -424,8 +424,16 @@ def test_chunk_udtf_equals_native(spark):
     from pyspark_bigdata_sars_cov_2_analysis_spark.udf.udtfs import register_udtfs
 
     register_udtfs(spark)
-    d = table(spark, SF_TEST, "documents")
-    d.select("doc_id", "text").createOrReplaceTempView("docs_for_chunking")
+    # edge rows pin the empty-doc contract BOTH twins must share: empty,
+    # whitespace-only, and NULL text all emit zero chunks (ADVICE r4: the
+    # native chunker emitted one (0, '') chunk for empty docs while the
+    # UDTF emitted none, and the corpus had no empty docs to catch it)
+    edges = spark.createDataFrame(
+        [(90001, ""), (90002, "   "), (90003, None), (90004, "one two")],
+        "doc_id bigint, text string",
+    )
+    d = table(spark, SF_TEST, "documents").select("doc_id", "text").union(edges)
+    d.createOrReplaceTempView("docs_for_chunking")
     via_udtf = spark.sql(
         """SELECT d.doc_id, c.chunk_idx, c.chunk
            FROM docs_for_chunking d,
@@ -437,6 +445,9 @@ def test_chunk_udtf_equals_native(spark):
     got = sorted(map(tuple, via_udtf.collect()))
     want = sorted(map(tuple, native.collect()))
     assert got == want and len(got) > 0
+    emitted_ids = {r[0] for r in got}
+    assert {90001, 90002, 90003}.isdisjoint(emitted_ids), emitted_ids
+    assert 90004 in emitted_ids
 
 
 def test_simhash_attested_layout_finds_hamming_budget_pairs(spark):
@@ -483,3 +494,32 @@ def test_simhash_attested_layout_finds_hamming_budget_pairs(spark):
         assert not [w for w in rec if "not guaranteed" in str(w.message)]
     assert got.get((1, 2)) == 5, got
     assert got.get((3, 4)) == 6, got
+
+
+def test_time_join_reserved_name_collision_raises(spark):
+    """asof_join / binned_range_join work through internal __-prefixed
+    columns; an input frame that already uses one must fail fast with a
+    descriptive error, not be silently clobbered or die later with an
+    ambiguous-column error (ADVICE r4)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins
+
+    t0 = dt.datetime(2024, 1, 1)
+    bad = spark.createDataFrame(
+        [(1, t0, 0)], "k bigint, ts timestamp, __ts int"
+    )
+    ok = spark.createDataFrame([(1, t0, 1.0)], "k bigint, ts timestamp, v double")
+    with _pytest.raises(ValueError, match="asof_join.*__ts.*rename"):
+        joins.asof_join(bad, ok, on="k", left_ts="ts", right_ts="ts")
+    with _pytest.raises(ValueError, match="asof_join.*right.*__ts"):
+        joins.asof_join(ok, bad, on="k", left_ts="ts", right_ts="ts")
+    bad2 = spark.createDataFrame(
+        [(1, t0, t0, 0)], "k bigint, lo timestamp, hi timestamp, __bin int"
+    )
+    with _pytest.raises(ValueError, match="binned_range_join.*__bin"):
+        joins.binned_range_join(
+            bad2, ok, F.col("lo"), F.col("hi"), ok["ts"], 1_000_000
+        )
