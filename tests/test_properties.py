@@ -523,3 +523,38 @@ def test_time_join_reserved_name_collision_raises(spark):
         joins.binned_range_join(
             bad2, ok, F.col("lo"), F.col("hi"), ok["ts"], 1_000_000
         )
+
+
+def test_dup_clusters_releases_round_checkpoints(spark):
+    """Each propagation round localCheckpoints an (id, label) snapshot and
+    releases the previous one through a private-API reach-in
+    (Dataset.unpersist does not free localCheckpoint blocks). The reach-in
+    is try/except-guarded, so a JVM-side rename would silently stop
+    freeing executor storage — this pins the behavior: after a run that
+    needs >=5 rounds, at most ONE checkpoint RDD (the final labels frame,
+    which the returned DataFrame still depends on) may remain in storage.
+    A silent break would leave one RDD per round and fail here."""
+    import time as _time
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    # diameter-9 chain -> ~10 propagation rounds, ~10 checkpoints
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "id_a bigint, id_b bigint")
+    got = dedup.dup_clusters(df, max_iterations=20).collect()
+    assert len(got) == 11
+    grew = None
+    for _ in range(20):  # cache unpersist(blocking=False) may lag briefly
+        grew = n_cached() - before
+        if grew <= 1:
+            break
+        _time.sleep(0.25)
+    assert grew is not None and grew <= 1, (
+        f"dup_clusters left {grew} persisted RDDs behind (expected <=1: the "
+        "final checkpoint); release_checkpoint's private-API reach-in has "
+        "likely broken on this Spark version"
+    )
