@@ -35,16 +35,53 @@ HEADLINE = [
     "s01_cosine_topk",
     "t03_language_id",
     "u05_grouped_forecast",
+    "t09_tfidf_top_terms",
+    "t10_sequence_packing",
+    "e08_gapfill_daily",
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
 # SAME best-of-2 protocol this script runs (round 4 re-freeze — the round-1
 # single-shot numbers biased every ratio low). A query >1.5x its frozen
-# time is flagged; new headline queries have ratio null until the next
-# freeze.
+# time is flagged. GOVERNANCE: existing entries are immutable
+# ("frozen_until": "protocol change") — a full re-freeze requires a bench
+# protocol change, stated in the round verdict. The only sanctioned write
+# is `python bench.py --extend-baseline`, which ADDS entries for headline
+# queries the baseline doesn't know yet (from a clean, uncontended run in
+# the same commit that adds them) and refuses to touch existing numbers.
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
 )
+
+
+def _extend_baseline(out: dict) -> None:
+    with open(BASELINE_PATH) as f:
+        base = json.load(f)
+    if base.get("sf") != out["sf"]:
+        print(
+            f"refusing to extend baseline: sf mismatch ({out['sf']} run "
+            f"vs {base.get('sf')} baseline)",
+            file=sys.stderr,
+        )
+        return
+    new = {n: t for n, t in out["queries"].items() if n not in base["queries"]}
+    unchanged = {n: base["queries"][n] for n in base["queries"]}
+    base["queries"].update(new)
+    assert all(base["queries"][n] == v for n, v in unchanged.items()), (
+        "refusing to modify frozen baseline entries"
+    )
+    base["value"] = round(sum(base["queries"].values()), 3)
+    base.setdefault("frozen_until", "protocol change")
+    ext = base.setdefault("extensions", [])
+    if new:
+        ext.append({"queries": sorted(new), "note": "additive, clean run"})
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    print(
+        f"baseline extended with {sorted(new) or 'nothing (no new queries)'}",
+        file=sys.stderr,
+    )
 
 
 def main() -> None:
@@ -124,6 +161,11 @@ def main() -> None:
     except (OSError, ValueError, KeyError):
         pass
     print(json.dumps(out))
+    if "--extend-baseline" in sys.argv:
+        if errors:
+            print("refusing to extend baseline: errored run", file=sys.stderr)
+        else:
+            _extend_baseline(out)
     spark.stop()
 
 
