@@ -211,8 +211,11 @@ def test_tfidf_df_is_aggregate_not_window(spark):
     low = plan.lower()
     assert "windowspecdefinition(tok" not in low, plan
     assert "windowspecdefinition(doc_id" in low, plan
-    assert "InMemoryRelation" in plan, plan
-    # the documents scan appears once under the cached tf subtree and once
-    # for the 1-row corpus-size aggregate; never a third time for dfreq
+    # both tf consumers (the scored probe side and the dfreq build side)
+    # must read the cached relation — tokenize then lives ONLY inside the
+    # single cached subtree. Don't count raw "Scan parquet" occurrences:
+    # once the cache is materialized (any prior run in the session), the
+    # explain output embeds the cached plan's Initial+Final AQE sections
+    # and the text count inflates with no change in the physical plan.
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") <= 3, plan
+    assert tree.count("InMemoryTableScan") >= 2, plan
