@@ -558,3 +558,44 @@ def test_dup_clusters_releases_round_checkpoints(spark):
         "final checkpoint); release_checkpoint's private-API reach-in has "
         "likely broken on this Spark version"
     )
+
+
+def test_jaccard_auto_crossover_selection(spark):
+    """jaccard_pairs_auto must (a) return exactly the naive variant's
+    pairs (the chooser is physical, never semantic), (b) pick naive on
+    the real corpus (no hot shingles: measured faster at every threshold),
+    and (c) pick prefix on a planted hot-shingle corpus where the naive
+    join's candidate expansion goes quadratic."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    d = table(spark, SF_TEST, "documents")
+    auto = sorted(
+        map(tuple, dedup.jaccard_pairs_auto(d, "doc_id", "text").collect())
+    )
+    naive = sorted(map(tuple, dedup.jaccard_pairs(d, "doc_id", "text").collect()))
+    assert auto == naive and len(auto) > 0
+
+    variant, stats = dedup.choose_jaccard_variant(d, "doc_id", "text")
+    assert variant == "naive", stats
+
+    # hot-shingle corpus: every doc shares one 3-gram -> L_max = N,
+    # quad ~ N^2/2 >> rows -> prefix
+    hot = spark.createDataFrame(
+        [(i, f"common hot shingle unique{i} word{i} tail{i}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    variant_hot, stats_hot = dedup.choose_jaccard_variant(
+        hot, "doc_id", "text", threshold=0.7
+    )
+    assert variant_hot == "prefix", stats_hot
+    # and the dispatched result still equals the naive result there too
+    auto_hot = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs_auto(hot, "doc_id", "text", threshold=0.7).collect(),
+        )
+    )
+    naive_hot = sorted(
+        map(tuple, dedup.jaccard_pairs(hot, "doc_id", "text", threshold=0.7).collect())
+    )
+    assert auto_hot == naive_hot
