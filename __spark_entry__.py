@@ -38,7 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # training bands), then the 3 queries last attested in round 1, then the
 # first 33 of the round-3-attested group in registration order.
 _PRIORITY_FIRST = [
-    # never attested in any round's window — front-load all 14
+    # new in round 5 — never attested by construction
+    "d09_decontaminate", "d10_dedup_keep_best",
+    # never attested in any earlier round's window — front-load all 14
     "t09_tfidf_top_terms", "t10_sequence_packing", "t11_chunk_text",
     "e07_segment_window", "e08_gapfill_daily", "f14_variant_json",
     "a18_theta_sketch_setops", "m05_audio_frame_energy",

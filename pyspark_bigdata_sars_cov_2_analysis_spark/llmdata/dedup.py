@@ -16,6 +16,10 @@ DataFrame compositions (no Python UDFs, no driver collects) sized for
   (inverted-index join), with a lossless AllPairs prefix-filtered variant
   for corpora whose hottest shingles make the naive join quadratic.
 
+Plus the two dedup-adjacent corpus-hygiene ops: benchmark decontamination
+(``contamination_hits`` — train×eval shingle collision, fan-out-free) and
+quality-argmax dup resolution (``dedup_keep_best``).
+
 Hashing is md5-based everywhere — deterministic, seed-stable, and
 reproducible in any engine (this is what the DuckDB oracles rely on).
 """
@@ -402,6 +406,74 @@ def jaccard_pairs(
         )
     )
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count the
+    distinct word ``k``-shingles it shares with ANY document in the eval
+    set — the n-gram-collision check run before training so benchmark
+    text leaking into the corpus can't inflate eval scores. Returns
+    (id, n_hit_shingles) for contaminated docs only; dropping or auditing
+    them is the caller's policy.
+
+    Scale shape: the eval side collapses to a DISTINCT shingle set —
+    benchmark suites are tiny next to a training corpus, so AQE
+    broadcasts it and the train side is never shuffled (the join is left
+    unhinted so a pathological giant eval set degrades to a shuffle join
+    instead of an OOM). Because the eval set is distinct, each train
+    (doc, shingle) row matches AT MOST ONE eval row — zero fan-out even
+    on stopword-dense shingles, so the hot-key quadratic blowup of
+    doc-to-doc shingle joins cannot occur here. Train shingles are
+    per-doc distinct, making the count exactly "distinct shared
+    shingles"."""
+    tr = word_shingles(train, id_col, text_col, k)
+    ev = word_shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score: Column
+) -> DataFrame:
+    """Exact-dup resolution with a QUALITY policy: one row per distinct
+    normalized text keeping the highest-``score`` member (ties → minimum
+    id), plus the group size — the keep-best-per-cluster step a training
+    pipeline runs instead of d01's keep-first when members differ in
+    metadata quality.
+
+    Scale shape: a single hash AGGREGATE on the 32-byte fingerprint —
+    ``max(struct(score, -id))`` is an argmax that map-side partials
+    combine associatively, so no per-group sort and no window (group
+    sizes are dup multiplicities, but the aggregate shape doesn't even
+    rely on them being small). The score is rounded (compat grid) BEFORE
+    the argmax so fp noise can't flip keeper choices between engines."""
+    scored = df.select(
+        F.md5(_normalize(F.col(text_col))).alias("fp"),
+        F.col(id_col),
+        pround(score, 4).alias("q"),
+    )
+    best = F.max(
+        F.struct(F.col("q"), (-F.col(id_col)).alias("negid"))
+    ).alias("b")
+    return (
+        scored.groupBy("fp")
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "fp",
+            (-F.col("b.negid")).alias("keeper"),
+            F.col("b.q").alias("best_quality"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
 
 
 def choose_jaccard_variant(

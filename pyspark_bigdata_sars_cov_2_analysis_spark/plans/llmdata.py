@@ -20,6 +20,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     sql_round,
     table,
 )
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.text import _QUALITY_EXPR
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
@@ -156,6 +157,76 @@ def d07_dup_clusters(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=3, num_hashes=12, band_rows=3)
     return dedup.dup_clusters(pairs)
+
+
+@query(
+    "d09_decontaminate",
+    # word 5-shingles (w[i:i+4] is inclusive slicing = 5 tokens); the eval
+    # "benchmark" is the deterministic doc_id % 13 = 7 slice of the corpus
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    sh5 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ')
+                for i in generate_series(1, len(w) - 4)])) AS shingle
+      FROM toks WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 13 = 7),
+    tr AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 13 <> 7)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+    FROM tr JOIN ev USING (shingle) GROUP BY 1
+    """,
+)
+def d09_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a distinct word
+    5-shingle with the eval slice (doc_id % 13 = 7 stands in for a
+    benchmark suite), with the collision count — the pre-training
+    n-gram-overlap audit. Eval side collapses to a distinct shingle set
+    (broadcastable; at most one match per train shingle row, so hot
+    shingles cannot fan out — see llmdata/dedup.contamination_hits)."""
+    d = table(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 13 == 7)
+    tr = d.where(F.col("doc_id") % 13 != 7)
+    return dedup.contamination_hits(tr, ev, "doc_id", "text", k=5)
+
+
+@query(
+    "d10_dedup_keep_best",
+    # same quality expression as t02 (proven cross-engine there); argmax
+    # per fingerprint = row_number over (rounded quality DESC, doc_id)
+    oracle=f"""
+    WITH scored AS (
+      SELECT md5({_NORM}) AS fp, doc_id,
+             {sql_round(_QUALITY_EXPR, 4)} AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT fp, doc_id, q,
+             row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM scored
+    )
+    SELECT fp, doc_id AS keeper, q AS best_quality,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def d10_dedup_keep_best(spark, sf_dir):
+    """Exact-dup resolution keeping the highest-quality member per
+    fingerprint group (tie → min doc_id) — d01's keep-first policy
+    upgraded to the keep-best step a training pipeline actually wants.
+    Spark side is a single fingerprint aggregate with a max(struct)
+    argmax (no window, no per-group sort); the oracle expresses the same
+    argmax as a row_number window, proving the two formulations agree."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+
+    return dedup.dedup_keep_best(d, "doc_id", "text", quality_score(F.col("text")))
 
 
 @query(

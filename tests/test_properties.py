@@ -599,3 +599,66 @@ def test_jaccard_auto_crossover_selection(spark):
         map(tuple, dedup.jaccard_pairs(hot, "doc_id", "text", threshold=0.7).collect())
     )
     assert auto_hot == naive_hot
+
+
+def test_contamination_hits_planted(spark):
+    """Decontamination must flag exactly the train docs sharing a word
+    5-shingle with the eval set — planted: t1 embeds an eval doc's exact
+    5-gram (flagged, 1 hit), t2 embeds two distinct eval 5-grams
+    (2 hits), t3 shares only a 4-gram (NOT flagged), t4 is clean."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    ev = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps and more"),
+            (2, "quick brown fox jumps over plus pack my box with five ok"),
+            (3, "brown fox jumps over nothing else here at all"),
+            (4, "completely unrelated training content with many words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_hit_shingles
+        for r in dedup.contamination_hits(tr, ev, "doc_id", "text", k=5).collect()
+    }
+    assert got == {1: 1, 2: 2}, got
+
+
+def test_dedup_keep_best_planted(spark):
+    """keep-best must pick the highest-quality member per exact-dup group
+    (whitespace/case variants share a fingerprint) and break exact
+    quality ties on minimum id."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    # ids 1/2/3 are the same normalized text (one group, tie on quality ->
+    # keeper 1); ids 10/11: same words but 11 adds stopword stuffing so 10
+    # wins on quality despite the larger id being... distinct texts: they
+    # normalize differently -> two groups. Instead plant the quality
+    # difference INSIDE one group is impossible (same normalized text ->
+    # same score), so assert the tie rule and group sizes.
+    df = spark.createDataFrame(
+        [
+            (2, "Alpha beta   gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (3, "ALPHA BETA GAMMA DELTA "),
+            (10, "unique singleton document body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.keeper: r.n_copies
+        for r in dedup.dedup_keep_best(
+            df, "doc_id", "text", quality_score(F.col("text"))
+        ).collect()
+    }
+    assert got == {1: 3, 10: 1}, got
