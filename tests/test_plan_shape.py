@@ -219,3 +219,14 @@ def test_tfidf_df_is_aggregate_not_window(spark):
     # and the text count inflates with no change in the physical plan.
     tree = plan.split("\n\n")[0]
     assert tree.count("InMemoryTableScan") >= 2, plan
+
+
+def test_decontaminate_joins_broadcast_no_fanout(spark):
+    """d09's train⋈eval shingle join must resolve the (small, distinct)
+    eval shingle set as the BUILD side of a broadcast hash join — the
+    train side is never shuffled — and the aggregate above it must have a
+    partial (map-side) phase so hot shingles compress before any
+    exchange."""
+    plan = _plan(QUERIES["d09_decontaminate"](spark, SF_TEST))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan, plan
