@@ -174,3 +174,31 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
     return F.when(F.length(norm) > 0, chunks).otherwise(
         F.array().cast("array<struct<chunk_idx:bigint,chunk:string>>")
     )
+
+
+def quality_gate(
+    col: Column,
+    min_tokens: int = 30,
+    min_quality: float = 0.35,
+    max_rep: float = 0.05,
+) -> Column:
+    """Gopher/C4-style composite keep/drop gate as a single struct column
+    ``(keep boolean, reasons string)`` — the decision a training-data
+    pipeline actually filters on, with the WHY preserved for corpus
+    audits (reasons = comma-joined subset of too_short / low_quality /
+    repetitious, '' when kept). Row-local, zero shuffle; thresholds
+    compare the ROUNDED (compat-grid) scores so keep/drop decisions are
+    engine-portable even for documents sitting exactly on a threshold."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+
+    too_short = token_count(col) < min_tokens
+    low_q = pround(quality_score(col), 4) < min_quality
+    repet = pround(repetition_ratio(col, 3), 4) > max_rep
+    reasons = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(low_q, F.lit("low_quality")),
+        F.when(repet, F.lit("repetitious")),
+    )
+    keep = ~(too_short | low_q | repet)
+    return F.struct(keep.alias("keep"), reasons.alias("reasons"))

@@ -378,3 +378,52 @@ def t11_chunk_text(spark, sf_dir):
             ),
         )
     )
+
+
+_REP_EXPR = """CASE WHEN len(g) > 0
+  THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)
+  ELSE 0.0 END"""
+
+
+@query(
+    "t12_quality_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id,
+             {_NTOK} AS n_toks,
+             {sql_round(_QUALITY_EXPR, 4)} AS q,
+             {sql_round(_REP_EXPR, 4)} AS rep
+      FROM grams
+    )
+    SELECT doc_id,
+           (n_toks >= 30 AND q >= 0.35 AND rep <= 0.05) AS keep,
+           concat_ws(',',
+             CASE WHEN n_toks < 30 THEN 'too_short' END,
+             CASE WHEN q < 0.35 THEN 'low_quality' END,
+             CASE WHEN rep > 0.05 THEN 'repetitious' END) AS reasons
+    FROM feats
+    """,
+)
+def t12_quality_gate(spark, sf_dir):
+    """Composite Gopher/C4-style quality gate: keep/drop per document with
+    audit reasons (too_short / low_quality / repetitious) — the filter
+    step that consumes t01/t02/t07's signals. Pure row-local expression
+    work (functions/text.quality_gate), zero shuffle; thresholds compare
+    compat-rounded scores so boundary documents gate identically in both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    g = T.quality_gate(F.col("text")).alias("g")
+    return d.select("doc_id", g).select(
+        "doc_id", F.col("g.keep").alias("keep"), F.col("g.reasons").alias("reasons")
+    )
