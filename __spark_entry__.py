@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY_FIRST = [
     # new in round 5 — never attested by construction
     "d09_decontaminate", "d10_dedup_keep_best", "t12_quality_gate",
+    "d11_incremental_dedup",
     # never attested in any earlier round's window — front-load all 14
     "t09_tfidf_top_terms", "t10_sequence_packing", "t11_chunk_text",
     "e07_segment_window", "e08_gapfill_daily", "f14_variant_json",

@@ -209,6 +209,69 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(banded, id_col)
 
 
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of an INCOMING batch against an EXISTING
+    corpus — the dedup an ingestion pipeline runs on every new crawl
+    slice before appending it. Returns distinct (new_id, corpus_id)
+    pairs sharing ≥1 LSH band bucket.
+
+    Scale shape: both sides run the same one-shuffle signature→bands
+    pipeline (the corpus side's bands are exactly what a production
+    deployment would PERSIST between batches — recompute here keeps the
+    operator self-contained), then one union reaches a single
+    bucket-grouped expansion that emits ONLY cross-side pairs: the
+    row-local nested transform iterates new-members × corpus-members, so
+    intra-corpus pairs — the quadratic bulk of an established corpus's
+    buckets, already found by prior batches — are never materialized,
+    not even pre-filter. Cost per bucket is |new ∩ bucket| ·
+    |corpus ∩ bucket|, which a small incoming batch keeps near-linear in
+    corpus size."""
+    bn = lsh_bands(
+        minhash_signatures(new_df, id_col, text_col, k, num_hashes),
+        id_col, num_hashes, band_rows,
+    ).withColumn("side", F.lit(1))
+    bc = lsh_bands(
+        minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
+        id_col, num_hashes, band_rows,
+    ).withColumn("side", F.lit(0))
+    buckets = (
+        bn.unionByName(bc)
+        .groupBy("band", "band_sig")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("side", F.col(id_col).alias("id")))
+            ).alias("ms")
+        )
+    )
+    news = F.filter(F.col("ms"), lambda s: s["side"] == 1)
+    olds = F.filter(F.col("ms"), lambda s: s["side"] == 0)
+    pairs = F.flatten(
+        F.transform(
+            news,
+            lambda n: F.transform(
+                olds,
+                lambda o: F.struct(
+                    n["id"].alias("new_id"), o["id"].alias("corpus_id")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.where((F.size(news) >= 1) & (F.size(olds) >= 1))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.new_id", "p.corpus_id")
+        .distinct()
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -160,6 +160,46 @@ def d07_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "d11_incremental_dedup",
+    # the incoming "batch" is the deterministic doc_id % 5 = 0 slice; the
+    # oracle bands ALL docs once and keeps only cross-side bucket pairs
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS_SQL}
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.band_sig = c.band_sig
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    """,
+)
+def d11_incremental_dedup(spark, sf_dir):
+    """Incremental dedup: near-dup candidates of an incoming batch
+    (doc_id % 5 = 0 stands in for a new crawl slice) against the
+    existing corpus — cross-side pairs only; intra-corpus buckets (the
+    quadratic bulk, already deduped by prior batches) are never
+    materialized (llmdata/dedup.incremental_neardup_pairs)."""
+    d = table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 5 == 0)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_neardup_pairs(new, corpus, "doc_id", "text")
+
+
+@query(
     "d09_decontaminate",
     # word 5-shingles (w[i:i+4] is inclusive slicing = 5 tokens); the eval
     # "benchmark" is the deterministic doc_id % 13 = 7 slice of the corpus

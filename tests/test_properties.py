@@ -662,3 +662,31 @@ def test_dedup_keep_best_planted(spark):
         ).collect()
     }
     assert got == {1: 3, 10: 1}, got
+
+
+def test_incremental_neardup_cross_side_only(spark):
+    """Incremental dedup must emit (new, corpus) pairs only: a text
+    duplicated across the batch boundary is found; the same text
+    duplicated INSIDE the corpus (or inside the batch) must not produce a
+    pair — those buckets' intra-side combinations are skipped, not just
+    filtered."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    new = spark.createDataFrame(
+        [(1, body), (2, other)], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100, body), (101, body), (102, "totally different content here ok")],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup.incremental_neardup_pairs(
+                new, corpus, "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert got == [(1, 100), (1, 101)], got
