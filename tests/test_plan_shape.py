@@ -230,3 +230,15 @@ def test_decontaminate_joins_broadcast_no_fanout(spark):
     plan = _plan(QUERIES["d09_decontaminate"](spark, SF_TEST))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_incremental_dedup_no_join_bounded_shuffles(spark):
+    """d11's candidate stage must be the bucket-AGGREGATE shape, not a
+    bands self-join (which would run the signature pipeline twice per
+    side): no join operator anywhere, and at most four hash exchanges —
+    one per side's signature aggregate, the union's bucket groupBy, and
+    the output distinct."""
+    plan = _plan(QUERIES["d11_incremental_dedup"](spark, SF_TEST), mode="simple")
+    assert "Join" not in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
