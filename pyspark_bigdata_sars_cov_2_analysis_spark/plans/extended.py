@@ -124,13 +124,43 @@ def a14_count_distinct(spark, sf_dir):
     )
 
 
-@query("a15_approx_count_distinct", oracle=None)
+@query(
+    "a15_approx_count_distinct",
+    # a18 exact-below-threshold trick, adapted for HLL (which is never
+    # exact): the hashed columns are the exact count plus a boolean
+    # asserting the HLL estimate landed within 5%; the oracle supplies the
+    # exact counts and literal TRUE. HLL is deterministic for a fixed
+    # input, so the boolean is stable across runs — the driver now value-
+    # checks the estimate's error bound instead of skipping the query.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a15_approx_count_distinct(spark, sf_dir):
-    """A10 — approx_count_distinct (HLL). Sketches differ across engines by
-    design → rows-only check; the exact twin is a14."""
+    """A10 — approx_count_distinct (HLL, rsd=0.02). Sketch estimates are
+    engine-specific, so the estimate itself is not hashed; instead the
+    output carries the exact count and a within-5% assertion on the
+    estimate (2.5σ at rsd=0.02; verified to hold at every test SF — HLL
+    is deterministic, so this cannot flap). The exact twin is a14; at
+    100 TB you run ONLY the approx (one tiny sketch per group, mergeable,
+    no Expand) — the exact column here exists to make the estimate
+    oracle-checkable."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("n_parts_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            < 0.05
+        ).alias("within_5pct"),
     )
 
 
@@ -379,15 +409,33 @@ def w06_distribution_ranks(spark, sf_dir):
     )
 
 
-@query("a17_hll_mergeable_sketch", oracle=None)
+@query(
+    "a17_hll_mergeable_sketch",
+    # a18 trick: hash the exact count, the (exact) sum of per-day distinct
+    # counts, and a within-5% assertion on the merged-sketch estimate; the
+    # oracle recomputes the two exact values and emits literal TRUE. The
+    # engine-specific sketch binaries and estimate never enter the hash,
+    # but the merge path is now value-checked end to end.
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+        AS exact_users,
+      CAST((SELECT SUM(d) FROM (
+            SELECT COUNT(DISTINCT user_id) AS d
+            FROM events GROUP BY CAST(ts AS DATE))) AS BIGINT) AS sum_daily,
+      TRUE AS within_5pct
+    """,
+)
 def a17_hll_mergeable_sketch(spark, sf_dir):
-    """Mergeable-sketch distinct counting (rows-only — sketch binaries are
-    engine-specific): per-day HLL sketches of active users, merged with
-    hll_union_agg into a period-wide estimate. THE pattern for distinct
-    counts at 100 TB: daily partitions aggregate once into tiny sketch
-    blobs; any date-range distinct is then a union of sketches, never a
-    re-scan. Estimate must land within 5% of the exact count (asserted in
-    the returned frame)."""
+    """Mergeable-sketch distinct counting: per-day HLL sketches of active
+    users, merged with hll_union_agg into a period-wide estimate. THE
+    pattern for distinct counts at 100 TB: daily partitions aggregate once
+    into tiny sketch blobs; any date-range distinct is then a union of
+    sketches, never a re-scan. The merged estimate must land within 5% of
+    the exact count — that bound (plus the exact counts) is what the
+    DuckDB oracle hash-checks; the estimate itself stays out of the hash
+    because sketch internals are engine-specific (HLL is deterministic per
+    input, so the boolean cannot flap)."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
@@ -400,8 +448,8 @@ def a17_hll_mergeable_sketch(spark, sf_dir):
     exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
     out = merged.crossJoin(F.broadcast(exact))
     return out.select(
-        "est_users",
         "exact_users",
+        "sum_daily",
         (
             F.abs(F.col("est_users") - F.col("exact_users"))
             / F.col("exact_users")
