@@ -54,11 +54,14 @@ def evaluate_accuracy(model, test: DataFrame) -> float:
     return float(ev.evaluate(model.transform(test)))
 
 
-def confusion_matrix(predictions: DataFrame) -> DataFrame:
-    """M7, DataFrame-native: one groupBy, no RDD round-trip."""
-    return (
-        predictions.groupBy(F.col("label").cast("bigint").alias("label"))
-        .pivot("prediction")
-        .count()
-        .na.fill(0)
-    )
+def confusion_matrix(
+    predictions: DataFrame, values: list | None = None
+) -> DataFrame:
+    """M7, DataFrame-native: one groupBy, no RDD round-trip. Pass
+    ``values`` (the known class set) to pin the pivot schema — without it
+    Spark runs an extra distinct scan AND the output schema varies with
+    which classes happen to appear (a stability bug for downstream
+    consumers and hash-compares alike)."""
+    grouped = predictions.groupBy(F.col("label").cast("bigint").alias("label"))
+    piv = grouped.pivot("prediction", values) if values else grouped.pivot("prediction")
+    return piv.count().na.fill(0)

@@ -33,13 +33,82 @@ def ml01_classifier_bench(spark, sf_dir):
     return spark.createDataFrame(rows, "model string, accuracy double")
 
 
-@query("ml02_confusion_matrix", oracle=None)
+_CM_COLS = ",\n           ".join(
+    f'CAST(SUM(CASE WHEN pred = {k} THEN 1 ELSE 0 END) AS BIGINT) AS "{k}"'
+    for k in range(10)
+)
+
+
+@query(
+    "ml02_confusion_matrix",
+    # Fully deterministic eval path so M7's VALUES are oracle-checkable
+    # (r5 verdict item #4): the 80/20 split is the md5 hash gate (d08
+    # family, salt 'mlsplit', 0.8 → hex cutoff 'cccc'), and the classifier
+    # is a closed-form 10-way linear scorer over the 1/32768-quantized
+    # embedding with u07's integer weight formula — all-int64 scores, so
+    # argmax is exact in any engine; ties break to the lowest class via
+    # first-position semantics on both sides.
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)
+             ) AS q
+      FROM embeddings
+      WHERE NOT (substr(md5('mlsplit' || CAST(vec_id AS VARCHAR)), 1, 4)
+                 < 'cccc')
+    ),
+    s AS (
+      SELECT label,
+             list_transform(generate_series(0, 9), c ->
+               list_aggregate(list_transform(generate_series(1, len(q)),
+                 i -> q[i] * ((((i-1)*7 + c*13) % 5) - 2)), 'sum')) AS sc
+      FROM t
+    ),
+    p AS (
+      SELECT label,
+             list_position(sc, list_aggregate(sc, 'max')) - 1 AS pred
+      FROM s
+    )
+    SELECT label,
+           {_CM_COLS}
+    FROM p GROUP BY label
+    """,
+)
 def ml02_confusion_matrix(spark, sf_dir):
-    """M7 — DataFrame-native confusion matrix for the seeded RF
-    (replaces the reference's RDD MulticlassMetrics,
-    spark/jobs/radiography_analysis.py:208-214)."""
-    data = _prepped(spark, sf_dir)
-    train, test = seeded_split(data, [0.8, 0.2], seed=2020)
-    model = train_classifiers(train, which=["random_forest"])["random_forest"]
-    preds = model.transform(test).select("label", "prediction")
-    return confusion_matrix(preds)
+    """M7 — DataFrame-native confusion matrix (replaces the reference's
+    RDD MulticlassMetrics, spark/jobs/radiography_analysis.py:208-214),
+    now with a hash-checkable eval path: deterministic md5-gate test split
+    (llmdata/sampling.hash_gate — randomSplit re-draws on task retry and
+    differs across engines) and a closed-form 10-way integer linear
+    classifier standing in for the model (native expressions, zero UDFs,
+    exact int64 argmax — the u07 symbolic-model trick). The trained-model
+    variant of this same operator runs in pipelines/radiography.py and
+    ml01's accuracy bands; here the stand-in makes every cell of the
+    matrix reproducible in DuckDB SQL."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        hash_gate,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    test = e.where(~hash_gate(F.col("vec_id"), 0.8, salt="mlsplit"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 32768 + F.lit(0.5)).cast("long"),
+    )
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(1), F.size(q)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.element_at(q, i) * (((i - 1) * 7 + c * 13) % 5 - 2),
+        ),
+    )
+    preds = test.select(
+        F.col("label").cast("bigint").alias("label"),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("bigint")
+        .alias("prediction"),
+    )
+    return confusion_matrix(preds, values=list(range(10)))
