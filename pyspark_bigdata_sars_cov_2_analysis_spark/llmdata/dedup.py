@@ -209,39 +209,87 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(banded, id_col)
 
 
-def incremental_neardup_pairs(
-    new_df: DataFrame,
+def write_band_checkpoint(
     corpus_df: DataFrame,
+    path: str,
     id_col: str,
     text_col: str,
     k: int = 3,
     num_hashes: int = 12,
     band_rows: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's LSH band frame ``(id, band, band_sig)`` — the
+    between-batches dedup state an ingestion pipeline maintains (the
+    at-rest twin of ``similarity.write_bucketed_layout``). Re-deriving
+    bands from 100 TB of corpus text on EVERY incoming batch is the
+    dominant repeated ingest cost; this checkpoint is a few bigints+a
+    short string per (doc, band) — ~num_hashes/band_rows tiny rows per
+    document — written once and reused by every subsequent
+    ``incremental_neardup_pairs(corpus_bands=...)`` call. Partitioned by
+    ``band`` so a band-parallel consumer prunes; append a new batch's own
+    bands with ``mode='append'`` after it clears dedup."""
+    bands = lsh_bands(
+        minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
+        id_col, num_hashes, band_rows,
+    )
+    bands.write.mode(mode).partitionBy("band").parquet(path)
+
+
+def read_band_checkpoint(spark, path: str, id_col: str) -> DataFrame:
+    """Load a band checkpoint written by :func:`write_band_checkpoint`,
+    normalized to the ``(id_col, band, band_sig)`` shape
+    ``incremental_neardup_pairs`` expects (partition discovery re-types
+    ``band`` — pin it back to int)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col(id_col), F.col("band").cast("int").alias("band"), "band_sig"
+    )
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of an INCOMING batch against an EXISTING
     corpus — the dedup an ingestion pipeline runs on every new crawl
     slice before appending it. Returns distinct (new_id, corpus_id)
     pairs sharing ≥1 LSH band bucket.
 
-    Scale shape: both sides run the same one-shuffle signature→bands
-    pipeline (the corpus side's bands are exactly what a production
-    deployment would PERSIST between batches — recompute here keeps the
-    operator self-contained), then one union reaches a single
-    bucket-grouped expansion that emits ONLY cross-side pairs: the
-    row-local nested transform iterates new-members × corpus-members, so
-    intra-corpus pairs — the quadratic bulk of an established corpus's
-    buckets, already found by prior batches — are never materialized,
-    not even pre-filter. Cost per bucket is |new ∩ bucket| ·
-    |corpus ∩ bucket|, which a small incoming batch keeps near-linear in
-    corpus size."""
+    The corpus side comes from either ``corpus_df`` (raw text — bands are
+    recomputed, self-contained form) or ``corpus_bands`` (a persisted
+    ``(id, band, band_sig)`` frame from :func:`write_band_checkpoint` —
+    the production form: batch N+1 never re-tokenizes or even scans the
+    corpus text, plan-shape-tested in tests/test_plan_shape.py).
+
+    Scale shape: the new batch runs the one-shuffle signature→bands
+    pipeline, then one union reaches a single bucket-grouped expansion
+    that emits ONLY cross-side pairs: the row-local nested transform
+    iterates new-members × corpus-members, so intra-corpus pairs — the
+    quadratic bulk of an established corpus's buckets, already found by
+    prior batches — are never materialized, not even pre-filter. Cost per
+    bucket is |new ∩ bucket| · |corpus ∩ bucket|, which a small incoming
+    batch keeps near-linear in corpus size."""
+    if (corpus_df is None) == (corpus_bands is None):
+        raise ValueError("pass exactly one of corpus_df / corpus_bands")
     bn = lsh_bands(
         minhash_signatures(new_df, id_col, text_col, k, num_hashes),
         id_col, num_hashes, band_rows,
     ).withColumn("side", F.lit(1))
-    bc = lsh_bands(
-        minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
-        id_col, num_hashes, band_rows,
-    ).withColumn("side", F.lit(0))
+    if corpus_bands is None:
+        corpus_bands = lsh_bands(
+            minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
+            id_col, num_hashes, band_rows,
+        )
+    bc = corpus_bands.select(F.col(id_col), "band", "band_sig").withColumn(
+        "side", F.lit(0)
+    )
     buckets = (
         bn.unionByName(bc)
         .groupBy("band", "band_sig")

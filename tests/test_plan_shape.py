@@ -242,3 +242,33 @@ def test_incremental_dedup_no_join_bounded_shuffles(spark):
     assert "Join" not in plan, plan
     n_shuffle = plan.count("Exchange hashpartitioning")
     assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
+def test_incremental_dedup_persisted_bands_never_scans_corpus_text(
+    spark, tmp_path
+):
+    """The persisted-bands ingest path (batch N+1): the ONLY scan that
+    reads a ``text`` column is the incoming batch's — the corpus side
+    reads the tiny (id, band, band_sig) checkpoint, never the corpus
+    parquet. At 100 TB this is the difference between re-hashing the
+    whole corpus per crawl slice and reading a per-doc-constant sliver."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    d = table(spark, SF_TEST, "documents")
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(
+        d.where("doc_id % 5 != 0"), path, "doc_id", "text"
+    )
+    bands = dedup.read_band_checkpoint(spark, path, "doc_id")
+    out = dedup.incremental_neardup_pairs(
+        d.where("doc_id % 5 = 0"), None, "doc_id", "text", corpus_bands=bands
+    )
+    plan = _plan(out)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    text_reads = [ln for ln in reads if "text" in ln]
+    assert len(text_reads) == 1, plan  # the new batch only
+    assert any("band_sig" in ln for ln in reads), plan
+    # still the join-free bucket-aggregate shape
+    simple = _plan(out, mode="simple")
+    assert "Join" not in simple, simple

@@ -690,3 +690,43 @@ def test_incremental_neardup_cross_side_only(spark):
         )
     )
     assert got == [(1, 100), (1, 101)], got
+
+
+def test_incremental_neardup_persisted_bands_equivalent(spark, tmp_path):
+    """The production form (corpus bands persisted once via
+    write_band_checkpoint, reused per batch) must emit exactly the pairs
+    of the self-contained form, and passing both/neither corpus inputs is
+    rejected."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    new = d.where(F.col("doc_id") % 5 == 0)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text")
+    bands = dedup.read_band_checkpoint(spark, path, "doc_id")
+    live = sorted(
+        map(
+            tuple,
+            dedup.incremental_neardup_pairs(
+                new, corpus, "doc_id", "text"
+            ).collect(),
+        )
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            dedup.incremental_neardup_pairs(
+                new, None, "doc_id", "text", corpus_bands=bands
+            ).collect(),
+        )
+    )
+    assert live == persisted and len(live) > 0, (live, persisted)
+    with pytest.raises(ValueError):
+        dedup.incremental_neardup_pairs(new, corpus, "doc_id", "text",
+                                        corpus_bands=bands)
+    with pytest.raises(ValueError):
+        dedup.incremental_neardup_pairs(new, None, "doc_id", "text")
