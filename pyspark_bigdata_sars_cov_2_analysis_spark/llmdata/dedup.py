@@ -587,6 +587,43 @@ def dedup_keep_best(
     )
 
 
+def decontaminate_resolve_split(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: Column,
+    k: int = 5,
+    train_rate: float = 0.9,
+    salt: str = "split",
+) -> DataFrame:
+    """The ingest tail as ONE composed plan: decontaminate (d09) → resolve
+    exact dups keep-best (d10) → leakage-free split (d08). Returns one row
+    per surviving distinct content: (fp, keeper, best_quality, n_copies,
+    split) — which document to keep and which side of the train/eval
+    boundary its content group lands on.
+
+    The operators compose without inter-stage shuffles on the big side:
+    the contamination frame is id-only and joins back LEFT ANTI (small by
+    construction — AQE broadcasts it); keep-best is the single fp hash
+    aggregate; and the split gate hashes the fp ALREADY produced by that
+    aggregate, so d08's projection adds zero work. Keying the split on
+    the normalized-content fp (rather than d08's raw-text md5) is
+    deliberate: whitespace/case variants of a kept document cannot land
+    across the boundary. One big-side shuffle end-to-end
+    (plan-shape-tested)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        leakage_free_split,
+    )
+
+    hits = contamination_hits(train, eval_df, id_col, text_col, k)
+    clean = train.join(hits.select(id_col), id_col, "left_anti")
+    keep = dedup_keep_best(clean, id_col, text_col, score)
+    return leakage_free_split(
+        keep, "keeper", F.col("fp"), train_rate=train_rate, salt=salt
+    )
+
+
 def choose_jaccard_variant(
     df: DataFrame,
     id_col: str,

@@ -270,6 +270,68 @@ def d10_dedup_keep_best(spark, sf_dir):
 
 
 @query(
+    "d12_decontaminated_split",
+    # d09 ∘ d10 ∘ d08 composed: the eval slice's distinct 5-shingles knock
+    # out contaminated train docs; survivors resolve to one keeper per
+    # normalized-content fp (argmax ≡ row_number, proven in d10); the
+    # 90/10 split gate hashes that same fp (salt 'split', cutoff 'e666').
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    sh5 AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ')
+                for i in generate_series(1, len(w) - 4)])) AS shingle
+      FROM toks WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 13 = 7),
+    hits AS (
+      SELECT DISTINCT t.doc_id FROM sh5 t JOIN ev USING (shingle)
+      WHERE t.doc_id % 13 <> 7
+    ),
+    scored AS (
+      SELECT md5({_NORM}) AS fp, doc_id, {sql_round(_QUALITY_EXPR, 4)} AS q
+      FROM documents
+      WHERE doc_id % 13 <> 7
+        AND doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    r AS (
+      SELECT fp, doc_id, q,
+             row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM scored
+    )
+    SELECT fp, doc_id AS keeper, q AS best_quality,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CASE WHEN substr(md5('split' || fp), 1, 4) < 'e666'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM r WHERE rn = 1
+    """,
+)
+def d12_decontaminated_split(spark, sf_dir):
+    """Contamination-aware corpus finalization — d09 → d10 → d08 chained
+    as a single plan (llmdata/dedup.decontaminate_resolve_split): drop
+    train docs sharing a 5-shingle with the eval slice (doc_id % 13 = 7),
+    keep the best-quality member per normalized-content fingerprint, then
+    split 90/10 on that same fingerprint so content groups never straddle
+    the boundary. One big-side shuffle end-to-end: the contamination
+    id-frame anti-joins back via AQE broadcast, and the split gate reuses
+    the fp the keep-best aggregate just computed."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+
+    ev = d.where(F.col("doc_id") % 13 == 7)
+    tr = d.where(F.col("doc_id") % 13 != 7)
+    return dedup.decontaminate_resolve_split(
+        tr, ev, "doc_id", "text", quality_score(F.col("text")), k=5
+    )
+
+
+@query(
     "d03_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -244,6 +244,23 @@ def test_incremental_dedup_no_join_bounded_shuffles(spark):
     assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
 
 
+def test_d12_composed_pipeline_single_bigside_shuffle(spark):
+    """d09∘d10∘d08 composed (d12): the three stages must fuse without
+    inter-stage shuffles on the train side — the contamination id-frame
+    and the eval shingle set broadcast, the ONLY exchanges are the two
+    small-side distincts plus the single fp aggregate (with a map-side
+    partial), and the d08 gate is a projection on the aggregate output
+    (no window, no extra pass)."""
+    plan = _plan(QUERIES["d12_decontaminated_split"](spark, SF_TEST), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
+    assert "partial_max" in plan, plan
+
+
 def test_incremental_dedup_persisted_bands_never_scans_corpus_text(
     spark, tmp_path
 ):
