@@ -20,6 +20,14 @@ count is known by construction, which no sampled real corpus gives you.
 ``k == 1`` is rejected: every doc copying its neighbor degenerates into a
 chain of all-distinct texts.
 
+``hot_every=h`` (h >= 1) plants a SKEWED shingle: every doc_id divisible
+by h gets the fixed phrase "the of and" prepended (words outside the
+vocabulary, so exactly one fully-hot 3-shingle), giving that shingle a
+document frequency of ~n/h — the hot-key regime where naive
+inverted-index candidate generation expands ~(n/h)²/2 pairs and a
+prefix-filtered variant must win. This is the ground-truth corpus for
+the jaccard auto-dispatch skew probe (README scale-probe table).
+
 Batch-only (DataSourceReader); the events stream already covers the
 streaming-source surface.
 """
@@ -57,6 +65,7 @@ class SyntheticDocsReader(DataSourceReader):
                 "dup_every=1 makes every doc copy its neighbor — a chain of "
                 "all-distinct texts, no duplicates; use dup_every >= 2"
             )
+        self.hot_every = int(options.get("hot_every", 0))
         self.seed = int(options.get("seed", 7))
 
     def partitions(self) -> list[InputPartition]:
@@ -70,6 +79,8 @@ class SyntheticDocsReader(DataSourceReader):
             if self.dup_every and doc_id % self.dup_every == 0:
                 base = doc_id + 1  # planted exact duplicate of a neighbor
             text = _doc_text(self.seed, base, self.doc_len)
+            if self.hot_every and doc_id % self.hot_every == 0:
+                text = "the of and " + text
             lang = _LANGS[
                 random.Random(f"{self.seed}:lang:{doc_id}").randrange(len(_LANGS))
             ]

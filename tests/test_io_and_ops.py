@@ -309,3 +309,36 @@ def test_python_datasource_planted_duplicates(spark):
         want = len(range(0, n - 1, k))
         assert dup_groups.count() == want, (n, k)
         assert {r["n_copies"] for r in dup_groups.collect()} == {2}
+
+
+def test_hot_shingle_corpus_dispatches_prefix(spark):
+    """hot_every plants a shingle with document frequency n/h — the skew
+    regime where the measured auto-dispatch must choose the prefix
+    variant (the README probe corpus: at n=20k/hot_every=2 prefix is
+    3.4× faster than naive, 24.4s→7.1s, identical 200 pairs). Pins both
+    the planted skew (l_max == n/h) and the dispatch decision."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        register_synthetic_docs,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
+        choose_jaccard_variant,
+    )
+
+    register_synthetic_docs(spark)
+    hot = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000).option("parts", 4).option("hot_every", 2).load()
+    )
+    variant, stats = choose_jaccard_variant(hot, "doc_id", "text", threshold=0.7)
+    assert stats["l_max"] == 500, stats  # the planted hot shingle
+    assert variant == "prefix", stats
+    # the same corpus WITHOUT the hot shingle must dispatch naive — the
+    # decision is driven by the planted skew, not corpus size
+    plain = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000).option("parts", 4).load()
+    )
+    variant_plain, stats_plain = choose_jaccard_variant(
+        plain, "doc_id", "text", threshold=0.7
+    )
+    assert variant_plain == "naive", stats_plain
