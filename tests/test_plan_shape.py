@@ -78,6 +78,54 @@ def test_q18_semi_join_and_topk(spark):
     assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{simple}"
 
 
+def test_q18_no_expand_semi_before_fact(spark):
+    """Q18's quantity-sum HAVING must stay a single plain aggregate (no
+    Expand — a count_distinct formulation would double pre-shuffle rows)
+    and the semi join must filter ORDERS BEFORE the fact join re-scans
+    lineitem. Explain prints top-down (consumers above inputs), so the
+    LeftSemi appearing AFTER the fact Inner join in the text means it is
+    deeper in the tree — i.e. computed first, as the fact join's input;
+    a replan that semi-joined the joined fact would print the LeftSemi
+    first and fail this."""
+    plan = _plan(QUERIES["q18_large_volume"](spark, SF_TEST), mode="simple")
+    assert "Expand" not in plan, plan
+    semi_at = plan.find("LeftSemi")
+    fact_at = plan.find("], Inner")
+    assert semi_at > fact_at >= 0, plan
+
+
+def test_q20_semi_keyset_aggregated_before_join(spark):
+    """Q20's nested-IN chain: the part filter must broadcast INTO the
+    lineitem scan side (never shuffle the fact on partkey), the shipped-
+    quantity keyset must aggregate with a map-side partial, and the
+    supplier semi join adds at most one more exchange — no Expand, no
+    re-scan explosion."""
+    plan = _plan(QUERIES["q20_potential_promotion"](spark, SF_TEST), mode="simple")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # part dim into lineitem
+    assert "partial_sum" in plan, plan
+    assert "Expand" not in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
+    # the date filter must reach the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q2_min_join_shape(spark):
+    """Q2's per-part minimum: every dimension (supplier/nation/region/
+    part) broadcasts on BOTH derived branches, the min computes as an
+    aggregate with map-side partial_min (NOT a global window), and the
+    min-price back-join plus final top-100 stay within four exchanges
+    with TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF_TEST), mode="simple")
+    assert plan.count("BroadcastExchange") >= 5, plan
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
 def test_q21_bounded_shuffles(spark):
     """Q21 (multi-condition existence chain) — the two correlated
     subqueries fold into ONE per-order aggregate frame, so the plan stays
