@@ -32,6 +32,9 @@ HEADLINE = [
     "j07_range_join_binned",
     "d02_minhash_lsh",
     "d07_dup_clusters",
+    "d09_decontaminate",
+    "d11_incremental_dedup",
+    "d12_decontaminated_split",
     "s01_cosine_topk",
     "t03_language_id",
     "u05_grouped_forecast",
@@ -55,6 +58,26 @@ BASELINE_PATH = os.path.join(
 
 
 def _extend_baseline(out: dict) -> None:
+    # The "clean run" claim must be auditable (round-5 advice): refuse any
+    # invocation whose protocol knobs deviate from the frozen defaults,
+    # and stamp each extension with the run context so a contended or
+    # nonstandard extension is distinguishable in BASELINE_BENCH.json.
+    deviations = [
+        f"{var}={os.environ[var]!r}"
+        for var, default in (
+            ("SPARK_GRAFT_BENCH_RUNS", "2"),
+            ("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            ("SPARK_GRAFT_CPUS", "32"),
+        )
+        if os.environ.get(var) not in (None, default)
+    ]
+    if deviations:
+        print(
+            "refusing to extend baseline: nonstandard env "
+            + ", ".join(deviations),
+            file=sys.stderr,
+        )
+        return
     with open(BASELINE_PATH) as f:
         base = json.load(f)
     if base.get("sf") != out["sf"]:
@@ -74,7 +97,18 @@ def _extend_baseline(out: dict) -> None:
     base.setdefault("frozen_until", "protocol change")
     ext = base.setdefault("extensions", [])
     if new:
-        ext.append({"queries": sorted(new), "note": "additive, clean run"})
+        ext.append(
+            {
+                "queries": sorted(new),
+                "note": "additive, clean run",
+                "runs_per_query": out.get("runs_per_query"),
+                "agg": out.get("agg"),
+                "sf": out["sf"],
+                "recorded_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
+        )
     with open(BASELINE_PATH, "w") as f:
         json.dump(base, f, indent=1)
         f.write("\n")
@@ -100,7 +134,13 @@ def main() -> None:
     # best-of-2: one-shot timings of sub-second queries swing 2-4x with
     # machine noise and flagged different "regressions" on every run; the
     # min of two executions measures the steady-state plan, which is what
-    # the baseline gate is for
+    # the baseline gate is for. PROTOCOL NOTE: for a query that .cache()s
+    # an intermediate (t09's tf frame), run 2 reuses the materialized
+    # cache, so its min measures the warm-cache steady state — the frozen
+    # t09 baseline entry was recorded under this same protocol, so the
+    # ratio stays apples-to-apples; the cache is dropped before the NEXT
+    # query below so it never competes for executor storage with later
+    # timings.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -126,8 +166,13 @@ def main() -> None:
                 f"{type(exc).__name__}: {exc}"[:500]
                 + f" (completed {completed}/{runs} runs; partial timing discarded)"
             )
-            continue
-        timings[name] = round(best, 3)
+        finally:
+            # release any cache a query pinned (round-5 advice: t09's tf
+            # cache outlived its query and competed with the remaining
+            # headline timings)
+            spark.catalog.clearCache()
+        if completed == runs:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
