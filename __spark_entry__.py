@@ -32,48 +32,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-5 window: CORRECTNESS_r04 was 50/50 green, so the r4 head moves to
-# the back and the head becomes the 14 never-attested queries (10 with
-# DuckDB oracles, 4 rows-only by design: a15/a17 sketches, ml01/ml02
-# training bands), then the 3 queries last attested in round 1, then the
-# first 33 of the round-3-attested group in registration order.
+# Round-6 window (head = exactly 4 + 15 + 31 = 50; the round-5 head
+# miscounted by omitting its own 4 new queries — ADVICE r5): first the 4
+# queries that are new or semantically changed this round (d12 is new;
+# a15/a17/ml02 gained oracles and new output schemas, so their prior
+# attestations no longer apply), then the 15 queries whose last green was
+# round 3 (the stalest anywhere; m03/m04/s03/s04 were queued for round 5
+# but fell off the end of the miscounted window), then 31 of the 50
+# round-4-attested queries in CORRECTNESS_r04 order. The 19 remaining
+# round-4 names are next in line for round 7; the round-5/6-attested
+# group follows via the registration-order tail.
 _PRIORITY_FIRST = [
-    # new in round 5 — never attested by construction
-    "d09_decontaminate", "d10_dedup_keep_best", "t12_quality_gate",
-    "d11_incremental_dedup",
-    # never attested in any earlier round's window — front-load all 14
-    "t09_tfidf_top_terms", "t10_sequence_packing", "t11_chunk_text",
-    "e07_segment_window", "e08_gapfill_daily", "f14_variant_json",
-    "a18_theta_sketch_setops", "m05_audio_frame_energy",
-    "j04_latest_via_join_equiv", "u07_mlp_inference",
-    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
-    "ml01_classifier_bench", "ml02_confusion_matrix",
-    # last attested round 1
-    "a09_distinct", "w01_latest_per_group", "w02_running_sum",
+    # new or changed in round 6 — (re-)attestation required
+    "d12_decontaminated_split", "a15_approx_count_distinct",
+    "a17_hll_mergeable_sketch", "ml02_confusion_matrix",
+    # last attested round 3 — stalest group
+    "m03_frame_sample", "m04_real_bmp_roundtrip", "s03_ivf_topk",
+    "s04_ivf_multiprobe", "p01_project_filter", "p05_derived_cast",
+    "p09_recode", "p11_filter_isin", "p12_compound_predicate",
+    "p16_null_profile", "a01_grouped_sum", "a03_count_share",
+    "a04_max_avg", "a05_group_count", "a08_ordered_collect",
 ]
-_STALE_R3 = [
-    # last attested round 3; first 33 in registration order fill the window
-    "e01_tumbling_window", "e03_dedup_latest_state", "e04_sliding_window",
-    "e05_user_totals", "a10_rollup", "a11_cube", "a12_grouping_sets",
-    "a13_pivot", "a14_count_distinct", "w04_lag_lead_rank",
-    "w05_moving_frame", "f06_posexplode_roundtrip", "sql01_subquery",
-    "f13_null_handling", "o04_deterministic_sample", "a16_percentiles",
-    "sql02_file_scan", "w06_distribution_ranks", "d01_exact_dedup",
-    "d02_minhash_lsh", "d07_dup_clusters", "d03_ngram_jaccard",
-    "d04_simhash", "d06_simhash_neardup", "s01_cosine_topk",
-    "s02_bucketed_topk", "d05_embedding_neardup", "m01_binary_stats",
-    "m02_image_decode_stats", "m03_frame_sample", "m04_real_bmp_roundtrip",
-    "s03_ivf_topk", "s04_ivf_multiprobe",
-    # remaining r3 group (outside the 50-window this round; next in line)
-    "p01_project_filter", "p05_derived_cast", "p09_recode",
-    "p11_filter_isin", "p12_compound_predicate", "p16_null_profile",
-    "a01_grouped_sum", "a03_count_share", "a04_max_avg", "a05_group_count",
-    "a08_ordered_collect",
+_STALE_R4 = [
+    # last attested round 4; first 31 (CORRECTNESS_r04 order) fill the
+    # window exactly
+    "e02_sessionize", "e06_view_purchase_attribution", "j06_asof_join",
+    "j07_range_join_binned", "o05_stratified_sample",
+    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
+    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
+    "f11_date_funcs", "f12_json_extract", "t01_token_count",
+    "t02_quality_score", "t03_language_id", "t04_fingerprint",
+    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
+    "t06_top_bigrams", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
+    "j01_left_join", "j02_semi_join", "j03_anti_join",
+    "j05_salted_join_equiv",
+    # remaining r4 group (outside the 50-window this round; next in line
+    # for round 7)
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity", "q18_large_volume", "q19_discounted_revenue",
+    "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
+    "q20_potential_promotion", "q21_waiting_supplier",
+    "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
+    "u06_batch_inference",
 ]
+
+# the driver's attestation window
+WINDOW = 50
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _PRIORITY_FIRST + _STALE_R3 if n in plans.QUERIES]
+    head = [n for n in _PRIORITY_FIRST + _STALE_R4 if n in plans.QUERIES]
     seen = set(head)
     return head + [n for n in plans.QUERIES if n not in seen]
 

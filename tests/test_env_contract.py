@@ -68,3 +68,33 @@ def test_vanilla_session_events_contract():
     assert got["infer_ntz"] == "false", got
     assert got["n"] == 5, got
     assert got["unix_micros_ok"], got
+
+
+def test_attestation_window_arithmetic():
+    """The driver attests the FIRST 50 registered queries. The round-5
+    head silently miscounted (21+33 > 50) and 4 queued re-attestations
+    fell off the end (ADVICE r5) — pin the arithmetic: every priority
+    name must exist in the registry, carry no duplicates, and the
+    window must be exactly the planned 4 new/changed + 15 round-3-stale
+    + 31 round-4-stale names."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from pyspark_bigdata_sars_cov_2_analysis_spark import plans
+
+    listed = entry._PRIORITY_FIRST + entry._STALE_R4
+    assert len(listed) == len(set(listed)), "duplicate priority names"
+    unknown = [n for n in listed if n not in plans.QUERIES]
+    assert not unknown, f"priority names not in registry: {unknown}"
+    ordered = entry._ordered_names()
+    assert len(ordered) == len(set(ordered)) == len(plans.QUERIES)
+    window = ordered[: entry.WINDOW]
+    want = entry._PRIORITY_FIRST + entry._STALE_R4[
+        : entry.WINDOW - len(entry._PRIORITY_FIRST)
+    ]
+    assert window == want, (
+        "attestation window drifted from the planned head"
+    )
+    assert len(entry._PRIORITY_FIRST) == 19, (
+        "head accounting changed — re-derive the window plan and update "
+        "this pin"
+    )
