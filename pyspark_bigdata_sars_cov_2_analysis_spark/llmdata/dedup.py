@@ -587,6 +587,52 @@ def dedup_keep_best(
     )
 
 
+def fuzzy_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: Column,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The FUZZY counterpart of the d12 chain: MinHash-LSH candidate
+    pairs → connected components → keep-best-per-cluster. One row per
+    near-dup cluster (≥2 members): (cluster_id, keeper, best_quality,
+    n_members) — which document survives each fuzzy-duplicate group and
+    how many it replaces. Singletons never enter the pair graph, so they
+    are implicitly all keepers and excluded here (resolving them costs
+    nothing: every doc outside this frame keeps itself).
+
+    Scale shape: the signature→bands→bucket-expansion pipeline is d02's
+    single-shuffle form; clustering is d07's per-round (id, label) join
+    — both already scale-audited. The keep-best tail joins the (small:
+    dup members only) cluster frame back to a quality projection of the
+    corpus on the id key and runs ONE argmax aggregate per cluster
+    (d10's max(struct) shape, no window). The quality score is rounded
+    before the argmax so keeper choice is engine-stable."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, band_rows)
+    clusters = dup_clusters(pairs)  # (doc_id, cluster_id), members only
+    scored = df.select(
+        F.col(id_col).alias("__sid"), pround(score, 4).alias("q")
+    )
+    j = clusters.join(scored, clusters.doc_id == F.col("__sid"))
+    best = F.max(
+        F.struct(F.col("q"), (-F.col("doc_id")).alias("negid"))
+    ).alias("b")
+    return (
+        j.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("b.negid")).alias("keeper"),
+            F.col("b.q").alias("best_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
 def decontaminate_resolve_split(
     train: DataFrame,
     eval_df: DataFrame,

@@ -332,6 +332,82 @@ def d12_decontaminated_split(spark, sf_dir):
 
 
 @query(
+    "d13_fuzzy_dedup_resolve",
+    # d02 ∘ d07 ∘ d10 composed: LSH candidate pairs → recursive-CTE
+    # connected components → quality argmax per cluster (argmax ≡
+    # row_number, the d10 equivalence)
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e
+        ON r.dst = e.src AND e.dst <> r.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id, {sql_round(_QUALITY_EXPR, 4)} AS q
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    r AS (
+      SELECT cluster_id, doc_id, q,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM scored
+    )
+    SELECT cluster_id, doc_id AS keeper, q AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+    """,
+)
+def d13_fuzzy_dedup_resolve(spark, sf_dir):
+    """Fuzzy-dup resolution end to end — d02 → d07 → d10 chained
+    (llmdata/dedup.fuzzy_dedup_keep_best): MinHash-LSH candidates,
+    min-label-propagation components, then ONE quality-argmax aggregate
+    choosing the surviving document per near-dup cluster. The fuzzy
+    counterpart of d12's exact-fingerprint chain; the oracle recomputes
+    components via recursive transitive closure and the argmax via
+    row_number."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+
+    return dedup.fuzzy_dedup_keep_best(
+        d, "doc_id", "text", quality_score(F.col("text"))
+    )
+
+
+@query(
     "d03_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},

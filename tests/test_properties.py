@@ -692,6 +692,35 @@ def test_incremental_neardup_cross_side_only(spark):
     assert got == [(1, 100), (1, 101)], got
 
 
+def test_fuzzy_dedup_keep_best_planted(spark):
+    """d13 composition on a corpus with known cluster structure: ids
+    1/2/3 share one text (cluster 1, tie-on-quality → min id keeps),
+    10/11 share another (cluster 10), and the singleton never appears
+    (it keeps itself by construction)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    body_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_b = "one two three four five six seven eight nine ten eleven"
+    df = spark.createDataFrame(
+        [
+            (2, body_a), (1, body_a), (3, body_a),
+            (11, body_b), (10, body_b),
+            (99, "totally different singleton content lives here fine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.cluster_id: (r.keeper, r.n_members)
+        for r in dedup.fuzzy_dedup_keep_best(
+            df, "doc_id", "text", quality_score(F.col("text"))
+        ).collect()
+    }
+    assert got == {1: (1, 3), 10: (10, 2)}, got
+
+
 def test_incremental_neardup_persisted_bands_equivalent(spark, tmp_path):
     """The production form (corpus bands persisted once via
     write_band_checkpoint, reused per batch) must emit exactly the pairs
