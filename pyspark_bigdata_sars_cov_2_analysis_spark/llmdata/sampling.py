@@ -71,6 +71,86 @@ def stratified_hash_sample(
     return df.where(gate)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    inv_temperature: int = 2,
+    budget: float = 0.25,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing — the standard LLM-data recipe for
+    rebalancing sources: target share of source ``s`` ∝ ``w_s^(1/T)``
+    (T→∞ flattens toward uniform, T→0 sharpens toward the max-weight
+    source), with ``budget`` = target output fraction of the whole corpus.
+    Per-source keep-rate = ``min(1, budget·N·share_s / n_s)``; rows are
+    kept by the same deterministic md5 gate as o05/d08, so the mix is
+    reproducible across runs, engines, and partitionings.
+
+    ``inv_temperature`` is an INTEGER exponent (1/T) applied by repeated
+    multiplication: ``pow()`` differs across engines in the last ulp,
+    which could flip a 16-bit gate threshold; +,-,×,÷ are correctly
+    rounded IEEE doubles everywhere, so the identical expression tree
+    yields bit-identical thresholds in Spark and the DuckDB oracle.
+    Sources missing from ``weights`` get weight 0 (dropped); shares
+    renormalize over the sources actually present in the corpus.
+
+    Scale shape: ONE tiny per-source count aggregate, broadcast-joined
+    back; the gate itself is row-local. No driver round-trip (the rates
+    live in the plan, not in Python), no big-side shuffle — at 100 TB the
+    corpus is read once and filtered in place."""
+    if inv_temperature < 1:
+        raise ValueError("inv_temperature must be a positive integer")
+    pairs = [
+        x
+        for key in sorted(weights)
+        for x in (F.lit(key), F.lit(float(weights[key])))
+    ]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = F.coalesce(
+        wmap[F.col("__src")] if pairs else F.lit(None).cast("double"),
+        F.lit(0.0),
+    )
+    sw = w
+    for _ in range(inv_temperature - 1):
+        sw = sw * w
+    counts = (
+        df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("__src", "__n", sw.alias("__sw"))
+    )
+    tot = counts.agg(
+        F.sum("__n").alias("__ntot"), F.sum("__sw").alias("__swtot")
+    )
+    rate = (
+        F.lit(float(budget))
+        * F.col("__ntot")
+        * (F.col("__sw") / F.col("__swtot"))
+        / F.col("__n")
+    )
+    # rate >= 1 keeps everything: the 4-hex threshold space tops out at
+    # 'ffff', so the keep-all sentinel is 'g' (> every md5 prefix) — the
+    # same guard as rate_to_hex
+    thresh = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(F.hex(F.floor(rate * 65536).cast("int")), 4, "0")
+        )
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__src", thresh.alias("__thresh")
+    )
+    gated = df.join(
+        F.broadcast(rates), df[source_col] == rates["__src"]
+    ).where(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+        )
+        < F.col("__thresh")
+    )
+    return gated.drop("__src", "__thresh")
+
+
 def leakage_free_split(
     df: DataFrame,
     id_col: str,

@@ -878,6 +878,59 @@ def o05_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+_MIX_W = "CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END"
+
+
+@query(
+    "o06_temperature_mixture",
+    # identical double expression tree as the Spark plan — only IEEE
+    # +,-,×,÷ (inv_temperature applied as w*w, never pow()), so the
+    # 16-bit gate thresholds match bit-for-bit; zh's rate caps ≥ 1 and
+    # exercises the keep-all 'g' branch in BOTH engines, es has weight 0
+    # and drops entirely
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang AS src, COUNT(*) AS n,
+             {_MIX_W} * {_MIX_W} AS sw
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS ntot, SUM(sw) AS swtot FROM counts),
+    rates AS (
+      SELECT src,
+             CASE WHEN r >= 1.0 THEN 'g'
+                  ELSE printf('%04x', CAST(floor(r * 65536) AS INT)) END
+               AS thresh
+      FROM (SELECT src, 0.3 * ntot * (sw / swtot) / n AS r
+            FROM counts CROSS JOIN tot)
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates ON d.lang = rates.src
+    WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4) < thresh
+    """,
+)
+def o06_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled dataset mixing (T=1/2, budget 30%): source
+    share ∝ w², per-source keep-rate = min(1, budget·N·share/n) decided
+    by the o05/d08 md5 gate — the corpus-rebalancing step of an LLM data
+    pipeline, fully in-plan (rates come from one tiny broadcast
+    aggregate, never a driver round-trip;
+    llmdata/sampling.temperature_mixture_sample). Upweighted-but-rare zh
+    saturates at keep-everything; unlisted es drops to zero."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        d,
+        "doc_id",
+        "lang",
+        weights={"en": 1.0, "zh": 2.0, "de": 0.5, "fr": 1.0},
+        inv_temperature=2,
+        budget=0.3,
+    ).select("doc_id", "lang")
+
+
 @query(
     "d08_leakage_free_split",
     oracle="""

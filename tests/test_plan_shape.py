@@ -292,6 +292,19 @@ def test_incremental_dedup_no_join_bounded_shuffles(spark):
     assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
 
 
+def test_o06_mixture_rates_broadcast_no_bigside_shuffle(spark):
+    """o06's per-source rates must come from a tiny aggregate broadcast
+    back onto the corpus — the corpus side is filtered in place with NO
+    exchange of its own (the only hash exchanges are the two small
+    aggregates), and the rate arithmetic lives in the plan, never in a
+    driver collect."""
+    plan = _plan(QUERIES["o06_temperature_mixture"](spark, SF_TEST), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 2, f"too many shuffles ({n_shuffle})\n{plan}"
+
+
 def test_d12_composed_pipeline_single_bigside_shuffle(spark):
     """d09∘d10∘d08 composed (d12): the three stages must fuse without
     inter-stage shuffles on the train side — the contamination id-frame
