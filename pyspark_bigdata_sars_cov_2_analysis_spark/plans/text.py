@@ -330,6 +330,66 @@ def t09_tfidf_top_terms(spark, sf_dir):
 
 
 @query(
+    "t13_token_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split({_DUCK_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    freq AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS t_total FROM freq)
+    SELECT doc_id,
+           {sql_round(
+               "SUM(tf * ln(CAST(t_total AS DOUBLE) / cnt)) / SUM(tf)", 4
+           )} AS surprisal
+    FROM tf JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def t13_token_surprisal(spark, sf_dir):
+    """Per-document mean token surprisal — the unigram stand-in for the
+    CCNet/Wenzek-style LM-perplexity quality filter (low surprisal =
+    repetitive/boilerplate-heavy, high = rare-token noise; the filter
+    keeps the middle band). Score = Σ tf·ln(T/cnt) / Σ tf over the
+    document's token occurrences, from the corpus's own unigram counts.
+
+    Scale shape: t09's exact skeleton — after tokenize everything moves
+    (doc_id, tok, tf) triples; the corpus unigram table is a hash
+    AGGREGATE over the cached tf frame joined back UNHINTED (AQE
+    broadcasts the vocabulary while it fits, degrades to shuffle with
+    skew-split beyond), the 1-row total broadcasts via crossJoin, and
+    the per-doc score is one more hash aggregate. No window anywhere —
+    hot tokens compress map-side in both aggregates."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    )
+    freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("t_total"))
+    return (
+        tf.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            pround(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("t_total").cast("double") / F.col("cnt"))
+                )
+                / F.sum("tf"),
+                4,
+            ).alias("surprisal")
+        )
+    )
+
+
+@query(
     "t11_chunk_text",
     # chunk indices come from a per-row range() bounded by the document's
     # own token count (unnest of a scalar-range list — DuckDB 1.0 rejects

@@ -269,6 +269,20 @@ def test_tfidf_df_is_aggregate_not_window(spark):
     assert tree.count("InMemoryTableScan") >= 2, plan
 
 
+def test_t13_surprisal_no_window_cached_tf(spark):
+    """t13 (token surprisal) inherits t09's de-skewed skeleton: the
+    corpus unigram table is a hash aggregate over the cached tf frame —
+    no window ANYWHERE (unlike t09 it has no top-k, so the plan must be
+    entirely window-free) and both tf consumers read the cached
+    relation."""
+    df = QUERIES["t13_token_surprisal"](spark, SF_TEST)
+    plan = _plan(df)
+    assert "windowspecdefinition" not in plan.lower(), plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") >= 2, plan
+    assert "partial_sum" in plan, plan
+
+
 def test_decontaminate_joins_broadcast_no_fanout(spark):
     """d09's train⋈eval shingle join must resolve the (small, distinct)
     eval shingle set as the BUILD side of a broadcast hash join — the
