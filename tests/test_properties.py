@@ -692,6 +692,39 @@ def test_incremental_neardup_cross_side_only(spark):
     assert got == [(1, 100), (1, 101)], got
 
 
+def test_temperature_mixture_invariants(spark):
+    """o06's mixture gate: zero-weight sources drop entirely, a rare
+    upweighted source saturates at keep-everything, the kept set GROWS
+    monotonically with budget (thresholds are prefix-monotone in the
+    rate), and the decision is invariant to partitioning."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(10)
+    ] + [(2000 + i, "junk") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+    weights = {"big": 1.0, "rare": 4.0}
+
+    def kept(budget, frame=df):
+        out = temperature_mixture_sample(
+            frame, "doc_id", "src", weights, inv_temperature=2, budget=budget
+        )
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    k25 = kept(0.25)
+    # junk has no weight entry -> dropped
+    assert not any(2000 <= i < 2050 for i in k25)
+    # rare: rate = .25*460*(16/17)/10 > 1 -> every rare row kept
+    assert all(1000 + i in k25 for i in range(10))
+    # budget monotonicity: bigger budget keeps a superset
+    k50 = kept(0.50)
+    assert k25 < k50
+    # partitioning invariance: same decisions on a repartitioned frame
+    assert k25 == kept(0.25, df.repartition(13))
+
+
 def test_fuzzy_dedup_keep_best_planted(spark):
     """d13 composition on a corpus with known cluster structure: ids
     1/2/3 share one text (cluster 1, tie-on-quality → min id keeps),
