@@ -35,6 +35,9 @@ HEADLINE = [
     "d09_decontaminate",
     "d11_incremental_dedup",
     "d12_decontaminated_split",
+    "d13_fuzzy_dedup_resolve",
+    "o06_temperature_mixture",
+    "t13_token_surprisal",
     "s01_cosine_topk",
     "t03_language_id",
     "u05_grouped_forecast",

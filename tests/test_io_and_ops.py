@@ -311,6 +311,56 @@ def test_python_datasource_planted_duplicates(spark):
         assert {r["n_copies"] for r in dup_groups.collect()} == {2}
 
 
+def test_range_sorted_write_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted must produce files whose footer min/max ranges
+    on the sort column are pairwise disjoint (the zone-map layout a
+    pushed range predicate prunes against), and the re-read data must be
+    the same multiset. An unsorted write of the same frame is the
+    negative control — its per-file ranges all overlap."""
+    import pyarrow.parquet as pq
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_range_sorted,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    o = table(spark, SF_TEST, "orders").select("o_orderkey", "o_totalprice")
+
+    def file_ranges(path):
+        import glob
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("o_totalprice")
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    sorted_path = str(tmp_path / "sorted")
+    write_range_sorted(o, sorted_path, "o_totalprice", n_partitions=4)
+    ranges = sorted(file_ranges(sorted_path))
+    assert len(ranges) >= 3, ranges
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: {ranges}"
+
+    plain_path = str(tmp_path / "plain")
+    o.repartition(4).write.parquet(plain_path)
+    plain = sorted(file_ranges(plain_path))
+    overlaps = sum(
+        1 for (_, hi_a), (lo_b, _) in zip(plain, plain[1:]) if hi_a > lo_b
+    )
+    assert overlaps > 0, plain  # control: hash layout has no clustering
+
+    got = sorted(
+        r.o_orderkey for r in spark.read.parquet(sorted_path).collect()
+    )
+    want = sorted(r.o_orderkey for r in o.collect())
+    assert got == want
+
+
 def test_hot_shingle_corpus_dispatches_prefix(spark):
     """hot_every plants a shingle with document frequency n/h — the skew
     regime where the measured auto-dispatch must choose the prefix
