@@ -381,6 +381,58 @@ def sql02_file_scan(spark, sf_dir):
 
 
 @query(
+    "sql03_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    cal(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT d + 1 FROM cal, bounds WHERE d < hi
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    """,
+)
+def sql03_recursive_calendar(spark, sf_dir):
+    """S5 + Spark 4 RECURSIVE CTE surface: generate the corpus's full
+    calendar span by linear recursion (anchor = min date, step = +1 day
+    until max) and left-join daily event counts, emitting zero for gap
+    days — the recursive-SQL twin of e08's sequence()-based gapfill.
+    Recursion is driver-bounded (one row per level, ~30 levels here,
+    far under spark.sql.cteRecursionLevelLimit); UNION ALL only — Spark
+    4.1 rejects UNION-dedup recursion, which is why the engine's cyclic
+    graph closure (d07/d13) stays an iterative DataFrame loop instead."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_sql03")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events_sql03
+        ),
+        cal(d) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT DATE_ADD(d, 1) FROM cal, bounds WHERE d < hi
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+          FROM events_sql03 GROUP BY 1
+        )
+        SELECT date_format(cal.d, 'yyyy-MM-dd') AS day,
+               CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        FROM cal LEFT JOIN daily ON cal.d = daily.d
+        """
+    )
+
+
+@query(
     "w06_distribution_ranks",
     oracle=f"""
     SELECT c_custkey,
