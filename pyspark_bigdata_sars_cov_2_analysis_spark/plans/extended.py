@@ -433,6 +433,43 @@ def sql03_recursive_calendar(spark, sf_dir):
 
 
 @query(
+    "sql04_lateral_topn",
+    oracle=f"""
+    SELECT c.c_custkey, t.o_orderkey,
+           {sql_round("t.o_totalprice", 2)} AS totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey % 100 = 0
+    """,
+)
+def sql04_lateral_topn(spark, sf_dir):
+    """S5 + LATERAL join surface (Spark 4): top-2 orders per customer via
+    a correlated LATERAL derived table with ORDER BY/LIMIT — the SQL-
+    standard formulation of per-group top-n, identical syntax in DuckDB.
+    Catalyst decorrelates it into a join+window under the hood; the
+    engine's native scale form remains w03_topn_per_group (explicit
+    bounded window) — this query attests that the SQL-compat path yields
+    the same answers."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sql04")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql04")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey,
+               {sql_round("t.o_totalprice", 2)} AS totalprice
+        FROM customer_sql04 c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_sql04 WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey % 100 = 0
+        """
+    )
+
+
+@query(
     "w06_distribution_ranks",
     oracle=f"""
     SELECT c_custkey,
