@@ -381,6 +381,54 @@ def sql02_file_scan(spark, sf_dir):
 
 
 @query(
+    "a19_approx_percentile_rankcheck",
+    # a18/a15 trick for quantile sketches: the approx median's VALUE is
+    # sketch-specific, but its RANK guarantee (|rank(approx) − n/2| ≤
+    # n/accuracy) is checkable exactly — hash the exact row count and the
+    # bound booleans, oracle supplies counts + literal TRUE
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM lineitem
+    """,
+)
+def a19_approx_percentile_rankcheck(spark, sf_dir):
+    """A10 — approx_percentile (Greenwald-Khanna sketch, accuracy=100)
+    value-checked through its rank contract: the estimate for quantile q
+    must have |#{x ≤ est} − q·n| ≤ n/accuracy. The estimate itself never
+    enters the hash (sketch outputs are engine-specific; a16 is the
+    exact twin) — the boolean does, computed from one conditional
+    re-count against the broadcast 1-row estimate frame. At 100 TB the
+    GK sketch is the only sane percentile: mergeable per partition, one
+    pass, fixed memory; this query proves its error bound holds rather
+    than taking it on faith."""
+    li = table(spark, sf_dir, "lineitem")
+    est = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 100).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 100).alias("p90"),
+    )
+    j = li.crossJoin(F.broadcast(est))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long"))
+                - F.count(F.lit(1)) * 0.5
+            )
+            <= F.count(F.lit(1)) / 100 + 1
+        ).alias("p50_within_bound"),
+        (
+            F.abs(
+                F.sum((F.col("l_extendedprice") <= F.col("p90")).cast("long"))
+                - F.count(F.lit(1)) * 0.9
+            )
+            <= F.count(F.lit(1)) / 100 + 1
+        ).alias("p90_within_bound"),
+    )
+
+
+@query(
     "sql03_recursive_calendar",
     oracle="""
     WITH RECURSIVE bounds AS (
