@@ -39,6 +39,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan via Spark 4's built-in xml source (S-family extension —
+    the reference reads only CSV/JSON/images). ``row_tag`` names the
+    repeating element that becomes one row; pass ``schema`` at scale for
+    the same prune/pushdown reasons as read_csv (inference reads the
+    data twice). Round-trip (write.format('xml') → read) is pinned in
+    tests/test_io_and_ops.py."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str | list[str],

@@ -311,6 +311,27 @@ def test_python_datasource_planted_duplicates(spark):
         assert {r["n_copies"] for r in dup_groups.collect()} == {2}
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML source: write a frame as XML, read it back with
+    an explicit schema and rowTag, and get the same multiset — the S1/S2
+    scan family extended to the third text format."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_xml
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    n = table(spark, SF_TEST, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    n.write.format("xml").option("rowTag", "nation").mode("overwrite").save(path)
+    back = read_xml(
+        spark,
+        path,
+        "nation",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
 def test_range_sorted_write_disjoint_file_ranges(spark, tmp_path):
     """write_range_sorted must produce files whose footer min/max ranges
     on the sort column are pairwise disjoint (the zone-map layout a
