@@ -85,16 +85,31 @@ def read_json(
     schema: StructType | None = None,
     multiline: bool = False,
     source_tag_column: str | None = None,
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """JSON scan with explicit nested schema (S2).
 
     ``source_tag_column`` reproduces the reference's ``lit(source)`` tag
     (``spark/jobs/research_challenge_analysis.py:61-63``) from the file path
     itself — one scan, no loop+union.
-    """
+
+    ``corrupt_column`` opts into auditable PERMISSIVE parsing: malformed
+    lines land with their raw text in that column instead of silently
+    becoming all-null rows (requires ``schema``; Spark only captures the
+    raw record when the column is declared in it). At crawl scale some
+    fraction of every JSON batch IS malformed — dropping it silently
+    biases the corpus, failing the whole batch (FAILFAST) wastes it; the
+    audit column lets the pipeline quarantine and count."""
     if isinstance(paths, str):
         paths = [paths]
     reader = spark.read
+    if corrupt_column is not None:
+        if schema is None:
+            raise ValueError("corrupt_column requires an explicit schema")
+        # copy before add(): StructType.add mutates in place and the
+        # caller's schema object is not ours to grow
+        schema = StructType(list(schema.fields)).add(corrupt_column, "string")
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.option("multiLine", str(multiline).lower()).json(list(paths))

@@ -311,6 +311,39 @@ def test_python_datasource_planted_duplicates(spark):
         assert {r["n_copies"] for r in dup_groups.collect()} == {2}
 
 
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE + declared corrupt column: malformed JSON lines are
+    captured with their raw text (quarantinable, countable) while good
+    rows parse normally — not silently nulled, not batch-failing."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_json
+
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": 3, "name": broken!!\n')
+    schema = (
+        StructType()
+        .add("id", LongType())
+        .add("name", StringType())
+    )
+    df = read_json(spark, p, schema=schema, corrupt_column="_bad").cache()
+    good = df.where(F.col("_bad").isNull())
+    bad = df.where(F.col("_bad").isNotNull())
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "ok"), (2, "also ok")
+    ]
+    assert bad.count() == 1 and "broken" in bad.collect()[0]._bad
+    df.unpersist()
+    # the caller's schema object must not have grown
+    assert len(schema.fields) == 2
+    import pytest
+    with pytest.raises(ValueError):
+        read_json(spark, p, corrupt_column="_bad")
+
+
 def test_xml_roundtrip(spark, tmp_path):
     """Spark 4 native XML source: write a frame as XML, read it back with
     an explicit schema and rowTag, and get the same multiset — the S1/S2
