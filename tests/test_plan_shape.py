@@ -269,6 +269,17 @@ def test_tfidf_df_is_aggregate_not_window(spark):
     assert tree.count("InMemoryTableScan") >= 2, plan
 
 
+def test_d13_fuzzy_resolve_argmax_no_window(spark):
+    """d13's keep-best tail must stay the d10 aggregate shape: the
+    cluster-frame join back to the quality projection feeds ONE
+    max(struct) aggregate with a map-side partial — no window, no
+    per-cluster sort (the component stage's internals are covered by
+    d07's own storage/convergence tests)."""
+    plan = _plan(QUERIES["d13_fuzzy_dedup_resolve"](spark, SF_TEST))
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "partial_max" in plan, plan
+
+
 def test_t13_surprisal_no_window_cached_tf(spark):
     """t13 (token surprisal) inherits t09's de-skewed skeleton: the
     corpus unigram table is a hash aggregate over the cached tf frame —
