@@ -97,6 +97,54 @@ def e02_sessionize(spark, sf_dir):
 
 
 @query(
+    "e09_session_window_native",
+    # the same sessions as e02's lag+running-sum, keyed by their start:
+    # the oracle re-derives them relationally, proving Spark's BUILT-IN
+    # session_window aggregation ≡ the SQL formulation. (Boundary note:
+    # session_window treats an event at exactly start+gap as a NEW
+    # session while e02's `diff > gap` keeps it — microsecond-resolution
+    # event times make an exact-boundary pair measure-zero, and the
+    # hash compare would catch one loudly.)
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM marked)
+    SELECT user_id, MIN(us) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def e09_session_window_native(spark, sf_dir):
+    """Gap-based sessionization via Spark's built-in ``session_window``
+    aggregation IN BATCH — the same native operator the streaming path
+    uses (streaming/events.sessionized), here attested against e02's
+    relational lag+running-sum derivation. At scale the native form is
+    one session-merging hash aggregate (map-side partial session merge)
+    versus e02's two windows + aggregate — fewer passes, same answer."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return g.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@query(
     "e03_dedup_latest_state",
     oracle=f"""
     SELECT user_id, event_id, event_type, {sql_round("value", 2)} AS value
