@@ -111,3 +111,27 @@ def u07_mlp_inference(spark, sf_dir):
     numpy golden (tests/test_io_and_ops.py) pins the UDF independently."""
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", mlp_inference_udf("embedding").alias("score"))
+
+
+@query(
+    "u08_arrow_batch_transform",
+    oracle="""
+    SELECT vec_id,
+           list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)),
+             'sum') AS qsum
+    FROM embeddings
+    """,
+)
+def u08_arrow_batch_transform(spark, sf_dir):
+    """D7 — ``mapInArrow``: the RecordBatch-level Arrow entry point (the
+    one UDF surface u05/u06/u07 don't cover; no per-batch pandas
+    conversion). Worker computes the exact int64 sum of the quantized
+    embedding per row — all-integer arithmetic, so the oracle recomputes
+    it symbolically with zero float tolerance."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        quantized_sum_arrow,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(quantized_sum_arrow, "vec_id bigint, qsum bigint")

@@ -96,6 +96,29 @@ def mlp_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)
 
 
+def quantized_sum_arrow(batches):
+    """``mapInArrow`` worker (D7 family's last uncovered entry point —
+    RecordBatch-level Arrow access, no pandas materialization of the
+    whole batch): per row, the exact int64 sum of the 1/32768-quantized
+    embedding. Integer math end to end, so the DuckDB oracle recomputes
+    it symbolically (u07's exactness argument, minus even the float
+    tail). Yields one output RecordBatch per input batch — streaming,
+    bounded memory."""
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_id = batch.column("vec_id")
+        emb = batch.column("embedding")
+        sums = []
+        for row in emb:
+            vals = np.asarray(row.as_py(), dtype="float64")
+            q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
+            sums.append(int(q.sum()))
+        yield pa.RecordBatch.from_arrays(
+            [vec_id, pa.array(sums, type=pa.int64())], ["vec_id", "qsum"]
+        )
+
+
 @pandas_udf(DoubleType())
 def image_batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """D7 for raw image bytes: same per-worker model load, with the
