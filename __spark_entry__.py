@@ -32,15 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-6 window (head = exactly 12 + 15 + 23 = 50; the round-5 head
+# Round-6 window (head = exactly 13 + 15 + 22 = 50; the round-5 head
 # miscounted by omitting its own 4 new queries — ADVICE r5): first the
-# 12 queries that are new or semantically changed this round (d12/d13/
-# o06/t13/sql03/sql04/a19/e09/u08 are new; a15/a17/ml02 gained oracles
-# and new output schemas, so their prior attestations no longer apply),
-# then the 15 queries whose last green was round 3 (the stalest
+# 13 queries that are new or semantically changed this round (d12/d13/
+# o06/t13/sql03/sql04/a19/e09/u08/f15 are new; a15/a17/ml02 gained
+# oracles and new output schemas, so their prior attestations no longer
+# apply), then the 15 queries whose last green was round 3 (the stalest
 # anywhere; m03/m04/s03/s04 were queued for round 5 but fell off the
-# end of the miscounted window), then 23 of the 50 round-4-attested
-# queries in CORRECTNESS_r04 order. The 27 remaining round-4 names are
+# end of the miscounted window), then 22 of the 50 round-4-attested
+# queries in CORRECTNESS_r04 order. The 28 remaining round-4 names are
 # next in line for round 7; the round-5/6-attested group follows via
 # the registration-order tail.
 _PRIORITY_FIRST = [
@@ -49,7 +49,8 @@ _PRIORITY_FIRST = [
     "o06_temperature_mixture", "t13_token_surprisal",
     "sql03_recursive_calendar", "sql04_lateral_topn",
     "a19_approx_percentile_rankcheck", "e09_session_window_native",
-    "u08_arrow_batch_transform", "a15_approx_count_distinct",
+    "u08_arrow_batch_transform", "f15_map_functions",
+    "a15_approx_count_distinct",
     "a17_hll_mergeable_sketch", "ml02_confusion_matrix",
     # last attested round 3 — stalest group
     "m03_frame_sample", "m04_real_bmp_roundtrip", "s03_ivf_topk",

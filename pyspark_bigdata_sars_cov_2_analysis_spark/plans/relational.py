@@ -468,3 +468,42 @@ def f14_variant_json(spark, sf_dir):
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@query(
+    "f15_map_functions",
+    # the map round-trip collapses to plain relational algebra once the
+    # entries are exploded back out, so the oracle needs no map support
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) * 2 AS BIGINT) AS n2
+    FROM events GROUP BY user_id, event_type
+    HAVING COUNT(*) * 2 >= 4
+    """,
+)
+def f15_map_functions(spark, sf_dir):
+    """F-family completion — MAP higher-order functions, none previously
+    attested: per-user (event_type → count) maps built with
+    ``map_from_entries(collect_list(struct))``, values doubled through
+    ``transform_values``, small entries dropped with ``map_filter``, and
+    the surviving entries exploded back to rows. Map contents are
+    set-valued so collect_list's nondeterministic order cannot affect
+    the exploded result; every lambda runs JVM-side."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    m2 = m.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 2),
+            lambda k, v: v >= 4,
+        ).alias("m2"),
+    )
+    return m2.select(
+        "user_id", F.explode("m2").alias("event_type", "n2")
+    ).select("user_id", "event_type", F.col("n2").cast("bigint").alias("n2"))
