@@ -60,8 +60,13 @@ _PRIORITY_FIRST = [
     "a04_max_avg", "a05_group_count", "a08_ordered_collect",
 ]
 _STALE_R4 = [
-    # last attested round 4; first 30 (CORRECTNESS_r04 order) fill the
-    # window exactly
+    # last attested round 4, in CORRECTNESS_r04 order. The first
+    # WINDOW − len(_PRIORITY_FIRST) of these fill the window; the cut
+    # point is COMPUTED in _ordered_names (and pinned by
+    # tests/test_env_contract.py::test_attestation_window_arithmetic),
+    # never hand-counted in a comment — the round-5 head rotted exactly
+    # because a comment hard-coded the arithmetic. Names past the cut
+    # are next in line for round 7.
     "e02_sessionize", "e06_view_purchase_attribution", "j06_asof_join",
     "j07_range_join_binned", "o05_stratified_sample",
     "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
@@ -73,8 +78,6 @@ _STALE_R4 = [
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "j01_left_join", "j02_semi_join", "j03_anti_join",
     "j05_salted_join_equiv",
-    # remaining r4 group (outside the 50-window this round; next in line
-    # for round 7)
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q12_priority_shipping",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",

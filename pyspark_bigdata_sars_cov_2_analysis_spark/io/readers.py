@@ -99,7 +99,13 @@ def read_json(
     raw record when the column is declared in it). At crawl scale some
     fraction of every JSON batch IS malformed — dropping it silently
     biases the corpus, failing the whole batch (FAILFAST) wastes it; the
-    audit column lets the pipeline quarantine and count."""
+    audit column lets the pipeline quarantine and count. CAVEAT (Spark
+    limitation): a query whose referenced columns are ONLY the corrupt
+    column (e.g. ``df.where(col('_bad').isNotNull()).count()``) raises
+    AnalysisException on the raw scan — ``.cache()`` the frame (or
+    select a data column alongside) before splitting it into good/bad,
+    as tests/test_io_and_ops.py::test_json_corrupt_record_capture
+    demonstrates."""
     if isinstance(paths, str):
         paths = [paths]
     reader = spark.read

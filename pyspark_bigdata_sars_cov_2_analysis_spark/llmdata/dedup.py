@@ -234,13 +234,41 @@ def write_band_checkpoint(
         id_col, num_hashes, band_rows,
     )
     bands.write.mode(mode).partitionBy("band").parquet(path)
+    # parameter sidecar in an underscore-prefixed subdir (hidden from
+    # parquet partition discovery): band signatures are only comparable
+    # between sides computed with the SAME (k, num_hashes, band_rows) —
+    # a mismatched reuse would silently return zero pairs, appending a
+    # duplicate-laden batch to the corpus
+    corpus_df.sparkSession.createDataFrame(
+        [(k, num_hashes, band_rows)], "k int, num_hashes int, band_rows int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
 
 
-def read_band_checkpoint(spark, path: str, id_col: str) -> DataFrame:
+def read_band_checkpoint(
+    spark,
+    path: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> DataFrame:
     """Load a band checkpoint written by :func:`write_band_checkpoint`,
     normalized to the ``(id_col, band, band_sig)`` shape
     ``incremental_neardup_pairs`` expects (partition discovery re-types
-    ``band`` — pin it back to int)."""
+    ``band`` — pin it back to int). The ``k``/``num_hashes``/``band_rows``
+    the CALLER will band the incoming batch with are validated against
+    the checkpoint's parameter sidecar — a mismatch means no band
+    signature could ever match cross-side and every batch would silently
+    dedupe against nothing."""
+    got = spark.read.parquet(f"{path}/_band_params").collect()[0]
+    want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
+    stored = {"k": got.k, "num_hashes": got.num_hashes,
+              "band_rows": got.band_rows}
+    if stored != want:
+        raise ValueError(
+            f"band checkpoint at {path} was written with {stored}, "
+            f"caller expects {want}: signatures would never match"
+        )
     df = spark.read.parquet(path)
     return df.select(
         F.col(id_col), F.col("band").cast("int").alias("band"), "band_sig"
@@ -613,7 +641,8 @@ def fuzzy_dedup_keep_best(
     (d10's max(struct) shape, no window). The quality score is rounded
     before the argmax so keeper choice is engine-stable."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, band_rows)
-    clusters = dup_clusters(pairs)  # (doc_id, cluster_id), members only
+    # (doc_id, cluster_id), members only
+    clusters = dup_clusters(pairs, max_iterations=max_iterations)
     scored = df.select(
         F.col(id_col).alias("__sid"), pround(score, 4).alias("q")
     )

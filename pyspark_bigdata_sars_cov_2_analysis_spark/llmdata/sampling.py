@@ -102,6 +102,12 @@ def temperature_mixture_sample(
     corpus is read once and filtered in place."""
     if inv_temperature < 1:
         raise ValueError("inv_temperature must be a positive integer")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        # a negative weight would yield a negative rate whose hex encoding
+        # truncates to 'ffff' under lpad — silently keeping ~everything,
+        # the opposite of the caller's intent
+        raise ValueError(f"weights must be >= 0, got {bad}")
     pairs = [
         x
         for key in sorted(weights)

@@ -63,5 +63,12 @@ def confusion_matrix(
     which classes happen to appear (a stability bug for downstream
     consumers and hash-compares alike)."""
     grouped = predictions.groupBy(F.col("label").cast("bigint").alias("label"))
-    piv = grouped.pivot("prediction", values) if values else grouped.pivot("prediction")
+    # `is not None`, not truthiness: values=[] must go through the pinned
+    # path (empty pivot schema) rather than silently falling back to the
+    # schema-unstable distinct-scan pivot
+    piv = (
+        grouped.pivot("prediction", values)
+        if values is not None
+        else grouped.pivot("prediction")
+    )
     return piv.count().na.fill(0)

@@ -878,16 +878,23 @@ def o05_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-_MIX_W = "CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END"
+_MIX_W = (
+    "CAST(CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 "
+    "WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END AS DOUBLE)"
+)
 
 
 @query(
     "o06_temperature_mixture",
     # identical double expression tree as the Spark plan — only IEEE
     # +,-,×,÷ (inv_temperature applied as w*w, never pow()), so the
-    # 16-bit gate thresholds match bit-for-bit; zh's rate caps ≥ 1 and
-    # exercises the keep-all 'g' branch in BOTH engines, es has weight 0
-    # and drops entirely
+    # 16-bit gate thresholds match bit-for-bit. Every numeric literal is
+    # CAST to DOUBLE explicitly: DuckDB types bare `0.3` as DECIMAL and
+    # would compute 0.3*ntot in exact decimal arithmetic — a DIFFERENT
+    # value from Spark's fl(0.3d·ntot) for many ntot, which could flip a
+    # floor() at an integer boundary and diverge the thresholds. zh's
+    # rate caps ≥ 1 and exercises the keep-all 'g' branch in BOTH
+    # engines, es has weight 0 and drops entirely.
     oracle=f"""
     WITH counts AS (
       SELECT lang AS src, COUNT(*) AS n,
@@ -898,9 +905,11 @@ _MIX_W = "CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 WHEN 'fr' THEN 1.0 WHE
     rates AS (
       SELECT src,
              CASE WHEN r >= 1.0 THEN 'g'
-                  ELSE printf('%04x', CAST(floor(r * 65536) AS INT)) END
-               AS thresh
-      FROM (SELECT src, 0.3 * ntot * (sw / swtot) / n AS r
+                  ELSE printf('%04x', CAST(floor(r * 65536.0::DOUBLE) AS INT))
+                  END AS thresh
+      FROM (SELECT src,
+                   0.3::DOUBLE * CAST(ntot AS DOUBLE) * (sw / swtot)
+                     / CAST(n AS DOUBLE) AS r
             FROM counts CROSS JOIN tot)
     )
     SELECT d.doc_id, d.lang

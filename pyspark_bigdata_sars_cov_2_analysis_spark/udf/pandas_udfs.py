@@ -98,24 +98,35 @@ def mlp_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 def quantized_sum_arrow(batches):
     """``mapInArrow`` worker (D7 family's last uncovered entry point —
-    RecordBatch-level Arrow access, no pandas materialization of the
-    whole batch): per row, the exact int64 sum of the 1/32768-quantized
-    embedding. Integer math end to end, so the DuckDB oracle recomputes
-    it symbolically (u07's exactness argument, minus even the float
-    tail). Yields one output RecordBatch per input batch — streaming,
-    bounded memory."""
+    RecordBatch-level Arrow access, no pandas materialization): per row,
+    the exact int64 sum of the 1/32768-quantized embedding. Integer math
+    end to end, so the DuckDB oracle recomputes it symbolically (u07's
+    exactness argument, minus even the float tail).
+
+    Genuinely vectorized: the list column's flat values buffer quantizes
+    in ONE numpy pass and per-row sums come from a cumsum diff over the
+    offsets — no per-row ``as_py()`` round-trip through Python objects.
+    NULL embedding rows yield NULL qsum (validity mask carried through),
+    matching SQL semantics. Yields one output RecordBatch per input
+    batch — streaming, bounded memory."""
     import pyarrow as pa
 
     for batch in batches:
         vec_id = batch.column("vec_id")
         emb = batch.column("embedding")
-        sums = []
-        for row in emb:
-            vals = np.asarray(row.as_py(), dtype="float64")
-            q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
-            sums.append(int(q.sum()))
+        vals = np.asarray(emb.values, dtype="float64")
+        q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(q)))
+        off = np.asarray(emb.offsets)
+        sums = cum[off[1:]] - cum[off[:-1]]
+        mask = (
+            emb.is_null().to_numpy(zero_copy_only=False)
+            if emb.null_count
+            else None
+        )
         yield pa.RecordBatch.from_arrays(
-            [vec_id, pa.array(sums, type=pa.int64())], ["vec_id", "qsum"]
+            [vec_id, pa.array(sums, type=pa.int64(), mask=mask)],
+            ["vec_id", "qsum"],
         )
 
 

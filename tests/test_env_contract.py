@@ -75,8 +75,9 @@ def test_attestation_window_arithmetic():
     head silently miscounted (21+33 > 50) and 4 queued re-attestations
     fell off the end (ADVICE r5) — pin the arithmetic: every priority
     name must exist in the registry, carry no duplicates, and the
-    window must be exactly the planned 4 new/changed + 15 round-3-stale
-    + 31 round-4-stale names."""
+    window must be exactly _PRIORITY_FIRST (all of it) plus the first
+    WINDOW − len(_PRIORITY_FIRST) names of _STALE_R4 — the cut point is
+    computed, never hand-counted in a comment."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
     from pyspark_bigdata_sars_cov_2_analysis_spark import plans

@@ -723,6 +723,14 @@ def test_temperature_mixture_invariants(spark):
     assert k25 < k50
     # partitioning invariance: same decisions on a repartitioned frame
     assert k25 == kept(0.25, df.repartition(13))
+    # negative weights are rejected loudly (their hex-encoded negative
+    # rate would truncate to 'ffff' = keep-everything)
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(
+            df, "doc_id", "src", {"big": -1.0}, inv_temperature=1, budget=0.25
+        )
 
 
 def test_fuzzy_dedup_keep_best_planted(spark):
@@ -792,3 +800,7 @@ def test_incremental_neardup_persisted_bands_equivalent(spark, tmp_path):
                                         corpus_bands=bands)
     with pytest.raises(ValueError):
         dedup.incremental_neardup_pairs(new, None, "doc_id", "text")
+    # the parameter sidecar rejects a mismatched reuse — banding the
+    # batch with different params would silently match nothing
+    with pytest.raises(ValueError, match="band checkpoint"):
+        dedup.read_band_checkpoint(spark, path, "doc_id", num_hashes=24)
