@@ -446,3 +446,38 @@ def test_hot_shingle_corpus_dispatches_prefix(spark):
         plain, "doc_id", "text", threshold=0.7
     )
     assert variant_plain == "naive", stats_plain
+
+
+def test_observation_metrics_piggyback(spark):
+    """X-family operational pattern: `df.observe(Observation(...))`
+    collects audit metrics (row counts, sums, null tallies) DURING the
+    job that produces the result — at 100 TB this replaces a second
+    full-scan validation pass with a free piggyback on the write. The
+    observed metrics must equal the separately computed ground truth."""
+    from pyspark.sql import Observation
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    li = table(spark, SF_TEST, "lineitem")
+    obs = Observation("audit")
+    out = (
+        li.where(F.col("l_quantity") < 30)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(F.col("l_tax").isNull().cast("int")).alias("null_taxes"),
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+    out.collect()  # one job: result + metrics
+    truth = li.where(F.col("l_quantity") < 30).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("q"),
+        F.sum(F.col("l_tax").isNull().cast("int")).alias("nc"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == truth.n
+    assert abs(got["qty_total"] - truth.q) < 1e-6
+    assert got["null_taxes"] == truth.nc
