@@ -32,49 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-6 window (head = exactly 13 + 15 + 22 = 50; the round-5 head
-# miscounted by omitting its own 4 new queries — ADVICE r5): first the
-# 13 queries that are new or semantically changed this round (d12/d13/
-# o06/t13/sql03/sql04/a19/e09/u08/f15 are new; a15/a17/ml02 gained
-# oracles and new output schemas, so their prior attestations no longer
-# apply), then the 15 queries whose last green was round 3 (the stalest
-# anywhere; m03/m04/s03/s04 were queued for round 5 but fell off the
-# end of the miscounted window), then 22 of the 50 round-4-attested
-# queries in CORRECTNESS_r04 order. The 28 remaining round-4 names are
-# next in line for round 7; the round-5/6-attested group follows via
-# the registration-order tail.
+# Round-7 window (VERDICT r6 #3): first the queries that are new or
+# changed this round (u08's oracle gained the HUGEINT→BIGINT cast after
+# its r6 hash-fail; a20 is new; a19's rank check was rewritten to the
+# interval form per ADVICE r6, so its r6 attestation no longer applies),
+# then the 28 queries whose last green is round 4 — the TPC-H block plus
+# j01-j03/j05/u05/u06, exactly the `_STALE_R4` tail past the r6 cut —
+# then the stalest round-5 names in their CORRECTNESS_r05 order. The
+# cut point is COMPUTED in _ordered_names (pinned by
+# tests/test_env_contract.py::test_attestation_window_arithmetic),
+# never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # new or changed in round 6 — (re-)attestation required
-    "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
-    "o06_temperature_mixture", "t13_token_surprisal",
-    "sql03_recursive_calendar", "sql04_lateral_topn",
-    "a19_approx_percentile_rankcheck", "e09_session_window_native",
-    "u08_arrow_batch_transform", "f15_map_functions",
-    "a15_approx_count_distinct",
-    "a17_hll_mergeable_sketch", "ml02_confusion_matrix",
-    # last attested round 3 — stalest group
-    "m03_frame_sample", "m04_real_bmp_roundtrip", "s03_ivf_topk",
-    "s04_ivf_multiprobe", "p01_project_filter", "p05_derived_cast",
-    "p09_recode", "p11_filter_isin", "p12_compound_predicate",
-    "p16_null_profile", "a01_grouped_sum", "a03_count_share",
-    "a04_max_avg", "a05_group_count", "a08_ordered_collect",
+    # new or changed in round 7 — (re-)attestation required
+    "u08_arrow_batch_transform",
+    "a20_kll_mergeable_quantiles",
+    "a19_approx_percentile_rankcheck",
 ]
-_STALE_R4 = [
-    # last attested round 4, in CORRECTNESS_r04 order. The first
-    # WINDOW − len(_PRIORITY_FIRST) of these fill the window; the cut
-    # point is COMPUTED in _ordered_names (and pinned by
-    # tests/test_env_contract.py::test_attestation_window_arithmetic),
-    # never hand-counted in a comment — the round-5 head rotted exactly
-    # because a comment hard-coded the arithmetic. Names past the cut
-    # are next in line for round 7.
-    "e02_sessionize", "e06_view_purchase_attribution", "j06_asof_join",
-    "j07_range_join_binned", "o05_stratified_sample",
-    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
-    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
-    "f11_date_funcs", "f12_json_extract", "t01_token_count",
-    "t02_quality_score", "t03_language_id", "t04_fingerprint",
-    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
-    "t06_top_bigrams", "q1_pricing_summary", "q3_shipping_priority",
+_STALE_QUEUE = [
+    # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order
+    "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "q10_returned_items",
     "j01_left_join", "j02_semi_join", "j03_anti_join",
     "j05_salted_join_equiv",
@@ -86,6 +62,25 @@ _STALE_R4 = [
     "q20_potential_promotion", "q21_waiting_supplier",
     "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
     "u06_batch_inference",
+    # last attested round 5, in CORRECTNESS_r05 order; the first
+    # WINDOW − 3 − 28 of these fill the window, the rest are next in
+    # line for round 8
+    "e01_tumbling_window", "e03_dedup_latest_state", "e04_sliding_window",
+    "e05_user_totals", "e07_segment_window", "e08_gapfill_daily",
+    "a10_rollup", "a11_cube", "a12_grouping_sets", "a13_pivot",
+    "a14_count_distinct", "w04_lag_lead_rank", "w05_moving_frame",
+    "f06_posexplode_roundtrip", "sql01_subquery", "f13_null_handling",
+    "o04_deterministic_sample", "a16_percentiles", "sql02_file_scan",
+    "w06_distribution_ranks", "a18_theta_sketch_setops",
+    "t09_tfidf_top_terms", "t11_chunk_text", "t12_quality_gate",
+    "d01_exact_dedup", "d02_minhash_lsh", "d07_dup_clusters",
+    "d11_incremental_dedup", "d09_decontaminate", "d10_dedup_keep_best",
+    "d03_ngram_jaccard", "d04_simhash", "d06_simhash_neardup",
+    "s01_cosine_topk", "s02_bucketed_topk", "d05_embedding_neardup",
+    "m01_binary_stats", "m02_image_decode_stats", "t10_sequence_packing",
+    "m05_audio_frame_energy", "a09_distinct", "w01_latest_per_group",
+    "w02_running_sum", "f14_variant_json", "j04_latest_via_join_equiv",
+    "u07_mlp_inference",
 ]
 
 # the driver's attestation window
@@ -93,7 +88,7 @@ WINDOW = 50
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _PRIORITY_FIRST + _STALE_R4 if n in plans.QUERIES]
+    head = [n for n in _PRIORITY_FIRST + _STALE_QUEUE if n in plans.QUERIES]
     seen = set(head)
     return head + [n for n in plans.QUERIES if n not in seen]
 

@@ -10,13 +10,47 @@ output and ``single_file=True`` is the opt-in small-result path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def write_json_single_file(df: DataFrame, path: str, single_file: bool = True) -> None:
+def write_json_single_file(
+    df: DataFrame,
+    path: str,
+    single_file: bool = True,
+    audit_metrics: dict[str, Column] | None = None,
+) -> dict | None:
+    """JSON-lines sink, optionally collecting audit metrics IN the write.
+
+    With ``audit_metrics`` (name → aggregate Column, e.g. ``{"n":
+    F.count(F.lit(1)), "qty": F.sum("l_quantity")}``), an ``Observation``
+    is attached to the plan so the metrics are accumulated DURING the
+    write job and returned as a dict — at 100 TB this replaces the usual
+    "write, then re-scan to validate" second pass with a free piggyback
+    on the one pass the write already makes.
+
+    .. warning:: **Session footgun (Spark 4.x):** the first ``observe()``
+       on a session lazily initializes its non-serializable
+       ``ObservationManager``; afterwards, shipping any MLlib model whose
+       ``trainingSummary`` still references that session into a task
+       closure (e.g. ``model.transform`` inside an evaluator) dies with
+       ``java.io.NotSerializableException: ...ObservationManager``. If the
+       same session later trains MLlib models, run audit-metric writes on
+       ``spark.newSession()`` (same SparkContext, separate session state)
+       or drop ``trainingSummary`` before models enter closures. Pinned by
+       ``tests/test_io_and_ops.py::test_write_json_audit_metrics``, which
+       runs in an isolated interpreter for exactly this reason.
+    """
+    if audit_metrics:
+        from pyspark.sql import Observation
+
+        obs = Observation("write_audit")
+        df = df.observe(
+            obs, *[c.alias(n) for n, c in audit_metrics.items()]
+        )
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").json(path)
+    return obs.get if audit_metrics else None
 
 
 def write_parquet(

@@ -229,6 +229,23 @@ def write_band_checkpoint(
     ``incremental_neardup_pairs(corpus_bands=...)`` call. Partitioned by
     ``band`` so a band-parallel consumer prunes; append a new batch's own
     bands with ``mode='append'`` after it clears dedup."""
+    spark = corpus_df.sparkSession
+    if mode == "append":
+        # ADVICE r6: an append must VALIDATE against the existing sidecar,
+        # not re-stamp it — overwriting would relabel old band rows
+        # (computed under the previous parameters) with the new ones,
+        # recreating exactly the undetected zero-match state the sidecar
+        # exists to prevent. read_band_checkpoint raises on mismatch.
+        try:
+            spark.read.parquet(f"{path}/_band_params")
+            has_sidecar = True
+        except Exception:
+            has_sidecar = False
+        if has_sidecar:
+            read_band_checkpoint(
+                spark, path, id_col,
+                k=k, num_hashes=num_hashes, band_rows=band_rows,
+            )
     bands = lsh_bands(
         minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
         id_col, num_hashes, band_rows,
@@ -239,7 +256,7 @@ def write_band_checkpoint(
     # between sides computed with the SAME (k, num_hashes, band_rows) —
     # a mismatched reuse would silently return zero pairs, appending a
     # duplicate-laden batch to the corpus
-    corpus_df.sparkSession.createDataFrame(
+    spark.createDataFrame(
         [(k, num_hashes, band_rows)], "k int, num_hashes int, band_rows int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
 

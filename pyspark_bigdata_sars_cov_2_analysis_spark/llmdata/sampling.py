@@ -71,6 +71,31 @@ def stratified_hash_sample(
     return df.where(gate)
 
 
+def rate_threshold_hex(rate: Column) -> Column:
+    """In-plan twin of ``rate_to_hex``: encode a keep-rate column as the
+    4-hex-digit md5-prefix threshold. rate ≥ 1 keeps everything: the
+    4-hex space tops out at 'ffff', so the keep-all sentinel is 'g'
+    (> every md5 prefix). The least() clamp is the SECOND overflow
+    guard (ADVICE r6): if floor ever yielded 65536, its hex '10000'
+    would lpad-TRUNCATE to '1000' — silently keeping ~6% instead of
+    ~100%. At 2^16 granularity the multiply is an exact exponent shift
+    so rate < 1.0 cannot reach 65536, but the clamp makes the
+    truncation impossible by construction rather than by that
+    binade argument (which a non-power-of-two granularity would
+    silently invalidate)."""
+    return F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.least(F.floor(rate * 65536).cast("int"), F.lit(65535))
+                ),
+                4,
+                "0",
+            )
+        )
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     id_col: str,
@@ -135,14 +160,7 @@ def temperature_mixture_sample(
         * (F.col("__sw") / F.col("__swtot"))
         / F.col("__n")
     )
-    # rate >= 1 keeps everything: the 4-hex threshold space tops out at
-    # 'ffff', so the keep-all sentinel is 'g' (> every md5 prefix) — the
-    # same guard as rate_to_hex
-    thresh = F.when(rate >= 1.0, F.lit("g")).otherwise(
-        F.lower(
-            F.lpad(F.hex(F.floor(rate * 65536).cast("int")), 4, "0")
-        )
-    )
+    thresh = rate_threshold_hex(rate)
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "__src", thresh.alias("__thresh")
     )

@@ -402,29 +402,102 @@ def a19_approx_percentile_rankcheck(spark, sf_dir):
     re-count against the broadcast 1-row estimate frame. At 100 TB the
     GK sketch is the only sane percentile: mergeable per partition, one
     pass, fixed memory; this query proves its error bound holds rather
-    than taking it on faith."""
+    than taking it on faith.
+
+    The check is the RANK-INTERVAL form (ADVICE r6): the returned value
+    occupies ranks [#{x < est}+1, #{x ≤ est}], and the GK contract only
+    promises SOME rank in that interval is within n/accuracy of q·n — a
+    high-multiplicity value near the quantile can push #{x ≤ est} alone
+    past the bound while the sketch still meets its contract, so we
+    assert interval INTERSECTION, not the max rank."""
     li = table(spark, sf_dir, "lineitem")
     est = li.agg(
         F.percentile_approx("l_extendedprice", 0.5, 100).alias("p50"),
         F.percentile_approx("l_extendedprice", 0.9, 100).alias("p90"),
     )
     j = li.crossJoin(F.broadcast(est))
+    n = F.count(F.lit(1))
+    bound = n / 100 + 1
+
+    def within(q: float, est_col: str):
+        lt = F.sum((F.col("l_extendedprice") < F.col(est_col)).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= F.col(est_col)).cast("long"))
+        return ((lt + 1) <= n * q + bound) & (le >= n * q - bound)
+
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        within(0.5, "p50").alias("p50_within_bound"),
+        within(0.9, "p90").alias("p90_within_bound"),
+    )
+
+
+@query(
+    "a20_kll_mergeable_quantiles",
+    # randomized sketch → only EXACT facts and bound booleans enter the
+    # hash: exact row count, sketch-n == exact-n under merge, and the
+    # two rank-contract booleans (5% bound: KLL k=200 promises ~1.65%
+    # normalized rank error w.h.p., so 5% never flips on a healthy
+    # implementation while still catching a broken merge)
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS merge_preserves_n,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM lineitem
+    """,
+)
+def a20_kll_mergeable_quantiles(spark, sf_dir):
+    """A10 sketch-family completion (VERDICT r6 #5): the PER-PARTITION-
+    MERGE quantile path a 100 TB job actually uses, via Spark 4's KLL
+    family. Stage 1 builds one ``kll_sketch_agg_double`` partial per
+    shard (stand-in for per-partition/per-day partials); stage 2
+    ``kll_merge_agg_double`` merges the binary sketches — the operation
+    GK's ``approx_percentile`` doesn't expose, and the reason a 100 TB
+    rollup can keep per-day sketches and answer arbitrary-range quantile
+    queries by merging instead of rescanning. Checked like a19: KLL
+    compaction is randomized (the quantile VALUE differs run to run, so
+    it never enters the hash); what's hashed is the exact row count,
+    ``kll_sketch_get_n`` == exact count surviving the merge, and the
+    rank-interval contract of both estimates against a conservative 5%
+    bound, recomputed exactly against the broadcast 1-row estimate."""
+    li = table(spark, sf_dir, "lineitem")
+    partials = (
+        li.withColumn(
+            "shard",
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)),
+        )
+        .groupBy("shard")
+        .agg(
+            F.kll_sketch_agg_double("l_extendedprice", F.lit(200)).alias("sk"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    est = partials.agg(
+        F.kll_merge_agg_double("sk").alias("msk"),
+        F.sum("n_part").alias("n_sum"),
+    ).select(
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("msk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_n_double("msk").alias("n_sketch"),
+        "n_sum",
+    )
+    j = li.crossJoin(F.broadcast(est))
+    n = F.count(F.lit(1))
+    bound = n * 0.05 + 1
+
+    def within(q: float, est_col: str):
+        lt = F.sum((F.col("l_extendedprice") < F.col(est_col)).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= F.col(est_col)).cast("long"))
+        return ((lt + 1) <= n * q + bound) & (le >= n * q - bound)
+
     return j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.abs(
-                F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long"))
-                - F.count(F.lit(1)) * 0.5
-            )
-            <= F.count(F.lit(1)) / 100 + 1
-        ).alias("p50_within_bound"),
-        (
-            F.abs(
-                F.sum((F.col("l_extendedprice") <= F.col("p90")).cast("long"))
-                - F.count(F.lit(1)) * 0.9
-            )
-            <= F.count(F.lit(1)) / 100 + 1
-        ).alias("p90_within_bound"),
+            (F.first("n_sketch") == F.count(F.lit(1)))
+            & (F.first("n_sum") == F.count(F.lit(1)))
+        ).alias("merge_preserves_n"),
+        within(0.5, "p50").alias("p50_within_bound"),
+        within(0.9, "p90").alias("p90_within_bound"),
     )
 
 

@@ -905,7 +905,8 @@ _MIX_W = (
     rates AS (
       SELECT src,
              CASE WHEN r >= 1.0 THEN 'g'
-                  ELSE printf('%04x', CAST(floor(r * 65536.0::DOUBLE) AS INT))
+                  ELSE printf('%04x', least(
+                    CAST(floor(r * 65536.0::DOUBLE) AS INT), 65535))
                   END AS thresh
       FROM (SELECT src,
                    0.3::DOUBLE * CAST(ntot AS DOUBLE) * (sw / swtot)

@@ -117,9 +117,9 @@ def u07_mlp_inference(spark, sf_dir):
     "u08_arrow_batch_transform",
     oracle="""
     SELECT vec_id,
-           list_aggregate(list_transform(embedding,
+           CAST(list_aggregate(list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)),
-             'sum') AS qsum
+             'sum') AS BIGINT) AS qsum
     FROM embeddings
     """,
 )
@@ -128,7 +128,11 @@ def u08_arrow_batch_transform(spark, sf_dir):
     one UDF surface u05/u06/u07 don't cover; no per-batch pandas
     conversion). Worker computes the exact int64 sum of the quantized
     embedding per row — all-integer arithmetic, so the oracle recomputes
-    it symbolically with zero float tolerance."""
+    it symbolically with zero float tolerance. The oracle CASTs
+    ``list_aggregate(…, 'sum')`` back to BIGINT because DuckDB widens a
+    BIGINT-list sum to HUGEINT (Arrow decimal128(38,0)), which the
+    driver's hash treats as a different type even when every value is
+    identical — the same DECIMAL-vs-BIGINT class o06 hit in round 6."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
         quantized_sum_arrow,
     )

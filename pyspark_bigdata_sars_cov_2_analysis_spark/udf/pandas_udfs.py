@@ -106,24 +106,37 @@ def quantized_sum_arrow(batches):
     Genuinely vectorized: the list column's flat values buffer quantizes
     in ONE numpy pass and per-row sums come from a cumsum diff over the
     offsets — no per-row ``as_py()`` round-trip through Python objects.
-    NULL embedding rows yield NULL qsum (validity mask carried through),
-    matching SQL semantics. Yields one output RecordBatch per input
-    batch — streaming, bounded memory."""
+    NULL embedding rows yield NULL qsum, and a null ELEMENT inside a
+    list nulls that row's qsum too (F.aggregate-style null propagation —
+    previously ``np.asarray`` turned element nulls into NaN whose int64
+    cast is garbage). Yields one output RecordBatch per input batch —
+    streaming, bounded memory."""
     import pyarrow as pa
 
     for batch in batches:
         vec_id = batch.column("vec_id")
         emb = batch.column("embedding")
-        vals = np.asarray(emb.values, dtype="float64")
+        off = np.asarray(emb.offsets)
+        elem_null = (
+            emb.values.is_null().to_numpy(zero_copy_only=False)
+            if emb.values.null_count
+            else None
+        )
+        vals = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+        if elem_null is not None:
+            vals = np.where(elem_null, 0.0, vals)
         q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
         cum = np.concatenate(([0], np.cumsum(q)))
-        off = np.asarray(emb.offsets)
         sums = cum[off[1:]] - cum[off[:-1]]
         mask = (
             emb.is_null().to_numpy(zero_copy_only=False)
             if emb.null_count
             else None
         )
+        if elem_null is not None:
+            cumn = np.concatenate(([0], np.cumsum(elem_null)))
+            row_has_null = (cumn[off[1:]] - cumn[off[:-1]]) > 0
+            mask = row_has_null if mask is None else (mask | row_has_null)
         yield pa.RecordBatch.from_arrays(
             [vec_id, pa.array(sums, type=pa.int64(), mask=mask)],
             ["vec_id", "qsum"],

@@ -76,26 +76,35 @@ def test_attestation_window_arithmetic():
     fell off the end (ADVICE r5) — pin the arithmetic: every priority
     name must exist in the registry, carry no duplicates, and the
     window must be exactly _PRIORITY_FIRST (all of it) plus the first
-    WINDOW − len(_PRIORITY_FIRST) names of _STALE_R4 — the cut point is
-    computed, never hand-counted in a comment."""
+    WINDOW − len(_PRIORITY_FIRST) names of _STALE_QUEUE — the cut point
+    is computed, never hand-counted in a comment."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
     from pyspark_bigdata_sars_cov_2_analysis_spark import plans
 
-    listed = entry._PRIORITY_FIRST + entry._STALE_R4
+    listed = entry._PRIORITY_FIRST + entry._STALE_QUEUE
     assert len(listed) == len(set(listed)), "duplicate priority names"
     unknown = [n for n in listed if n not in plans.QUERIES]
     assert not unknown, f"priority names not in registry: {unknown}"
     ordered = entry._ordered_names()
     assert len(ordered) == len(set(ordered)) == len(plans.QUERIES)
     window = ordered[: entry.WINDOW]
-    want = entry._PRIORITY_FIRST + entry._STALE_R4[
+    want = entry._PRIORITY_FIRST + entry._STALE_QUEUE[
         : entry.WINDOW - len(entry._PRIORITY_FIRST)
     ]
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 28, (
+    assert len(entry._PRIORITY_FIRST) == 3, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
+    )
+    # VERDICT r6 #3: the 28 round-4-stale names must ALL be inside the
+    # round-7 window (head 3 + 28 = 31 ≤ 50), so no query's last green
+    # attestation is older than two rounds after this round lands
+    r4_stale = entry._STALE_QUEUE[:28]
+    assert r4_stale[0] == "q1_pricing_summary"
+    assert r4_stale[-1] == "u06_batch_inference"
+    assert all(n in window for n in r4_stale), (
+        "a round-4-stale query fell out of the round-7 window"
     )

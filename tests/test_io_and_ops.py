@@ -448,36 +448,108 @@ def test_hot_shingle_corpus_dispatches_prefix(spark):
     assert variant_plain == "naive", stats_plain
 
 
-def test_observation_metrics_piggyback(spark):
-    """X-family operational pattern: `df.observe(Observation(...))`
-    collects audit metrics (row counts, sums, null tallies) DURING the
-    job that produces the result — at 100 TB this replaces a second
-    full-scan validation pass with a free piggyback on the write. The
-    observed metrics must equal the separately computed ground truth."""
-    from pyspark.sql import Observation
+_AUDIT_PROBE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
-    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("audit-metrics-probe")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+    write_json_single_file,
+)
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
 
-    li = table(spark, SF_TEST, "lineitem")
-    obs = Observation("audit")
-    out = (
-        li.where(F.col("l_quantity") < 30)
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("l_quantity").alias("qty_total"),
-            F.sum(F.col("l_tax").isNull().cast("int")).alias("null_taxes"),
-        )
-        .groupBy("l_returnflag")
-        .count()
+li = (
+    table(spark, {sf!r}, "lineitem")
+    .where(F.col("l_quantity") < 30)
+    .select("l_orderkey", "l_quantity", "l_tax", "l_returnflag")
+)
+metrics = write_json_single_file(
+    li,
+    {out!r},
+    audit_metrics={{
+        "n_rows": F.count(F.lit(1)),
+        "qty_total": F.sum("l_quantity"),
+        "null_taxes": F.sum(F.col("l_tax").isNull().cast("int")),
+    }},
+)
+truth = li.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.sum("l_quantity").alias("q"),
+    F.sum(F.col("l_tax").isNull().cast("int")).alias("nc"),
+).collect()[0]
+written = spark.read.json({out!r}).count()
+print("AUDIT:" + json.dumps({{
+    "metrics": {{k: float(v) for k, v in metrics.items()}},
+    "n": float(truth.n), "q": float(truth.q), "nc": float(truth.nc),
+    "written": written,
+}}))
+spark.stop()
+"""
+
+
+def test_write_json_audit_metrics(tmp_path):
+    """X-family operational pattern, promoted to engine API:
+    ``write_json_single_file(..., audit_metrics=...)`` attaches an
+    ``Observation`` so audit metrics (row counts, sums, null tallies)
+    accumulate DURING the write job — at 100 TB this replaces a second
+    full-scan validation pass with a free piggyback on the write.
+
+    Runs in an isolated interpreter (the ``test_env_contract`` subprocess
+    pattern) because the first ``observe()`` on a session initializes its
+    non-serializable ``ObservationManager``, after which MLlib models
+    whose ``trainingSummary`` references the session fail task
+    serialization (``NotSerializableException: ObservationManager`` —
+    this broke ``pipelines/clinical.py``'s bench when the round-6 demo
+    ran on the shared fixture). See the warning in ``io/writers.py``."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "audited")
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _AUDIT_PROBE.format(repo=repo, sf=SF_TEST, out=out)],
+        capture_output=True, text=True, timeout=300, cwd=repo,
     )
-    out.collect()  # one job: result + metrics
-    truth = li.where(F.col("l_quantity") < 30).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").alias("q"),
-        F.sum(F.col("l_tax").isNull().cast("int")).alias("nc"),
-    ).collect()[0]
-    got = obs.get
-    assert got["n_rows"] == truth.n
-    assert abs(got["qty_total"] - truth.q) < 1e-6
-    assert got["null_taxes"] == truth.nc
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("AUDIT:")]
+    assert lines, f"probe produced no audit line\n{proc.stdout}\n{proc.stderr}"
+    got = json.loads(lines[-1][len("AUDIT:"):])
+    m = got["metrics"]
+    assert m["n_rows"] == got["n"]
+    assert abs(m["qty_total"] - got["q"]) < 1e-6
+    assert m["null_taxes"] == got["nc"]
+    # the write itself happened, in the same job the metrics rode on
+    assert got["written"] == got["n"] > 0
+
+
+def test_quantized_sum_arrow_null_elements():
+    """u08 worker edge cases, driven as plain Arrow batches (no Spark):
+    a NULL list row AND a null element INSIDE a list must both yield
+    NULL qsum (F.aggregate-style propagation). Before the round-7 fix,
+    element nulls became NaN whose int64 cast is undefined garbage."""
+    import pyarrow as pa
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        quantized_sum_arrow,
+    )
+
+    emb = pa.array(
+        [[0.5, 1.0], None, [0.25, None], []],
+        type=pa.list_(pa.float64()),
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3, 4], type=pa.int64()), emb],
+        ["vec_id", "embedding"],
+    )
+    (out,) = list(quantized_sum_arrow(iter([batch])))
+    assert out.column("qsum").to_pylist() == [16384 + 32768, None, None, 0]
+    # sliced batches keep absolute offsets into the shared values buffer
+    (tail,) = list(quantized_sum_arrow(iter([batch.slice(2)])))
+    assert tail.column("qsum").to_pylist() == [None, 0]

@@ -804,3 +804,62 @@ def test_incremental_neardup_persisted_bands_equivalent(spark, tmp_path):
     # batch with different params would silently match nothing
     with pytest.raises(ValueError, match="band checkpoint"):
         dedup.read_band_checkpoint(spark, path, "doc_id", num_hashes=24)
+
+
+def test_rate_threshold_hex_overflow_clamp(spark):
+    """ADVICE r6 asked for a second overflow guard on the in-plan
+    threshold: clamp fl(rate·65536) to 65535 so a 5-hex '10000' can
+    never lpad-truncate to '1000' (keeping ~6% instead of ~100%). At the
+    current 2^16 granularity the multiply is an exact exponent shift, so
+    rate < 1.0 provably floors to ≤ 65535 — the worst representable
+    sub-1.0 rate must encode as 'ffff', never '1000', and the clamp
+    keeps that true under any future non-power-of-two granularity."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        rate_threshold_hex,
+    )
+
+    just_below_one = math.nextafter(1.0, 0.0)
+    rows = spark.createDataFrame(
+        [(just_below_one,), (1.0,), (0.5,), (0.0,), (1.0 / 65536,)],
+        "r double",
+    ).select(rate_threshold_hex(F.col("r")).alias("t")).collect()
+    assert [r.t for r in rows] == ["ffff", "g", "8000", "0000", "0001"]
+    assert all(len(r.t) == 4 or r.t == "g" for r in rows)
+
+
+def test_band_checkpoint_append_validates_sidecar(spark, tmp_path):
+    """ADVICE r6: mode='append' must VALIDATE the existing parameter
+    sidecar, not silently re-stamp it — re-stamping would relabel old
+    band rows (computed under different k/num_hashes/band_rows) with the
+    new parameters, the exact undetected zero-match state the sidecar
+    exists to prevent."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some shingled text body number {i} for banding") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(docs, path, "doc_id", "text", num_hashes=12)
+    # mismatched parameters on append must raise, and the sidecar must
+    # keep the ORIGINAL stamp
+    with pytest.raises(ValueError, match="band checkpoint"):
+        dedup.write_band_checkpoint(
+            docs, path, "doc_id", "text", num_hashes=24, mode="append"
+        )
+    assert dedup.read_band_checkpoint(
+        spark, path, "doc_id", num_hashes=12
+    ).count() > 0
+    # matching parameters append fine and double the band rows
+    before = spark.read.parquet(path).count()
+    dedup.write_band_checkpoint(
+        docs.withColumn("doc_id", F.col("doc_id") + 100),
+        path, "doc_id", "text", num_hashes=12, mode="append",
+    )
+    assert spark.read.parquet(path).count() == 2 * before
