@@ -339,3 +339,68 @@ def test_transform_with_state_v2_matches_batch(spark, events_dir):
         (r["user_id"], r["n_events"], r["total_value"]) for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_neardup_ingest_band_checkpoint(spark, tmp_path):
+    """The d11 streaming twin (VERDICT r6 #8): micro-batches dedup
+    against the PERSISTED band checkpoint, append survivors, and append
+    their own bands — so batch 2 must catch duplicates of BOTH the
+    seeded corpus and batch 1's survivors. A restart over the same
+    streaming checkpoint re-processes nothing (restart exactly-once)."""
+    import os
+    import time as _time
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    T = {
+        i: f"the quick brown fox number {i} jumps over the lazy dog "
+           f"and then recites shingle {i} twice for minhash stability"
+        for i in range(1, 6)
+    }
+    U1 = "an entirely fresh document about spark structured streaming"
+    U2 = "another novel text concerning locality sensitive hashing bands"
+    V1 = "a third unique body of text on incremental corpus ingestion"
+
+    corpus = spark.createDataFrame(
+        [(i, T[i]) for i in range(1, 6)], "doc_id long, text string"
+    )
+    band_path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, band_path, "doc_id", "text")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(101, T[1]), (102, U1), (103, U2)], "doc_id long, text string"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)  # distinct modTimes -> deterministic file order
+    batch2 = spark.createDataFrame(
+        [(201, U1), (202, T[2]), (203, V1)], "doc_id long, text string"
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run_once():
+        q = dedup.streaming_neardup_ingest(
+            spark, src, "doc_id long, text string",
+            band_path, out, ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 101 dups corpus T1; 202 dups corpus T2; 201 dups batch 1's
+    # SURVIVOR 102 (U1) — only caught because batch 1 appended its bands
+    assert got == [102, 103, 203], got
+
+    # the checkpoint grew: corpus + batch survivors are all banded
+    banded = dedup.read_band_checkpoint(spark, band_path, "doc_id")
+    ids = {r.doc_id for r in banded.select("doc_id").distinct().collect()}
+    assert ids == {1, 2, 3, 4, 5, 102, 103, 203}
+
+    # restart over the same streaming checkpoint: nothing re-processed
+    run_once()
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
