@@ -47,6 +47,9 @@ _PRIORITY_FIRST = [
     "u08_arrow_batch_transform",
     "a20_kll_mergeable_quantiles",
     "a19_approx_percentile_rankcheck",
+    "d14_chunk_dedup_keep_first",
+    "a21_unpivot_melt",
+    "ml03_regression_metrics",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

@@ -1014,3 +1014,98 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def chunk_dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Span-level (CCNet/C4-style) dedup WITHIN documents across the
+    whole corpus: split each document into consecutive ``chunk_words``-word
+    chunks, keep only the corpus-wide FIRST occurrence of each distinct
+    chunk (ordered by (id, position)), and reassemble the surviving
+    chunks per document — the pretraining cleanup that strips boilerplate
+    spans (headers, license blocks, navigation) repeated across pages,
+    which document-level dedup (d01-d07) can never catch because the
+    documents differ elsewhere.
+
+    Returns ``(id_col, clean_text, n_chunks, n_dropped)``.
+
+    Scale shape: first-occurrence selection is a ``min(struct(id, pos))``
+    AGGREGATE keyed on md5(chunk) — never a window over the chunk hash,
+    whose hot keys (the boilerplate being removed!) would serialize into
+    single window partitions. Shuffle keys are 16-byte hashes + two ids;
+    chunk text rides exactly twice (once into the hash groupBy's
+    map-side partial — where duplicates collapse before the exchange —
+    and once in the per-doc reassembly), and the reassembly is the a08
+    ordered-collect aggregate, one shuffle keyed by document id."""
+    chunks = (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("w"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("w") / chunk_words).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("w", i * chunk_words + 1, chunk_words), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("lh", F.md5("chunk"))
+    )
+    firsts = (
+        chunks.groupBy("lh")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("id"), F.col("pos"))).alias(
+                "fo"
+            )
+        )
+        # rename the join keys: the groupBy key keeps its upstream
+        # attribute id, and a chunks⋈firsts condition naming `lh` on both
+        # sides of the shared lineage would be ambiguous/trivially-true
+        .select(
+            F.col("lh").alias("f_lh"),
+            F.col("fo.id").alias("f_id"),
+            F.col("fo.pos").alias("f_pos"),
+        )
+    )
+    kept = chunks.join(
+        firsts,
+        (F.col("lh") == F.col("f_lh"))
+        & (F.col(id_col) == F.col("f_id"))
+        & (F.col("pos") == F.col("f_pos")),
+        "left_semi",
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )

@@ -717,3 +717,44 @@ def a18_theta_sketch_setops(spark, sf_dir):
         .cast("bigint")
         .alias("n_either"),
     )
+
+
+@query(
+    "a21_unpivot_melt",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, metric,
+           {sql_round("val", 2)} AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey % 100 = 0)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def a21_unpivot_melt(spark, sf_dir):
+    """A10-family completion: UNPIVOT/melt — wide→long reshape, the
+    inverse of a13's pivot, via the native ``DataFrame.unpivot`` (Spark's
+    Expand node: each input row fans to one row per value column with NO
+    shuffle and no UDF — row-local, scan-parallel, the right 100 TB
+    shape for metric-table normalization). Values share the DOUBLE type
+    so the melt needs no lossy casts; compat-rounded on both engines."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "metric",
+        pround(F.col("val"), 2).alias("val"),
+    )

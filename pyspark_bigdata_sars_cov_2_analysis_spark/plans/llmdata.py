@@ -1041,3 +1041,55 @@ def m05_audio_frame_energy(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     wav = synthesize_pcm(d, "doc_id", n_samples=256)
     return audio_frame_energy(wav, "doc_id", "payload", frame_len=64)
+
+
+@query(
+    "d14_chunk_dedup_keep_first",
+    # the oracle uses a ROW_NUMBER window over md5(chunk) — fine for an
+    # oracle; the ENGINE deliberately uses a min(struct) aggregate
+    # instead, because the window's hot keys are exactly the boilerplate
+    # being removed (see llmdata/dedup.chunk_dedup_keep_first)
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos,
+             unnest(list_transform(range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                    i -> array_to_string(w[i*10+1 : i*10+10], ' '))) AS chunk
+      FROM arrs
+    ),
+    firsts AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM chunks) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT c.doc_id,
+             string_agg(c.chunk, ' ' ORDER BY c.pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM chunks c JOIN firsts f ON c.doc_id = f.doc_id AND c.pos = f.pos
+      GROUP BY c.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text, t.n_chunks,
+           CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def d14_chunk_dedup_keep_first(spark, sf_dir):
+    """Span-level corpus dedup (CCNet/C4-style repeated-span removal):
+    10-word chunks, corpus-wide first occurrence kept by (doc_id, pos)
+    order, documents reassembled from their surviving chunks — the
+    cleanup that strips boilerplate repeated ACROSS documents that
+    doc-level dedup can't see. The hash covers the reassembled text
+    itself, so a match proves chunking, first-occurrence selection, and
+    ordered reassembly all agree with the oracle."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_keep_first(d, "doc_id", "text", chunk_words=10)

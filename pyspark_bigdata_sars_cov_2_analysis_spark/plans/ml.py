@@ -12,7 +12,12 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.ml import (
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.ml.classify import features_from_array
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
-from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import query, table
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    pround,
+    query,
+    sql_round,
+    table,
+)
 
 
 def _prepped(spark, sf_dir):
@@ -112,3 +117,61 @@ def ml02_confusion_matrix(spark, sf_dir):
         .alias("prediction"),
     )
     return confusion_matrix(preds, values=list(range(10)))
+
+
+@query(
+    "ml03_regression_metrics",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderstatus,
+             o_totalprice - ((o_orderkey % 1000) * 150.0 + 100000.0) AS err,
+             o_totalprice AS y
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(err * err) AS sse,
+             SUM(abs(err)) AS sae,
+             SUM(y) AS sy,
+             SUM(y * y) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT o_orderstatus, n,
+           {sql_round("sqrt(sse / n)", 2)} AS rmse,
+           {sql_round("sae / n", 2)} AS mae,
+           {sql_round("1.0 - sse / (syy - sy * sy / n)", 6)} AS r2
+    FROM a
+    """,
+)
+def ml03_regression_metrics(spark, sf_dir):
+    """M-family completion: DF-native regression evaluation (RMSE / MAE /
+    R²) per group in ONE aggregate pass — the eval path a 100 TB scoring
+    job uses instead of RegressionEvaluator's single-metric passes. The
+    predictor is a closed integer formula of the key (ml02's trick), so
+    both engines score identical residuals; R² uses the one-pass identity
+    Σ(y−ȳ)² = Σy² − (Σy)²/n, and every metric is compat-rounded. All
+    sums are map-side-partial aggregates; no window, no second scan."""
+    o = table(spark, sf_dir, "orders")
+    err = F.col("o_totalprice") - (
+        (F.col("o_orderkey") % 1000) * 150.0 + 100000.0
+    )
+    a = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(err * err).alias("sse"),
+        F.sum(F.abs(err)).alias("sae"),
+        F.sum("o_totalprice").alias("sy"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("syy"),
+    )
+    return a.select(
+        "o_orderstatus",
+        "n",
+        pround(F.sqrt(F.col("sse") / F.col("n")), 2).alias("rmse"),
+        pround(F.col("sae") / F.col("n"), 2).alias("mae"),
+        pround(
+            F.lit(1.0)
+            - F.col("sse")
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )

@@ -375,3 +375,37 @@ def test_incremental_dedup_persisted_bands_never_scans_corpus_text(
     # still the join-free bucket-aggregate shape
     simple = _plan(out, mode="simple")
     assert "Join" not in simple, simple
+
+
+def test_d14_chunk_dedup_no_window_over_chunks(spark):
+    """d14's first-occurrence selection must be the min(struct) AGGREGATE
+    shape with a map-side partial — never a window partitioned by the
+    chunk hash, whose hottest keys (the boilerplate being removed) would
+    serialize into single window partitions. The only window-free way to
+    pick corpus-wide first occurrences is the argmin aggregate + semi
+    join back, so the plan must show partial_min and no
+    windowspecdefinition anywhere."""
+    plan = _plan(QUERIES["d14_chunk_dedup_keep_first"](spark, SF_TEST))
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "partial_min" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_a21_unpivot_is_expand_no_shuffle(spark):
+    """a21's melt must plan as the row-local Expand node directly over
+    the scan — no Exchange anywhere (wide→long is a projection family,
+    not a shuffle)."""
+    plan = _plan(QUERIES["a21_unpivot_melt"](spark, SF_TEST))
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_ml03_single_aggregate_pass(spark):
+    """ml03's five sums + count must fold into ONE grouped aggregate with
+    a map-side partial over a single scan — the point of the one-pass
+    Σ(y−ȳ)² identity is that R² costs no second scan and no window."""
+    plan = _plan(QUERIES["ml03_regression_metrics"](spark, SF_TEST))
+    assert "windowspecdefinition" not in plan.lower(), plan
+    assert "partial_sum" in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
