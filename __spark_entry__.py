@@ -50,6 +50,8 @@ _PRIORITY_FIRST = [
     "d14_chunk_dedup_keep_first",
     "a21_unpivot_melt",
     "ml03_regression_metrics",
+    "u09_arrow_scalar_udf",
+    "sql05_lateral_view_tokens",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

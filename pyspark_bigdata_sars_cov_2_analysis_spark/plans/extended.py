@@ -758,3 +758,33 @@ def a21_unpivot_melt(spark, sf_dir):
         "l_orderkey", "l_linenumber", "metric",
         pround(F.col("val"), 2).alias("val"),
     )
+
+
+@query(
+    "sql05_lateral_view_tokens",
+    oracle="""
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 50 = 0
+    ) GROUP BY doc_id, tok
+    """,
+)
+def sql05_lateral_view_tokens(spark, sf_dir):
+    """S5 — the Hive-compat SQL generator surface: ``LATERAL VIEW
+    explode`` (the syntax a user migrating HiveQL jobs brings along) plus
+    Spark 4's ``GROUP BY ALL``. Same physical plan as the DataFrame
+    ``explode`` + groupBy the t-family uses — this attests the PARSER
+    path, not a new operator; Catalyst rewrites Generate + aggregate
+    identically for both front-ends."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_sql05"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, tok, COUNT(*) AS n
+        FROM documents_sql05 LATERAL VIEW explode(split(text, ' ')) t AS tok
+        WHERE doc_id % 50 = 0
+        GROUP BY ALL
+        """
+    )

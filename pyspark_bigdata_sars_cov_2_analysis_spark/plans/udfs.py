@@ -139,3 +139,34 @@ def u08_arrow_batch_transform(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(quantized_sum_arrow, "vec_id bigint, qsum bigint")
+
+
+@query(
+    "u09_arrow_scalar_udf",
+    oracle="""
+    SELECT doc_id,
+           (n_chars * 2654435761 + doc_id) % 2147483647 AS py_mix
+    FROM documents
+    """,
+)
+def u09_arrow_scalar_udf(spark, sf_dir):
+    """D7 family, seventh Python entry point: the Arrow-OPTIMIZED scalar
+    UDF (``@udf(..., useArrow=True)``, Spark 4) — row-at-a-time Python
+    logic with Arrow transport instead of pickle. Pure-integer mix
+    function so the oracle is exact (Python ints and DuckDB BIGINTs
+    don't round). Registered as API-surface attestation, NOT a pattern
+    endorsement: the engine's policy stands — row Python is banned from
+    hot paths (every production path here uses built-ins or batched
+    pandas/Arrow UDFs); this entry exists so a user migrating a legacy
+    row UDF lands on the fastest row-transport variant, oracle-checked.
+    The same expression is a one-line native column op — which is what
+    the oracle literally is — so the relational rewrite is self-evident
+    from the pair."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def py_mix(n_chars: int, doc_id: int) -> int:
+        return (n_chars * 2654435761 + doc_id) % 2147483647
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", py_mix("n_chars", "doc_id").alias("py_mix"))
