@@ -36,6 +36,7 @@ HEADLINE = [
     "d11_incremental_dedup",
     "d12_decontaminated_split",
     "d13_fuzzy_dedup_resolve",
+    "d14_chunk_dedup_keep_first",
     "o06_temperature_mixture",
     "t13_token_surprisal",
     "s01_cosine_topk",
