@@ -1,0 +1,113 @@
+"""Custom SINK via Spark 4's Python Data Source write API.
+
+The read side (``io/pysource.py``) covered the connector surface's scan
+half; this is the other half: ``format("jsonl_dir")`` writes JSON-lines
+through the full task→driver COMMIT PROTOCOL — each task writes its part
+to a staging area and returns a commit message; only the DRIVER's
+``commit()`` publishes the parts into a ``_SUCCESS`` manifest. Readers
+that honor the manifest (``read_jsonl_manifest``) therefore see
+exactly-once output: a crashed or speculative task's orphan staging file
+is never listed, and an aborted job publishes nothing. That
+commit-protocol shape — not the JSON encoding — is what a 100 TB sink
+must get right (it is the same contract FileFormatWriter/commit
+coordinators implement for parquet); the local-filesystem staging here
+stands in for the shared object store a cluster deployment would use.
+
+Reference parity note: the reference persists results as JSON-lines
+directories (spark/jobs/cases_time_analysis.py:309-314) but relies on
+Spark's built-in sink; this connector demonstrates the engine can expose
+the same contract through the pluggable DataSource API, with the commit
+semantics made explicit and testable (tests/test_io_and_ops.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_SUCCESS"
+STAGING = "_staging"
+
+
+@dataclass
+class PartCommit(WriterCommitMessage):
+    part: str
+    rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> PartCommit:
+        """Executor-side: stream rows to a uniquely named staging file.
+        The file is INVISIBLE to manifest readers until the driver
+        commits — a re-run of this task (speculation, retry) just leaves
+        another orphan no reader will ever list."""
+        staging = os.path.join(self.path, STAGING)
+        os.makedirs(staging, exist_ok=True)
+        part = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, part), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return PartCommit(part=part, rows=n)
+
+    def commit(self, messages) -> None:
+        """Driver-side, runs once after EVERY task succeeded: move the
+        committed parts out of staging and publish the manifest — the
+        single atomic-ish rename point that makes the output visible."""
+        parts, total = [], 0
+        for m in messages:
+            os.replace(
+                os.path.join(self.path, STAGING, m.part),
+                os.path.join(self.path, m.part),
+            )
+            parts.append(m.part)
+            total += m.rows
+        with open(os.path.join(self.path, MANIFEST), "w") as f:
+            json.dump({"parts": sorted(parts), "rows": total}, f)
+
+    def abort(self, messages) -> None:
+        """Driver-side on job failure: best-effort staging cleanup; the
+        manifest is never written, so nothing was published."""
+        staging = os.path.join(self.path, STAGING)
+        for m in messages:
+            try:
+                os.remove(os.path.join(staging, m.part))
+            except OSError:
+                pass
+
+
+class JsonLinesDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesDirDataSource)
+
+
+def read_jsonl_manifest(spark, path: str):
+    """Manifest-honoring reader: load ONLY the parts the driver
+    committed. Orphan staging files (crashed/speculative tasks, aborted
+    jobs) are invisible — this pairing is what makes the sink
+    exactly-once at the job level."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, p) for p in manifest["parts"]]
+    return spark.read.json(files), manifest

@@ -9,6 +9,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
     sliding_counts,
     tumbling_counts,
     view_purchase_attribution,
+    view_purchase_attribution_outer,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "sliding_counts",
     "tumbling_counts",
     "view_purchase_attribution",
+    "view_purchase_attribution_outer",
 ]

@@ -339,3 +339,60 @@ def running_user_totals_v2(events: DataFrame, watermark: str = "2 hours") -> Dat
             timeMode="None",
         )
     )
+
+
+def view_purchase_attribution_outer(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER watermarked interval join — the other half of the
+    stream-stream join family: every view is attributed to a following
+    purchase within the window like the inner variant, and a view that
+    NEVER converts is emitted with null purchase columns once the
+    watermark passes the end of its join validity (v_ts + window) — the
+    point where no future purchase can match it, so its state is evicted
+    and the null-extended row finalizes. This emit-on-eviction semantics
+    is why outer stream joins REQUIRE both watermarks and a bounded
+    event-time condition: without them, "no match yet" is never
+    distinguishable from "no match ever" and state grows forever.
+
+    Caveat every consumer must know (tested): views whose validity end
+    lies beyond the final watermark are still held in state when an
+    availableNow run drains — their null rows are NOT emitted. A
+    batch-vs-stream reconciliation must condition on the final watermark
+    (see tests/test_streaming_outer.py)."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        on=(F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        how="left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+        "v_ts",
+    )

@@ -1,0 +1,74 @@
+"""Python Data Source WRITE path (the sink half of the connector
+surface): commit-protocol semantics of ``format("jsonl_dir")``."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+    MANIFEST,
+    STAGING,
+    read_jsonl_manifest,
+    register_jsonl_sink,
+)
+
+
+def test_jsonl_sink_commit_publishes_manifest(spark, tmp_path):
+    """Happy path: every task's part is staged, the driver commit moves
+    them out and publishes the manifest, and the manifest reader returns
+    exactly the written rows."""
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("tripled")
+    ).repartition(4)
+    df.write.format("jsonl_dir").mode("append").save(out)
+
+    back, manifest = read_jsonl_manifest(spark, out)
+    assert manifest["rows"] == 1000
+    assert len(manifest["parts"]) == 4
+    assert back.count() == 1000
+    got = sorted((r.id, r.tripled) for r in back.collect())
+    assert got == [(i, 3 * i) for i in range(1000)]
+    # staging is drained — nothing invisible left behind
+    assert os.listdir(os.path.join(out, STAGING)) == []
+
+
+def test_jsonl_sink_manifest_reader_ignores_orphans(spark, tmp_path):
+    """An orphan staging file (crashed or speculative task) must be
+    invisible to the manifest reader — the exactly-once property the
+    commit protocol exists for."""
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    spark.range(10).write.format("jsonl_dir").mode("append").save(out)
+    # plant an orphan: a task that wrote but never reached the commit
+    with open(os.path.join(out, STAGING, "part-orphan.jsonl"), "w") as f:
+        f.write(json.dumps({"id": 999999}) + "\n")
+    back, manifest = read_jsonl_manifest(spark, out)
+    assert manifest["rows"] == 10 and back.count() == 10
+    assert 999999 not in {r.id for r in back.collect()}
+
+
+def test_jsonl_sink_failed_job_publishes_nothing(spark, tmp_path):
+    """A job that fails mid-write must publish NO manifest — readers see
+    an absent output, never a partial one."""
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+
+    @F.udf("bigint")
+    def boom(x):
+        if x == 7:
+            raise ValueError("planted task failure")
+        return x
+
+    df = spark.range(16).select(boom(F.col("id")).alias("id")).repartition(4)
+    with pytest.raises(Exception):
+        df.write.format("jsonl_dir").mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, MANIFEST))
+    with pytest.raises(FileNotFoundError):
+        read_jsonl_manifest(spark, out)
