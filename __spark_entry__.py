@@ -52,6 +52,7 @@ _PRIORITY_FIRST = [
     "ml03_regression_metrics",
     "u09_arrow_scalar_udf",
     "sql05_lateral_view_tokens",
+    "e10_view_purchase_outer",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

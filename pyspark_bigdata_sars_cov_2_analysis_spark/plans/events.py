@@ -241,6 +241,37 @@ def e06_view_purchase_attribution(spark, sf_dir):
 
 
 @query(
+    "e10_view_purchase_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def e10_view_purchase_outer(spark, sf_dir):
+    """LEFT OUTER interval self-join — batch twin of the r7 outer
+    stream-stream join (streaming/events.view_purchase_attribution_outer):
+    every view appears, null-extended if it never converts. The streaming
+    variant's emit-on-eviction subset relation to THIS frame is pinned in
+    tests/test_streaming_outer.py; the oracle here makes the outer-join
+    family hash-attested in its own right."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        view_purchase_attribution_outer,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return view_purchase_attribution_outer(e).drop("v_ts")
+
+
+@query(
     "j06_asof_join",
     oracle="""
     WITH v AS (

@@ -95,7 +95,7 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 8, (
+    assert len(entry._PRIORITY_FIRST) == 9, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )

@@ -863,3 +863,32 @@ def test_band_checkpoint_append_validates_sidecar(spark, tmp_path):
         path, "doc_id", "text", num_hashes=12, mode="append",
     )
     assert spark.read.parquet(path).count() == 2 * before
+
+
+def test_chunk_dedup_planted_spans(spark):
+    """d14 ground truth by construction: two documents share an exact
+    10-word boilerplate span at different positions; the first occurrence
+    (lowest doc_id, then position) survives, the later copy is dropped,
+    and unique spans pass through untouched — including reassembly
+    order."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    boiler = "one two three four five six seven eight nine ten"
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(10))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, f"{u('a')} {boiler}"),          # chunks: [a*, boiler]
+            (2, f"{boiler} {u('b')}"),          # boiler dup -> dropped
+            (3, u("c")),                        # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+        for r in dedup.chunk_dedup_keep_first(
+            docs, "doc_id", "text", chunk_words=10
+        ).collect()
+    }
+    assert got[1] == (f"{u('a')} {boiler}", 2, 0)
+    assert got[2] == (u("b"), 2, 1)
+    assert got[3] == (u("c"), 1, 0)
