@@ -53,6 +53,11 @@ _PRIORITY_FIRST = [
     "u09_arrow_scalar_udf",
     "sql05_lateral_view_tokens",
     "e10_view_purchase_outer",
+    "w07_time_range_frame",
+    "f16_array_lambda",
+    "u10_except_all",
+    "u11_intersect_all",
+    "o07_zorder_cells",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

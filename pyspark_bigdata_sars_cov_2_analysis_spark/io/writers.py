@@ -131,6 +131,61 @@ def write_range_sorted(
     parts.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist parquet Z-order-clustered on ``cols`` — the multi-dimensional
+    sibling of :func:`write_range_sorted`. A 1-D range sort gives tight
+    footer stats only on its leading column (every file spans the FULL
+    range of the second column); interleaving the columns' bits into a
+    Morton code and range-clustering on THAT gives every file a compact
+    cell in all ``len(cols)`` dimensions, so a pushed predicate on ANY of
+    them skips most row groups. This is how a 100 TB fact table serves
+    both ``WHERE user_id = ?`` and ``WHERE day = ?`` from one layout
+    without a second copy. Cost: one stats pass (a 1-row min/max
+    aggregate) plus the same single clustering shuffle the 1-D writer
+    pays; verified by a footer-stats test that z-ordered files bound BOTH
+    dimensions while an x-sorted control leaves the second unbounded.
+    """
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
+        zorder_value,
+    )
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    grid = float((1 << bits) - 1)
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * grid)
+                .cast("bigint"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    z = df.withColumn("__z", zorder_value(scaled, bits=bits))
+    parts = (
+        z.repartitionByRange(n_partitions, F.col("__z"))
+        if n_partitions
+        else z.repartitionByRange(F.col("__z"))
+    )
+    (
+        parts.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -9,6 +9,7 @@ reserved for final small results.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def sort_rows(df: DataFrame, *order_by: Column | str) -> DataFrame:
@@ -36,3 +37,31 @@ def seeded_split(df: DataFrame, weights: list[float], seed: int = 2020):
     """O5 — ``randomSplit`` pinned to a seed; the reference left one unseeded
     (`spark/jobs/radiography_analysis.py:192`) which is untestable."""
     return df.randomSplit(weights, seed=seed)
+
+
+def zorder_value(cols: list[Column], bits: int = 12) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative integer
+    grid coordinates: bit ``i`` of column ``j`` lands at output bit
+    ``i * n + j``, so a contiguous z-range covers a compact hyper-rectangle
+    neighborhood in EVERY dimension at once. This is the multi-dimensional
+    generalization of :func:`~..io.writers.write_range_sorted`'s 1-D
+    clustering: sorting by the z-value gives every output file tight
+    min/max footer stats on ALL interleaved columns, so predicates on any
+    subset of them prune row groups — a linear sort can only ever serve
+    its leading column. Pure bit arithmetic (shift/and/or), whole-stage
+    codegen eligible, no shuffle of its own.
+
+    Callers pass already-quantized coordinates (``0 ≤ v < 2**bits``);
+    :func:`~..io.writers.write_zorder` handles min/max scaling.
+    ``bits * len(cols)`` must stay ≤ 63 to fit a signed BIGINT.
+    """
+    n = len(cols)
+    assert n >= 2, "z-ordering needs at least two dimensions"
+    assert bits * n <= 63, "z-value must fit a signed 64-bit integer"
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), i).bitwiseAND(one)
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z

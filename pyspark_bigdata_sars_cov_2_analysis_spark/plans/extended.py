@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pyspark_bigdata_sars_cov_2_analysis_spark.operators import windows
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators import sorts, windows
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     pround,
     query,
@@ -223,6 +223,51 @@ def w05_moving_frame(spark, sf_dir):
 
 
 @query(
+    "w07_time_range_frame",
+    # the outer window SUM over BIGINT is HUGEINT in DuckDB → cast (the
+    # u08/o06 DECIMAL-vs-BIGINT hash class)
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           CAST(SUM(n) OVER (
+             PARTITION BY event_type ORDER BY (d - DATE '1970-01-01')
+             RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS r4sum
+    FROM daily
+    """,
+)
+def w07_time_range_frame(spark, sf_dir):
+    """W3 completion — the RANGE (value-based) frame, the one frame type
+    w04-w06 never exercised: trailing 3-DAY sum of daily counts. Unlike
+    w05's ``rowsBetween`` (which silently widens the window across
+    calendar gaps — 4 *rows* can span weeks on sparse data), RANGE
+    bounds the frame by the ORDER BY *value*, so a missing day shrinks
+    the sum instead of pulling in stale rows; the planted-gap unit test
+    pins exactly that divergence. Spark's ``rangeBetween`` needs a
+    numeric sort key, so both engines order by epoch-days
+    (``unix_date`` / ``d - DATE '1970-1-1'``) with identical integer
+    offsets. Scale shape: aggregate-before-window (the window sees one
+    row per (type, day), never raw events), same as w05."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-3, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("r4sum"),
+    )
+
+
+@query(
     "f06_posexplode_roundtrip",
     oracle="""
     WITH packed AS (
@@ -332,6 +377,57 @@ def o04_deterministic_sample(spark, sf_dir):
         d, ["lang"], [F.md5("text"), F.asc("doc_id")], n=20
     )
     return out.select("lang", "doc_id")
+
+
+def _z_sql(x_sql: str, y_sql: str, bits: int) -> str:
+    """The identical Morton-interleave bit formula as DuckDB SQL text —
+    generated from the same loop as :func:`..operators.sorts.zorder_value`
+    so the two engines cannot drift."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_sql} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y_sql} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "o07_zorder_cells",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id,
+             CAST(user_id % 256 AS BIGINT) AS gx,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 256 AS BIGINT)
+               AS gy
+      FROM events)
+    SELECT CAST(({_z_sql('gx', 'gy', 8)}) >> 10 AS BIGINT) AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM g GROUP BY zcell
+    """,
+)
+def o07_zorder_cells(spark, sf_dir):
+    """Layout family — cross-engine bit-exactness of the Morton (Z-order)
+    interleave behind :func:`..io.writers.write_zorder`: every event is
+    mapped to an 8-bit (user, day) grid cell, z-encoded with
+    ``zorder_value``, and aggregated per 1024-wide z-cell (a 32×32 tile).
+    The oracle rebuilds the SAME shift/and/or formula from the same
+    Python loop, so a single flipped bit anywhere in the 32-term
+    interleave breaks the hash. The per-tile counts are exactly what the
+    clustering writer's range exchange partitions on — attesting them
+    attests the layout's partitioning math, not just a demo. Pure
+    row-local bit arithmetic + one aggregate; scales like a groupBy."""
+    e = table(spark, sf_dir, "events")
+    gx = F.pmod(F.col("user_id"), F.lit(256)).cast("bigint")
+    gy = F.pmod(F.unix_date(F.to_date("ts")), F.lit(256)).cast("bigint")
+    z = sorts.zorder_value([gx, gy], bits=8)
+    return (
+        e.select("event_id", F.shiftright(z, 10).alias("zcell"))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
 
 
 @query(

@@ -378,6 +378,62 @@ def u04_except(spark, sf_dir):
 
 
 @query(
+    "u10_except_all",
+    oracle="""
+    SELECT okey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT l_orderkey AS okey FROM lineitem WHERE l_discount > 0.05
+      EXCEPT ALL
+      SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY okey
+    """,
+)
+def u10_except_all(spark, sf_dir):
+    """U3 completion — MULTISET difference (``exceptAll``): u04's
+    EXCEPT collapses duplicates, but an orderkey appearing 3× on the
+    discounted side and 1× on the returned side must survive exactly 2× under
+    bag semantics. Physically this is a single hash aggregate over
+    (value, side) counts — no distinct pre-pass, no join — so it scales
+    like a groupBy. The post-aggregation keeps the attested result
+    compact while the per-key count still witnesses multiplicity."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("okey")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    return setops.except_rows(a, b, keep_duplicates=True).groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "u11_intersect_all",
+    oracle="""
+    SELECT okey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT l_orderkey AS okey FROM lineitem WHERE l_discount > 0.05
+      INTERSECT ALL
+      SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY okey
+    """,
+)
+def u11_intersect_all(spark, sf_dir):
+    """U3 completion — MULTISET intersection (``intersectAll``): each
+    key survives min(count_left, count_right) times. Same single-hash-
+    aggregate physical shape as u10."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("okey")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    return setops.intersect_rows(a, b, keep_duplicates=True).groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "f01_string_funcs",
     oracle=f"""
     SELECT p_partkey,
@@ -507,3 +563,53 @@ def f15_map_functions(spark, sf_dir):
     return m2.select(
         "user_id", F.explode("m2").alias("event_type", "n2")
     ).select("user_id", "event_type", F.col("n2").cast("bigint").alias("n2"))
+
+
+@query(
+    "f16_array_lambda",
+    # float → double promotion is pinned by an explicit per-element CAST on
+    # both sides so the comparisons/arithmetic see bit-identical doubles;
+    # the L1 norm is FLOOR-quantized to integer millis before summing
+    # (floor is engine-unambiguous where round's half-tie mode is not),
+    # so the fold is exact integer math and needs no tolerance
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+                AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 2.0)) > 0
+             AS any_big,
+           len(list_filter(embedding,
+                           x -> NOT abs(CAST(x AS DOUBLE)) < 10.0)) = 0
+             AS all_small,
+           CAST(list_aggregate(
+             list_transform(
+               embedding,
+               x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)),
+             'sum') AS BIGINT) AS l1_milli
+    FROM embeddings
+    """,
+)
+def f16_array_lambda(spark, sf_dir):
+    """F-family completion — ARRAY lambda higher-order functions (f15
+    covered the MAP family; u08 reaches arrays only through Arrow):
+    ``filter``/``exists``/``forall``/``transform``/``aggregate`` with
+    JVM-side lambdas, zero Python in the loop. This is the 100 TB way to
+    compute per-row vector features (element predicates, quantized
+    norms) without exploding the array — no row-count blow-up, no
+    shuffle, whole-stage-codegen eligible."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.transform(
+        v, lambda x: F.floor(F.abs(x) * F.lit(1000.0)).cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > F.lit(0.0)))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.exists(v, lambda x: x > F.lit(2.0)).alias("any_big"),
+        F.forall(v, lambda x: F.abs(x) < F.lit(10.0)).alias("all_small"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("l1_milli"),
+    )

@@ -553,3 +553,122 @@ def test_quantized_sum_arrow_null_elements():
     # sliced batches keep absolute offsets into the shared values buffer
     (tail,) = list(quantized_sum_arrow(iter([batch.slice(2)])))
     assert tail.column("qsum").to_pylist() == [None, 0]
+
+
+def test_zorder_value_bit_exact(spark):
+    """zorder_value must implement the exact Morton interleave (x bits at
+    even positions, y at odd) — checked against an independent pure-Python
+    reference over a sweep of coordinates, including the grid corners."""
+    def z_ref(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 0), (0, 255), (255, 255),
+           (170, 85), (128, 64)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y",
+            sorts.zorder_value([F.col("x"), F.col("y")], bits=8).alias("z"),
+        ).collect()
+    }
+    assert got == {(x, y): z_ref(x, y) for x, y in pts}
+
+
+def test_zorder_write_bounds_both_dims(spark, tmp_path):
+    """write_zorder's defining property vs a 1-D range sort: on a full
+    256×256 grid split into 16 files, EVERY z-ordered file's footer
+    min/max must bound BOTH dimensions to a small tile, while the
+    x-sorted control bounds x but leaves y spanning the full 0..255 range
+    in every file. This is the layout fact that lets one copy of a 100 TB
+    table serve pushed predicates on either column."""
+    import pyarrow.parquet as pq
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    grid = spark.range(0, 256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+
+    def ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def admitting(path, col, v):
+        """Files a zone-map reader must open for the predicate col = v."""
+        return sum(1 for lo, hi in ranges(path, col) if lo <= v <= hi)
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(grid, zpath, ["x", "y"], bits=8, n_partitions=16)
+    xpath = str(tmp_path / "xsorted")
+    write_range_sorted(grid, xpath, "x", n_partitions=16)
+    n_z = len(ranges(zpath, "x"))
+    n_x = len(ranges(xpath, "x"))
+    assert n_z >= 8 and n_x >= 8, (n_z, n_x)
+
+    # The z-curve jumps across the full coordinate range at major quadrant
+    # boundaries, so one or two files legitimately span everything — the
+    # layout property is about PRUNING COUNTS, not per-file worst case:
+    # a point predicate on EITHER dimension must let the footer stats
+    # skip most z-ordered files, while the 1-D control prunes only its
+    # sort column and must open EVERY file for the other one.
+    assert admitting(zpath, "x", 100) <= n_z // 2
+    assert admitting(zpath, "y", 100) <= n_z // 2
+    assert admitting(xpath, "x", 100) <= 2          # 1-D sort: x is perfect
+    assert admitting(xpath, "y", 100) == n_x        # ...but y is unprunable
+    # and MOST z-files are genuinely tight tiles in both dims
+    for col in ("x", "y"):
+        tight = sorted(hi - lo for lo, hi in ranges(zpath, col))
+        assert tight[n_z // 2] <= 128, tight
+
+    # round-trip multiset check
+    assert spark.read.parquet(zpath).count() == 256 * 256
+    got = spark.read.parquet(zpath).agg(
+        F.sum(F.col("x") * 65536 + F.col("y")).alias("s")
+    ).first().s
+    want = grid.agg(F.sum(F.col("x") * 65536 + F.col("y")).alias("s")).first().s
+    assert got == want
+
+
+def test_time_range_frame_gap_semantics(spark):
+    """w07's reason to exist: on gapped days a ROWS frame silently pulls
+    stale rows across the gap while a RANGE frame shrinks. Planted series
+    day 1,2,3,10 (n=1 each): at day 10 ROWS-3 sums 4, RANGE-3-days sums 1."""
+    from pyspark.sql.window import Window
+
+    daily = spark.createDataFrame(
+        [("a", "2021-01-01", 1), ("a", "2021-01-02", 1),
+         ("a", "2021-01-03", 1), ("a", "2021-01-10", 1)],
+        "event_type: string, day: string, n: long",
+    ).select("event_type", F.to_date("day").alias("d"), "n")
+    rows_w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 0)
+    range_w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-3, 0)
+    )
+    out = {
+        r.d.isoformat(): (r.rows_sum, r.range_sum)
+        for r in daily.select(
+            "d",
+            F.sum("n").over(rows_w).alias("rows_sum"),
+            F.sum("n").over(range_w).alias("range_sum"),
+        ).collect()
+    }
+    assert out["2021-01-03"] == (3, 3)   # contiguous: frames agree
+    assert out["2021-01-10"] == (4, 1)   # gapped: ROWS leaks, RANGE shrinks
