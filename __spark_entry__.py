@@ -58,6 +58,8 @@ _PRIORITY_FIRST = [
     "u10_except_all",
     "u11_intersect_all",
     "o07_zorder_cells",
+    "j08_full_outer",
+    "u12_union_schema_evolution",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

@@ -434,6 +434,38 @@ def u11_intersect_all(spark, sf_dir):
 
 
 @query(
+    "u12_union_schema_evolution",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n, COUNT(value) AS n_with_value,
+           {sql_round("COALESCE(SUM(value), 0)", 2)} AS total_value
+    FROM (
+      SELECT user_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, NULL AS value FROM events WHERE event_type = 'purchase'
+    ) GROUP BY user_id
+    """,
+)
+def u12_union_schema_evolution(spark, sf_dir):
+    """U1/U2 completion — ``unionByName(allowMissingColumns=True)``, the
+    schema-EVOLUTION union: the second branch lacks the ``value`` column
+    and Spark null-pads it by NAME instead of failing (or worse,
+    misaligning positionally the way the reference's bare ``union`` would
+    — SURVEY.md §7.3's 9-col vs 1-col latent bug). This is the append
+    path when a 100 TB table gains a column mid-history: old partitions
+    read as NULL, counts distinguish padded from real values. The oracle
+    spells the padding out as an explicit NULL projection."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "value")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id")
+    u = clicks.unionByName(purchases, allowMissingColumns=True)
+    return u.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_with_value"),
+        pround(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total_value"),
+    )
+
+
+@query(
     "f01_string_funcs",
     oracle=f"""
     SELECT p_partkey,

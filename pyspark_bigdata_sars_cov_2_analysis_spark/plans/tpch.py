@@ -296,3 +296,35 @@ def j05_salted_join_equiv(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         pround(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "j08_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS custkey, n_orders, n_events
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) a
+    FULL JOIN (SELECT user_id AS k, COUNT(*) AS n_events
+               FROM events GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def j08_full_outer(spark, sf_dir):
+    """§2.3 completion — FULL OUTER join, the one join type j01-j07 never
+    exercised: per-customer order counts ⟗ per-user event counts, keeping
+    keys that exist on only ONE side with NULLs on the other (both
+    directions occur in the test data). Aggregate-before-join keeps both
+    inputs one-row-per-key, so the full-outer shuffle moves counts, not
+    facts — the 100 TB reconciliation-report shape (e.g. billing vs
+    usage) where dropping either side's orphans hides exactly the rows
+    the report exists to find. The USING-style join coalesces the key on
+    both engines."""
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    a = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    b = e.groupBy(F.col("user_id").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return joins.join_fact(a, b, on="custkey", how="full_outer")
