@@ -409,3 +409,60 @@ def test_ml03_single_aggregate_pass(spark):
     assert "partial_sum" in plan, plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, plan
+
+
+def test_w07_window_sees_aggregated_rows_only(spark):
+    """w07's RANGE frame must run over the DAILY aggregate (one row per
+    (type, day)), never over raw events: the plan needs exactly one
+    grouped aggregate below the single Window node, with a map-side
+    partial so the per-day reduction happens before the shuffle."""
+    plan = _plan(QUERIES["w07_time_range_frame"](spark, SF_TEST))
+    assert plan.lower().count("windowspecdefinition") >= 1, plan
+    assert "partial_count" in plan, plan
+    tree = plan.split("\n\n")[0]
+    win_line = next(
+        i for i, ln in enumerate(tree.splitlines()) if "Window" in ln
+    )
+    below = "\n".join(tree.splitlines()[win_line:])
+    assert "HashAggregate" in below, plan
+
+
+def test_f16_array_lambdas_no_explode_no_shuffle(spark):
+    """f16's whole point: per-row vector features WITHOUT exploding the
+    array — the plan must be a pure projection over the scan (no
+    Generate/Explode node, no Exchange)."""
+    plan = _plan(QUERIES["f16_array_lambda"](spark, SF_TEST))
+    tree = plan.split("\n\n")[0]
+    assert "Generate" not in tree, plan
+    assert "Exchange" not in tree, plan
+
+
+def test_j08_full_outer_joins_aggregates_not_facts(spark):
+    """j08 must aggregate BOTH sides to one row per key before the full
+    outer join, so the outer shuffle moves counts: the plan's join must
+    be FullOuter with a HashAggregate under each side, and no
+    BroadcastNestedLoopJoin."""
+    plan = _plan(QUERIES["j08_full_outer"](spark, SF_TEST))
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    join_line = next(
+        i for i, ln in enumerate(tree.splitlines()) if "FullOuter" in ln
+    )
+    below = "\n".join(tree.splitlines()[join_line:])
+    assert below.count("HashAggregate") >= 2, plan
+
+
+def test_o07_zorder_is_single_aggregate_over_scan(spark):
+    """The z-interleave is row-local bit arithmetic: o07's plan must be
+    one grouped aggregate (map-side partial + one exchange) directly over
+    the scan — a second exchange or a window would mean the interleave
+    stopped being in-plan."""
+    plan = _plan(QUERIES["o07_zorder_cells"](spark, SF_TEST))
+    tree = plan.split("\n\n")[0]
+    assert "windowspecdefinition" not in tree.lower(), plan
+    assert "partial_count" in plan, plan
+    n_exchanges = sum(
+        1 for ln in tree.splitlines() if "Exchange" in ln and "Reused" not in ln
+    )
+    assert n_exchanges <= 1, plan
