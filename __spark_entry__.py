@@ -60,6 +60,7 @@ _PRIORITY_FIRST = [
     "o07_zorder_cells",
     "j08_full_outer",
     "u12_union_schema_evolution",
+    "a22_countmin_heavy_hitters",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

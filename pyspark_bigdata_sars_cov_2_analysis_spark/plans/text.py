@@ -487,3 +487,62 @@ def t12_quality_gate(spark, sf_dir):
     return d.select("doc_id", g).select(
         "doc_id", F.col("g.keep").alias("keep"), F.col("g.reasons").alias("reasons")
     )
+
+
+@query(
+    "a22_countmin_heavy_hitters",
+    # the whole sketch is replicated in SQL from the same md5-bucket
+    # formula, so the ESTIMATES enter the hash — not just bound booleans;
+    # SUM cells are HUGEINT in DuckDB → cast (the u08/o06 hash class)
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_DUCK_NORM}, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok),
+    seeds AS (SELECT * FROM (VALUES ('0'), ('1'), ('2'), ('3')) s(cms_row)),
+    cms AS (
+      SELECT cms_row,
+             substr(md5(cms_row || '|' || tok), 1, 2) AS bucket,
+             SUM(n_exact) AS cell
+      FROM tc CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    top AS (SELECT tok, n_exact FROM tc ORDER BY n_exact DESC, tok LIMIT 20),
+    est AS (
+      SELECT t.tok, MIN(c.cell) AS est
+      FROM top t CROSS JOIN seeds s
+      JOIN cms c ON c.cms_row = s.cms_row
+                AND c.bucket = substr(md5(s.cms_row || '|' || t.tok), 1, 2)
+      GROUP BY t.tok
+    )
+    SELECT t.tok, CAST(t.n_exact AS BIGINT) AS n_exact,
+           CAST(e.est AS BIGINT) AS est
+    FROM top t JOIN est e ON t.tok = e.tok
+    """,
+)
+def a22_countmin_heavy_hitters(spark, sf_dir):
+    """Sketch-family completion — FREQUENCY estimation, the third
+    mergeable-sketch axis after cardinality (a15/a17/a18) and quantiles
+    (a19/a20): a deterministic md5-bucketed Count-Min sketch
+    (``llmdata/sketches.py``) probed for the corpus's 20 most frequent
+    tokens. Unlike the native HLL/KLL sketches (randomized → only bound
+    booleans hashable), this sketch is the same bit-for-bit in any
+    engine with md5, so the driver hash covers the estimates themselves.
+    Scale shape: ONE map-side-combined shuffle over the token stream
+    (exact per-token counts); the depth×4 expansion runs on the
+    vocabulary-sized aggregate, the sketch is ≤ 4×256 rows (broadcast on
+    the probe side), and sketches merge by cell-wise sum
+    (property-tested) — per-day frequency sketches at 100 TB combine
+    without rescanning tokens."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sketches
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    cms = sketches.countmin_table(tc, "tok", "n_exact")
+    top = tc.orderBy(F.desc("n_exact"), F.asc("tok")).limit(20)
+    est = sketches.countmin_estimate(cms, top.select("tok"), "tok")
+    return top.join(
+        est.withColumnRenamed("item", "tok"), "tok"
+    ).select("tok", "n_exact", F.col("est").cast("bigint").alias("est"))

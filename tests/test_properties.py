@@ -892,3 +892,43 @@ def test_chunk_dedup_planted_spans(spark):
     assert got[1] == (f"{u('a')} {boiler}", 2, 0)
     assert got[2] == (u("b"), 2, 1)
     assert got[3] == (u("c"), 1, 0)
+
+
+def test_countmin_merge_linearity_and_overcount(spark):
+    """The two Count-Min invariants a 100 TB per-shard deployment relies
+    on: (1) LINEARITY — the sketch of a union equals the cell-wise merge
+    of per-shard sketches, exactly, for any split of the data; (2)
+    OVERCOUNT-ONLY — every point estimate ≥ the exact count (min over
+    rows can never undercount). Checked on a corpus with planted hot and
+    colliding-ish items."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sketches
+
+    items = (
+        [("alpha", 50), ("beta", 30), ("gamma", 7)]
+        + [(f"tail{i}", 1 + i % 3) for i in range(40)]
+    )
+    df = spark.createDataFrame(items, "item: string, cnt: long")
+    a = df.where(F.col("cnt") % 2 == 0)
+    b = df.where(F.col("cnt") % 2 != 0)
+
+    whole = sketches.countmin_table(df, "item", "cnt")
+    merged = sketches.merge_countmin(
+        sketches.countmin_table(a, "item", "cnt"),
+        sketches.countmin_table(b, "item", "cnt"),
+    )
+    key = lambda rows: sorted((r.cms_row, r.bucket, r.cell) for r in rows)
+    assert key(whole.collect()) == key(merged.collect())
+
+    est = {
+        r.item: r.est
+        for r in sketches.countmin_estimate(
+            whole, df.select("item"), "item"
+        ).collect()
+    }
+    exact = dict(items)
+    assert set(est) == set(exact)
+    for item, e in est.items():
+        assert e >= exact[item], (item, e, exact[item])
+    # sanity: the sketch is actually small (mergeable at 100 TB because
+    # of this bound, depth × 256 cells max)
+    assert whole.count() <= 4 * 256
