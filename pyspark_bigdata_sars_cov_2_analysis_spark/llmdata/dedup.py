@@ -319,14 +319,15 @@ def streaming_neardup_ingest(
     semantics: the STREAMING checkpoint (``stream_checkpoint``) records
     which source files each micro-batch consumed, so a restart over the
     same source re-processes nothing — the restart-idempotence the
-    exactly-once test proves. Known caveat (documented, not hidden): a
-    crash INSIDE a micro-batch, after one of the two appends but before
-    the batch commits, re-runs the whole batch on restart and can
-    duplicate appended rows — the standard ``foreachBatch`` gap. The
-    production hardening is an idempotent sink (per-batch-id output
-    partitions overwritten by ``overwrite_partitions``, or a
-    transactional table format); band-row duplicates are semantically
-    harmless here (pairs are ``distinct()``-ed) but cost storage.
+    exactly-once test proves. The standard ``foreachBatch`` gap (a crash
+    INSIDE a micro-batch replays the whole batch on restart) is closed
+    for the OUTPUT side by :func:`ingest_batch_idempotent`: survivors go
+    to a per-``batch_id`` partition via dynamic partition overwrite, so
+    a replay overwrites its own partition instead of appending a second
+    copy (replay-idempotence tested by running one batch twice). Band
+    rows still append — a replay can duplicate a band row, which is
+    semantically harmless (pairs are ``distinct()``-ed before the anti
+    join) and costs only bounded storage.
 
     The band checkpoint must already exist (seed it once from the
     initial corpus with :func:`write_band_checkpoint`) — that's the
@@ -339,22 +340,10 @@ def streaming_neardup_ingest(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        corpus_bands = read_band_checkpoint(
-            s, band_path, id_col,
+        ingest_batch_idempotent(
+            batch_df, batch_id, band_path, out_path,
+            id_col=id_col, text_col=text_col,
             k=k, num_hashes=num_hashes, band_rows=band_rows,
-        )
-        pairs = incremental_neardup_pairs(
-            batch_df, None, id_col, text_col,
-            k=k, num_hashes=num_hashes, band_rows=band_rows,
-            corpus_bands=corpus_bands,
-        )
-        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-        clean = batch_df.join(dup_ids, on=id_col, how="left_anti")
-        clean.write.mode("append").parquet(out_path)
-        write_band_checkpoint(
-            clean, band_path, id_col, text_col,
-            k=k, num_hashes=num_hashes, band_rows=band_rows, mode="append",
         )
 
     stream = (
@@ -366,6 +355,59 @@ def streaming_neardup_ingest(
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", stream_checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+def ingest_batch_idempotent(
+    batch_df: DataFrame,
+    batch_id: int,
+    band_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 12,
+    band_rows: int = 3,
+) -> None:
+    """One micro-batch of the streaming dedup ingest, REPLAY-SAFE: dedup
+    ``batch_df`` against the persisted band checkpoint, publish survivors,
+    append the survivors' bands.
+
+    The hardening (closes the foreachBatch mid-batch-crash caveat the
+    first cut documented): survivors land in an ``ingest_batch=<id>``
+    partition via DYNAMIC partition overwrite, so replaying a crashed
+    batch — which ``foreachBatch`` does with the SAME batch_id —
+    overwrites that batch's own partition instead of appending a second
+    copy. Output duplication, the actual correctness hazard, is thereby
+    impossible; earlier batches' partitions are untouched by the scoped
+    overwrite. Band rows still append (a replay can leave a duplicate
+    band row), which is benign by construction: candidate pairs are
+    ``distinct()``-ed before the anti join, so a duplicated band can
+    only re-derive the same pair, never re-admit a document — the cost
+    is bounded storage, not wrong answers. Verified by a test that runs
+    the same (batch_df, batch_id) twice and gets byte-identical output."""
+    s = batch_df.sparkSession
+    corpus_bands = read_band_checkpoint(
+        s, band_path, id_col,
+        k=k, num_hashes=num_hashes, band_rows=band_rows,
+    )
+    pairs = incremental_neardup_pairs(
+        batch_df, None, id_col, text_col,
+        k=k, num_hashes=num_hashes, band_rows=band_rows,
+        corpus_bands=corpus_bands,
+    )
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    clean = batch_df.join(dup_ids, on=id_col, how="left_anti")
+    (
+        clean.withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(out_path)
+    )
+    write_band_checkpoint(
+        clean, band_path, id_col, text_col,
+        k=k, num_hashes=num_hashes, band_rows=band_rows, mode="append",
     )
 
 

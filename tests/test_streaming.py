@@ -404,3 +404,56 @@ def test_streaming_neardup_ingest_band_checkpoint(spark, tmp_path):
     run_once()
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch crash-replay hazard, driven directly: running the
+    SAME (batch_df, batch_id) through ingest_batch_idempotent twice —
+    exactly what a restart after a mid-batch crash does — must leave the
+    output byte-identical to one run (the dynamic per-batch partition
+    overwrite replaces, never appends), while a DIFFERENT batch_id lands
+    in its own partition without touching the first."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seed document about the quick brown fox and the lazy dog")],
+        "doc_id long, text string",
+    )
+    band_path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, band_path, "doc_id", "text")
+    out = str(tmp_path / "out")
+
+    batch = spark.createDataFrame(
+        [(10, "a wholly new text concerning structured streaming replays"),
+         (11, "another fresh body of words on idempotent batch sinks")],
+        "doc_id long, text string",
+    )
+    dedup.ingest_batch_idempotent(batch, 0, band_path, out)
+    first = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == [(10, 0), (11, 0)]
+
+    # crash-replay: same batch, same id — output must NOT duplicate
+    dedup.ingest_batch_idempotent(batch, 0, band_path, out)
+    replay = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replay == first
+
+    # a later batch appends its own partition and leaves batch 0 alone;
+    # doc 20 duplicates batch 0's survivor 10, so the checkpoint the
+    # replay re-appended must still dedup correctly (no re-admission)
+    batch2 = spark.createDataFrame(
+        [(20, "a wholly new text concerning structured streaming replays"),
+         (21, "completely unrelated prose about parquet partition pruning")],
+        "doc_id long, text string",
+    )
+    dedup.ingest_batch_idempotent(batch2, 1, band_path, out)
+    final = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert final == [(10, 0), (11, 0), (21, 1)]
