@@ -61,6 +61,7 @@ _PRIORITY_FIRST = [
     "j08_full_outer",
     "u12_union_schema_evolution",
     "a22_countmin_heavy_hitters",
+    "o08_quality_weighted_sample",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

@@ -96,6 +96,31 @@ def rate_threshold_hex(rate: Column) -> Column:
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling: row kept with probability ≈
+    its own ``weight`` (clamped to [0,1]), decided by the same
+    deterministic md5 gate as o05/o06/d08 — the quality-proportional
+    sampling step of an LLM-data pipeline (keep good documents often,
+    bad ones rarely) made reproducible across runs/engines/partitioning.
+    o05's gate applies one rate per STRATUM and o06's one per SOURCE;
+    this is the per-row generalization: the threshold is computed from
+    the weight column in-plan (``rate_threshold_hex``, both overflow
+    guards included), so the whole operator stays a row-local filter —
+    zero shuffle, trivially scale-clean. Weights must be deterministic
+    (derive them from content, not ``rand()``), or reproducibility is
+    lost upstream of the gate."""
+    thresh = rate_threshold_hex(F.greatest(weight, F.lit(0.0)))
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    return df.where(prefix < thresh)
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -878,6 +878,54 @@ def o05_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@query(
+    "o08_quality_weighted_sample",
+    # the weight is the CROSS-ENGINE-ROUNDED t02 quality score, so the
+    # in-plan threshold (floor(w*65536), both overflow guards) is
+    # bit-identical in DuckDB; the gate is then a pure string compare
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             greatest({sql_round(_QUALITY_EXPR, 4)}, 0.0) AS weight
+      FROM documents
+    )
+    SELECT doc_id, weight FROM w
+    WHERE substr(md5('wq|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN weight >= 1.0 THEN 'g'
+               ELSE printf('%04x', least(
+                 CAST(floor(weight * 65536.0) AS INT), 65535)) END
+    """,
+)
+def o08_quality_weighted_sample(spark, sf_dir):
+    """Sampling-family completion — per-ROW weighted sampling: each
+    document survives with probability equal to its own (deterministic)
+    quality score, the keep-good-often / keep-bad-rarely step of an
+    LLM-data pipeline. o05 gates one rate per stratum and o06 one per
+    source; this is the per-row generalization
+    (``llmdata/sampling.weighted_hash_sample``): the 16-bit threshold is
+    computed from the weight column IN-plan, the decision hashes
+    (salt, doc_id) — reproducible across runs/engines/partitionings —
+    and the whole operator is a row-local filter with zero shuffle."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        weighted_hash_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "text",
+        F.greatest(pround(quality_score(F.col("text")), 4), F.lit(0.0)).alias(
+            "weight"
+        ),
+    )
+    return weighted_hash_sample(w, "doc_id", F.col("weight"), salt="wq|").select(
+        "doc_id", "weight"
+    )
+
+
 _MIX_W = (
     "CAST(CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 "
     "WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END AS DOUBLE)"
