@@ -62,6 +62,7 @@ _PRIORITY_FIRST = [
     "u12_union_schema_evolution",
     "a22_countmin_heavy_hitters",
     "o08_quality_weighted_sample",
+    "ml04_kfold_assignment",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

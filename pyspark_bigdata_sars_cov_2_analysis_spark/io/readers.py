@@ -35,7 +35,19 @@ TESTDATA_TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Parquet scan. ``merge_schema=True`` is the READ side of u12's
+    schema evolution: when a table gained columns mid-history, the
+    default read takes the schema from one footer and silently DROPS the
+    new columns if it happens to sample an old file — mergeSchema unions
+    every file's schema and null-pads old files, at the cost of reading
+    all footers (so at 100 TB, prefer declaring the target schema
+    explicitly once it's known; mergeSchema is for discovery). Pinned by
+    ``tests/test_io_and_ops.py::test_parquet_merge_schema_read``."""
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true").parquet(path)
     return spark.read.parquet(path)
 
 

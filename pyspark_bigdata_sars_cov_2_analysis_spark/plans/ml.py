@@ -175,3 +175,55 @@ def ml03_regression_metrics(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "ml04_kfold_assignment",
+    # the fold id is a CASE over the first md5 hex char — '0'-'3'/'4'-'7'/
+    # '8'-'b'/'c'-'f' are lexicographically contiguous in every engine,
+    # so the assignment is pure string algebra, no hex->int conversion
+    oracle="""
+    WITH f AS (
+      SELECT label,
+             CASE WHEN substr(md5('cv|' || CAST(vec_id AS VARCHAR)), 1, 1)
+                       < '4' THEN 0
+                  WHEN substr(md5('cv|' || CAST(vec_id AS VARCHAR)), 1, 1)
+                       < '8' THEN 1
+                  WHEN substr(md5('cv|' || CAST(vec_id AS VARCHAR)), 1, 1)
+                       < 'c' THEN 2
+                  ELSE 3 END AS fold
+      FROM embeddings
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY fold, label
+    """,
+)
+def ml04_kfold_assignment(spark, sf_dir):
+    """M-family completion — deterministic k-fold cross-validation
+    assignment (k=4): every example lands in exactly one fold keyed by a
+    content-id hash, so the folds are identical on every run, engine,
+    cluster size, and data layout — unlike MLlib's ``CrossValidator``
+    fold assignment, which draws from ``rand(seed)`` and is therefore
+    stable only within one engine. The md5-gate family (o05/d08/o08)
+    applied to model selection: fold membership is a row-local
+    projection (zero shuffle), per-(fold, label) counts are one
+    aggregate, and the output shape is exactly what a stratification
+    audit reads (does each fold see every class?). Train/validate for
+    fold i = ``fold != i`` / ``fold == i`` filters — no data movement."""
+    e = table(spark, sf_dir, "embeddings")
+    c = F.substring(
+        F.md5(F.concat(F.lit("cv|"), F.col("vec_id").cast("string"))), 1, 1
+    )
+    fold = (
+        F.when(c < "4", 0)
+        .when(c < "8", 1)
+        .when(c < "c", 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return (
+        e.select(fold.alias("fold"), "label")
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

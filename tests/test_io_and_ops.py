@@ -672,3 +672,28 @@ def test_time_range_frame_gap_semantics(spark):
     }
     assert out["2021-01-03"] == (3, 3)   # contiguous: frames agree
     assert out["2021-01-10"] == (4, 1)   # gapped: ROWS leaks, RANGE shrinks
+
+
+def test_parquet_merge_schema_read(spark, tmp_path):
+    """The read side of u12's schema evolution: a table whose later files
+    carry an extra column must surface it with mergeSchema (old files
+    null-padded), while documenting that the default single-footer read
+    may drop it. Written as two append generations of one directory."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import (
+        read_parquet,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, v: string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id: long, v: string, score: double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30.0}
+    # and the whole multiset survives
+    assert sorted(r.id for r in merged.collect()) == [1, 2, 3]
