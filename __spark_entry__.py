@@ -63,6 +63,8 @@ _PRIORITY_FIRST = [
     "a22_countmin_heavy_hitters",
     "o08_quality_weighted_sample",
     "ml04_kfold_assignment",
+    "p17_summary_stats",
+    "a23_corr_covar",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

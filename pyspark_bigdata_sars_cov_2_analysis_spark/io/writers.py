@@ -186,6 +186,24 @@ def write_zorder(
     )
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV sink — the write side of S1 (the reference only ever READS
+    CSV). Header on by default to match read_csv's contract; keep CSV
+    for interchange edges only — at 100 TB it has no column pruning, no
+    predicate pushdown, and no footer stats, so anything queried again
+    belongs in parquet."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -884,3 +884,33 @@ def sql05_lateral_view_tokens(spark, sf_dir):
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "a23_corr_covar",
+    # both engines accumulate co-moments in one pass; last-ulp drift is
+    # absorbed by the 4dp compat rounding (same class as every AVG here)
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round("corr(l_quantity, l_extendedprice)", 4)} AS qp_corr,
+           {sql_round("covar_samp(l_quantity, l_extendedprice)", 2)}
+             AS qp_covar,
+           {sql_round("stddev_samp(l_extendedprice)", 2)} AS price_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a23_corr_covar(spark, sf_dir):
+    """A-family completion — second-moment statistics (Pearson
+    correlation, sample covariance, sample stddev) per group: the other
+    half of p17's profile. All three are single-pass co-moment
+    aggregates with map-side partials (Welford-style merge), so at
+    100 TB the correlation matrix of a fact table costs one scan —
+    never the naive two-pass mean-then-residuals formulation."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        pround(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp_corr"),
+        pround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qp_covar"
+        ),
+        pround(F.stddev_samp("l_extendedprice"), 2).alias("price_std"),
+    )

@@ -645,3 +645,38 @@ def f16_array_lambda(spark, sf_dir):
             q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("l1_milli"),
     )
+
+
+@query(
+    "p17_summary_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT)
+             AS qty_nulls,
+           {sql_round("MIN(l_quantity)", 2)} AS qty_min,
+           {sql_round("MAX(l_quantity)", 2)} AS qty_max,
+           {sql_round("AVG(l_quantity)", 4)} AS qty_mean,
+           {sql_round("MIN(l_extendedprice)", 2)} AS price_min,
+           {sql_round("MAX(l_extendedprice)", 2)} AS price_max,
+           {sql_round("AVG(l_extendedprice)", 4)} AS price_mean
+    FROM lineitem
+    """,
+)
+def p17_summary_stats(spark, sf_dir):
+    """P16's sibling — the ``df.describe()``/``summary()`` profiling
+    operator, rebuilt as ONE deterministic single-pass aggregate
+    (count / nulls / min / max / mean per column) instead of the
+    built-in's string-typed output: every statistic is a map-side-
+    combined partial, so profiling a 100 TB table costs one scan and
+    one 1-row exchange. Second moments (stddev/corr) live in a23."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("qty_nulls"),
+        pround(F.min("l_quantity"), 2).alias("qty_min"),
+        pround(F.max("l_quantity"), 2).alias("qty_max"),
+        pround(F.avg("l_quantity"), 4).alias("qty_mean"),
+        pround(F.min("l_extendedprice"), 2).alias("price_min"),
+        pround(F.max("l_extendedprice"), 2).alias("price_max"),
+        pround(F.avg("l_extendedprice"), 4).alias("price_mean"),
+    )

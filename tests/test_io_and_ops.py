@@ -697,3 +697,21 @@ def test_parquet_merge_schema_read(spark, tmp_path):
     assert rows == {1: None, 2: None, 3: 30.0}
     # and the whole multiset survives
     assert sorted(r.id for r in merged.collect()) == [1, 2, 3]
+
+
+def test_csv_roundtrip_preserves_values(spark, tmp_path):
+    """S1 write side: header CSV out, schema-declared read back, same
+    multiset (CSV carries no types, so the read declares them — the
+    same contract read_csv documents)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b,with,commas", -2.25), (3, None, 0.0)],
+        "id: long, name: string, score: double",
+    )
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = spark.read.option("header", "true").schema(
+        "id long, name string, score double"
+    ).csv(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
