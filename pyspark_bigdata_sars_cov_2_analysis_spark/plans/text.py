@@ -539,7 +539,12 @@ def a22_countmin_heavy_hitters(spark, sf_dir):
     toks = d.select(
         F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok")
     )
-    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    # cached for the same reason as t09's tf frame: the sketch, the
+    # top-20, and the probe-estimate branches would otherwise each
+    # re-plan the full tokenize+count subtree (3 corpus scans at 100 TB
+    # — ReuseExchange does not deduplicate them across the differing
+    # projections); the cached frame is vocabulary-sized and spillable
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact")).cache()
     cms = sketches.countmin_table(tc, "tok", "n_exact")
     top = tc.orderBy(F.desc("n_exact"), F.asc("tok")).limit(20)
     est = sketches.countmin_estimate(cms, top.select("tok"), "tok")

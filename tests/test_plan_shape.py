@@ -466,3 +466,32 @@ def test_o07_zorder_is_single_aggregate_over_scan(spark):
         1 for ln in tree.splitlines() if "Exchange" in ln and "Reused" not in ln
     )
     assert n_exchanges <= 1, plan
+
+
+def test_a22_cms_caches_token_counts_single_tokenize(spark):
+    """a22's sketch, top-20, and probe branches all consume the token-
+    count frame; without the cache each branch re-plans the full
+    tokenize+count subtree (three corpus scans at 100 TB — the t09
+    lesson). The plan must therefore read the cached vocabulary frame
+    (InMemoryTableScan / TableCacheQueryStage) in at least two branches
+    and contain at most ONE raw tokenize (Generate/explode) node."""
+    df = QUERIES["a22_countmin_heavy_hitters"](spark, SF_TEST)
+    plan = _plan(df)
+    cached_reads = plan.count("InMemoryTableScan") + plan.count(
+        "TableCacheQueryStage"
+    )
+    assert cached_reads >= 2, plan
+    # every branch above the cache reads the vocabulary frame, so the
+    # raw corpus parquet is ONE physical scan — the formatted plan
+    # re-prints the InMemoryRelation's defining subtree under every
+    # cached read, so count DISTINCT node ids, not printed lines
+    import re
+
+    scan_ids = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln
+        for m in [re.search(r"\((\d+)\)", ln)]
+        if m
+    }
+    assert len(scan_ids) == 1, plan
