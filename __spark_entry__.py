@@ -65,6 +65,7 @@ _PRIORITY_FIRST = [
     "ml04_kfold_assignment",
     "p17_summary_stats",
     "a23_corr_covar",
+    "f17_fuzzy_recode",
 ]
 _STALE_QUEUE = [
     # last attested round 4 (stalest anywhere), in CORRECTNESS_r04 order

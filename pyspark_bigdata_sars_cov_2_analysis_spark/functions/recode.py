@@ -33,3 +33,29 @@ def rate_percent(numer: Column, denom: Column, decimals: int = 2) -> Column:
     """round(numer/denom*100, d) — the mortality/recovery-rate expression
     (ref: spark/jobs/cases_time_analysis.py:183-189)."""
     return F.round(numer / denom * 100.0, decimals)
+
+
+def fuzzy_recode(
+    col: Column,
+    canonical: list[str],
+    max_dist: int = 2,
+) -> Column:
+    """Map a dirty categorical to its nearest canonical value by edit
+    distance — the data-cleaning twin of the exact recodes above: typo'd
+    category values ('clik', 'viw') snap to the closest entry of
+    ``canonical`` when within ``max_dist`` edits, otherwise pass through
+    unchanged (never silently relabel something far from every
+    canonical). Ties break by CANONICAL LIST ORDER (first match wins),
+    which is deterministic and expressible identically in SQL, unlike a
+    struct-min argmin whose tiebreak would be value order. Pure
+    JVM ``levenshtein`` when-chain — row-local, codegen'd, no shuffle;
+    cost is O(len(canonical)) distance evaluations per row, so keep the
+    canonical list small (it's a category dictionary, not a corpus)."""
+    dists = [F.levenshtein(col, F.lit(c)) for c in canonical]
+    mind = F.least(*dists) if len(dists) > 1 else dists[0]
+    expr: Column | None = None
+    for c, d in zip(canonical, dists):
+        cond = (d == mind) & (mind <= max_dist)
+        expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+    assert expr is not None
+    return expr.otherwise(col)

@@ -680,3 +680,112 @@ def p17_summary_stats(spark, sf_dir):
         pround(F.max("l_extendedprice"), 2).alias("price_max"),
         pround(F.avg("l_extendedprice"), 4).alias("price_mean"),
     )
+
+
+@query(
+    "f17_fuzzy_recode",
+    # the corruption (drop 2nd char when event_id % 7 = 3) is planted
+    # identically in both engines, so the oracle checks the RECOVERY
+    # math, not clean data: every when-branch of the levenshtein
+    # argmin (first-canonical-wins tiebreak) must agree with SQL's
+    oracle="""
+    WITH dirty AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 3
+                  THEN substr(event_type, 1, 1) || substr(event_type, 3)
+                  ELSE event_type END AS et,
+             CAST(event_id % 7 = 3 AS INT) AS was_corrupted
+      FROM events
+    ),
+    fixed AS (
+      SELECT was_corrupted,
+             CASE
+               WHEN levenshtein(et, 'click') = least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view'))
+                AND least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view')) <= 2 THEN 'click'
+               WHEN levenshtein(et, 'error') = least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view'))
+                AND least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view')) <= 2 THEN 'error'
+               WHEN levenshtein(et, 'purchase') = least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view'))
+                AND least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view')) <= 2 THEN 'purchase'
+               WHEN levenshtein(et, 'signup') = least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view'))
+                AND least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view')) <= 2 THEN 'signup'
+               WHEN levenshtein(et, 'view') = least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view'))
+                AND least(
+                 levenshtein(et, 'click'), levenshtein(et, 'error'),
+                 levenshtein(et, 'purchase'), levenshtein(et, 'signup'),
+                 levenshtein(et, 'view')) <= 2 THEN 'view'
+               ELSE et END AS event_type
+      FROM dirty
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(was_corrupted) AS BIGINT) AS n_fixed
+    FROM fixed GROUP BY event_type
+    """,
+)
+def f17_fuzzy_recode(spark, sf_dir):
+    """F-family data cleaning — fuzzy categorical recode
+    (``functions/recode.fuzzy_recode``): deterministic typos are PLANTED
+    (every 7th event's type loses its 2nd character: 'click'→'cick'),
+    then snapped back to the nearest canonical value by JVM
+    ``levenshtein`` with first-canonical-wins tiebreak and a max-dist
+    gate. The per-type counts must land back at the clean distribution
+    with n_fixed witnessing that ~1/7 of rows actually round-tripped
+    through the fix — a closed-loop proof of the recode, not a
+    no-typos-no-op. Row-local when-chain, zero shuffle beyond the final
+    count."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
+        fuzzy_recode,
+    )
+
+    e = table(spark, sf_dir, "events")
+    corrupted = F.col("event_id") % 7 == 3
+    dirty = e.select(
+        F.when(
+            corrupted,
+            F.concat(
+                F.substring("event_type", 1, 1),
+                F.expr("substring(event_type, 3)"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+        corrupted.cast("int").alias("was_corrupted"),
+    )
+    canon = ["click", "error", "purchase", "signup", "view"]
+    return (
+        dirty.select(
+            fuzzy_recode(F.col("et"), canon, max_dist=2).alias("event_type"),
+            "was_corrupted",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("was_corrupted").cast("bigint").alias("n_fixed"),
+        )
+    )

@@ -95,12 +95,12 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 21, (
+    assert len(entry._PRIORITY_FIRST) == 22, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
     # VERDICT r6 #3: the 28 round-4-stale names must ALL be inside the
-    # round-7 window (head 21 + 28 = 49 ≤ 50), so no query's last green
+    # round-7 window (head 22 + 28 = 50 ≤ 50), so no query's last green
     # attestation is older than two rounds after this round lands
     r4_stale = entry._STALE_QUEUE[:28]
     assert r4_stale[0] == "q1_pricing_summary"

@@ -932,3 +932,37 @@ def test_countmin_merge_linearity_and_overcount(spark):
     # sanity: the sketch is actually small (mergeable at 100 TB because
     # of this bound, depth × 256 cells max)
     assert whole.count() <= 4 * 256
+
+
+def test_fuzzy_recode_tiebreak_and_passthrough(spark):
+    """fuzzy_recode edge semantics: ties snap to the FIRST canonical in
+    list order (deterministic, matching the SQL oracle's when-chain);
+    values beyond max_dist pass through UNCHANGED (never silently
+    relabeled); exact matches are fixed points."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
+        fuzzy_recode,
+    )
+
+    df = spark.createDataFrame(
+        [("ab",), ("zzzzzz",), ("click",), ("clik",)], "v string"
+    )
+    # canonical ["ad", "ab2"]: "ab" is distance 1 from BOTH -> first wins
+    out = {
+        r.v: r.fixed
+        for r in df.select(
+            "v", fuzzy_recode(F.col("v"), ["ad", "ab2"], max_dist=1).alias("fixed")
+        ).collect()
+    }
+    assert out["ab"] == "ad"          # tie -> first canonical
+    assert out["zzzzzz"] == "zzzzzz"  # beyond max_dist -> passthrough
+    out2 = {
+        r.v: r.fixed
+        for r in df.select(
+            "v",
+            fuzzy_recode(
+                F.col("v"), ["click", "view"], max_dist=2
+            ).alias("fixed"),
+        ).collect()
+    }
+    assert out2["click"] == "click"   # exact match is a fixed point
+    assert out2["clik"] == "click"    # typo snaps
