@@ -186,6 +186,46 @@ def write_zorder(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    n_files: int,
+    tmp_suffix: str = "_compacting",
+) -> int:
+    """Rewrite a parquet directory into ``n_files`` larger files — the
+    maintenance pass for the small-files problem every incremental
+    pipeline accumulates (each micro-batch/backfill append leaves its
+    own part files; thousands of tiny files turn a 100 TB scan into a
+    metadata storm and starve the scheduler). Shape: one ``coalesce``
+    (NO shuffle — compaction is IO-bound, so we merge read-partitions
+    instead of paying a full exchange), staged into a sibling temp dir,
+    row-count-verified, then swapped in. The swap is driver-side
+    directory renames and therefore NOT atomic for concurrent readers —
+    the documented gap a transactional table format closes; for
+    path-based tables, run compaction in the same maintenance window as
+    the pipeline's other exclusive operations. Returns the row count.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    expected = df.count()
+    tmp = path.rstrip("/") + tmp_suffix
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    if got != expected:
+        raise RuntimeError(
+            f"compaction row-count mismatch ({got} != {expected}); "
+            f"staged output left at {tmp}, original untouched"
+        )
+    backup = path.rstrip("/") + "_precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return expected
+
+
 def write_csv(
     df: DataFrame,
     path: str,

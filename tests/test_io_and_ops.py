@@ -715,3 +715,24 @@ def test_csv_roundtrip_preserves_values(spark, tmp_path):
         "id long, name string, score double"
     ).csv(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """The small-files maintenance pass: 32 tiny part files compact into
+    4 with the identical multiset, count-verified before the swap, and
+    no stray staging dirs left behind."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "fragmented")
+    spark.range(0, 10_000).repartition(32).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 32
+
+    n = compact_parquet(spark, path, n_files=4)
+    assert n == 10_000
+    assert len(glob.glob(f"{path}/part-*.parquet")) <= 4
+    got = spark.read.parquet(path).agg(F.sum("id").alias("s")).first().s
+    assert got == sum(range(10_000))
+    assert not os.path.exists(path + "_compacting")
+    assert not os.path.exists(path + "_precompact")
