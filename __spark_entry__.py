@@ -81,6 +81,10 @@ _STALE_QUEUE = [
     "q20_potential_promotion", "q21_waiting_supplier",
     "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
     "u06_batch_inference",
+    # new late in round 7 AFTER the window filled (head 22 + the 28
+    # round-4-stale names = exactly 50): attested locally this round
+    # (tests/test_oracle_parity.py), first in the driver window next round
+    "u13_grouped_arrow",
     # last attested round 5, in CORRECTNESS_r05 order; the first
     # WINDOW − 3 − 28 of these fill the window, the rest are next in
     # line for round 8

@@ -170,3 +170,33 @@ def u09_arrow_scalar_udf(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", py_mix("n_chars", "doc_id").alias("py_mix"))
+
+
+@query(
+    "u13_grouped_arrow",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)),
+             'sum')) AS BIGINT) AS qsum_total
+    FROM embeddings GROUP BY label
+    """,
+)
+def u13_grouped_arrow(spark, sf_dir):
+    """D7-family completion — ``applyInArrow``, the last Python entry
+    point without an attested query (u05 covers grouped-map via pandas;
+    this is the same shape at the Arrow layer, skipping the pandas
+    conversion tax): per-label exact integer aggregate of the quantized
+    embeddings, one group shuffle, symbolic SQL oracle (u08's exactness
+    argument applied group-wise). Scale note: like all grouped-map ops,
+    a group must fit one task — fine for bounded key domains (labels);
+    unbounded hot keys belong in plain aggregates instead."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        grouped_quantized_stats_arrow,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInArrow(
+        grouped_quantized_stats_arrow,
+        schema="label int, n bigint, qsum_total bigint",
+    )

@@ -157,3 +157,28 @@ def image_batch_inference_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             )
         )
         yield pd.Series(np.floor(model(batch) * 1e6 + 0.5) / 1e6)
+
+
+def grouped_quantized_stats_arrow(table):
+    """``applyInArrow`` grouped-map worker (the GROUPED twin of u08's
+    mapInArrow): one group's rows arrive as a ``pa.Table``, leave as a
+    1-row aggregate (label, n, qsum_total) — per-group custom Python
+    aggregation WITHOUT pandas materialization, the entry point for
+    group-shaped native-memory work (per-entity tensor stats, per-key
+    codec batches) that ``applyInPandas`` would pay a conversion tax on.
+    Same 1/32768 integer quantization as u08, so the whole aggregate is
+    exact int64 math and the DuckDB oracle recomputes it symbolically.
+    Vectorized over the group's flat values buffer; no per-row as_py."""
+    import pyarrow as pa
+
+    label = table.column("label")[0].as_py()
+    emb = table.column("embedding").combine_chunks()
+    vals = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+    q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "label": pa.array([label], pa.int32()),
+            "n": pa.array([table.num_rows], pa.int64()),
+            "qsum_total": pa.array([int(q.sum())], pa.int64()),
+        }
+    )

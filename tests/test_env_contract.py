@@ -100,7 +100,7 @@ def test_attestation_window_arithmetic():
         "this pin"
     )
     # VERDICT r6 #3: the 28 round-4-stale names must ALL be inside the
-    # round-7 window (head 22 + 28 = 50 ≤ 50), so no query's last green
+    # round-7 window (head 22 + 28 = 50, exactly full; late-r7 queries queue AFTER u06 for round 8 ≤ 50), so no query's last green
     # attestation is older than two rounds after this round lands
     r4_stale = entry._STALE_QUEUE[:28]
     assert r4_stale[0] == "q1_pricing_summary"
