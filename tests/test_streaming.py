@@ -457,3 +457,50 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert final == [(10, 0), (11, 0), (21, 1)]
+
+
+def test_synthetic_docs_stream_equals_batch(spark, tmp_path):
+    """The streaming side of the custom Python Data Source: an
+    availableNow drain over format('synthetic_docs') must produce the
+    EXACT corpus the batch reader yields for the same options (shared
+    deterministic row generator), across multiple micro-batches
+    (batch_size < n forces several offsets)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    opts = {"n": "250", "seed": "11", "dup_every": "10", "batch_size": "64"}
+
+    out = str(tmp_path / "streamed")
+    ckpt = str(tmp_path / "ckpt")
+    reader = spark.readStream.format("synthetic_docs")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    # a generator source has no "end of available data" marker, so
+    # availableNow drains only the batch in flight; run continuous
+    # micro-batches and stop once the bounded stream (n=250) is out
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 250:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        _t.sleep(0.5)
+    q.stop()
+
+    batch = spark.read.format("synthetic_docs").options(**opts).load()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == 250
