@@ -914,3 +914,53 @@ def a23_corr_covar(spark, sf_dir):
         ),
         pround(F.stddev_samp("l_extendedprice"), 2).alias("price_std"),
     )
+
+
+@query(
+    "a24_zscore_anomaly",
+    # the z-score itself is rounded through the compat family; the flag
+    # compares ROUNDED scores so boundary days gate identically
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             AVG(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY event_type)
+    SELECT daily.event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           {sql_round("(n - mu) / sd", 3)} AS zscore,
+           abs({sql_round("(n - mu) / sd", 3)}) > 2.0 AS is_anomaly
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    """,
+)
+def a24_zscore_anomaly(spark, sf_dir):
+    """Analytics completion — per-group z-score anomaly flagging over the
+    daily series (the monitoring query every event pipeline runs): one
+    aggregate for the daily counts, ONE more for each type's mean/stddev
+    (a23's single-pass co-moments), broadcast-joined back, flag rows
+    |z| > 2. Scale shape: the stats frame is one row per event_type —
+    always broadcastable — so the fact side never reshuffles after its
+    daily rollup; no window anywhere (a global-window mean/std would
+    serialize each type's whole history into one task). The flag
+    compares compat-ROUNDED z-scores so boundary days gate identically
+    cross-engine."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = pround((F.col("n") - F.col("mu")) / F.col("sd"), 3)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            z.alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )

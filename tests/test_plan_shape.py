@@ -495,3 +495,34 @@ def test_a22_cms_caches_token_counts_single_tokenize(spark):
         if m
     }
     assert len(scan_ids) == 1, plan
+
+
+def test_sql_broadcast_hint_is_honored(spark):
+    """The SQL-surface join-strategy hint: /*+ BROADCAST(dim) */ must
+    plan a BroadcastHashJoin even with autoBroadcastJoinThreshold
+    disabled — the escape hatch when a dimension's stats undercount it
+    at 100 TB and Catalyst would otherwise sort-merge."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        table(spark, SF_TEST, "nation").createOrReplaceTempView("n_hint")
+        table(spark, SF_TEST, "customer").createOrReplaceTempView("c_hint")
+        hinted = spark.sql(
+            """SELECT /*+ BROADCAST(n_hint) */ n_name, COUNT(*) AS n
+               FROM c_hint JOIN n_hint ON c_nationkey = n_nationkey
+               GROUP BY n_name"""
+        )
+        plan = _plan(hinted, "simple")
+        assert "BroadcastHashJoin" in plan, plan
+        control = spark.sql(
+            """SELECT n_name, COUNT(*) AS n
+               FROM c_hint JOIN n_hint ON c_nationkey = n_nationkey
+               GROUP BY n_name"""
+        )
+        cplan = _plan(control, "simple")
+        assert "SortMergeJoin" in cplan, cplan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.catalog.dropTempView("n_hint")
+        spark.catalog.dropTempView("c_hint")
