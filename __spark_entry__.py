@@ -84,7 +84,8 @@ _STALE_QUEUE = [
     # new late in round 7 AFTER the window filled (head 22 + the 28
     # round-4-stale names = exactly 50): attested locally this round
     # (tests/test_oracle_parity.py), first in the driver window next round
-    "u13_grouped_arrow", "a24_zscore_anomaly",
+    "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
+    "e12_retention_cohorts",
     # last attested round 5, in CORRECTNESS_r05 order; the first
     # WINDOW − 3 − 28 of these fill the window, the rest are next in
     # line for round 8

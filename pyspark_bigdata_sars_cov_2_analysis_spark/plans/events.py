@@ -434,3 +434,118 @@ def e08_gapfill_daily(spark, sf_dir):
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "e11_funnel_conversion",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after_click,
+           {sql_round("(SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v)", 4)}
+             AS view_to_click,
+           {sql_round("(SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM c)", 4)}
+             AS click_to_purchase
+    """,
+)
+def e11_funnel_conversion(spark, sf_dir):
+    """Product-analytics staple — STRICTLY ORDERED funnel conversion:
+    a user counts for step N+1 only with an event AFTER their step-N
+    time (first view → first later click → first later purchase), which
+    plain per-type counts get wrong (a purchase before any view is not
+    a conversion). Shape: three per-user min-aggregates, each joined to
+    the previous step's 1-row-per-user frame ON user_id — every shuffle
+    is keyed on user_id so the exchanges reuse one partitioning, and
+    step frames only ever shrink. The funnel totals are 1-row aggregates
+    crossed together (the scalar-subquery execution shape)."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    out = nv.crossJoin(nc).crossJoin(np_)
+    return out.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        pround(
+            F.col("n_click_after_view") * 1.0 / F.col("n_view"), 4
+        ).alias("view_to_click"),
+        pround(
+            F.col("n_purchase_after_click") * 1.0 / F.col("n_click_after_view"),
+            4,
+        ).alias("click_to_purchase"),
+    )
+
+
+@query(
+    "e12_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w
+      FROM events),
+    cohort AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id)
+    SELECT CAST(cohort.c AS BIGINT) AS cohort_week,
+           CAST(wk.w - cohort.c AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+)
+def e12_retention_cohorts(spark, sf_dir):
+    """Product-analytics staple — weekly retention cohorts: users
+    bucketed by first-seen epoch-week, then for each (cohort, week
+    offset) the count of still-active users — the triangular retention
+    matrix every growth dashboard renders. Shape: ONE distinct over
+    (user, week) (the only big shuffle — raw events collapse to at most
+    users×weeks rows), the per-user cohort is an aggregate over that
+    same user-keyed frame (partitioning reused, no extra exchange
+    class), joined back on user_id, final rollup on the tiny
+    (cohort, offset) grid. Epoch-week ints (``div 7`` on epoch-days)
+    keep the bucketing closed-form and identical cross-engine — no
+    date_trunc('week') semantics to reconcile."""
+    e = table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id", F.expr("unix_date(to_date(ts)) div 7").alias("w")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").cast("bigint").alias("cohort_week"),
+            (F.col("w") - F.col("c")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
