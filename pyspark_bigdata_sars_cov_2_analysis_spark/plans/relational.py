@@ -789,3 +789,42 @@ def f17_fuzzy_recode(spark, sf_dir):
             F.sum("was_corrupted").cast("bigint").alias("n_fixed"),
         )
     )
+
+
+@query(
+    "p18_skew_profile",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    s AS (
+      SELECT SUM(n) AS total, MAX(n) AS mx, AVG(n) AS avg_n FROM k)
+    SELECT k.user_id, CAST(k.n AS BIGINT) AS n,
+           {sql_round("k.n * 1.0 / s.total", 4)} AS share,
+           {sql_round("s.mx / s.avg_n", 2)} AS skew_factor
+    FROM k, s
+    ORDER BY k.n DESC, k.user_id LIMIT 5
+    """,
+)
+def p18_skew_profile(spark, sf_dir):
+    """Operational diagnostics — the key-skew profile you measure BEFORE
+    reaching for `joins.salted_join` or AQE skew hints: per-key counts,
+    each hot key's share of all rows, and the max/avg skew factor (1.0 =
+    uniform; the events table's planted hot users push it well above).
+    Shape: one map-side-combined count per key (the same shuffle any
+    join on this key would pay), a 1-row stats aggregate broadcast back
+    via crossJoin, top-5 via TakeOrderedAndProject — diagnosing skew on
+    a 100 TB key column costs one aggregate, not a sort."""
+    e = table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.avg("n").alias("avg_n"),
+    )
+    out = k.crossJoin(F.broadcast(s)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        pround(F.col("n") * 1.0 / F.col("total"), 4).alias("share"),
+        pround(F.col("mx") / F.col("avg_n"), 2).alias("skew_factor"),
+    )
+    return out.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
