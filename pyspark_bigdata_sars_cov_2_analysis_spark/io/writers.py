@@ -186,6 +186,47 @@ def write_zorder(
     )
 
 
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 128,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> int:
+    """Parquet sink with BOUNDED file sizes when the row width is
+    unknown a priori — the complement of :func:`compact_parquet`
+    (that one fixes fragmentation after the fact; this prevents the
+    opposite failure, multi-GB files a downstream reader can't split
+    row-groups out of efficiently). Technique: write a ``sample_rows``
+    probe file, measure encoded bytes/row (real parquet encoding —
+    including compression — not an in-memory guess), derive
+    ``maxRecordsPerFile``, then write the full frame; Spark splits any
+    oversized task output at that record count. The probe OVERESTIMATES
+    bytes/row slightly (dictionary/stats overhead amortizes better in
+    big files), so real files land at or under target — the safe side.
+    Returns the records-per-file cap used. One extra tiny write; no
+    extra shuffle."""
+    import glob as _glob
+    import os as _os
+    import shutil
+
+    probe = path.rstrip("/") + "_sizing"
+    sample = df.limit(sample_rows)
+    sample.coalesce(1).write.mode("overwrite").parquet(probe)
+    files = _glob.glob(f"{probe}/*.parquet")
+    nbytes = sum(_os.path.getsize(f) for f in files)
+    nrows = max(1, df.sparkSession.read.parquet(probe).count())
+    bytes_per_row = max(1.0, nbytes / nrows)
+    max_records = max(1, int(target_file_mb * 1024 * 1024 / bytes_per_row))
+    shutil.rmtree(probe, ignore_errors=True)
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records)
+        .parquet(path)
+    )
+    return max_records
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -736,3 +736,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert got == sum(range(10_000))
     assert not os.path.exists(path + "_compacting")
     assert not os.path.exists(path + "_precompact")
+
+
+def test_write_parquet_sized_bounds_file_sizes(spark, tmp_path):
+    """write_parquet_sized must split output so every file lands at or
+    under ~target (probe-measured bytes/row -> maxRecordsPerFile), and
+    the probe dir must not survive. Wide string rows make the size
+    predictable; 1 MB target over ~8 MB of data forces >= 4 files."""
+    import os as _os
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_parquet_sized,
+    )
+
+    # incompressible rows (distinct hex) so on-disk bytes/row is real
+    df = spark.range(0, 40_000).select(
+        "id",
+        F.concat(
+            *[
+                F.md5(F.concat(F.lit(str(i)), F.col("id").cast("string")))
+                for i in range(6)
+            ]
+        ).alias("pad"),
+    ).repartition(2)
+    out = str(tmp_path / "sized")
+    cap = write_parquet_sized(df, out, target_file_mb=1, sample_rows=5_000)
+    assert cap >= 1
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 4, files
+    for f in files:
+        assert _os.path.getsize(f) <= 2 * 1024 * 1024, (f, _os.path.getsize(f))
+    assert spark.read.parquet(out).count() == 40_000
+    assert not _os.path.exists(out + "_sizing")
