@@ -85,7 +85,7 @@ _STALE_QUEUE = [
     # round-4-stale names = exactly 50): attested locally this round
     # (tests/test_oracle_parity.py), first in the driver window next round
     "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
-    "e12_retention_cohorts", "p18_skew_profile",
+    "e12_retention_cohorts", "p18_skew_profile", "o09_cluster_balanced_sample",
     # last attested round 5, in CORRECTNESS_r05 order; the first
     # WINDOW − 3 − 28 of these fill the window, the rest are next in
     # line for round 8

@@ -1141,3 +1141,54 @@ def d14_chunk_dedup_keep_first(spark, sf_dir):
     ordered reassembly all agree with the oracle."""
     d = table(spark, sf_dir, "documents")
     return dedup.chunk_dedup_keep_first(d, "doc_id", "text", chunk_words=10)
+
+
+@query(
+    "o09_cluster_balanced_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 16),
+    dists AS (
+      SELECT v.vec_id, cid, {sql_round(_cos_sql("e", "c"), 6)} AS d
+      FROM v CROSS JOIN cents
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cid) AS rn FROM dists)
+      WHERE rn = 1
+    ),
+    picked AS (
+      SELECT cell, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM cells)
+    SELECT CAST(cell AS BIGINT) AS cell, vec_id
+    FROM picked WHERE rn <= 10
+    """,
+)
+def o09_cluster_balanced_sample(spark, sf_dir):
+    """Curation-family composition — cluster-balanced (diversity)
+    sampling: assign every embedding to its IVF cell (s03's coarse
+    quantizer), then keep a deterministic hash-ranked 10 per cell —
+    equal representation from every region of embedding space, the
+    anti-mode-collapse subset selection a training-data pipeline runs
+    where a plain uniform sample would mirror the corpus's cluster
+    imbalance. The hash rank (o04's policy) makes the per-cell pick
+    reproducible across runs/engines/layouts. Shape: broadcast-centroid
+    assignment (no shuffle), ONE bounded window per cell (partition
+    count = n_centroids, each ranked list cut at 10)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import windows
+
+    e = table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_assign_cells(e, "vec_id", "embedding", n_centroids=16)
+    picked = windows.top_n_per_group(
+        cells,
+        ["cell"],
+        [F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")],
+        n=10,
+    )
+    return picked.select(F.col("cell").cast("bigint").alias("cell"), "vec_id")
