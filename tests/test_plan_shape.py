@@ -526,3 +526,37 @@ def test_sql_broadcast_hint_is_honored(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.catalog.dropTempView("n_hint")
         spark.catalog.dropTempView("c_hint")
+
+
+def test_o09_assignment_broadcasts_no_fact_shuffle_before_window(spark):
+    """o09's cell assignment must be a broadcast of the 16 centroids
+    (never a shuffle of the embedding side); the only exchange class is
+    the bounded per-cell window."""
+    plan = _plan(QUERIES["o09_cluster_balanced_sample"](spark, SF_TEST), "simple")
+    assert "BroadcastExchange" in plan, plan
+    # exactly two bounded-window exchanges: the per-vector argmax (16
+    # candidate rows each, WindowGroupLimit-pruned) and the per-cell
+    # top-10; both must carry the partial WindowGroupLimit so no task
+    # ever materializes an unbounded group
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 2, f"unexpected extra shuffle\n{plan}"
+    assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final × 2
+
+
+def test_e12_retention_single_user_shuffle_class(spark):
+    """e12's distinct, cohort aggregate, and join are ALL keyed on
+    user_id, so the plan needs at most two hashpartitioning exchange
+    targets (user-keyed + the tiny final (cohort, offset) rollup) — a
+    re-shuffle per stage would mean the keyed-frame reuse broke."""
+    plan = _plan(QUERIES["e12_retention_cohorts"](spark, SF_TEST), "simple")
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
+    assert "Window" not in plan, plan
+
+
+def test_a24_no_window_stats_broadcast(spark):
+    """a24's per-type stats must come from an aggregate broadcast back —
+    never a window over each type's whole history."""
+    plan = _plan(QUERIES["a24_zscore_anomaly"](spark, SF_TEST), "simple")
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
