@@ -35,6 +35,17 @@ from pyspark.sql.datasource import (
 
 MANIFEST = "_SUCCESS"
 STAGING = "_staging"
+SNAPSHOT_PREFIX = "_manifest-"
+
+
+def _next_version(path: str) -> int:
+    import glob as _glob
+
+    versions = [
+        int(os.path.basename(f)[len(SNAPSHOT_PREFIX):].split(".")[0])
+        for f in _glob.glob(os.path.join(path, f"{SNAPSHOT_PREFIX}*.json"))
+    ]
+    return (max(versions) + 1) if versions else 1
 
 
 @dataclass
@@ -75,8 +86,23 @@ class JsonLinesWriter(DataSourceWriter):
             )
             parts.append(m.part)
             total += m.rows
+        # snapshot-versioned manifests: every committed job appends an
+        # immutable _manifest-NNNNN.json (its own part list only) and
+        # re-points _SUCCESS at it — so any PAST job's output remains
+        # readable by version (time travel) while manifest-honoring
+        # readers default to the latest. Single-writer assumption, the
+        # same one table formats make without a lock service: two
+        # drivers committing simultaneously could race the version
+        # counter.
+        version = _next_version(self.path)
+        payload = {"version": version, "parts": sorted(parts), "rows": total}
+        snap = os.path.join(
+            self.path, f"{SNAPSHOT_PREFIX}{version:05d}.json"
+        )
+        with open(snap, "w") as f:
+            json.dump(payload, f)
         with open(os.path.join(self.path, MANIFEST), "w") as f:
-            json.dump({"parts": sorted(parts), "rows": total}, f)
+            json.dump(payload, f)
 
     def abort(self, messages) -> None:
         """Driver-side on job failure: best-effort staging cleanup; the
@@ -102,12 +128,17 @@ def register_jsonl_sink(spark) -> None:
     spark.dataSource.register(JsonLinesDirDataSource)
 
 
-def read_jsonl_manifest(spark, path: str):
-    """Manifest-honoring reader: load ONLY the parts the driver
-    committed. Orphan staging files (crashed/speculative tasks, aborted
-    jobs) are invisible — this pairing is what makes the sink
-    exactly-once at the job level."""
-    with open(os.path.join(path, MANIFEST)) as f:
+def read_jsonl_manifest(spark, path: str, version: int | None = None):
+    """Manifest-honoring reader: load ONLY the parts a driver committed.
+    Orphan staging files (crashed/speculative tasks, aborted jobs) are
+    invisible — this pairing is what makes the sink exactly-once at the
+    job level. ``version=N`` reads the N-th committed job's snapshot
+    (time travel over the immutable ``_manifest-NNNNN.json`` files);
+    the default follows ``_SUCCESS``, the latest-snapshot pointer."""
+    name = (
+        MANIFEST if version is None else f"{SNAPSHOT_PREFIX}{version:05d}.json"
+    )
+    with open(os.path.join(path, name)) as f:
         manifest = json.load(f)
     files = [os.path.join(path, p) for p in manifest["parts"]]
     return spark.read.json(files), manifest

@@ -72,3 +72,32 @@ def test_jsonl_sink_failed_job_publishes_nothing(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, MANIFEST))
     with pytest.raises(FileNotFoundError):
         read_jsonl_manifest(spark, out)
+
+
+def test_snapshot_versions_time_travel(spark, tmp_path):
+    """Every committed job appends an immutable snapshot manifest and
+    re-points _SUCCESS: the latest read sees only the newest job's
+    parts, any past version stays readable (time travel), and the two
+    snapshots never share parts."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+        read_jsonl_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "versioned")
+    spark.range(0, 5).selectExpr("id", "'gen1' AS tag").write.format(
+        "jsonl_dir"
+    ).option("path", out).mode("append").save()
+    spark.range(100, 103).selectExpr("id", "'gen2' AS tag").write.format(
+        "jsonl_dir"
+    ).option("path", out).mode("append").save()
+
+    latest, m_latest = read_jsonl_manifest(spark, out)
+    assert m_latest["version"] == 2 and m_latest["rows"] == 3
+    assert sorted(r.id for r in latest.collect()) == [100, 101, 102]
+
+    v1, m1 = read_jsonl_manifest(spark, out, version=1)
+    assert m1["version"] == 1 and m1["rows"] == 5
+    assert sorted(r.id for r in v1.collect()) == [0, 1, 2, 3, 4]
+    assert not set(m1["parts"]) & set(m_latest["parts"])
