@@ -186,6 +186,63 @@ def write_zorder(
     )
 
 
+def merge_upsert_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    tmp_suffix: str = "_merging",
+) -> dict:
+    """MERGE INTO for a path-based parquet table: rows in ``updates``
+    REPLACE target rows with the same key, new keys INSERT — the upsert
+    every incremental pipeline eventually needs (late-arriving
+    corrections, dimension refreshes) and plain parquet has no answer
+    for. Semantics: ``target LEFT ANTI updates ∪ updates`` (one anti
+    join on the keys — updates is usually the small side and broadcasts,
+    so the target never shuffles), staged to a sibling dir,
+    count-verified (rows_out == rows_target − matched + rows_updates),
+    then swapped in with the same driver-side rename as
+    :func:`compact_parquet` — and the same documented non-atomicity for
+    concurrent readers, which is precisely the gap transactional table
+    formats (Delta/Iceberg/Hudi) close with a metadata pointer swap;
+    this function IS that pointer swap, minus the lock service.
+    ``updates`` must be key-unique (enforced — duplicate update keys
+    would make the result order-dependent). Returns counts."""
+    import shutil
+
+    dup = (
+        updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain {dup} duplicate key(s) on {key_cols}; "
+            "resolve (e.g. keep-latest) before merging"
+        )
+    target = spark.read.parquet(path)
+    n_target = target.count()
+    n_updates = updates.count()
+    matched = target.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_semi").count()
+    merged = target.join(
+        F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+    ).unionByName(updates)
+    tmp = path.rstrip("/") + tmp_suffix
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    want = n_target - matched + n_updates
+    if got != want:
+        raise RuntimeError(
+            f"merge row-count mismatch ({got} != {want}); staged output "
+            f"left at {tmp}, original untouched"
+        )
+    backup = path.rstrip("/") + "_premerge"
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    shutil.rmtree(backup)
+    return {"updated": matched, "inserted": n_updates - matched, "rows": got}
+
+
 def write_parquet_sized(
     df: DataFrame,
     path: str,

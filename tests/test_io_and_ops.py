@@ -768,3 +768,39 @@ def test_write_parquet_sized_bounds_file_sizes(spark, tmp_path):
         assert _os.path.getsize(f) <= 2 * 1024 * 1024, (f, _os.path.getsize(f))
     assert spark.read.parquet(out).count() == 40_000
     assert not _os.path.exists(out + "_sizing")
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    """MERGE semantics on a path table: matched keys replaced, new keys
+    inserted, untouched keys intact; duplicate update keys rejected
+    before anything is written."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        merge_upsert_parquet,
+    )
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id: long, v: string, score: double",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 22.0), (9, "new", 90.0)],
+        "id: long, v: string, score: double",
+    )
+    stats = merge_upsert_parquet(spark, path, updates, ["id"])
+    assert stats == {"updated": 1, "inserted": 1, "rows": 4}
+    got = {r.id: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0), 9: ("new", 90.0)
+    }
+
+    bad = spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], "id: long, v: string, score: double"
+    )
+    with _pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert_parquet(spark, path, bad, ["id"])
+    # the failed merge left the table untouched
+    assert spark.read.parquet(path).count() == 4
