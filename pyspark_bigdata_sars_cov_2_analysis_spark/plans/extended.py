@@ -964,3 +964,66 @@ def a24_zscore_anomaly(spark, sf_dir):
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "w08_scd2_intervals",
+    # per (user, day) the LAST event's type (argmax by ts with event_id
+    # tiebreak — lineitem-style determinism), then change-points via lag
+    # and validity intervals via lead: the SCD2 build as pure windows
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, d, event_type AS attr FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    marked AS (
+      SELECT user_id, d, attr,
+             LAG(attr) OVER w AS prev_attr
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+    changes AS (
+      SELECT user_id, d, attr FROM marked
+      WHERE prev_attr IS NULL OR attr <> prev_attr)
+    SELECT user_id, attr,
+           strftime(d, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(d - INTERVAL 1 DAY) OVER
+                    (PARTITION BY user_id ORDER BY d), '%Y-%m-%d')
+             AS valid_to
+    FROM changes
+    """,
+)
+def w08_scd2_intervals(spark, sf_dir):
+    """Warehouse staple — SCD-Type-2 history construction: per user, the
+    daily observed attribute (last event type of the day, argmax by ts
+    with event_id tiebreak), collapsed to CHANGE POINTS (lag filter),
+    each stamped with its validity interval (valid_from = change day,
+    valid_to = day before the next change, NULL = current) — turning an
+    event log into the slowly-changing-dimension table joins are run
+    against. Shape: one (user, day) aggregate with a max(struct) argmax
+    (map-side partial), then two windows over the ALREADY-AGGREGATED
+    per-user daily frame (bounded by days-per-user, never raw events).
+    The interval twin of w07's RANGE frame; together with
+    merge_upsert_parquet this is the engine's dimension-maintenance
+    story."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "attr"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    changes = (
+        daily.withColumn("prev_attr", F.lag("attr").over(w))
+        .where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .drop("prev_attr")
+    )
+    wc = Window.partitionBy("user_id").orderBy("d")
+    return changes.select(
+        "user_id",
+        "attr",
+        F.date_format("d", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(
+            F.date_sub(F.lead("d").over(wc), 1), "yyyy-MM-dd"
+        ).alias("valid_to"),
+    )
