@@ -804,3 +804,53 @@ def test_merge_upsert_parquet(spark, tmp_path):
         merge_upsert_parquet(spark, path, bad, ["id"])
     # the failed merge left the table untouched
     assert spark.read.parquet(path).count() == 4
+
+
+def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
+    """A constant clustered column (span 0) must not divide by zero —
+    the writer pins the span to 1 and the layout degrades to ordering
+    on the varying column only."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_zorder,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.lit(7).alias("x"), (F.col("id") % 64).alias("y")
+    )
+    out = str(tmp_path / "const_dim")
+    write_zorder(df, out, ["x", "y"], bits=6, n_partitions=4)
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_merge_upsert_empty_updates_is_noop(spark, tmp_path):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        merge_upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id: long, v: string").write.parquet(path)
+    empty = spark.createDataFrame([], "id: long, v: string")
+    stats = merge_upsert_parquet(spark, path, empty, ["id"])
+    assert stats == {"updated": 0, "inserted": 0, "rows": 1}
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(1, "a")]
+
+
+def test_countmin_unseen_probe_estimates_zero(spark):
+    """A probe item whose buckets were never touched must estimate 0
+    (the left-join/coalesce path) — never NULL, never a phantom count."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sketches
+
+    cms = sketches.countmin_table(
+        spark.createDataFrame([("alpha", 5)], "item: string, cnt: long"),
+        "item",
+        "cnt",
+    )
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-seen-item-xyz",)], "item: string"
+    )
+    est = {
+        r.item: r.est
+        for r in sketches.countmin_estimate(cms, probes, "item").collect()
+    }
+    assert est["alpha"] >= 5
+    assert est["never-seen-item-xyz"] == 0
