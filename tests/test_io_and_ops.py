@@ -854,3 +854,38 @@ def test_countmin_unseen_probe_estimates_zero(spark):
     }
     assert est["alpha"] >= 5
     assert est["never-seen-item-xyz"] == 0
+
+
+def test_zorder_value_random_sweep_matches_reference(spark):
+    """200 seeded-random coordinate pairs (full 16-bit range, 2 and 3
+    dimensions) must interleave identically to the pure-Python reference
+    — the broad companion to the corner-point test."""
+    import random as _random
+
+    rng = _random.Random(20260814)
+
+    def z_ref(coords, bits):
+        z = 0
+        n = len(coords)
+        for i in range(bits):
+            for j, c in enumerate(coords):
+                z |= ((c >> i) & 1) << (i * n + j)
+        return z
+
+    for dims, bits in ((2, 16), (3, 10)):
+        pts = [
+            tuple(rng.randrange(1 << bits) for _ in range(dims))
+            for _ in range(100)
+        ]
+        schema = ", ".join(f"c{j}: long" for j in range(dims))
+        df = spark.createDataFrame(pts, schema)
+        got = [
+            r.z
+            for r in df.select(
+                sorts.zorder_value(
+                    [F.col(f"c{j}") for j in range(dims)], bits=bits
+                ).alias("z")
+            ).collect()
+        ]
+        want = [z_ref(p, bits) for p in pts]
+        assert sorted(got) == sorted(want), (dims, bits)
