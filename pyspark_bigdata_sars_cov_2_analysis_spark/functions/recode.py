@@ -51,6 +51,8 @@ def fuzzy_recode(
     JVM ``levenshtein`` when-chain — row-local, codegen'd, no shuffle;
     cost is O(len(canonical)) distance evaluations per row, so keep the
     canonical list small (it's a category dictionary, not a corpus)."""
+    if not canonical:
+        raise ValueError("fuzzy_recode needs a non-empty canonical list")
     dists = [F.levenshtein(col, F.lit(c)) for c in canonical]
     mind = F.least(*dists) if len(dists) > 1 else dists[0]
     expr: Column | None = None

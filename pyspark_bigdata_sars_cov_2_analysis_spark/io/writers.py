@@ -160,6 +160,10 @@ def write_zorder(
         *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
     ).first()
+    if stats[f"min_{cols[0]}"] is None:
+        # empty input: nothing to cluster; write the empty frame as-is
+        df.write.mode(mode).parquet(path)
+        return
     grid = float((1 << bits) - 1)
     scaled = []
     for c in cols:
@@ -207,7 +211,10 @@ def merge_upsert_parquet(
     formats (Delta/Iceberg/Hudi) close with a metadata pointer swap;
     this function IS that pointer swap, minus the lock service.
     ``updates`` must be key-unique (enforced — duplicate update keys
-    would make the result order-dependent). Returns counts."""
+    would make the result order-dependent). Like :func:`compact_parquet`,
+    a Hive-partitioned target is flattened by the rewrite — merge into
+    partition directories individually to keep the layout. Returns
+    counts."""
     import shutil
 
     dup = (
@@ -301,7 +308,10 @@ def compact_parquet(
     directory renames and therefore NOT atomic for concurrent readers —
     the documented gap a transactional table format closes; for
     path-based tables, run compaction in the same maintenance window as
-    the pipeline's other exclusive operations. Returns the row count.
+    the pipeline's other exclusive operations. A Hive-partitioned layout
+    is FLATTENED by this rewrite (partition values become plain
+    columns) — compact each partition directory individually to keep
+    the layout. Returns the row count.
     """
     import shutil
 

@@ -889,3 +889,15 @@ def test_zorder_value_random_sweep_matches_reference(spark):
         ]
         want = [z_ref(p, bits) for p in pts]
         assert sorted(got) == sorted(want), (dims, bits)
+
+
+def test_zorder_empty_frame_writes_empty(spark, tmp_path):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_zorder,
+    )
+
+    out = str(tmp_path / "empty_z")
+    write_zorder(
+        spark.createDataFrame([], "x: long, y: long"), out, ["x", "y"]
+    )
+    assert spark.read.parquet(out).count() == 0
