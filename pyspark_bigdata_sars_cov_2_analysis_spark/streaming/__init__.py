@@ -1,4 +1,5 @@
 from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+    funnel_state,
     latest_per_user_state,
     latest_state_per_key,
     read_event_stream,
@@ -13,6 +14,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
 )
 
 __all__ = [
+    "funnel_state",
     "latest_per_user_state",
     "latest_state_per_key",
     "read_event_stream",

@@ -396,3 +396,68 @@ def view_purchase_attribution_outer(
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
         "v_ts",
     )
+
+
+def funnel_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming strictly-ordered funnel (the stateful twin of
+    plans/events.e11): per-user keyed state carries the three stage
+    timestamps (first view, first LATER click, first LATER purchase);
+    each micro-batch folds its events in (ts, event_id) order into the
+    stage machine and emits the user's current stages (update mode).
+    Stages only ever advance — micro-batch boundaries cannot un-convert
+    a user.
+
+    Semantics note (the honest streaming trade): a stage records the
+    FIRST-ARRIVING eligible event. When events arrive in timestamp
+    order across batches — an in-order source, or late data within the
+    watermark buffered upstream — this equals e11's batch minimum
+    (tested via an availableNow drain over ts-ordered files). An
+    eligible event arriving AFTER a later eligible event already set
+    the stage does not retract it: conversion COUNTS are unaffected
+    (the user converted either way), only the recorded stage timestamp
+    can differ from the batch answer under cross-batch disorder.
+    State is three nullable int64s per user — bounded, tiny."""
+    import pandas as pd  # local import: Arrow path only
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, v_ts_us bigint, c_ts_us bigint, p_ts_us bigint"
+    state_schema = "v_ts_us bigint, c_ts_us bigint, p_ts_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        v, c, p = state.get if state.exists else (None, None, None)
+        rows = []
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            rows.extend(
+                zip(ts_us, pdf["event_id"], pdf["event_type"])
+            )
+        for t, eid, et in sorted(rows, key=lambda r: (r[0], r[1])):
+            t = int(t)
+            if et == "view" and v is None:
+                v = t
+            elif et == "click" and v is not None and c is None and t > v:
+                c = t
+            elif et == "purchase" and c is not None and p is None and t > c:
+                p = t
+        state.update((v, c, p))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "v_ts_us": [v],
+                "c_ts_us": [c],
+                "p_ts_us": [p],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

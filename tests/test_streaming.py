@@ -504,3 +504,69 @@ def test_synthetic_docs_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) == 250
+
+
+def test_funnel_state_matches_batch_on_ordered_stream(spark, tmp_path):
+    """The stateful streaming funnel: over a ts-ordered multi-file drain
+    (arrival order == event-time order, so the first-arriving eligible
+    event IS the batch minimum) the final per-user stage timestamps must
+    equal e11's batch step frames exactly — conversion counts included."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    df = registry.table(spark, SF_TEST, "events")
+    bucketed = df.withColumn("b", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, 5):
+        bucketed.where(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.2)
+
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    result = _run_stream(
+        spark, S.funnel_state(stream), "funnel_mem", "update"
+    )
+    # stages only advance, so the final state per user is the max triple
+    final = {
+        r.user_id: (r.v, r.c, r.p)
+        for r in result.groupBy("user_id")
+        .agg(
+            F.max("v_ts_us").alias("v"),
+            F.max("c_ts_us").alias("c"),
+            F.max("p_ts_us").alias("p"),
+        )
+        .collect()
+    }
+
+    # batch twin, e11's step logic with explicit timestamps
+    e = df.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("v"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("t") > F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("c"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("t") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("p"))
+    )
+    want = {
+        r.user_id: (r.v, r.c, r.p)
+        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
+    }
+    # users with no view at all hold (None, None, None) state rows
+    got_viewers = {u: s for u, s in final.items() if s[0] is not None}
+    assert got_viewers == want and len(want) > 0
