@@ -1027,3 +1027,29 @@ def w08_scd2_intervals(spark, sf_dir):
             F.date_sub(F.lead("d").over(wc), 1), "yyyy-MM-dd"
         ).alias("valid_to"),
     )
+
+
+@query(
+    "sql06_relational_division",
+    oracle="""
+    SELECT user_id FROM events GROUP BY user_id
+    HAVING COUNT(DISTINCT event_type) =
+           (SELECT COUNT(DISTINCT event_type) FROM events)
+    """,
+)
+def sql06_relational_division(spark, sf_dir):
+    """SQL-surface completion — relational DIVISION, the textbook
+    operator with no direct keyword: "users who performed EVERY event
+    type" via the count-distinct-equality formulation (the double-NOT-
+    EXISTS classic rewritten to two aggregates Catalyst executes as a
+    grouped count-distinct plus a broadcast 1-row scalar subquery — no
+    correlated per-user probing, which is the only formulation that
+    survives 100 TB). Runs through the spark.sql string entry point."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_div_v")
+    return spark.sql(
+        """
+        SELECT user_id FROM events_div_v GROUP BY user_id
+        HAVING COUNT(DISTINCT event_type) =
+               (SELECT COUNT(DISTINCT event_type) FROM events_div_v)
+        """
+    )

@@ -1192,3 +1192,70 @@ def o09_cluster_balanced_sample(spark, sf_dir):
         n=10,
     )
     return picked.select(F.col("cell").cast("bigint").alias("cell"), "vec_id")
+
+
+@query(
+    "s05_ann_recall",
+    # both pipelines (exact + bucketed) rebuilt in SQL from the same CTEs
+    # as s01/s02, then joined — the oracle hashes the recall numbers
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS q, bucket FROM v
+      WHERE vec_id IN ({", ".join(map(str, _PROBES))})
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, v.vec_id AS neighbor_id,
+               {sql_round(_cos_sql("q", "e"), 4)} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {sql_round(_cos_sql("q", "e"), 4)} DESC, v.vec_id)
+                 AS rank
+        FROM v CROSS JOIN probes WHERE v.vec_id <> query_id)
+      WHERE rank <= 5
+    ),
+    ann_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, v.vec_id AS neighbor_id,
+               {sql_round(_cos_sql("q", "e"), 4)} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY {sql_round(_cos_sql("q", "e"), 4)} DESC, v.vec_id)
+                 AS rank
+        FROM v JOIN probes USING (bucket) WHERE v.vec_id <> query_id)
+      WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           {sql_round("COUNT(a.neighbor_id) / 5.0", 2)} AS recall_at_5
+    FROM exact_top e LEFT JOIN ann_top a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def s05_ann_recall(spark, sf_dir):
+    """Similarity-family completion — MEASURED recall of the ANN path:
+    per probe, how many of the exact top-5 (s01) the sign-bucket ANN
+    (s02) actually returned. The recall/cost trade the ANN docstrings
+    assert becomes a first-class, oracle-checked number — the evaluation
+    harness a 100 TB ANN deployment runs on a sampled probe set before
+    trusting the approximate path for a use case. Shape: both pipelines
+    share one scan; the join is on (query, neighbor) pairs — k×probes
+    rows, trivially small."""
+    e = table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(e, "vec_id", "embedding", _PROBES, k=5)
+    ann = similarity.bucketed_topk(e, "vec_id", "embedding", _PROBES, k=5, m=8)
+    hits = exact.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        pround(F.sum(F.coalesce("hit", F.lit(0))) / 5.0, 2).alias(
+            "recall_at_5"
+        ),
+    )
