@@ -200,3 +200,36 @@ def u13_grouped_arrow(spark, sf_dir):
         grouped_quantized_stats_arrow,
         schema="label int, n bigint, qsum_total bigint",
     )
+
+
+@query(
+    "u14_pandas_udaf",
+    oracle="""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 32768 + 0.5) AS BIGINT)),
+             'sum')) AS BIGINT) AS qsum_total
+    FROM embeddings GROUP BY label
+    """,
+)
+def u14_pandas_udaf(spark, sf_dir):
+    """§2.9 D8 — the grouped-AGGREGATE pandas UDF (UDAF), the last UDF
+    entry point: a Series→scalar reduction slotted into a normal
+    ``groupBy().agg()``. Same quantized-integer math as u13, so the two
+    API paths share one symbolic oracle. The count rides a SECOND pandas
+    UDAF because Spark rejects mixing GROUPED_AGG with native aggregate
+    functions in one agg (INVALID_PANDAS_UDF_PLACEMENT — this query
+    pins the working placement). Scale note in the UDF docstring: no
+    map-side combine, so native aggregates stay the hot-key path."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        grouped_count_udaf,
+        quantized_sum_udaf,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    qsum = quantized_sum_udaf()
+    gcount = grouped_count_udaf()
+    return e.groupBy("label").agg(
+        gcount("embedding").alias("n"),
+        qsum("embedding").alias("qsum_total"),
+    )

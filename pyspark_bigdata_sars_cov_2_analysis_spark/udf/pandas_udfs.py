@@ -182,3 +182,43 @@ def grouped_quantized_stats_arrow(table):
             "qsum_total": pa.array([int(q.sum())], pa.int64()),
         }
     )
+
+
+def grouped_count_udaf():
+    """Companion GROUPED_AGG count (see :func:`quantized_sum_udaf`'s
+    placement restriction — native count() cannot share its agg)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def gcount(emb: pd.Series) -> int:
+        return int(len(emb))
+
+    return gcount
+
+
+def quantized_sum_udaf():
+    """Grouped-AGGREGATE pandas UDF (the UDAF surface — SURVEY §2.9 D8
+    lists it n/a in the reference; the engine provides it anyway): a
+    ``pandas_udf`` whose function maps a group's Series to ONE scalar,
+    usable directly inside ``groupBy().agg()`` — the lightest-weight
+    custom-aggregation entry point
+    (u13's applyInArrow owns the whole group table; this slots one
+    column's reduction into a normal aggregate). Same 1/32768 integer
+    quantization as u08/u13, so the result is exact int64 math with a
+    symbolic SQL oracle. Partial aggregation caveat (the honest cost):
+    Spark executes GROUPED_AGG over the full shuffled group — no
+    map-side combine like native sums — so prefer native aggregates for
+    hot keys and reserve this for genuinely custom reductions.
+    Placement restriction (enforced by Spark, pinned by u14): a
+    GROUPED_AGG pandas UDF cannot share one ``agg()`` with NATIVE
+    aggregate functions (``INVALID_PANDAS_UDF_PLACEMENT``) — mix only
+    with other pandas UDAFs, or join native aggregates back on the
+    group key."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def qsum(emb: pd.Series) -> int:
+        flat = np.concatenate([np.asarray(v, dtype="float64") for v in emb])
+        return int(np.floor(flat * 32768.0 + 0.5).astype(np.int64).sum())
+
+    return qsum
