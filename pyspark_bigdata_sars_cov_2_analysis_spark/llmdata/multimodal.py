@@ -237,3 +237,53 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         extract, FRAME_SAMPLE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, out_h int, out_w int, pix_sum bigint"
+
+
+def resize_image_nn(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor image RESIZE over real encoded bytes — the
+    thumbnail/downsample step of a multimodal ingest (the prompt-side
+    'resize' in decode → feature-extract → resize → frame-sample): each
+    BMP payload decodes, samples pixel (⌊r·h/out_h⌋, ⌊c·w/out_w⌋) for
+    every target cell (pure integer index math — the one resize kernel
+    whose output is exactly engine-replicable, unlike interpolating
+    kernels whose fp weights differ per library), and emits the resized
+    grid's checksum. Arrow-batched mapInPandas with vectorized numpy
+    fancy-indexing per image; binary payloads never leave the executor.
+    At 100 TB this is the shape real thumbnailing runs in — swap the
+    NN kernel for a library call and nothing else moves."""
+    import numpy as np
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.imaging import (
+        decode_bmp,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_bmp(bytes(payload))  # (h, w, 3) uint8
+                h, w = arr.shape[0], arr.shape[1]
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                resized = arr[np.ix_(ri, ci)][:, :, 0]  # channels identical
+                ids.append(int(did))
+                sums.append(int(resized.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, RESIZE_SCHEMA)

@@ -1259,3 +1259,45 @@ def s05_ann_recall(spark, sf_dir):
             "recall_at_5"
         ),
     )
+
+
+@query(
+    "m06_resize_nn",
+    # nearest-neighbor sampling is pure integer index math over the
+    # UTF-8 byte grid the BMP encodes, so the resized checksum is
+    # closed-form: byte[(r*ht div 4)*16 + (c*16 div 4)] summed over the
+    # 4x4 target grid
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, h, nb // 16 AS ht FROM hx WHERE nb >= 16
+    ),
+    cells AS (
+      SELECT doc_id,
+             CAST(list_aggregate(
+               list_transform(range(0, 16),
+                 i -> CAST(('0x' || substr(h,
+                        (((i // 4) * ht // 4) * 16 + ((i % 4) * 16 // 4))
+                          * 2 + 1, 2)) AS INT)),
+               'sum') AS BIGINT) AS pix_sum
+      FROM dims
+    )
+    SELECT doc_id, CAST(4 AS INT) AS out_h, CAST(4 AS INT) AS out_w, pix_sum
+    FROM cells
+    """,
+)
+def m06_resize_nn(spark, sf_dir):
+    """Multimodal completion — RESIZE, the remaining step of the decode/
+    feature-extract/resize/frame-sample quartet: real BMP payloads
+    (UTF-8 byte grids) downsampled 4×4 by nearest neighbor inside the
+    Arrow mapInPandas path, attested by a closed-form byte-index oracle
+    (NN is the one resize kernel two engines can agree on bit-for-bit;
+    interpolating kernels are library-specific fp and belong behind the
+    same seam PIL decoding uses)."""
+    d = table(spark, sf_dir, "documents")
+    imgs = multimodal.encode_text_as_bmp(d, "doc_id", "text", width=16)
+    return multimodal.resize_image_nn(imgs, out_h=4, out_w=4)
