@@ -551,3 +551,42 @@ def a22_countmin_heavy_hitters(spark, sf_dir):
     return top.join(
         est.withColumnRenamed("item", "tok"), "tok"
     ).select("tok", "n_exact", F.col("est").cast("bigint").alias("est"))
+
+
+@query(
+    "t14_langid_margin",
+    # margin = max score − second-max score, computed from the sorted
+    # score list so ties give margin 0 without caring which argmax wins
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             [{_score_sql(T.LANG_MARKERS['de'])},
+              {_score_sql(T.LANG_MARKERS['en'])},
+              {_score_sql(T.LANG_MARKERS['es'])},
+              {_score_sql(T.LANG_MARKERS['fr'])},
+              {_score_sql(T.LANG_MARKERS['zh'])}] AS ss
+      FROM documents)
+    SELECT doc_id,
+           CAST(list_sort(ss)[5] - list_sort(ss)[4] AS BIGINT) AS margin,
+           list_sort(ss)[5] - list_sort(ss)[4] >= 2 AS is_confident
+    FROM scored
+    """,
+)
+def t14_langid_margin(spark, sf_dir):
+    """Text-quality completion — language-ID CONFIDENCE: the margin
+    between the best and second-best marker scores behind t03's argmax.
+    A margin of 0 means the prediction was a coin flip on tied scores;
+    real pipelines gate on this (route low-margin docs to a heavier
+    model or drop them) rather than trusting every argmax equally —
+    t12's quality gate pattern applied to t03's signal. Row-local
+    integer arithmetic over the same marker counts t03 computes; zero
+    shuffle."""
+    d = table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    ss = F.sort_array(F.array(*[scores[k] for k in sorted(scores)]))
+    margin = (ss[4] - ss[3]).cast("bigint")
+    return d.select(
+        "doc_id",
+        margin.alias("margin"),
+        (margin >= 2).alias("is_confident"),
+    )

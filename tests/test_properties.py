@@ -966,3 +966,35 @@ def test_fuzzy_recode_tiebreak_and_passthrough(spark):
     }
     assert out2["click"] == "click"   # exact match is a fixed point
     assert out2["clik"] == "click"    # typo snaps
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """weighted_hash_sample's defining property: for a FIXED row, raising
+    the weight can only ADD it to the kept set (threshold is monotone in
+    weight, the md5 prefix is fixed) — so keep-sets are nested across
+    weight levels, w=0 keeps nothing, w>=1 keeps everything."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        weighted_hash_sample,
+    )
+
+    ids = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    kept_prev: set = set()
+    for w in (0.0, 0.1, 0.35, 0.7, 1.0):
+        kept = {
+            r.doc_id
+            for r in weighted_hash_sample(
+                ids.select("doc_id", F.lit(w).alias("wt")),
+                "doc_id",
+                F.col("wt"),
+            ).collect()
+        }
+        assert kept_prev <= kept, f"keep-set not nested at w={w}"
+        kept_prev = kept
+    assert kept_prev == set(range(2000))  # w=1.0 keeps everything
+    first = {
+        r.doc_id
+        for r in weighted_hash_sample(
+            ids.select("doc_id", F.lit(0.0).alias("wt")), "doc_id", F.col("wt")
+        ).collect()
+    }
+    assert first == set()
