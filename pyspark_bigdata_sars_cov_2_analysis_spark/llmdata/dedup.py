@@ -683,6 +683,49 @@ def jaccard_pairs(
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle CONTAINMENT |A∩B| / min(|A|, |B|) —
+    catches a document embedded inside a larger one (boilerplate-wrapped
+    reposts, code files pasted into bigger files), which symmetric
+    Jaccard structurally misses: a 50-shingle doc fully contained in a
+    500-shingle doc scores J ≈ 0.1 (below any dedup threshold) but
+    containment 1.0. Same inverted-index shape as ``jaccard_pairs`` —
+    pairs sharing ≥1 shingle, one co-occurrence count aggregate, never
+    all-pairs — with the pair oriented (small, big) by shingle count
+    (id tiebreak) so the score reads as 'fraction of the smaller doc
+    found inside the bigger'."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    j = inter.join(sa, on="id_a").join(sb, on="id_b")
+    a_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = j.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+        pround(
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4
+        ).alias("containment"),
+    )
+    return out.where(F.col("containment") >= threshold)
+
+
 def contamination_hits(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1301,3 +1301,42 @@ def m06_resize_nn(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     imgs = multimodal.encode_text_as_bmp(d, "doc_id", "text", width=16)
     return multimodal.resize_image_nn(imgs, out_h=4, out_w=4)
+
+
+@query(
+    "d16_containment_neardup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT CASE WHEN sa.n_sh < sb.n_sh
+                    OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                  THEN id_a ELSE id_b END AS id_small,
+             CASE WHEN sa.n_sh < sb.n_sh
+                    OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                  THEN id_b ELSE id_a END AS id_big,
+             {sql_round("n_inter / least(sa.n_sh, sb.n_sh)", 4)}
+               AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_small, id_big, containment FROM scored
+    WHERE containment >= 0.8
+    """,
+)
+def d16_containment_neardup(spark, sf_dir):
+    """Dedup-family completion — asymmetric shingle CONTAINMENT
+    (|A∩B|/min(|A|,|B|) ≥ 0.8): a small document embedded inside a
+    larger one scores ~1.0 here while its symmetric Jaccard (d03) sits
+    near |A|/|B| — structurally invisible to every symmetric detector in
+    the d-family. Same inverted-index single-aggregate shape as d03
+    (pairs sharing a shingle, never all-pairs); the pair is oriented
+    (small, big) so the score reads as the smaller doc's covered
+    fraction."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", k=3, threshold=0.8)

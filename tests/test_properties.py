@@ -998,3 +998,28 @@ def test_weighted_sample_monotone_in_weight(spark):
         ).collect()
     }
     assert first == set()
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """d16's reason to exist, planted: a 10-word doc fully embedded in a
+    ~100-word doc has containment 1.0 but Jaccard ≈ 0.09 — below d03's
+    0.1 threshold — so the symmetric detector misses exactly the pair
+    the asymmetric one must find."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(90))
+    big = small + " " + filler
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "entirely unrelated words about spark")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_small, r.id_big): r.containment
+        for r in dedup.containment_pairs(df, "doc_id", "text", k=3).collect()
+    }
+    assert cont.get((1, 2)) == 1.0, cont
+    jac = dedup.jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    assert not [
+        r for r in jac.collect() if {r.id_a, r.id_b} == {1, 2}
+    ], "Jaccard should sit below threshold on the embedded pair"
