@@ -131,3 +131,44 @@ def audio_frame_energy(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, AUDIO_FRAME_SCHEMA)
+
+
+DECIMATE_SCHEMA = "doc_id bigint, n_out bigint, checksum bigint"
+
+
+def audio_decimate(
+    df,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    factor: int = 4,
+):
+    """Integer DECIMATION (keep every ``factor``-th sample) over real WAV
+    payloads — the downsample step of an audio ingest (the audio twin of
+    the image family's nearest-neighbor resize, and like it the one
+    resampling kernel two engines agree on exactly; filtered/windowed
+    resamplers are library fp and live behind the same gated seam as
+    compressed codecs). Decodes the RIFF payload, strides the PCM16
+    samples, and emits the decimated signal's length and int64 checksum
+    (Σ (i+1)·s[i] — position-weighted so a dropped or shifted sample
+    changes the hash). Arrow-batched mapInPandas; bytes never leave the
+    executor."""
+    import numpy as np
+
+    def extract(batches):
+        for pdf in batches:
+            ids, n_outs, sums = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = decode_wav(bytes(payload))
+                dec = np.asarray(samples, dtype=np.int64)[::factor]
+                ids.append(int(did))
+                n_outs.append(int(dec.size))
+                sums.append(int(((np.arange(dec.size) + 1) * dec).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_out": pd.Series(n_outs, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, DECIMATE_SCHEMA)

@@ -1340,3 +1340,38 @@ def d16_containment_neardup(spark, sf_dir):
     fraction."""
     d = table(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+
+
+@query(
+    "m07_audio_decimate",
+    # decimation keeps samples at indices 0,4,...,252 of the 256-sample
+    # synthetic formula; the checksum is position-weighted int math the
+    # oracle recomputes symbolically (m05's trick on the strided signal)
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, j,
+             ((doc_id * 31 + (j * 4) * 17) % 65536 - 32768) AS v
+      FROM documents, generate_series(0, 63) AS g(j)
+    )
+    SELECT doc_id, CAST(64 AS BIGINT) AS n_out,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id
+    """,
+)
+def m07_audio_decimate(spark, sf_dir):
+    """Audio-family completion — integer decimation (every 4th sample of
+    the 256-sample PCM16 payload), the resample step next to m05's frame
+    energies: real RIFF bytes decoded and strided inside mapInPandas,
+    attested by a position-weighted checksum the oracle recomputes from
+    the synthesis formula — a hash match proves the byte path AND that
+    no sample slipped position. Interpolating/filtering resamplers are
+    library fp and stay behind the gated codec seam, same policy as
+    m06's resize kernel."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.audio import (
+        audio_decimate,
+        synthesize_pcm,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    wav = synthesize_pcm(d, "doc_id", n_samples=256)
+    return audio_decimate(wav, "doc_id", "payload", factor=4)
