@@ -1053,3 +1053,31 @@ def sql06_relational_division(spark, sf_dir):
                (SELECT COUNT(DISTINCT event_type) FROM events_div_v)
         """
     )
+
+
+@query(
+    "sql07_pivot_clause",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round("SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END)", 2)} AS F,
+           {sql_round("SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END)", 2)} AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql07_pivot_clause(spark, sf_dir):
+    """SQL-surface twin of a13: the PIVOT clause through the spark.sql
+    parser (a13 attests the DataFrame ``pivot()`` API; this attests the
+    SQL syntax path plans to the same aggregate — users migrating SQL
+    workloads use the clause, not the method). Explicit IN list as
+    always: an open pivot would need a values scan before planning."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pv")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {sql_round("F", 2)} AS F, {sql_round("O", 2)} AS O
+        FROM (
+          SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem_pv
+        )
+        PIVOT (SUM(l_quantity) FOR l_linestatus IN ('F' AS F, 'O' AS O))
+        """
+    )

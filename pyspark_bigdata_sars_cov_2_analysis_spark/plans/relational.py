@@ -828,3 +828,72 @@ def p18_skew_profile(spark, sf_dir):
         pround(F.col("mx") / F.col("avg_n"), 2).alias("skew_factor"),
     )
     return out.orderBy(F.desc("n"), F.asc("user_id")).limit(5)
+
+
+@query(
+    "p19_snapshot_drift",
+    # two deterministic "snapshots" (first vs second half of the event
+    # timeline) profiled in one pass each, joined on event_type; drift
+    # flag compares compat-rounded means so boundaries agree
+    oracle=f"""
+    WITH half AS (
+      SELECT event_type, value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 'a' ELSE 'b' END AS snap
+      FROM events),
+    prof AS (
+      SELECT snap, event_type, COUNT(*) AS n,
+             AVG(value) AS mean_v
+      FROM half GROUP BY 1, 2)
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           {sql_round("a.mean_v", 3)} AS mean_a,
+           {sql_round("b.mean_v", 3)} AS mean_b,
+           abs({sql_round("a.mean_v", 3)} - {sql_round("b.mean_v", 3)})
+             > 0.5 AS mean_drifted,
+           abs(a.n - b.n) * 1.0 / a.n > 0.2 AS volume_drifted
+    FROM prof a JOIN prof b
+      ON a.event_type = b.event_type AND a.snap = 'a' AND b.snap = 'b'
+    """,
+)
+def p19_snapshot_drift(spark, sf_dir):
+    """Operational diagnostics — snapshot-over-snapshot DRIFT report:
+    profile two generations of a table (here the deterministic first/
+    second half of the event timeline standing in for yesterday's and
+    today's loads) and flag per-group mean and volume drift — the check
+    a production pipeline runs before promoting a new snapshot, sitting
+    on p17's profile machinery. ONE scan builds both profiles (the snap
+    tag is a row-local CASE, the profile one grouped aggregate); the
+    self-join runs on the tiny profile frame, never the facts."""
+    e = table(spark, sf_dir, "events")
+    half = e.select(
+        "event_type",
+        "value",
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "a")
+        .otherwise("b")
+        .alias("snap"),
+    )
+    prof = half.groupBy("snap", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_v")
+    )
+    a = prof.where(F.col("snap") == "a").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        pround(F.col("mean_v"), 3).alias("mean_a"),
+    )
+    b = prof.where(F.col("snap") == "b").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        pround(F.col("mean_v"), 3).alias("mean_b"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        (F.abs(F.col("mean_a") - F.col("mean_b")) > 0.5).alias("mean_drifted"),
+        (
+            F.abs(F.col("n_a") - F.col("n_b")) * 1.0 / F.col("n_a") > 0.2
+        ).alias("volume_drifted"),
+    )
