@@ -726,6 +726,84 @@ def containment_pairs(
     return out.where(F.col("containment") >= threshold)
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LOSSLESS prefix-filtered containment — the hot-regime scale path
+    for :func:`containment_pairs` (a Jaccard-LSH prefilter CANNOT serve
+    here: it recalls by symmetric similarity and misses the embedded
+    high-containment/low-Jaccard pairs this family exists for). The
+    asymmetric prefix bound: if |A∩B| ≥ ⌈t·|A|⌉ for the SMALLER set A,
+    at least one shared shingle lies in A's rarest-first prefix of
+    length |A| − ⌈t·|A|⌉ + 1 (else all shared shingles fit in the
+    ⌈t·|A|⌉−1 suffix — contradiction). So candidates = every doc's tiny
+    prefix (~(1−t)·|A| shingles) probed against the FULL inverted index
+    — the containing side cannot be pruned, but hot shingles leave the
+    PROBE side entirely unless they are a document's rarest, which
+    bounds candidate generation by prefix-shingle document frequencies.
+    Verification is row-local array_intersect per candidate pair,
+    oriented small→big; output identical to the naive form
+    (property-tested, embedded-pair case included)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
+    ranked = (
+        sh.join(freq, on="shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, on=id_col)
+    )
+    # epsilon guard as in jaccard_pairs_prefix: fp overshoot must never
+    # shorten the prefix (losslessness); undershoot only adds candidates
+    need = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = ranked.where(F.col("rn") <= F.col("n_sh") - need + 1)
+    probe = prefix.select(F.col(id_col).alias("id_p"), "shingle")
+    full = sh.select(F.col(id_col).alias("id_f"), "shingle")
+    cands = (
+        probe.join(full, on="shingle")
+        .where(F.col("id_p") != F.col("id_f"))
+        .select(
+            F.least("id_p", "id_f").alias("id_a"),
+            F.greatest("id_p", "id_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr"), F.count(F.lit(1)).alias("n")
+    )
+    j = cands.join(
+        arrs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("arr").alias("sa"),
+            F.col("n").alias("n_a"),
+        ),
+        on="id_a",
+    ).join(
+        arrs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("arr").alias("sb"),
+            F.col("n").alias("n_b"),
+        ),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    a_small = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = j.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+        pround(inter / F.least(F.col("n_a"), F.col("n_b")), 4).alias(
+            "containment"
+        ),
+    )
+    return out.where(F.col("containment") >= threshold)
+
+
 def contamination_hits(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1023,3 +1023,35 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert not [
         r for r in jac.collect() if {r.id_a, r.id_b} == {1, 2}
     ], "Jaccard should sit below threshold on the embedded pair"
+
+
+def test_containment_prefix_equals_naive(spark):
+    """The asymmetric prefix filter must be LOSSLESS: identical pair set
+    and scores as the naive inverted-index form, on a corpus that
+    includes the embedded-doc case AND near-threshold pairs."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(90))
+    planted = [
+        (900001, small),
+        (900002, small + " " + filler),
+        (900003, " ".join(f"w{i}" for i in range(40))),
+        (900004, " ".join(f"w{i}" for i in range(36)) + " x1 x2 x3 x4"),
+    ]
+    d = table(spark, SF_TEST, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+    for t in (0.8, 0.5):
+        naive = sorted(
+            map(tuple, dedup.containment_pairs(d, "doc_id", "text", 3, t).collect())
+        )
+        pref = sorted(
+            map(
+                tuple,
+                dedup.containment_pairs_prefix(d, "doc_id", "text", 3, t).collect(),
+            )
+        )
+        assert naive == pref and len(naive) > 0, (t, len(naive), len(pref))
