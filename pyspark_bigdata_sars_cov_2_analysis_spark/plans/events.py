@@ -549,3 +549,82 @@ def e12_retention_cohorts(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "e13_session_conversion",
+    # e02's sessionization CTE extended with per-session ordered
+    # conversion: a session converts iff some purchase follows the
+    # session's FIRST view (strictly later, e11's step rule in-session)
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                       OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM marked),
+    per_session AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN us END)
+               AS last_purchase
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(first_view) AS BIGINT) AS n_with_view,
+           CAST(COUNT(CASE WHEN last_purchase > first_view THEN 1 END)
+                AS BIGINT) AS n_converted
+    FROM per_session
+    """,
+)
+def e13_session_conversion(spark, sf_dir):
+    """Session analytics composition — PER-SESSION conversion: e11's
+    ordered-step rule applied inside e02's 30-minute sessions (a
+    purchase strictly after the session's first view), the
+    within-one-visit conversion metric next to e11's lifetime funnel.
+    The per-session step check is ONE conditional aggregate over the
+    already-sessionized frame (min view time, max purchase time — the
+    comparison needs no join because both live in the same group), so
+    the whole query adds zero exchanges beyond e02's sessionization."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    order = [F.asc("us"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    marked = e.withColumn(
+        "new_session",
+        F.when(F.col("us") - F.lag("us").over(w_lag) > gap_us, 1).otherwise(
+            F.when(F.lag("us").over(w_lag).isNull(), 1).otherwise(0)
+        ),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("first_view").alias("n_with_view"),
+        F.count(
+            F.when(F.col("last_purchase") > F.col("first_view"), 1)
+        ).alias("n_converted"),
+    )

@@ -1081,3 +1081,40 @@ def sql07_pivot_clause(spark, sf_dir):
         PIVOT (SUM(l_quantity) FOR l_linestatus IN ('F' AS F, 'O' AS O))
         """
     )
+
+
+@query(
+    "w09_running_distinct_users",
+    # SUM over BIGINT window -> HUGEINT in DuckDB: cast (u08 hash class)
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    new_per_day AS (
+      SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM new_per_day
+    """,
+)
+def w09_running_distinct_users(spark, sf_dir):
+    """The running-COUNT-DISTINCT problem (cumulative unique users by
+    day), solved by REDUCTION instead of brute force: a windowed
+    count(distinct) re-scans every prior day's users per output row —
+    quadratic state no engine executes well — but cumulative distinct ≡
+    cumulative sum of FIRST-SEEN counts, which is one per-user min
+    aggregate, one per-day count, and a running sum over the tiny daily
+    frame. The same reduction powers e12's cohorts; here it yields the
+    growth curve every dashboard plots. At 100 TB: the only big shuffle
+    is the per-user min; everything after runs on ~days rows."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
