@@ -24,6 +24,7 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    spark.catalog.clearCache()  # mirror the test's normalization
     budget = {}
     for name, fn in sorted(QUERIES.items()):
         if name in EXCLUDE:
