@@ -328,3 +328,71 @@ def j08_full_outer(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events")
     )
     return joins.join_fact(a, b, on="custkey", how="full_outer")
+
+
+@query(
+    "j09_temporal_scd2_join",
+    # w08's interval dimension joined back to the fact rows AT EVENT
+    # TIME: equi-join on user_id + validity-interval predicate (open
+    # upper bound for the current row). Both engines rebuild the same
+    # dimension CTE, then count events landing in each attribute regime.
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, d, event_type AS attr FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    marked AS (
+      SELECT user_id, d, attr, LAG(attr) OVER w AS prev_attr
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+    changes AS (
+      SELECT user_id, d, attr FROM marked
+      WHERE prev_attr IS NULL OR attr <> prev_attr),
+    dim AS (
+      SELECT user_id, attr, d AS valid_from,
+             LEAD(d - INTERVAL 1 DAY) OVER
+               (PARTITION BY user_id ORDER BY d) AS valid_to
+      FROM changes)
+    SELECT dim.attr AS regime_attr, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN dim
+      ON e.user_id = dim.user_id
+     AND CAST(e.ts AS DATE) >= dim.valid_from
+     AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) <= dim.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def j09_temporal_scd2_join(spark, sf_dir):
+    """§2.3 completion — the TEMPORAL dimension join, w08's payoff: every
+    fact row joined to the attribute that was valid AT ITS EVENT TIME
+    (equi-join on the entity key + validity-interval predicate, open
+    upper bound for current rows) — the query SCD2 tables exist to
+    serve, and the reason w08 stamps intervals instead of overwriting.
+    Scale shape: the equi key carries the join (per-user interval counts
+    are tiny, so the interval predicate is a cheap in-group filter, never
+    a nested-loop); the dimension build reuses w08's aggregate+window
+    over the per-user daily frame. Output: event counts per (historical
+    attribute regime, event type) — 'what did users do while their
+    dominant activity was X'."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.extended import (
+        w08_scd2_intervals,
+    )
+
+    e = table(spark, sf_dir, "events")
+    dim = w08_scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("attr").alias("regime_attr"),
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),
+    )
+    d = F.to_date("ts")
+    j = e.join(
+        dim,
+        (e.user_id == dim.user_id)
+        & (d >= dim.vf)
+        & (dim.vt.isNull() | (d <= dim.vt)),
+    )
+    return j.groupBy("regime_attr", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
