@@ -897,3 +897,52 @@ def p19_snapshot_drift(spark, sf_dir):
             F.abs(F.col("n_a") - F.col("n_b")) * 1.0 / F.col("n_a") > 0.2
         ).alias("volume_drifted"),
     )
+
+
+@query(
+    "p20_join_cardinality_preflight",
+    # Σ over shared keys of count_left × count_right IS the exact inner
+    # equi-join cardinality; the oracle also runs the real join to pin
+    # the prediction to the truth inside one hashed result
+    oracle="""
+    WITH l AS (SELECT user_id, COUNT(*) AS nl FROM events GROUP BY user_id),
+    r AS (SELECT c_custkey, COUNT(*) AS nr FROM customer GROUP BY c_custkey)
+    SELECT CAST(SUM(nl * nr) AS BIGINT) AS predicted_rows,
+           (SELECT COUNT(*) FROM events JOIN customer
+            ON user_id = c_custkey) AS actual_rows,
+           CAST(SUM(nl * nr) AS BIGINT) =
+             (SELECT COUNT(*) FROM events JOIN customer
+              ON user_id = c_custkey) AS prediction_exact
+    FROM l JOIN r ON l.user_id = r.c_custkey
+    """,
+)
+def p20_join_cardinality_preflight(spark, sf_dir):
+    """Operational diagnostics — the will-this-join-explode pre-flight:
+    the EXACT inner equi-join cardinality is Σ over shared keys of
+    n_left(k) × n_right(k), computable from two per-key count aggregates
+    and a join of the (tiny) count frames — at 100 TB this costs two
+    key-count shuffles instead of materializing a potentially quadratic
+    join, and it's exact, not a statistics estimate. The p18 skew
+    profile says WHERE the blowup concentrates; this says HOW BIG the
+    output will be. The query also runs the real join and hashes
+    prediction == actual, so the identity itself is driver-attested."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    l = e.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("nl"))
+    r = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    pred = l.join(r, "k").agg(
+        F.sum(F.col("nl") * F.col("nr")).cast("bigint").alias("predicted_rows")
+    )
+    actual = (
+        e.join(c, e.user_id == c.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return pred.crossJoin(actual).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "prediction_exact"
+        ),
+    )
