@@ -233,3 +233,32 @@ def u14_pandas_udaf(spark, sf_dir):
         gcount("embedding").alias("n"),
         qsum("embedding").alias("qsum_total"),
     )
+
+
+@query(
+    "sql08_registered_udf",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) * 2 + 7 AS BIGINT) AS derived
+    FROM documents
+    """,
+)
+def sql08_registered_udf(spark, sf_dir):
+    """SQL-surface × UDF cross — ``spark.udf.register`` + invocation from
+    SQL TEXT: the path SQL-first users extend the engine through (every
+    other UDF attestation calls the function object from the DataFrame
+    API). The function is Arrow-optimized (u09's row-Python ban holds)
+    and integer-exact (2·byte_length + 7) so the oracle is symbolic.
+    Registration is idempotent per session; the SQL analyzer resolves
+    the name exactly like a builtin."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def byte_feature(s: str) -> int:
+        return len(s.encode("utf-8")) * 2 + 7
+
+    spark.udf.register("byte_feature_sql", byte_feature)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udf_v")
+    return spark.sql(
+        "SELECT doc_id, byte_feature_sql(text) AS derived FROM docs_udf_v"
+    )
