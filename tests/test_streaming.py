@@ -629,3 +629,55 @@ def test_streaming_cdc_merge_upsert(spark, tmp_path):
     assert got == {
         1: ("a3", 3), 2: ("b3", 3), 3: ("c", 1), 4: ("d", 2), 5: ("e", 3)
     }
+
+
+def test_watermark_drops_late_data_accounted(spark, tmp_path):
+    """Late-data ACCOUNTING: an event arriving days behind the advanced
+    watermark must be (1) counted in numRowsDroppedByWatermark and (2)
+    absent from the emitted aggregates — the other half of the
+    lifecycle test's eviction story (state leaving is only correct if
+    stragglers for evicted windows are dropped, not resurrected)."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base = "2024-03-01 00:10:00"
+    rows1 = [(i, base[:11] + f"{h:02d}:10:00", 1, "click", 1.0, "{}")
+             for i, h in enumerate(range(0, 8))]
+    rows2 = [(100 + i, f"2024-03-02 {h:02d}:10:00", 1, "click", 1.0, "{}")
+             for i, h in enumerate(range(0, 8))]
+    late = [(999, "2024-03-01 00:20:00", 1, "click", 1.0, "{}")]  # day-old
+    schema = ("event_id long, ts_s string, user_id long, event_type string,"
+              " value double, props string")
+    for rows in (rows1, rows2, late):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.2)
+
+    stream = S.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        S.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, [p["numInputRows"] for p in q.recentProgress]
+    # the late event's window (Mar 1 00:00) finalized with n=1 from the
+    # on-time event only — the straggler never resurrected it
+    emitted = {
+        (r.window_start, r.n)
+        for r in spark.table("late_mem").collect()
+        if r.window_start == "2024-03-01 00:00:00"
+    }
+    assert emitted == {("2024-03-01 00:00:00", 1)}, emitted
