@@ -190,6 +190,37 @@ def write_zorder(
     )
 
 
+def audit_parquet_layout(path: str, small_file_mb: int = 16) -> dict:
+    """The detector that tells you WHEN to run :func:`compact_parquet`:
+    file count, byte totals, size quartiles, and the small-file fraction
+    of a parquet directory — pure footer-free filesystem metadata, no
+    Spark job, so auditing a 100 TB table's layout costs a listing, not
+    a scan. A pipeline healthcheck alerts on ``small_file_fraction``
+    (many files under ``small_file_mb``) before the metadata storm
+    degrades every reader."""
+    import glob as _glob
+    import os as _os
+
+    sizes = sorted(
+        _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not sizes:
+        return {"n_files": 0, "total_mb": 0.0, "small_file_fraction": 0.0}
+    n = len(sizes)
+    q = lambda f: sizes[min(n - 1, int(f * n))] / (1024 * 1024)
+    small = sum(1 for s in sizes if s < small_file_mb * 1024 * 1024)
+    return {
+        "n_files": n,
+        "total_mb": round(sum(sizes) / (1024 * 1024), 2),
+        "p25_mb": round(q(0.25), 3),
+        "p50_mb": round(q(0.50), 3),
+        "p75_mb": round(q(0.75), 3),
+        "max_mb": round(sizes[-1] / (1024 * 1024), 3),
+        "small_file_fraction": round(small / n, 3),
+    }
+
+
 def merge_upsert_parquet(
     spark,
     path: str,

@@ -901,3 +901,27 @@ def test_zorder_empty_frame_writes_empty(spark, tmp_path):
         spark.createDataFrame([], "x: long, y: long"), out, ["x", "y"]
     )
     assert spark.read.parquet(out).count() == 0
+
+
+def test_audit_parquet_layout_detects_fragmentation(spark, tmp_path):
+    """The compaction detector: a 32-way fragmented write must show a
+    high small-file fraction; after compact_parquet the same audit goes
+    clean — the detect → fix loop as one assertion chain."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        audit_parquet_layout,
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 20_000).repartition(32).write.parquet(path)
+    before = audit_parquet_layout(path, small_file_mb=1)
+    assert before["n_files"] == 32
+    assert before["small_file_fraction"] == 1.0
+
+    compact_parquet(spark, path, n_files=2)
+    after = audit_parquet_layout(path, small_file_mb=1)
+    assert after["n_files"] <= 2
+    assert after["total_mb"] > 0
+    # empty dir edge
+    empty = audit_parquet_layout(str(tmp_path / "nope"))
+    assert empty == {"n_files": 0, "total_mb": 0.0, "small_file_fraction": 0.0}
