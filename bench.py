@@ -37,6 +37,7 @@ HEADLINE = [
     "d12_decontaminated_split",
     "d13_fuzzy_dedup_resolve",
     "d14_chunk_dedup_keep_first",
+    "d16_containment_neardup",
     "o06_temperature_mixture",
     "t13_token_surprisal",
     "s01_cosine_topk",
