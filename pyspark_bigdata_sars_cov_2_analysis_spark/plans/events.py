@@ -628,3 +628,36 @@ def e13_session_conversion(spark, sf_dir):
             F.when(F.col("last_purchase") > F.col("first_view"), 1)
         ).alias("n_converted"),
     )
+
+
+@query(
+    "e14_view_purchase_full_outer",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM v FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+    """,
+)
+def e14_view_purchase_full_outer(spark, sf_dir):
+    """FULL OUTER interval self-join — the last stream-stream join type
+    (inner e06, left outer e10, full outer here): unconverted views
+    null-extend on the purchase side AND orphan purchases (no view in
+    their 30-minute lookback) null-extend on the view side — the
+    both-directions reconciliation j08 runs on keys, applied to event
+    intervals. Batch twin of the streaming variant's
+    ``how="full_outer"`` mode; the user key coalesces across sides."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        view_purchase_attribution_outer,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return view_purchase_attribution_outer(e, how="full_outer").drop("v_ts")

@@ -345,6 +345,7 @@ def view_purchase_attribution_outer(
     events: DataFrame,
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "left_outer",
 ) -> DataFrame:
     """LEFT OUTER watermarked interval join — the other half of the
     stream-stream join family: every view is attributed to a following
@@ -361,7 +362,14 @@ def view_purchase_attribution_outer(
     lies beyond the final watermark are still held in state when an
     availableNow run drains — their null rows are NOT emitted. A
     batch-vs-stream reconciliation must condition on the final watermark
-    (see tests/test_streaming_outer.py)."""
+    (see tests/test_streaming_outer.py).
+
+    ``how="full_outer"`` completes the stream-stream join family:
+    additionally, a purchase with NO view in its lookback window emits
+    with null view columns once the watermark passes its own timestamp
+    (a purchase's join validity ends at p_ts — views must precede it).
+    The user_id column is then coalesced across sides, since either
+    side can be the null one."""
     views = (
         events.where(F.col("event_type") == "view")
         .select(
@@ -388,9 +396,9 @@ def view_purchase_attribution_outer(
             F.col("p_ts")
             <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
-        how="left_outer",
+        how=how,
     ).select(
-        F.col("v_user").alias("user_id"),
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
         "view_id",
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
