@@ -1118,3 +1118,45 @@ def w09_running_distinct_users(spark, sf_dir):
         F.col("n_new").cast("bigint").alias("n_new"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@query(
+    "a25_transpose",
+    # the transposed frame is tiny and fully determined: metrics become
+    # rows, the three return flags become columns — the oracle writes it
+    # out as three scalar-subquery columns per metric row
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             {sql_round("SUM(l_quantity)", 2)} AS sum_qty,
+             {sql_round("AVG(l_extendedprice)", 2)} AS avg_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT m.key,
+           (SELECT CASE m.key WHEN 'sum_qty' THEN sum_qty
+                              ELSE avg_price END FROM s WHERE flag = 'A') AS A,
+           (SELECT CASE m.key WHEN 'sum_qty' THEN sum_qty
+                              ELSE avg_price END FROM s WHERE flag = 'N') AS N,
+           (SELECT CASE m.key WHEN 'sum_qty' THEN sum_qty
+                              ELSE avg_price END FROM s WHERE flag = 'R') AS R
+    FROM (VALUES ('sum_qty'), ('avg_price')) m(key)
+    """,
+)
+def a25_transpose(spark, sf_dir):
+    """Reshape completion — Spark 4's ``DataFrame.transpose()`` (a21's
+    unpivot turns wide→long; transpose flips a SMALL summary frame's
+    axes entirely, metrics-as-rows × groups-as-columns — the
+    presentation shape reports want). Only sane on bounded frames: the
+    first column's values become column NAMES, so the input here is the
+    3-row per-flag aggregate, never a fact table. The aggregate before
+    the flip is the usual map-side-combined shuffle; the transpose
+    itself is driver-bounded by construction."""
+    li = table(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy("flag")
+    )
+    return s.transpose()
