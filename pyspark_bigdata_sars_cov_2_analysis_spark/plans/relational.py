@@ -946,3 +946,52 @@ def p20_join_cardinality_preflight(spark, sf_dir):
             "prediction_exact"
         ),
     )
+
+
+@query(
+    "f18_ansi_safe_functions",
+    # DuckDB has no try_divide/try_add — the oracle spells the NULL-on-
+    # failure semantics out as guards, which is exactly what the try_*
+    # family promises
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE {sql_round("value / (user_id % 3)", 4)} END AS safe_div,
+           TRY_CAST(CASE WHEN user_id % 2 = 0
+                          THEN CAST(user_id AS VARCHAR) ELSE props END
+                    AS INT) AS props_int,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT) END AS big_ok
+    FROM events
+    """,
+)
+def f18_ansi_safe_functions(spark, sf_dir):
+    """F-family completion for ANSI mode — the ``try_*`` safe variants
+    (Spark 4 runs ANSI by default, where plain ``/ 0`` and overflow
+    THROW mid-job): ``try_divide`` yields NULL on the planted zero
+    denominators (every user_id % 3 == 0 row), ``try_cast`` parses the planted numeric half and NULLs the
+    unparseable JSON half instead of erroring, and ``try_multiply``
+    survives a would-overflow guard. For a 100 TB batch job this is the
+    difference between one poisoned row nulling out and hour-12 of a
+    backfill dying; the non-try forms stay correct for pipelines that
+    WANT fail-fast. The oracle writes the NULL-on-failure contract out
+    explicitly."""
+    e = table(spark, sf_dir, "events")
+    denom = F.col("user_id") % 3
+    return e.select(
+        "event_id",
+        pround(F.try_divide(F.col("value"), denom), 4).alias("safe_div"),
+        F.when(
+            F.col("user_id") % 2 == 0, F.col("user_id").cast("string")
+        )
+        .otherwise(F.col("props"))
+        .try_cast("int")
+        .alias("props_int"),
+        F.when(
+            denom == 0, F.lit(None).cast("bigint")
+        ).otherwise(
+            F.try_multiply(
+                F.lit(9223372036854775807).cast("bigint"), F.lit(1).cast("bigint")
+            )
+        ).alias("big_ok"),
+    )
