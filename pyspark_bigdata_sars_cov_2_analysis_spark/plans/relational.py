@@ -995,3 +995,40 @@ def f18_ansi_safe_functions(spark, sf_dir):
             )
         ).alias("big_ok"),
     )
+
+
+@query(
+    "f19_collated_grouping",
+    # DuckDB expresses the case-insensitive grouping with lower();
+    # Spark uses a true COLLATION so the ENGINE merges the keys — the
+    # output canonicalizes to lower for the cross-engine hash
+    oracle="""
+    SELECT lower(CASE WHEN event_id % 5 = 0 THEN upper(event_type)
+                      ELSE event_type END) AS et_ci,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f19_collated_grouping(spark, sf_dir):
+    """Spark 4 COLLATION support — case-insensitive grouping via
+    ``collate(..., 'UTF8_LCASE')``: mixed-case variants of a key
+    (planted: every 5th event's type is uppercased) merge into ONE group
+    at the comparison level, the way dirty categorical data actually
+    needs, WITHOUT rewriting every value through lower() first — under
+    collation the grouping, joins, and ORDER BY all agree on the
+    equivalence while the original spellings survive for display. The
+    hashed output canonicalizes with lower() so both engines emit the
+    same key text; the COUNT proves the merge happened in the engine."""
+    e = table(spark, sf_dir, "events")
+    dirty = F.when(
+        F.col("event_id") % 5 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    ci = F.collate(dirty, "UTF8_LCASE")
+    return (
+        e.select(ci.alias("et"))
+        .groupBy("et")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.collate(F.col("et"), "UTF8_BINARY")).alias("et_ci"), "n"
+        )
+    )
