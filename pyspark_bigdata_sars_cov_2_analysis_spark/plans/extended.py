@@ -1160,3 +1160,86 @@ def a25_transpose(spark, sf_dir):
         .orderBy("flag")
     )
     return s.transpose()
+
+
+@query(
+    "w10_forward_fill",
+    oracle=f"""
+    WITH planted AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT user_id, event_id,
+           {sql_round("last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)}
+             AS filled
+    FROM planted
+    """,
+)
+def w10_forward_fill(spark, sf_dir):
+    """W3 completion — FORWARD FILL via ``last_value(..., ignoreNulls)``
+    over an unbounded-preceding frame: every planted gap (value nulled
+    on each 7th event) takes the user's most recent non-null
+    observation, the sensor/price-series imputation every time-series
+    pipeline runs. A user's leading nulls (no prior observation) stay
+    NULL — fill never invents data. One window over the user partition;
+    the IGNORE NULLS navigation is the piece w04's plain lag/lead
+    cannot express without a nested struct trick."""
+    e = table(spark, sf_dir, "events")
+    planted = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return planted.select(
+        "user_id",
+        "event_id",
+        pround(F.last("v", ignorenulls=True).over(w), 2).alias("filled"),
+    )
+
+
+@query(
+    "a26_deterministic_mode",
+    # the oracle spells out the mode's tiebreak contract explicitly:
+    # max count, then LOWEST value — exactly what mode(deterministic)
+    # promises, so ties cannot flap between engines
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY n DESC, event_type) AS rn
+      FROM c)
+    SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def a26_deterministic_mode(spark, sf_dir):
+    """A-family completion — ``mode()`` with the DETERMINISTIC flag: each
+    user's most frequent event type, ties broken by LOWEST value (the
+    documented contract), which is the only mode a cross-engine gate can
+    attest — plain mode() picks an arbitrary tied winner and would flap.
+    The count rides along so the answer is auditable. One grouped
+    aggregate; mode's sketch state is bounded by the per-user type
+    domain."""
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.mode("event_type", True).alias("modal_type")
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return m.join(
+        counts,
+        (m.user_id == counts.user_id)
+        & (m.modal_type == counts.event_type),
+    ).select(m.user_id, "modal_type", "n")
