@@ -1235,11 +1235,11 @@ def a26_deterministic_mode(spark, sf_dir):
     m = e.groupBy("user_id").agg(
         F.mode("event_type", True).alias("modal_type")
     )
-    counts = e.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    counts = e.groupBy(
+        F.col("user_id").alias("c_user"), F.col("event_type").alias("c_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
     return m.join(
         counts,
-        (m.user_id == counts.user_id)
-        & (m.modal_type == counts.event_type),
-    ).select(m.user_id, "modal_type", "n")
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("modal_type") == F.col("c_type")),
+    ).select("user_id", "modal_type", "n")
