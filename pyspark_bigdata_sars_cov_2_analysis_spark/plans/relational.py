@@ -1032,3 +1032,47 @@ def f19_collated_grouping(spark, sf_dir):
             F.lower(F.collate(F.col("et"), "UTF8_BINARY")).alias("et_ci"), "n"
         )
     )
+
+
+@query(
+    "f20_parse_url",
+    # DuckDB has no parse_url; the oracle regexes the same planted URL
+    # apart — which is exactly the contract being attested (host/path/
+    # query extraction), not the parser's implementation
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://host' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?q=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'q=([0-9]+)', 1) AS q
+    FROM u
+    """,
+)
+def f20_parse_url(spark, sf_dir):
+    """F-family completion — URL decomposition via native ``parse_url``
+    (HOST/PATH/QUERY parts): the web-corpus hygiene primitive (domain
+    frequency caps, per-site dedup keys, tracker-param stripping all
+    start here). URLs are planted deterministically per doc_id so the
+    extraction has real structure to find on any corpus; the oracle
+    takes the regex route to the same parts, attesting the CONTRACT
+    rather than the parser. Row-local, codegen, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q"),
+    )
