@@ -590,3 +590,64 @@ def t14_langid_margin(spark, sf_dir):
         margin.alias("margin"),
         (margin >= 2).alias("is_confident"),
     )
+
+
+@query(
+    "t15_sentence_stats",
+    # synthetic docs carry no terminal punctuation, so sentence structure
+    # is PLANTED deterministically: a period after every 7th word (doc_id
+    # phase-shifted) — both engines then split on the same boundaries.
+    # DuckDB lambda indexes are 1-based where Spark's are 0-based, hence
+    # the i - 1
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 string_split({_DUCK_NORM}, ' '),
+                 (w, i) -> CASE WHEN (i - 1 + doc_id) % 7 = 0
+                                THEN w || '.' ELSE w END),
+               ' ') AS t
+      FROM documents),
+    sents AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(t, '\\.'),
+                             s -> trim(s) <> '')) AS n_sentences,
+             len(string_split({_DUCK_NORM}, ' ')) AS n_words
+      FROM planted JOIN documents USING (doc_id))
+    SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+           {sql_round("n_words * 1.0 / n_sentences", 2)} AS words_per_sentence
+    FROM sents
+    """,
+)
+def t15_sentence_stats(spark, sf_dir):
+    """Text-quality completion — sentence-level statistics (count and
+    mean words per sentence), the readability axis t01/t02's token
+    ratios don't see: wall-of-text documents (huge sentences) and
+    staccato spam (tiny ones) both flag here. The synthetic corpus has
+    no punctuation, so sentence boundaries are PLANTED deterministically
+    (a period after every 7th word, phase-shifted by doc_id) — the
+    extraction then has real structure to find, t08's pattern. Pure
+    row-local split/filter arithmetic; zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(T.normalize_text(F.col("text")), " ")
+    planted = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                (i + F.col("doc_id")) % 7 == 0, F.concat(w, F.lit("."))
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    n_sent = F.size(
+        F.filter(
+            F.split(planted, r"\."), lambda s: F.trim(s) != F.lit("")
+        )
+    )
+    n_words = F.size(words)
+    return d.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sentences"),
+        pround(n_words * 1.0 / n_sent, 2).alias("words_per_sentence"),
+    )
