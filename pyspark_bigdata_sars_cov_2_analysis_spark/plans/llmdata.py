@@ -1375,3 +1375,100 @@ def m07_audio_decimate(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     wav = synthesize_pcm(d, "doc_id", n_samples=256)
     return audio_decimate(wav, "doc_id", "payload", factor=4)
+
+
+@query(
+    "d18_curation_pipeline",
+    # t12's gate CTE ∘ d01's keep-first ∘ o08's weighted gate, all from
+    # the same SQL fragments their standalone oracles use — composition
+    # cannot drift from the attested components
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             {sql_round(_QUALITY_EXPR, 4)} AS q,
+             {sql_round("CASE WHEN len(g) > 0 THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE) ELSE 0.0 END", 4)}
+               AS rep
+      FROM grams
+    ),
+    kept AS (
+      SELECT doc_id, text, greatest(q, 0.0) AS weight FROM feats
+      WHERE n_toks >= 30 AND q >= 0.35 AND rep <= 0.05
+    ),
+    keepers AS (
+      SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             MIN(doc_id) AS doc_id
+      FROM kept GROUP BY 1
+    ),
+    survivors AS (
+      SELECT k.doc_id, kt.weight
+      FROM keepers k JOIN kept kt ON k.doc_id = kt.doc_id
+    )
+    SELECT doc_id, weight FROM survivors
+    WHERE substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN weight >= 1.0 THEN 'g'
+               ELSE printf('%04x', least(
+                 CAST(floor(weight * 65536.0) AS INT), 65535)) END
+    """,
+)
+def d18_curation_pipeline(spark, sf_dir):
+    """The canonical curation chain as ONE composed plan — the d12
+    pattern applied to the quality axis: t12's Gopher gate drops junk,
+    d01's keep-first collapses exact duplicates among the keepers
+    (min-doc_id per fingerprint — dedup AFTER gating so a junk copy
+    can't shadow a clean one), then o08's per-row weighted gate samples
+    survivors proportional to their own quality. Every stage reuses the
+    attested component (quality_gate / exact_duplicates' fp / the
+    rate-threshold gate), and the oracle is assembled from the same SQL
+    fragments the standalone oracles use — so the composition cannot
+    silently diverge from its parts. Shape: the gate and both hash
+    gates are row-local; the ONLY shuffle is the d01 fingerprint
+    aggregate + its keeper join-back, both keyed on the 16-byte md5."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround as _pr,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_gate,
+        quality_score,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        weighted_hash_sample,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    g = quality_gate(F.col("text")).alias("g")
+    kept = (
+        d.select("doc_id", "text", g)
+        .where(F.col("g.keep"))
+        .select(
+            "doc_id",
+            "text",
+            F.greatest(_pr(quality_score(F.col("text")), 4), F.lit(0.0)).alias(
+                "weight"
+            ),
+        )
+    )
+    fp = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    ).alias("fp")
+    keepers = (
+        kept.select(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = kept.join(keepers, "doc_id").select("doc_id", "weight")
+    return weighted_hash_sample(
+        survivors, "doc_id", F.col("weight"), salt="cur|"
+    ).select("doc_id", "weight")
