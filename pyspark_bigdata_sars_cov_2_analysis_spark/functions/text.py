@@ -118,6 +118,43 @@ def repetition_ratio(col: Column, k: int = 3) -> Column:
     return F.when(total > 0, (total - dist) / total).otherwise(F.lit(0.0))
 
 
+def repetition_ratio_agg(df, id_col: str, text_col: str, k: int = 3):
+    """AGGREGATE-form repetition scorer — the codegen escape hatch for
+    :func:`repetition_ratio` when the per-core bill matters: the
+    row-local form's ``array_distinct`` is interpreted (~2.6 ms/doc
+    measured), while this shape explodes the k-grams and reduces with
+    hash aggregates (whole-stage codegen, map-side partials) at the
+    cost of ONE shuffle on (doc, gram). Same value, different physical
+    plan — equivalence property-tested. Returns (id, rep_ratio rounded
+    4dp); docs shorter than k tokens score 0.0 via the left join."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
+        word_shingles,
+    )
+
+    sh = word_shingles(df, id_col, text_col, k, distinct=False)
+    stats = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("shingle").alias("dist"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            pround(
+                F.when(
+                    F.col("total") > 0,
+                    (F.col("total") - F.col("dist")) / F.col("total"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("rep_ratio"),
+        )
+    )
+
+
 # PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
 # (DuckDB): plain char classes, \d, \b, escaped dots — no lookarounds.
 PII_PATTERNS: dict[str, str] = {

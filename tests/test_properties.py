@@ -1055,3 +1055,39 @@ def test_containment_prefix_equals_naive(spark):
             )
         )
         assert naive == pref and len(naive) > 0, (t, len(naive), len(pref))
+
+
+def test_repetition_agg_form_equals_row_local(spark):
+    """The two repetition-scorer formulations — row-local interpreted
+    array math vs exploded hash aggregates — must agree to the rounding
+    grid on real documents including the shorter-than-k edge (both
+    score 0.0)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround as _pr,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        repetition_ratio,
+        repetition_ratio_agg,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    d = table(spark, SF_TEST, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(990001, "a b"), (990002, "x x x x x x")],
+            "doc_id long, text string",
+        )
+    )
+    row_local = {
+        r.doc_id: r.rep
+        for r in d.select(
+            "doc_id", _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep")
+        ).collect()
+    }
+    agg_form = {
+        r.doc_id: r.rep_ratio
+        for r in repetition_ratio_agg(d, "doc_id", "text", 3).collect()
+    }
+    assert row_local == agg_form and len(row_local) > 0
+    assert agg_form[990001] == 0.0   # shorter than k
+    assert agg_form[990002] == 0.75  # 4 grams, 1 distinct
