@@ -89,7 +89,7 @@ _STALE_QUEUE = [
     "w08_scd2_intervals", "s05_ann_recall", "sql06_relational_division", "u14_pandas_udaf", "m06_resize_nn", "t14_langid_margin", "d16_containment_neardup", "m07_audio_decimate", "sql07_pivot_clause", "p19_snapshot_drift",
     "w09_running_distinct_users", "e13_session_conversion",
     "j09_temporal_scd2_join", "p20_join_cardinality_preflight", "sql08_registered_udf",
-    "e14_view_purchase_full_outer", "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping", "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url", "t15_sentence_stats", "d18_curation_pipeline",
+    "e14_view_purchase_full_outer", "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping", "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url", "t15_sentence_stats", "d18_curation_pipeline", "j10_range_lookup_broadcast",
     # last attested round 5, in CORRECTNESS_r05 order; the first
     # WINDOW − 3 − 28 of these fill the window, the rest are next in
     # line for round 8

@@ -396,3 +396,51 @@ def j09_temporal_scd2_join(spark, sf_dir):
     return j.groupBy("regime_attr", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "j10_range_lookup_broadcast",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 20000.0), ('mid', 20000.0, 40000.0),
+             ('upper', 40000.0, 60000.0), ('premium', 60000.0, 80000.0),
+             ('luxury', 80000.0, 1e12)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round("SUM(l_extendedprice)", 2)} AS revenue
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+)
+def j10_range_lookup_broadcast(spark, sf_dir):
+    """The DELIBERATE BroadcastNestedLoopJoin — every other plan guard
+    in this repo treats BNLJ as a bug, and the nuance matters: for a
+    point-in-range lookup against a TINY interval dimension (price
+    bands, IP→geo blocks, rate tables — single-digit rows to a few
+    thousand), broadcasting the ranges and nested-looping each fact row
+    over them IS the right plan: the 'loop' is a handful of comparisons
+    per row inside codegen, no shuffle, no binning machinery. The j07
+    binned equi-join exists for the OTHER regime (both sides large).
+    The plan test pins BNLJ + broadcast here, the documented exception
+    to the rule the q-family guards enforce."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 20000.0),
+            ("mid", 20000.0, 40000.0),
+            ("upper", 40000.0, 60000.0),
+            ("premium", 60000.0, 80000.0),
+            ("luxury", 80000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -560,3 +560,15 @@ def test_a24_no_window_stats_broadcast(spark):
     plan = _plan(QUERIES["a24_zscore_anomaly"](spark, SF_TEST), "simple")
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_j10_deliberate_bnlj_tiny_dim(spark):
+    """j10 is the documented EXCEPTION to the no-BNLJ rule: a point-in-
+    range lookup against a 5-row broadcast dimension must plan as
+    BroadcastNestedLoopJoin (no shuffle on the fact side before the
+    aggregate) — the nuance that distinguishes 'BNLJ because the
+    optimizer had no better idea' from 'BNLJ because it is optimal'."""
+    plan = _plan(QUERIES["j10_range_lookup_broadcast"](spark, SF_TEST), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 1, plan  # only the final 5-group aggregate
