@@ -10,6 +10,7 @@ inference drift, and asserts the load-bearing dtypes/confs.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -95,16 +96,30 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 22, (
+    assert len(entry._PRIORITY_FIRST) == 31, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r6 #3: the 28 round-4-stale names must ALL be inside the
-    # round-7 window (head 22 + 28 = 50, exactly full; late-r7 queries queue AFTER u06 for round 8 ≤ 50), so no query's last green
-    # attestation is older than two rounds after this round lands
-    r4_stale = entry._STALE_QUEUE[:28]
-    assert r4_stale[0] == "q1_pricing_summary"
-    assert r4_stale[-1] == "u06_batch_inference"
-    assert all(n in window for n in r4_stale), (
-        "a round-4-stale query fell out of the round-7 window"
+    # VERDICT r7 #1: all 31 never-driver-attested late-r7 queries must be
+    # inside the round-8 window (head 31 + 19 r5-stale = 50, exactly
+    # full). Derive never-attested from the CORRECTNESS files themselves
+    # so the pin can't drift from the actual attestation record.
+    attested = set()
+    for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+        with open(rec) as fh:
+            attested.update(json.load(fh).keys())
+    never = [n for n in plans.QUERIES if n not in attested]
+    assert set(never) == set(entry._PRIORITY_FIRST), (
+        f"never-attested set drifted from the priority head: "
+        f"missing={sorted(set(never) - set(entry._PRIORITY_FIRST))} "
+        f"extra={sorted(set(entry._PRIORITY_FIRST) - set(never))}"
     )
+    assert all(n in window for n in never), (
+        "a never-attested query fell out of the round-8 window"
+    )
+    # VERDICT r7 #5: the round-9 head is a complete forward plan — the
+    # 27 r5-stale names past the cut, starting at w06
+    r9_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r9_head) == 27
+    assert r9_head[0] == "w06_distribution_ranks"
+    assert r9_head[-1] == "u07_mlp_inference"
