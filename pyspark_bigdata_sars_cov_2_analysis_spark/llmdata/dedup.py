@@ -384,12 +384,31 @@ def ingest_batch_idempotent(
     band row), which is benign by construction: candidate pairs are
     ``distinct()``-ed before the anti join, so a duplicated band can
     only re-derive the same pair, never re-admit a document — the cost
-    is bounded storage, not wrong answers. Verified by a test that runs
-    the same (batch_df, batch_id) twice and gets byte-identical output."""
+    is bounded storage, not wrong answers.
+
+    Replay determinism (ADVICE r7 #1): the corpus side EXCLUDES any band
+    row whose id belongs to the current batch (broadcast anti-join below)
+    — a replay therefore sees exactly the pre-batch corpus state and
+    recomputes the identical survivor set REGARDLESS of how much of the
+    previous attempt's band append landed. Without this, a torn append
+    (crash mid job-commit) would let a replayed survivor match its own —
+    or a sibling survivor's — partially-landed bands and the scoped
+    dynamic overwrite would rewrite the partition without those docs:
+    permanent silent loss. A plain ``new_id != corpus_id`` self-pair
+    filter would NOT suffice: two intra-batch survivors that near-dup
+    each other would still cross-match each other's landed bands and
+    both drop. Verified by tests that replay the same (batch_df,
+    batch_id) over full AND torn band appends and get identical output."""
     s = batch_df.sparkSession
     corpus_bands = read_band_checkpoint(
         s, band_path, id_col,
         k=k, num_hashes=num_hashes, band_rows=band_rows,
+    )
+    # drop this batch's ids from the corpus side: replays must dedup
+    # against the pre-batch corpus only (micro-batch ids are small —
+    # broadcast keeps the anti join shuffle-free)
+    corpus_bands = corpus_bands.join(
+        F.broadcast(batch_df.select(id_col)), on=id_col, how="left_anti"
     )
     pairs = incremental_neardup_pairs(
         batch_df, None, id_col, text_col,

@@ -681,3 +681,58 @@ def test_watermark_drops_late_data_accounted(spark, tmp_path):
         if r.window_start == "2024-03-01 00:00:00"
     }
     assert emitted == {("2024-03-01 00:00:00", 1)}, emitted
+
+
+def test_ingest_batch_replay_survives_torn_band_append(spark, tmp_path):
+    """ADVICE r7 #1: a crash can tear the band-checkpoint append so only
+    SOME of a batch's band rows land before the replay. The replay must
+    still recompute the IDENTICAL survivor set — the corpus side excludes
+    the batch's own ids, so partially-landed bands are invisible. Without
+    that exclusion, survivor 11 would self-match its landed bands and
+    sibling near-dup 12 would cross-match them, and the scoped dynamic
+    overwrite would rewrite the partition without either: silent loss."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    seed = ("the seed corpus document about distributed minhash band "
+            "checkpoints and their exactly once ingestion semantics")
+    twin = ("two sibling documents in the same batch that are near "
+            "duplicates of one another yet both admitted because the "
+            "incremental operator only emits cross side pairs {}")
+    corpus = spark.createDataFrame(
+        [(1, seed)], "doc_id long, text string"
+    )
+    band_path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, band_path, "doc_id", "text")
+    out = str(tmp_path / "out")
+
+    batch = spark.createDataFrame(
+        [
+            (10, seed + " extra"),          # dups the corpus -> dropped
+            (11, twin.format("alpha")),      # near-dup of 12, admitted
+            (12, twin.format("beta")),       # near-dup of 11, admitted
+            (13, "a wholly fresh text on parquet partition pruning"),
+        ],
+        "doc_id long, text string",
+    )
+    # sanity: 11/12 really are LSH near-dups of each other, 13 is not
+    pairs = dedup.incremental_neardup_pairs(
+        batch.where("doc_id = 11"), batch.where("doc_id = 12"),
+        "doc_id", "text",
+    )
+    assert [(r.new_id, r.corpus_id) for r in pairs.collect()] == [(11, 12)]
+
+    # simulate the torn first attempt: ONLY doc 11's bands landed
+    dedup.write_band_checkpoint(
+        batch.where("doc_id = 11"), band_path, "doc_id", "text",
+        mode="append",
+    )
+
+    # the replay (same batch_df, batch_id 0) must admit 11, 12 and 13
+    dedup.ingest_batch_idempotent(batch, 0, band_path, out)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [11, 12, 13], got
+
+    # and a second full replay over the now-complete append is a no-op
+    dedup.ingest_batch_idempotent(batch, 0, band_path, out)
+    again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert again == got
