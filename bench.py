@@ -46,17 +46,39 @@ HEADLINE = [
     "t09_tfidf_top_terms",
     "t10_sequence_packing",
     "e08_gapfill_daily",
+    "d18_curation_pipeline",
 ]
 
+# Bench-only measurements that are not registry queries: d18's scorer
+# seam keeps BOTH physical plans measurable (VERDICT r7 #3) without
+# adding a second registry/attestation entry for what is the same
+# logical query — the auto path above dispatches to 'agg'; this row
+# tracks the row-local interpreted alternative so the dispatch's win
+# stays a recorded number, not a stale docstring claim.
+def _d18_local(spark, sf_dir):
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.llmdata import (
+        d18_curation_pipeline,
+    )
+
+    return d18_curation_pipeline(spark, sf_dir, scorer="local")
+
+
+EXTRA = {"d18_curation_pipeline[scorer=local]": _d18_local}
+
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
-# SAME best-of-2 protocol this script runs (round 4 re-freeze — the round-1
-# single-shot numbers biased every ratio low). A query >1.5x its frozen
+# SAME best-of-2 protocol this script runs. A query >1.5x its frozen
 # time is flagged. GOVERNANCE: existing entries are immutable
 # ("frozen_until": "protocol change") — a full re-freeze requires a bench
-# protocol change, stated in the round verdict. The only sanctioned write
-# is `python bench.py --extend-baseline`, which ADDS entries for headline
-# queries the baseline doesn't know yet (from a clean, uncontended run in
-# the same commit that adds them) and refuses to touch existing numbers.
+# protocol change, stated in the round verdict. Two sanctioned writes:
+# `python bench.py --extend-baseline` ADDS entries for headline queries
+# the baseline doesn't know yet and refuses to touch existing numbers;
+# `python bench.py --refreeze` replaces the WHOLE baseline from the
+# current run — used exactly once per sanctioned protocol change (round 4:
+# replaced the round-1 single-shot freeze; round 8, per VERDICT r7 #2: the
+# r4 entries predate the r6 clearCache protocol AND documented intra-day
+# host drift had pushed identical code past the 1.5x flag line, so the r8
+# re-freeze realigns every entry under the current protocol and adds the
+# host-drift canary the ratios are now read against).
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
 )
@@ -123,6 +145,69 @@ def _extend_baseline(out: dict) -> None:
     )
 
 
+def _refreeze_baseline(out: dict) -> None:
+    """Replace the whole frozen baseline from this run (sanctioned per
+    VERDICT r7 #2 — protocol change; see GOVERNANCE note above). Keeps
+    the previous freeze's provenance in protocol_notes."""
+    deviations = [
+        f"{var}={os.environ[var]!r}"
+        for var, default in (
+            ("SPARK_GRAFT_BENCH_RUNS", "2"),
+            ("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            ("SPARK_GRAFT_CPUS", "32"),
+        )
+        if os.environ.get(var) not in (None, default)
+    ]
+    if deviations:
+        print(
+            "refusing to refreeze baseline: nonstandard env "
+            + ", ".join(deviations),
+            file=sys.stderr,
+        )
+        return
+    try:
+        with open(BASELINE_PATH) as f:
+            prior = json.load(f)
+        prior_note = (
+            f"replaces the {prior.get('frozen_from', 'prior')} freeze "
+            f"(total {prior.get('value')}s over "
+            f"{len(prior.get('queries', {}))} queries)"
+        )
+    except (OSError, ValueError):
+        prior_note = "no prior baseline found"
+    base = {
+        "frozen_from": "round 8 re-freeze",
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "runs_per_query": out["runs_per_query"],
+        "agg": out["agg"],
+        "host_canary": {"sec": out["host_canary"]["sec"]},
+        "queries": dict(out["queries"]),
+        "frozen_until": "protocol change",
+        "extensions": [],
+        "protocol_notes": (
+            "round 8 clean re-freeze (sf0.1, local[32], best-of-2 minima, "
+            "clearCache between queries, nothing else running): "
+            + prior_note
+            + ". The r4 entries were frozen BEFORE the r6 clearCache "
+            "protocol and on a host whose documented intra-day drift "
+            "(identical code 28.8s->33.9s) had pushed untouched queries "
+            "past the 1.5x flag line, so their ratios had stopped "
+            "carrying signal. Ratios are now read against host_canary."
+            "vs_frozen — a fixed repo-code-independent workload timed in "
+            "the same run; divide a suspect per-query ratio by the "
+            "canary ratio before believing it."
+        ),
+        "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    print("baseline re-frozen from this run", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = start_session("bench")
@@ -147,10 +232,28 @@ def main() -> None:
     # query below so it never competes for executor storage with later
     # timings.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    # Host-drift canary (VERDICT r7 #2): a fixed, repo-code-INDEPENDENT
+    # workload (range -> modulo keys -> hash aggregate, 32 partitions)
+    # timed under the same best-of-N protocol before any headline query.
+    # Identical code measured 28.8s -> 33.9s across one idle day on this
+    # host (BASELINE_BENCH.json protocol_notes), so per-query ratios need
+    # a same-run drift reference: divide a suspect ratio by
+    # host_canary.vs_frozen before believing it — no repo commit can move
+    # the canary, only the host can.
+    canary = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "id % 9973 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
+        canary = min(canary, time.perf_counter() - t0)
+    canary = round(canary, 3)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = plans.QUERIES[name]
+    for name in list(HEADLINE) + sorted(EXTRA):
+        fn = EXTRA.get(name) or plans.QUERIES[name]
         best = float("inf")
         completed = 0
         # failure-tolerant: one broken query must not zero out the whole
@@ -189,6 +292,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
         "agg": "min",
+        "host_canary": {"sec": canary},
     }
     if errors:
         out["errors"] = errors
@@ -196,6 +300,10 @@ def main() -> None:
         with open(BASELINE_PATH) as f:
             base = json.load(f)
         if base.get("sf") == out["sf"]:
+            if base.get("host_canary", {}).get("sec"):
+                out["host_canary"]["vs_frozen"] = round(
+                    canary / base["host_canary"]["sec"], 2
+                )
             ratios = {
                 name: (
                     round(timings[name] / base["queries"][name], 2)
@@ -216,6 +324,11 @@ def main() -> None:
             print("refusing to extend baseline: errored run", file=sys.stderr)
         else:
             _extend_baseline(out)
+    if "--refreeze" in sys.argv:
+        if errors:
+            print("refusing to refreeze: errored run", file=sys.stderr)
+        else:
+            _refreeze_baseline(out)
     spark.stop()
 
 

@@ -1377,6 +1377,16 @@ def m07_audio_decimate(spark, sf_dir):
     return audio_decimate(wav, "doc_id", "payload", factor=4)
 
 
+# d18 scorer auto-dispatch cut. Measured (local[8], best-of-2, cache
+# cleared between runs): sf0.01/500 docs local 2.06s vs agg 1.08s;
+# sf0.1/5000 docs local 12.53s vs agg 1.41s — codegen already wins at
+# the smallest shipped corpus, so the crossover sits BELOW 500 docs.
+# The cut is the fixed-cost arithmetic (two extra exchanges ≈ 0.6s vs
+# ~2.6 ms/doc interpreted ⇒ ~250 docs); it only moves further toward
+# 'agg' as per-executor doc counts grow at 100 TB.
+_D18_AGG_MIN_DOCS = 250
+
+
 @query(
     "d18_curation_pipeline",
     # t12's gate CTE ∘ d01's keep-first ∘ o08's weighted gate, all from
@@ -1422,7 +1432,7 @@ def m07_audio_decimate(spark, sf_dir):
                  CAST(floor(weight * 65536.0) AS INT), 65535)) END
     """,
 )
-def d18_curation_pipeline(spark, sf_dir):
+def d18_curation_pipeline(spark, sf_dir, scorer="auto"):
     """The canonical curation chain as ONE composed plan — the d12
     pattern applied to the quality axis: t12's Gopher gate drops junk,
     d01's keep-first collapses exact duplicates among the keepers
@@ -1434,20 +1444,40 @@ def d18_curation_pipeline(spark, sf_dir):
     fragments the standalone oracles use — so the composition cannot
     silently diverge from its parts. Shape: the gate and both hash
     gates are row-local; the ONLY shuffle is the d01 fingerprint
-    aggregate + its keeper join-back, both keyed on the 16-byte md5."""
+    aggregate + its keeper join-back, both keyed on the 16-byte md5.
+
+    ``scorer`` (VERDICT r7 #3) picks the repetition-score physical plan:
+    ``'local'`` = row-local :func:`repetition_ratio` (zero shuffle, but
+    its ``array_distinct`` is interpreted, ~2.6 ms/doc of pure CPU);
+    ``'agg'`` = :func:`repetition_ratio_agg`, the codegen twin (explode
+    k-grams → hash aggregate → join back: two extra exchanges keyed on
+    doc_id, but whole-stage-codegen CPU — measured 8.9x faster end-to-end
+    at sf0.1's 5000 docs, 1.9x even at 500); ``'auto'`` (default)
+    dispatches on corpus row count — above ``_D18_AGG_MIN_DOCS`` the
+    per-doc interpreter bill dwarfs the fixed shuffle cost, which only
+    grows MORE lopsided at 100 TB. Both paths round to 4dp and are
+    equivalence-tested, so the oracle — and every downstream value — is
+    identical either way."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround as _pr,
     )
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
         quality_score,
         repetition_ratio,
+        repetition_ratio_agg,
         token_count,
     )
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
         weighted_hash_sample,
     )
 
+    if scorer not in ("auto", "local", "agg"):
+        raise ValueError(f"scorer must be auto|local|agg, got {scorer!r}")
     d = table(spark, sf_dir, "documents")
+    if scorer == "auto":
+        # parquet row-count is metadata-only; the dispatch is
+        # deterministic for a given input, never clock- or sample-based
+        scorer = "agg" if d.count() >= _D18_AGG_MIN_DOCS else "local"
     # the gate's three scores computed ONCE as named columns (t12's
     # struct helper re-evaluates its regex-heavy predicates for the
     # audit `reasons`, which this pipeline doesn't need — measured 30s
@@ -1459,22 +1489,26 @@ def d18_curation_pipeline(spark, sf_dir):
     # into the projection re-inlines the interpreted n-gram chain per
     # reference — the barrier makes every score evaluate exactly once,
     # and the cached frame is (id, fp, 3 scalars), text-free and tiny.
-    # Cost profile (measured at sf0.1): ~13s, dominated by
-    # repetition_ratio's interpreted array_distinct (~2.6 ms/doc) —
-    # LINEAR and embarrassingly parallel (10x corpus: 1.2x wall), so at
-    # 100 TB it is a CPU bill, not a shuffle problem; if the per-core
-    # bill matters, the aggregate reformulation (explode grams →
-    # count/count_distinct per doc, t09's shape) trades one shuffle for
-    # whole-stage codegen
-    scored = d.select(
-        "doc_id",
+    base_cols = [
+        F.col("doc_id"),
         F.md5(
             F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
         ).alias("fp"),
         token_count(F.col("text")).alias("n_toks"),
         _pr(quality_score(F.col("text")), 4).alias("q"),
-        _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep"),
-    ).cache()
+    ]
+    if scorer == "agg":
+        rep = repetition_ratio_agg(d, "doc_id", "text", 3)
+        scored = (
+            d.select(*base_cols)
+            .join(rep, "doc_id")
+            .withColumnRenamed("rep_ratio", "rep")
+            .cache()
+        )
+    else:
+        scored = d.select(
+            *base_cols, _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep")
+        ).cache()
     kept = scored.where(
         (F.col("n_toks") >= 30)
         & (F.col("q") >= 0.35)

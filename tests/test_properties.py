@@ -1091,3 +1091,34 @@ def test_repetition_agg_form_equals_row_local(spark):
     assert row_local == agg_form and len(row_local) > 0
     assert agg_form[990001] == 0.0   # shorter than k
     assert agg_form[990002] == 0.75  # 4 grams, 1 distinct
+
+
+def test_d18_scorer_seam_paths_identical(spark):
+    """VERDICT r7 #3: d18's scorer seam — 'local' (row-local interpreted)
+    and 'agg' (codegen aggregate) must produce the IDENTICAL survivor
+    set + weights, 'auto' must dispatch to 'agg' at the shipped corpus
+    sizes (500 docs >= the 250-doc cut), and a bogus scorer fails fast."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.llmdata import (
+        _D18_AGG_MIN_DOCS,
+        d18_curation_pipeline,
+    )
+    from tests.conftest import SF_TEST
+
+    def run(**kw):
+        out = sorted(
+            (r.doc_id, r.weight)
+            for r in d18_curation_pipeline(spark, SF_TEST, **kw).collect()
+        )
+        spark.catalog.clearCache()
+        return out
+
+    local, agg, auto = (
+        run(scorer="local"), run(scorer="agg"), run()
+    )
+    assert local == agg and len(local) > 0
+    assert auto == agg  # 500 docs at SF_TEST >= the dispatch cut
+    assert _D18_AGG_MIN_DOCS <= 500
+    with _pytest.raises(ValueError, match="scorer"):
+        d18_curation_pipeline(spark, SF_TEST, scorer="vectorized")
