@@ -1337,9 +1337,15 @@ def d16_containment_neardup(spark, sf_dir):
     the d-family. Same inverted-index single-aggregate shape as d03
     (pairs sharing a shingle, never all-pairs); the pair is oriented
     (small, big) so the score reads as the smaller doc's covered
-    fraction."""
+    fraction. Routed through the measured auto-dispatch (VERDICT r7 #4):
+    the chooser's one-scan stat aggregate picks naive here (shipped
+    corpora sit in the cold regime, quad ≈ 0.5·rows) and flips to the
+    lossless prefix variant in the hot-shingle regime — identical output
+    either way (property-tested), so the oracle is dispatch-blind."""
     d = table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+    return dedup.containment_pairs_auto(
+        d, "doc_id", "text", k=3, threshold=0.8
+    )
 
 
 @query(

@@ -1122,3 +1122,110 @@ def test_d18_scorer_seam_paths_identical(spark):
     assert _D18_AGG_MIN_DOCS <= 500
     with _pytest.raises(ValueError, match="scorer"):
         d18_curation_pipeline(spark, SF_TEST, scorer="vectorized")
+
+
+def _hot_shingle_corpus(spark, n_docs=120):
+    """A boilerplate-wrapped corpus: every doc shares the same hot
+    header shingles (the containment-dedup hot regime) plus a unique
+    tail, so the inverted index has a few shingles with document
+    frequency ~= n_docs."""
+    header = "standard legal boilerplate header shared by every document"
+    rows = [
+        (i, f"{header} unique tail {i} alpha{i} beta{i} gamma{i}")
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_auto_dispatch_and_losslessness(spark):
+    """VERDICT r7 #4: the d16 measured dispatch. The chooser must pick
+    'naive' on the shipped cold-regime corpus and 'prefix' on the
+    planted hot-shingle corpus, and containment_pairs_auto must emit
+    the exact naive pair set on both (the choice is purely physical)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    cold = table(spark, SF_TEST, "documents").select("doc_id", "text")
+    v, stats = dedup.choose_containment_variant(cold, "doc_id", "text")
+    assert v == "naive", (v, stats)
+
+    hot = _hot_shingle_corpus(spark)
+    v, stats = dedup.choose_containment_variant(hot, "doc_id", "text")
+    assert v == "prefix", (v, stats)
+    # the chooser's threshold semantics: below t=0.5 the probe prefix
+    # covers most of every doc — prefix can only lose, never chosen
+    v_low, _ = dedup.choose_containment_variant(
+        hot, "doc_id", "text", threshold=0.4
+    )
+    assert v_low == "naive"
+
+    # losslessness on NON-EMPTY output: plant an embedded pair in the
+    # cold corpus, and a header-only doc in the hot corpus (contained
+    # 1.0 in every boilerplate-wrapped doc) — auto must equal naive on
+    # both, exercising each dispatch branch with real survivors
+    small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i}" for i in range(90))
+    cold_planted = cold.unionByName(
+        spark.createDataFrame(
+            [(900001, small), (900002, small + " " + filler)],
+            "doc_id long, text string",
+        )
+    )
+    hot_planted = hot.unionByName(
+        spark.createDataFrame(
+            [(900001, "standard legal boilerplate header shared by every "
+                      "document")],
+            "doc_id long, text string",
+        )
+    )
+    for corpus, want_variant in ((cold_planted, "naive"), (hot_planted, "prefix")):
+        v, _ = dedup.choose_containment_variant(corpus, "doc_id", "text")
+        assert v == want_variant
+        naive = sorted(
+            map(
+                tuple,
+                dedup.containment_pairs(corpus, "doc_id", "text").collect(),
+            )
+        )
+        auto = sorted(
+            map(
+                tuple,
+                dedup.containment_pairs_auto(
+                    corpus, "doc_id", "text"
+                ).collect(),
+            )
+        )
+        assert naive == auto and len(naive) > 0
+
+
+def test_containment_prefix_prunes_candidates(spark):
+    """VERDICT r7 #6: the prefix variant's structural win, pinned as a
+    host-independent row count — on the hot-shingle corpus the prefix
+    probe must generate STRICTLY fewer candidate pairs than the naive
+    inverted-index join expands, because the hot boilerplate shingles
+    leave the probe side entirely (they are never a doc's rarest)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    hot = _hot_shingle_corpus(spark)
+    sh = dedup.word_shingles(hot, "doc_id", "text", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    naive_cands = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    prefix_cands = dedup._containment_prefix_candidates(
+        sh, "doc_id", 0.8
+    ).count()
+    # every doc pair shares the boilerplate -> naive expands ~all pairs
+    n = hot.count()
+    assert naive_cands == n * (n - 1) // 2
+    assert prefix_cands < naive_cands, (prefix_cands, naive_cands)
+    # and the pruning is material, not off-by-one
+    assert prefix_cands <= naive_cands // 10, (prefix_cands, naive_cands)
