@@ -28,14 +28,37 @@ def _prepped(spark, sf_dir):
 @query("ml01_classifier_bench", oracle=None)
 def ml01_classifier_bench(spark, sf_dir):
     """M1-M6 — the reference's classifier accuracy bench
-    (spark/jobs/cases_clinical_spectrum_analysis.py:168-212), seeded."""
+    (spark/jobs/cases_clinical_spectrum_analysis.py:168-212), seeded.
+
+    Rows-only by design (MLlib training is not SQL-expressible), but the
+    rows now CARRY the pass/fail signal (VERDICT r7 #7, the a19/a20
+    contract-boolean pattern): each model row states its accuracy band —
+    the embeddings are random vectors, so a correct train/eval loop must
+    land NEAR the chance rate 1/n_classes, with n_classes derived from
+    the data — and ``in_band`` asserts it. The driver can count the
+    rows; a reader of the recorded rows can see whether each model's
+    accuracy behaved, without needing a value hash."""
     data = _prepped(spark, sf_dir)
+    n_classes = data.select("label").distinct().count()
+    chance = 1.0 / n_classes
+    band_lo, band_hi = round(0.5 * chance, 4), round(3.0 * chance, 4)
     train, test = seeded_split(data, [0.8, 0.2], seed=2020)
     models = train_classifiers(train)
     rows = [
-        (name, round(evaluate_accuracy(m, test), 4)) for name, m in models.items()
+        (
+            name,
+            (acc := round(evaluate_accuracy(m, test), 4)),
+            band_lo,
+            band_hi,
+            band_lo <= acc <= band_hi,
+        )
+        for name, m in models.items()
     ]
-    return spark.createDataFrame(rows, "model string, accuracy double")
+    return spark.createDataFrame(
+        rows,
+        "model string, accuracy double, band_lo double, band_hi double, "
+        "in_band boolean",
+    )
 
 
 _CM_COLS = ",\n           ".join(

@@ -1229,3 +1229,20 @@ def test_containment_prefix_prunes_candidates(spark):
     assert prefix_cands < naive_cands, (prefix_cands, naive_cands)
     # and the pruning is material, not off-by-one
     assert prefix_cands <= naive_cands // 10, (prefix_cands, naive_cands)
+
+
+def test_ml01_band_contract(spark):
+    """ml01 is rows-only (MLlib training has no SQL oracle), so its rows
+    themselves must carry the contract: every model's accuracy lands in
+    the data-derived chance band and says so in the in_band column."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+    from tests.conftest import SF_TEST
+
+    rows = QUERIES["ml01_classifier_bench"](spark, SF_TEST).collect()
+    assert {r.model for r in rows} == {
+        "random_forest", "decision_tree", "logistic_regression"
+    }
+    for r in rows:
+        assert r.band_lo < r.band_hi
+        assert r.in_band, (r.model, r.accuracy, r.band_lo, r.band_hi)
+        assert r.in_band == (r.band_lo <= r.accuracy <= r.band_hi)
