@@ -90,17 +90,26 @@ class JsonLinesWriter(DataSourceWriter):
         # immutable _manifest-NNNNN.json (its own part list only) and
         # re-points _SUCCESS at it — so any PAST job's output remains
         # readable by version (time travel) while manifest-honoring
-        # readers default to the latest. Single-writer assumption, the
-        # same one table formats make without a lock service: two
-        # drivers committing simultaneously could race the version
-        # counter.
+        # readers default to the latest. Still a single-writer design,
+        # but a version-counter race now FAILS SAFE (ADVICE r7): the
+        # snapshot opens with O_EXCL, so a second driver that computed
+        # the same number gets FileExistsError and retries with the
+        # next — both snapshots survive; only _SUCCESS (last writer
+        # wins) is contended, never the time-travel history.
         version = _next_version(self.path)
-        payload = {"version": version, "parts": sorted(parts), "rows": total}
-        snap = os.path.join(
-            self.path, f"{SNAPSHOT_PREFIX}{version:05d}.json"
-        )
-        with open(snap, "w") as f:
-            json.dump(payload, f)
+        while True:
+            snap = os.path.join(
+                self.path, f"{SNAPSHOT_PREFIX}{version:05d}.json"
+            )
+            payload = {
+                "version": version, "parts": sorted(parts), "rows": total,
+            }
+            try:
+                with open(snap, "x") as f:
+                    json.dump(payload, f)
+                break
+            except FileExistsError:
+                version += 1
         with open(os.path.join(self.path, MANIFEST), "w") as f:
             json.dump(payload, f)
 

@@ -157,10 +157,11 @@ def write_zorder(
     )
 
     stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
     ).first()
-    if stats[f"min_{cols[0]}"] is None:
+    if stats["__n"] == 0:
         # empty input: nothing to cluster; write the empty frame as-is
         df.write.mode(mode).parquet(path)
         return
@@ -168,10 +169,19 @@ def write_zorder(
     scaled = []
     for c in cols:
         lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        # per-column NULL guards (ADVICE r7): an all-NULL dimension is a
+        # constant span (coordinate 0 for every row) instead of a
+        # TypeError at `hi - lo`; row-level NULLs in a live dimension
+        # coalesce to the grid minimum so they cluster together at the
+        # cell origin rather than landing on arbitrary files
+        if lo is None:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
         span = (hi - lo) or 1.0
+        coord = F.coalesce(F.col(c).cast("double"), F.lit(lo))
         scaled.append(
             F.least(
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * grid)
+                F.floor((coord - F.lit(lo)) / F.lit(span) * grid)
                 .cast("bigint"),
                 F.lit((1 << bits) - 1),
             )
@@ -221,6 +231,69 @@ def audit_parquet_layout(path: str, small_file_mb: int = 16) -> dict:
     }
 
 
+def _swap_in(path: str, tmp: str, backup_suffix: str) -> None:
+    """The driver-side directory swap :func:`compact_parquet` and
+    :func:`merge_upsert_parquet` share, with the crash window between
+    the two renames made RECOVERABLE (ADVICE r7): a sidecar marker
+    (``<path>.swap-in-progress``) records the three directories before
+    the first rename and is removed after the table is back in place —
+    so a crash mid-swap leaves a machine-readable recovery plan instead
+    of a silently missing table. Run :func:`recover_staged_swap` at
+    startup (or by hand) to roll forward/back. The swap itself remains
+    non-atomic for CONCURRENT readers — the documented gap a
+    transactional format's metadata pointer closes."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    backup = path.rstrip("/") + backup_suffix
+    marker = path.rstrip("/") + ".swap-in-progress"
+    shutil.rmtree(backup, ignore_errors=True)
+    with open(marker, "w") as f:
+        _json.dump({"path": path, "staged": tmp, "backup": backup}, f)
+    shutil.move(path, backup)
+    shutil.move(tmp, path)
+    _os.remove(marker)
+    shutil.rmtree(backup)
+
+
+def recover_staged_swap(path: str) -> dict:
+    """Recovery for a crash inside :func:`_swap_in`'s rename window.
+    Reads ``<path>.swap-in-progress`` and rolls FORWARD if the staged
+    (verified) output exists — finishing the interrupted swap — else
+    rolls BACK to the backup; idempotent and a no-op when no marker is
+    present or the table is already in place. Returns what it did."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    marker = path.rstrip("/") + ".swap-in-progress"
+    if not _os.path.exists(marker):
+        return {"action": "none", "reason": "no marker"}
+    with open(marker) as f:
+        plan = _json.load(f)
+    staged, backup = plan["staged"], plan["backup"]
+    if _os.path.exists(path):
+        # crash fell after the second rename: just finish the cleanup
+        action = "cleanup"
+    elif _os.path.exists(staged):
+        # staged output was count-verified before the swap began — the
+        # crash fell between the renames; complete it (roll forward)
+        shutil.move(staged, path)
+        action = "rolled_forward"
+    elif _os.path.exists(backup):
+        shutil.move(backup, path)
+        action = "rolled_back"
+    else:
+        raise RuntimeError(
+            f"unrecoverable swap state for {path}: marker present but "
+            f"neither table, staged ({staged}) nor backup ({backup}) exists"
+        )
+    _os.remove(marker)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {"action": action}
+
+
 def merge_upsert_parquet(
     spark,
     path: str,
@@ -235,17 +308,20 @@ def merge_upsert_parquet(
     for. Semantics: ``target LEFT ANTI updates ∪ updates`` (one anti
     join on the keys — updates is usually the small side and broadcasts,
     so the target never shuffles), staged to a sibling dir,
-    count-verified (rows_out == rows_target − matched + rows_updates),
-    then swapped in with the same driver-side rename as
-    :func:`compact_parquet` — and the same documented non-atomicity for
-    concurrent readers, which is precisely the gap transactional table
-    formats (Delta/Iceberg/Hudi) close with a metadata pointer swap;
-    this function IS that pointer swap, minus the lock service.
+    count-verified (rows_out == rows_target − matched_rows +
+    rows_updates), then swapped in via the marker-protected
+    :func:`_swap_in` shared with :func:`compact_parquet` (crash mid-swap
+    → :func:`recover_staged_swap` rolls forward/back) — still non-atomic
+    for concurrent readers, which is precisely the gap transactional
+    table formats (Delta/Iceberg/Hudi) close with a metadata pointer
+    swap; this function IS that pointer swap, minus the lock service.
     ``updates`` must be key-unique (enforced — duplicate update keys
     would make the result order-dependent). Like :func:`compact_parquet`,
     a Hive-partitioned target is flattened by the rewrite — merge into
     partition directories individually to keep the layout. Returns
-    counts."""
+    KEY counts: ``updated`` + ``inserted`` == rows_updates even when the
+    target holds duplicate keys (a matched key replaces ALL its target
+    rows), plus the verified output row count."""
     import shutil
 
     dup = (
@@ -259,7 +335,16 @@ def merge_upsert_parquet(
     target = spark.read.parquet(path)
     n_target = target.count()
     n_updates = updates.count()
-    matched = target.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_semi").count()
+    # matched ROWS size the row-count verification (they are what the
+    # anti join removes); matched KEYS are the stats — on a target with
+    # duplicate keys the two differ, and key-counting keeps
+    # updated+inserted == n_updates with inserted never negative
+    # (ADVICE r7)
+    hits = target.join(
+        F.broadcast(updates.select(*key_cols)), key_cols, "left_semi"
+    )
+    matched_rows = hits.count()
+    matched_keys = hits.select(*key_cols).distinct().count()
     merged = target.join(
         F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
     ).unionByName(updates)
@@ -267,18 +352,18 @@ def merge_upsert_parquet(
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     got = spark.read.parquet(tmp).count()
-    want = n_target - matched + n_updates
+    want = n_target - matched_rows + n_updates
     if got != want:
         raise RuntimeError(
             f"merge row-count mismatch ({got} != {want}); staged output "
             f"left at {tmp}, original untouched"
         )
-    backup = path.rstrip("/") + "_premerge"
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
-    return {"updated": matched, "inserted": n_updates - matched, "rows": got}
+    _swap_in(path, tmp, "_premerge")
+    return {
+        "updated": matched_keys,
+        "inserted": n_updates - matched_keys,
+        "rows": got,
+    }
 
 
 def write_parquet_sized(
@@ -296,17 +381,33 @@ def write_parquet_sized(
     probe file, measure encoded bytes/row (real parquet encoding —
     including compression — not an in-memory guess), derive
     ``maxRecordsPerFile``, then write the full frame; Spark splits any
-    oversized task output at that record count. The probe OVERESTIMATES
-    bytes/row slightly (dictionary/stats overhead amortizes better in
-    big files), so real files land at or under target — the safe side.
-    Returns the records-per-file cap used. One extra tiny write; no
-    extra shuffle."""
+    oversized task output at that record count. The probe rows are drawn
+    from the HEAD OF EVERY PARTITION, not a global ``limit`` prefix
+    (ADVICE r7: a prefix probe under-measures data whose row width grows
+    with position, e.g. sorted by payload size, producing oversized
+    files) — cross-partition sampling captures the width spread whenever
+    it varies across the dataset; only a width gradient hiding entirely
+    WITHIN every partition can still bias it. Small-file overhead
+    (dictionary/stats amortize better in big files) additionally biases
+    the estimate toward smaller files — the safe side. Returns the
+    records-per-file cap used. One extra tiny write; no extra shuffle."""
     import glob as _glob
     import os as _os
     import shutil
 
     probe = path.rstrip("/") + "_sizing"
-    sample = df.limit(sample_rows)
+    n_parts = max(1, df.rdd.getNumPartitions())
+    per_part = max(1, sample_rows // n_parts)
+    # monotonically_increasing_id = partition_id << 33 | row_index, so
+    # the low 33 bits are the row's position WITHIN its partition — a
+    # shuffle-free per-partition head
+    rid = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    sample = (
+        df.withColumn("__rid", rid)
+        .where(F.col("__rid") < per_part)
+        .drop("__rid")
+        .limit(sample_rows)
+    )
     sample.coalesce(1).write.mode("overwrite").parquet(probe)
     files = _glob.glob(f"{probe}/*.parquet")
     nbytes = sum(_os.path.getsize(f) for f in files)
@@ -357,11 +458,7 @@ def compact_parquet(
             f"compaction row-count mismatch ({got} != {expected}); "
             f"staged output left at {tmp}, original untouched"
         )
-    backup = path.rstrip("/") + "_precompact"
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.move(path, backup)
-    shutil.move(tmp, path)
-    shutil.rmtree(backup)
+    _swap_in(path, tmp, "_precompact")
     return expected
 
 

@@ -925,3 +925,187 @@ def test_audit_parquet_layout_detects_fragmentation(spark, tmp_path):
     # empty dir edge
     empty = audit_parquet_layout(str(tmp_path / "nope"))
     assert empty == {"n_files": 0, "total_mb": 0.0, "small_file_fraction": 0.0}
+
+
+def test_zorder_null_dimensions_handled(spark, tmp_path):
+    """ADVICE r7: (a) an all-NULL clustering column is a constant span —
+    never a TypeError, never an unclustered fallback for the other dims;
+    (b) row-level NULL coordinates coalesce to the grid minimum instead
+    of clustering arbitrarily; (c) an all-NULL FIRST column must not
+    silently skip clustering of a live second column."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_zorder,
+    )
+
+    rows = [(i, None if i % 7 == 0 else i * 3, None) for i in range(256)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+
+    # all-NULL SECOND column (z): previously TypeError at hi - lo
+    out1 = str(tmp_path / "z_null_second")
+    write_zorder(df, out1, ["x", "z"], bits=6, n_partitions=4)
+    assert spark.read.parquet(out1).count() == 256
+
+    # all-NULL FIRST column: previously written entirely unclustered;
+    # now x must still bound per-file ranges
+    out2 = str(tmp_path / "z_null_first")
+    write_zorder(df, out2, ["z", "x"], bits=6, n_partitions=4)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in _glob.glob(out2 + "/*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        st = md.row_group(0).column(1).statistics  # x column
+        spans.append(st.max - st.min)
+    full_span = 255
+    assert spans and all(s < full_span for s in spans), spans
+
+    # NULL row-level coordinates (y) land with the minimum cell, and the
+    # write round-trips every row including the NULLs
+    out3 = str(tmp_path / "z_null_rows")
+    write_zorder(df, out3, ["x", "y"], bits=6, n_partitions=4)
+    back = spark.read.parquet(out3)
+    assert back.count() == 256
+    assert back.where("y IS NULL").count() == 37
+
+
+def test_merge_upsert_duplicate_key_target_stats(spark, tmp_path):
+    """ADVICE r7: on a target holding DUPLICATE keys, the stats must
+    count keys — updated + inserted == n_updates, inserted never
+    negative — while the row-count verification still uses matched rows
+    (a matched key replaces ALL its target rows)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        merge_upsert_parquet,
+    )
+
+    path = str(tmp_path / "dup_target")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a-dup"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "A"), (9, "I")], "id long, v string"
+    )
+    stats = merge_upsert_parquet(spark, path, updates, ["id"])
+    # key 1 matched (2 target rows replaced by 1), key 9 inserted
+    assert stats == {"updated": 1, "inserted": 1, "rows": 4}
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(1, "A"), (2, "b"), (3, "c"), (9, "I")]
+
+
+def test_recover_staged_swap_rolls_forward_and_back(spark, tmp_path):
+    """ADVICE r7: a crash between the two swap renames must leave a
+    recoverable state, not a missing table. Simulate each crash point
+    against the marker protocol and assert recover_staged_swap restores
+    the table (forward when the verified staged dir survived, back to
+    the backup otherwise) and is a no-op when nothing is wrong."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        recover_staged_swap,
+    )
+
+    def mktable(p, tag):
+        spark.createDataFrame([(1, tag)], "id long, v string").write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    # crash AFTER first rename (table moved to backup, staged intact)
+    path = str(tmp_path / "t1")
+    staged, backup = path + "_merging", path + "_premerge"
+    mktable(staged, "new")
+    mktable(backup, "old")
+    with open(path + ".swap-in-progress", "w") as f:
+        _json.dump({"path": path, "staged": staged, "backup": backup}, f)
+    assert recover_staged_swap(path) == {"action": "rolled_forward"}
+    assert spark.read.parquet(path).collect()[0].v == "new"
+    assert not _os.path.exists(path + ".swap-in-progress")
+    assert not _os.path.exists(backup)
+
+    # staged dir lost too (e.g. crash during its move): roll back
+    path2 = str(tmp_path / "t2")
+    backup2 = path2 + "_premerge"
+    mktable(backup2, "old")
+    with open(path2 + ".swap-in-progress", "w") as f:
+        _json.dump(
+            {"path": path2, "staged": path2 + "_merging", "backup": backup2},
+            f,
+        )
+    assert recover_staged_swap(path2) == {"action": "rolled_back"}
+    assert spark.read.parquet(path2).collect()[0].v == "old"
+
+    # healthy table: no marker -> no-op
+    assert recover_staged_swap(path2)["action"] == "none"
+    shutil.rmtree(path2)
+
+
+def test_write_parquet_sized_probe_spans_partitions(spark, tmp_path):
+    """ADVICE r7: the sizing probe must NOT be a global prefix. Data
+    sorted so early partitions hold narrow rows and late partitions wide
+    ones previously made the probe underestimate bytes/row and blow the
+    size target; the per-partition-head probe keeps every file at or
+    under ~2x target even on that adversarial layout."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_parquet_sized,
+    )
+
+    # 8 range-partitions ordered by payload width: first partitions ~10B
+    # rows, last ~8KB rows (incompressible hex so parquet can't erase
+    # the width gradient)
+    df = (
+        spark.range(16_000)
+        .withColumn(
+            "payload",
+            F.sha2(F.col("id").cast("string"), 512).substr(
+                F.lit(1), (F.col("id") / F.lit(2)).cast("int")
+            ),
+        )
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    out = str(tmp_path / "sized")
+    write_parquet_sized(df, out, target_file_mb=1, sample_rows=4_000)
+    sizes = [
+        _os.path.getsize(f) for f in _glob.glob(out + "/*.parquet")
+    ]
+    assert sizes and max(sizes) <= 2 * 1024 * 1024, sorted(sizes)[-3:]
+
+
+def test_jsonl_snapshot_version_race_fails_safe(spark, tmp_path):
+    """ADVICE r7: if another writer grabs the computed snapshot version
+    first, the commit must NOT overwrite it — O_EXCL makes the loser
+    retry with the next number, preserving both histories."""
+    import json as _json
+    import os as _os
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+    spark.range(3).write.format("jsonl_dir").mode("append").option(
+        "path", path
+    ).save()
+    # squat on the version the next commit will compute
+    foreign = {"version": 2, "parts": ["foreign.jsonl"], "rows": 99}
+    with open(_os.path.join(path, "_manifest-00002.json"), "w") as f:
+        _json.dump(foreign, f)
+    spark.range(5).write.format("jsonl_dir").mode("append").option(
+        "path", path
+    ).save()
+    with open(_os.path.join(path, "_manifest-00002.json")) as f:
+        assert _json.load(f) == foreign  # untouched
+    with open(_os.path.join(path, "_manifest-00003.json")) as f:
+        assert _json.load(f)["rows"] == 5
+    with open(_os.path.join(path, "_SUCCESS")) as f:
+        assert _json.load(f)["version"] == 3
