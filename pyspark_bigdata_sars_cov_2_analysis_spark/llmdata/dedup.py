@@ -1278,6 +1278,37 @@ def simhash_neardup_pairs(
     )
 
 
+def _doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """(id, pos, chunk, lh): consecutive ``chunk_words``-word spans of
+    each document with their position and 16-byte hash — the exploded
+    frame both the batch (:func:`chunk_dedup_keep_first`) and streaming
+    (:func:`chunk_ingest_batch_idempotent`) span dedups run on. Pure
+    row-local expressions, no shuffle."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("w"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("w") / chunk_words).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("w", i * chunk_words + 1, chunk_words), " "
+                    ),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("lh", F.md5("chunk"))
+    )
+
+
 def chunk_dedup_keep_first(
     df: DataFrame,
     id_col: str,
@@ -1303,27 +1334,7 @@ def chunk_dedup_keep_first(
     map-side partial — where duplicates collapse before the exchange —
     and once in the per-doc reassembly), and the reassembly is the a08
     ordered-collect aggregate, one shuffle keyed by document id."""
-    chunks = (
-        df.select(
-            F.col(id_col),
-            F.split(F.col(text_col), " ").alias("w"),
-        )
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.ceil(F.size("w") / chunk_words).cast("int") - 1,
-                    ),
-                    lambda i: F.array_join(
-                        F.slice("w", i * chunk_words + 1, chunk_words), " "
-                    ),
-                )
-            ).alias("pos", "chunk"),
-        )
-        .withColumn("lh", F.md5("chunk"))
-    )
+    chunks = _doc_chunks(df, id_col, text_col, chunk_words)
     firsts = (
         chunks.groupBy("lh")
         .agg(
@@ -1370,4 +1381,198 @@ def chunk_dedup_keep_first(
                 "n_dropped"
             ),
         )
+    )
+
+
+def write_chunk_checkpoint(
+    corpus_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's span-dedup state — the FIRST occurrence
+    ``(lh, id, pos)`` of every distinct chunk hash — the between-batches
+    twin of d11's band checkpoint for :func:`chunk_dedup_keep_first`
+    (VERDICT r7 #8). Re-chunking 100 TB of admitted corpus on every
+    incoming batch is the dominant repeated cost; this checkpoint is one
+    16-byte hash + two ids per DISTINCT chunk, written once and probed
+    by every subsequent :func:`chunk_ingest_batch_idempotent` call. The
+    ``chunk_words`` parameter rides a sidecar exactly like the band
+    checkpoint's: a mismatched reuse would chunk on different
+    boundaries and silently drop nothing."""
+    spark = corpus_df.sparkSession
+    if mode == "append":
+        # validate, never re-stamp (the band-checkpoint ADVICE r6 rule)
+        try:
+            spark.read.parquet(f"{path}/_chunk_params")
+            has_sidecar = True
+        except Exception:
+            has_sidecar = False
+        if has_sidecar:
+            read_chunk_checkpoint(spark, path, id_col, chunk_words)
+    firsts = (
+        _doc_chunks(corpus_df, id_col, text_col, chunk_words)
+        .groupBy("lh")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("id"), F.col("pos"))).alias(
+                "fo"
+            )
+        )
+        .select("lh", F.col("fo.id").alias(id_col), F.col("fo.pos").alias("pos"))
+    )
+    firsts.write.mode(mode).parquet(path)
+    spark.createDataFrame(
+        [(chunk_words,)], "chunk_words int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
+
+
+def read_chunk_checkpoint(
+    spark, path: str, id_col: str, chunk_words: int = 10
+) -> DataFrame:
+    """Load a chunk checkpoint written by :func:`write_chunk_checkpoint`
+    as ``(lh, id_col, pos)``, validating the caller's ``chunk_words``
+    against the sidecar (a mismatch chunks on different boundaries — no
+    hash could ever match and every batch would dedup against
+    nothing)."""
+    got = spark.read.parquet(f"{path}/_chunk_params").collect()[0]
+    if got.chunk_words != chunk_words:
+        raise ValueError(
+            f"chunk checkpoint at {path} was written with chunk_words="
+            f"{got.chunk_words}, caller expects {chunk_words}: chunk "
+            "boundaries would never align"
+        )
+    return spark.read.parquet(path).select("lh", id_col, "pos")
+
+
+def chunk_ingest_batch_idempotent(
+    batch_df: DataFrame,
+    batch_id: int,
+    chunk_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> None:
+    """One micro-batch of streaming span dedup, replay-safe — d14's
+    incremental form, completing the dedup-family matrix (d11 already
+    has it for document-level LSH; VERDICT r7 #8). Each batch: (1) drop
+    every chunk whose hash is already in the persisted first-occurrence
+    checkpoint — the admitted corpus is never re-chunked; (2) keep the
+    within-batch first occurrence of each remaining hash (the same
+    min(struct) aggregate as the batch operator — no window over the
+    hot boilerplate keys); (3) reassemble surviving spans per document
+    and publish to a per-``batch_id`` partition via dynamic partition
+    overwrite; (4) append the batch's own new first-occurrences to the
+    checkpoint. Batches with increasing ids reproduce
+    :func:`chunk_dedup_keep_first` on the concatenated corpus exactly
+    (streaming==batch twin test).
+
+    Replay safety follows the torn-append rule hardened into
+    :func:`ingest_batch_idempotent` this round: the checkpoint rows
+    whose id belongs to the CURRENT batch are excluded (broadcast
+    anti-join), so a replay — over a complete OR torn previous append —
+    sees exactly the pre-batch state and recomputes the identical
+    output, which the scoped dynamic overwrite then rewrites
+    byte-identically. Checkpoint appends may duplicate (lh, id, pos)
+    rows on replay; harmless — the probe is a left_anti on ``lh``."""
+    s = batch_df.sparkSession
+    prior = read_chunk_checkpoint(s, chunk_path, id_col, chunk_words)
+    prior = prior.join(
+        F.broadcast(batch_df.select(id_col)), on=id_col, how="left_anti"
+    )
+    chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words)
+    fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
+    firsts = (
+        fresh.groupBy("lh")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("id"), F.col("pos"))).alias(
+                "fo"
+            )
+        )
+        .select(
+            F.col("lh").alias("f_lh"),
+            F.col("fo.id").alias("f_id"),
+            F.col("fo.pos").alias("f_pos"),
+        )
+    )
+    kept = fresh.join(
+        firsts,
+        (F.col("lh") == F.col("f_lh"))
+        & (F.col(id_col) == F.col("f_id"))
+        & (F.col("pos") == F.col("f_pos")),
+        "left_semi",
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda st: st["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    out = (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(out_path)
+    )
+    # the batch's new first occurrences; cache-free recompute is fine —
+    # `kept` is post-anti-join, so this append re-chunks ONLY the batch
+    kept.select("lh", id_col, "pos").write.mode("append").parquet(chunk_path)
+
+
+def streaming_chunk_dedup_ingest(
+    spark,
+    source_dir: str,
+    schema: str,
+    chunk_path: str,
+    out_path: str,
+    stream_checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming driver for :func:`chunk_ingest_batch_idempotent` — the
+    d14 twin of :func:`streaming_neardup_ingest`, same ``availableNow``
+    + ``foreachBatch`` shape, same restart semantics (the streaming
+    checkpoint records consumed source files; the per-batch dynamic
+    overwrite makes mid-batch crash replays byte-identical). Seed the
+    chunk checkpoint once from the initial corpus with
+    :func:`write_chunk_checkpoint`. Returns a ``DataStreamWriter``;
+    callers ``.start()`` it."""
+    read_chunk_checkpoint(spark, chunk_path, id_col, chunk_words)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        chunk_ingest_batch_idempotent(
+            batch_df, batch_id, chunk_path, out_path,
+            id_col=id_col, text_col=text_col, chunk_words=chunk_words,
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
     )

@@ -736,3 +736,132 @@ def test_ingest_batch_replay_survives_torn_band_append(spark, tmp_path):
     dedup.ingest_batch_idempotent(batch, 0, band_path, out)
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def _blocks(*chunks10):
+    """Join 10-word blocks into a doc text (keeps span boundaries
+    aligned so identical blocks hash identically at chunk_words=10)."""
+    return " ".join(" ".join(c) for c in chunks10)
+
+
+def test_streaming_chunk_dedup_ingest(spark, tmp_path):
+    """The d14 streaming twin (VERDICT r7 #8): micro-batches drop spans
+    already admitted by the corpus OR by earlier batches, publish
+    reassembled docs per batch, and append their own new spans — and the
+    result equals chunk_dedup_keep_first over the concatenated corpus
+    (ids increase with arrival, so first-occurrence order agrees).
+    Restart reprocesses nothing; a torn checkpoint append replays
+    byte-identically (the ingest_batch_idempotent hardening)."""
+    import os
+    import time as _time
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    B = [f"boiler{i}" for i in range(10)]          # shared boilerplate span
+    U = lambda tag: [f"{tag}w{i}" for i in range(10)]  # noqa: E731
+
+    corpus = spark.createDataFrame(
+        [(1, _blocks(B, U("seed")))], "doc_id long, text string"
+    )
+    chunk_path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, chunk_path, "doc_id", "text")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(10, _blocks(B, U("ten"))),       # B dups the corpus
+         (11, _blocks(U("eleven"), B))],   # B at a different position
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)
+    batch2 = spark.createDataFrame(
+        # B dups corpus; U("ten") dups batch 1's doc 10 — only caught
+        # because batch 1 appended its spans to the checkpoint
+        [(20, _blocks(B, U("ten"), U("twenty")))],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run_once():
+        q = dedup.streaming_chunk_dedup_ingest(
+            spark, src, "doc_id long, text string",
+            chunk_path, out, ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[10] == (_blocks(U("ten")), 2, 1)
+    assert got[11] == (_blocks(U("eleven")), 2, 1)
+    assert got[20] == (_blocks(U("twenty")), 3, 2)
+
+    # streaming == batch: the one-shot operator over the concatenated
+    # corpus must agree on every streamed doc
+    full = corpus.unionByName(batch1).unionByName(batch2)
+    want = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+        for r in dedup.chunk_dedup_keep_first(
+            full, "doc_id", "text"
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert got == want
+
+    # restart: the streaming checkpoint re-processes nothing
+    run_once()
+    again = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
+
+
+def test_chunk_ingest_replay_survives_torn_append(spark, tmp_path):
+    """Replaying the same (batch_df, batch_id) — after a FULL append and
+    after a TORN one (only part of the batch's spans landed) — must
+    rewrite the batch partition byte-identically: the checkpoint rows
+    carrying the batch's own ids are excluded, so the replay always
+    sees the pre-batch state."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    B = [f"boiler{i}" for i in range(10)]
+    U = lambda tag: [f"{tag}w{i}" for i in range(10)]  # noqa: E731
+
+    corpus = spark.createDataFrame(
+        [(1, _blocks(B, U("seed")))], "doc_id long, text string"
+    )
+    chunk_path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, chunk_path, "doc_id", "text")
+    out = str(tmp_path / "out")
+
+    batch = spark.createDataFrame(
+        [(10, _blocks(B, U("ten"))), (11, _blocks(U("eleven"), U("ten")))],
+        "doc_id long, text string",
+    )
+    dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
+    first = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    # doc 11's U("ten") block dups doc 10's WITHIN the batch
+    assert {t[0]: t[3] for t in first} == {10: 1, 11: 1}
+
+    # full-append replay
+    dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+
+    # torn append: simulate by appending doc 10's spans AGAIN (a torn
+    # retry that half-landed) — replay must still produce `first`, not
+    # drop doc 10's spans as "already admitted"
+    extra = spark.createDataFrame(
+        [("deadbeef" * 4, 10, 0)], "lh string, doc_id long, pos int"
+    )
+    extra.write.mode("append").parquet(chunk_path)
+    dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
