@@ -102,21 +102,28 @@ def test_attestation_window_arithmetic():
     )
     # VERDICT r7 #1: all 31 never-driver-attested late-r7 queries must be
     # inside the round-8 window (head 31 + 19 r5-stale = 50, exactly
-    # full). Derive never-attested from the CORRECTNESS files themselves
-    # so the pin can't drift from the actual attestation record.
+    # full). Derive attestation state from the CORRECTNESS files so the
+    # pin tracks the actual record: BEFORE the round-8 file lands, the
+    # whole head must be exactly the never-attested set; AFTER it lands
+    # (round 9+ sessions see it committed), the check degrades to "no
+    # registered query is ever left unattested outside the window" —
+    # still the invariant that matters, without failing the first pytest
+    # of the next round before the window is rotated.
     attested = set()
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
         with open(rec) as fh:
             attested.update(json.load(fh).keys())
     never = [n for n in plans.QUERIES if n not in attested]
-    assert set(never) == set(entry._PRIORITY_FIRST), (
-        f"never-attested set drifted from the priority head: "
-        f"missing={sorted(set(never) - set(entry._PRIORITY_FIRST))} "
-        f"extra={sorted(set(entry._PRIORITY_FIRST) - set(never))}"
-    )
     assert all(n in window for n in never), (
-        "a never-attested query fell out of the round-8 window"
+        f"never-attested queries outside the attestation window: "
+        f"{[n for n in never if n not in window]}"
     )
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r08.json")):
+        assert set(never) == set(entry._PRIORITY_FIRST), (
+            f"never-attested set drifted from the priority head: "
+            f"missing={sorted(set(never) - set(entry._PRIORITY_FIRST))} "
+            f"extra={sorted(set(entry._PRIORITY_FIRST) - set(never))}"
+        )
     # VERDICT r7 #5: the round-9 head is a complete forward plan — the
     # 27 r5-stale names past the cut, starting at w06
     r9_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
