@@ -1497,13 +1497,17 @@ def chunk_ingest_batch_idempotent(
             F.col("fo.pos").alias("f_pos"),
         )
     )
+    # kept feeds TWO actions (the output write and the checkpoint
+    # append) — cache it for the batch scope so the state anti-join and
+    # first-occurrence aggregate run once, not twice; micro-batch sized,
+    # released in the finally below
     kept = fresh.join(
         firsts,
         (F.col("lh") == F.col("f_lh"))
         & (F.col(id_col) == F.col("f_id"))
         & (F.col("pos") == F.col("f_pos")),
         "left_semi",
-    )
+    ).cache()
     totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -1527,15 +1531,20 @@ def chunk_ingest_batch_idempotent(
         )
         .withColumn("ingest_batch", F.lit(int(batch_id)))
     )
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(out_path)
-    )
-    # the batch's new first occurrences; cache-free recompute is fine —
-    # `kept` is post-anti-join, so this append re-chunks ONLY the batch
-    kept.select("lh", id_col, "pos").write.mode("append").parquet(chunk_path)
+    try:
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+        # the batch's own new first occurrences (post-anti-join, so this
+        # appends ONLY the batch's additions, never corpus re-chunks)
+        kept.select("lh", id_col, "pos").write.mode("append").parquet(
+            chunk_path
+        )
+    finally:
+        kept.unpersist()
 
 
 def streaming_chunk_dedup_ingest(
