@@ -324,6 +324,10 @@ def merge_upsert_parquet(
     rows), plus the verified output row count."""
     import shutil
 
+    # self-heal a previous crashed swap before reading the target: the
+    # marker protocol makes roll-forward/back safe and idempotent, so a
+    # maintenance job restarted after a mid-swap crash just works
+    recover_staged_swap(path)
     dup = (
         updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
     )
@@ -447,6 +451,8 @@ def compact_parquet(
     """
     import shutil
 
+    # self-heal a previous crashed swap (see merge_upsert_parquet)
+    recover_staged_swap(path)
     df = spark.read.parquet(path)
     expected = df.count()
     tmp = path.rstrip("/") + tmp_suffix

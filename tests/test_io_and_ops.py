@@ -1109,3 +1109,31 @@ def test_jsonl_snapshot_version_race_fails_safe(spark, tmp_path):
         assert _json.load(f)["rows"] == 5
     with open(_os.path.join(path, "_SUCCESS")) as f:
         assert _json.load(f)["version"] == 3
+
+
+def test_merge_upsert_self_heals_crashed_swap(spark, tmp_path):
+    """A maintenance job restarted after a mid-swap crash must just
+    work: merge_upsert_parquet (and compact_parquet) roll the table
+    forward from the marker before reading it."""
+    import json as _json
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        merge_upsert_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    staged, backup = path + "_merging", path + "_premerge"
+    spark.createDataFrame(
+        [(1, "new"), (2, "b")], "id long, v string"
+    ).write.parquet(staged)
+    spark.createDataFrame([(1, "old")], "id long, v string").write.parquet(
+        backup
+    )
+    with open(path + ".swap-in-progress", "w") as f:
+        _json.dump({"path": path, "staged": staged, "backup": backup}, f)
+
+    updates = spark.createDataFrame([(2, "B")], "id long, v string")
+    stats = merge_upsert_parquet(spark, path, updates, ["id"])
+    assert stats == {"updated": 1, "inserted": 0, "rows": 2}
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(1, "new"), (2, "B")]
