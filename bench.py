@@ -175,8 +175,15 @@ def _refreeze_baseline(out: dict) -> None:
         )
     except (OSError, ValueError):
         prior_note = "no prior baseline found"
+    # provenance comes from the invocation, not a hardcoded round label —
+    # a later sanctioned refreeze must not stamp this round's story
+    reason = os.environ.get(
+        "SPARK_GRAFT_REFREEZE_REASON",
+        "sanctioned protocol-change re-freeze (state the round and "
+        "rationale via SPARK_GRAFT_REFREEZE_REASON)",
+    )
     base = {
-        "frozen_from": "round 8 re-freeze",
+        "frozen_from": reason,
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
@@ -185,19 +192,16 @@ def _refreeze_baseline(out: dict) -> None:
         "agg": out["agg"],
         "host_canary": {"sec": out["host_canary"]["sec"]},
         "queries": dict(out["queries"]),
+        "extras": dict(out.get("extras", {})),
         "frozen_until": "protocol change",
         "extensions": [],
         "protocol_notes": (
-            "round 8 clean re-freeze (sf0.1, local[32], best-of-2 minima, "
+            "clean re-freeze (sf0.1, local[32], best-of-2 minima, "
             "clearCache between queries, nothing else running): "
             + prior_note
-            + ". The r4 entries were frozen BEFORE the r6 clearCache "
-            "protocol and on a host whose documented intra-day drift "
-            "(identical code 28.8s->33.9s) had pushed untouched queries "
-            "past the 1.5x flag line, so their ratios had stopped "
-            "carrying signal. Ratios are now read against host_canary."
-            "vs_frozen — a fixed repo-code-independent workload timed in "
-            "the same run; divide a suspect per-query ratio by the "
+            + ". Ratios are read against host_canary.vs_frozen — a fixed "
+            "repo-code-independent workload timed in the same run "
+            "(median of 5); divide a suspect per-query ratio by the "
             "canary ratio before believing it."
         ),
         "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -254,6 +258,7 @@ def main() -> None:
     canary = round(sorted(canary_runs)[2], 3)
 
     timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in list(HEADLINE) + sorted(EXTRA):
         fn = EXTRA.get(name) or plans.QUERIES[name]
@@ -283,7 +288,11 @@ def main() -> None:
             # headline timings)
             spark.catalog.clearCache()
         if completed == runs:
-            timings[name] = round(best, 3)
+            # EXTRA rows are diagnostics, never part of the headline
+            # metric: keeping them out of `queries` preserves the
+            # meaning of `value` (sum of HEADLINE only) across rounds
+            # no matter what diagnostics come and go
+            (extras if name in EXTRA else timings)[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -297,6 +306,8 @@ def main() -> None:
         "agg": "min",
         "host_canary": {"sec": canary},
     }
+    if extras:
+        out["extras"] = extras
     if errors:
         out["errors"] = errors
     try:
@@ -316,6 +327,12 @@ def main() -> None:
                 for name in timings
             }
             out["vs_baseline"] = ratios
+            if extras and base.get("extras"):
+                out["extras_vs_baseline"] = {
+                    n: round(extras[n] / base["extras"][n], 2)
+                    for n in extras
+                    if base["extras"].get(n)
+                }
             out["regressions"] = sorted(
                 n for n, r in ratios.items() if r is not None and r > 1.5
             )

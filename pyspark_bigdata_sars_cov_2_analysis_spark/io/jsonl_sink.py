@@ -48,6 +48,27 @@ def _next_version(path: str) -> int:
     return (max(versions) + 1) if versions else 1
 
 
+def _write_snapshot(path: str, parts: list, total: int) -> dict:
+    """Publish an immutable versioned snapshot manifest, FAILING SAFE on
+    a version race (ADVICE r7): the file opens with O_EXCL, so a second
+    writer that computed the same number gets FileExistsError and
+    retries with the next — both snapshots survive; nothing in the
+    time-travel history is ever overwritten. Returns the payload
+    written (with the version it finally landed on). Unit-tested
+    directly against a planted collision, since the commit hook runs in
+    a separate Python worker where monkeypatching can't reach."""
+    version = _next_version(path)
+    while True:
+        snap = os.path.join(path, f"{SNAPSHOT_PREFIX}{version:05d}.json")
+        payload = {"version": version, "parts": sorted(parts), "rows": total}
+        try:
+            with open(snap, "x") as f:
+                json.dump(payload, f)
+            return payload
+        except FileExistsError:
+            version += 1
+
+
 @dataclass
 class PartCommit(WriterCommitMessage):
     part: str
@@ -91,25 +112,10 @@ class JsonLinesWriter(DataSourceWriter):
         # re-points _SUCCESS at it — so any PAST job's output remains
         # readable by version (time travel) while manifest-honoring
         # readers default to the latest. Still a single-writer design,
-        # but a version-counter race now FAILS SAFE (ADVICE r7): the
-        # snapshot opens with O_EXCL, so a second driver that computed
-        # the same number gets FileExistsError and retries with the
-        # next — both snapshots survive; only _SUCCESS (last writer
-        # wins) is contended, never the time-travel history.
-        version = _next_version(self.path)
-        while True:
-            snap = os.path.join(
-                self.path, f"{SNAPSHOT_PREFIX}{version:05d}.json"
-            )
-            payload = {
-                "version": version, "parts": sorted(parts), "rows": total,
-            }
-            try:
-                with open(snap, "x") as f:
-                    json.dump(payload, f)
-                break
-            except FileExistsError:
-                version += 1
+        # but a version-counter race FAILS SAFE via _write_snapshot's
+        # O_EXCL retry; only _SUCCESS (last writer wins) is contended,
+        # never the time-travel history.
+        payload = _write_snapshot(self.path, parts, total)
         with open(os.path.join(self.path, MANIFEST), "w") as f:
             json.dump(payload, f)
 

@@ -344,11 +344,17 @@ def merge_upsert_parquet(
     # duplicate keys the two differ, and key-counting keeps
     # updated+inserted == n_updates with inserted never negative
     # (ADVICE r7)
-    hits = target.join(
-        F.broadcast(updates.select(*key_cols)), key_cols, "left_semi"
+    hit_stats = (
+        target.join(
+            F.broadcast(updates.select(*key_cols)), key_cols, "left_semi"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("r"),
+            F.countDistinct(*key_cols).alias("k"),
+        )
+        .first()
     )
-    matched_rows = hits.count()
-    matched_keys = hits.select(*key_cols).distinct().count()
+    matched_rows, matched_keys = hit_stats.r, hit_stats.k
     merged = target.join(
         F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
     ).unionByName(updates)
@@ -393,24 +399,24 @@ def write_parquet_sized(
     it varies across the dataset; only a width gradient hiding entirely
     WITHIN every partition can still bias it. Small-file overhead
     (dictionary/stats amortize better in big files) additionally biases
-    the estimate toward smaller files — the safe side. Returns the
-    records-per-file cap used. One extra tiny write; no extra shuffle."""
+    the estimate toward smaller files — the safe side. The per-partition
+    head is an ``islice`` over ``mapPartitions`` — one of the few
+    justified RDD uses in this codebase, because a SQL filter on the
+    within-partition row number evaluates over EVERY row (a full extra
+    scan), while the iterator stops pulling after its quota, so each
+    task reads only its leading row group(s) and the probe stays
+    ~sample_rows of IO regardless of frame size. Returns the
+    records-per-file cap used; no extra shuffle."""
     import glob as _glob
     import os as _os
     import shutil
+    from itertools import islice
 
     probe = path.rstrip("/") + "_sizing"
     n_parts = max(1, df.rdd.getNumPartitions())
     per_part = max(1, sample_rows // n_parts)
-    # monotonically_increasing_id = partition_id << 33 | row_index, so
-    # the low 33 bits are the row's position WITHIN its partition — a
-    # shuffle-free per-partition head
-    rid = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-    sample = (
-        df.withColumn("__rid", rid)
-        .where(F.col("__rid") < per_part)
-        .drop("__rid")
-        .limit(sample_rows)
+    sample = df.sparkSession.createDataFrame(
+        df.rdd.mapPartitions(lambda it: islice(it, per_part)), df.schema
     )
     sample.coalesce(1).write.mode("overwrite").parquet(probe)
     files = _glob.glob(f"{probe}/*.parquet")

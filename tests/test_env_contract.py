@@ -110,7 +110,7 @@ def test_attestation_window_arithmetic():
     # still the invariant that matters, without failing the first pytest
     # of the next round before the window is rotated.
     attested = set()
-    for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(rec) as fh:
             attested.update(json.load(fh).keys())
     never = [n for n in plans.QUERIES if n not in attested]

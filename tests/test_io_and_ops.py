@@ -1083,21 +1083,40 @@ def test_write_parquet_sized_probe_spans_partitions(spark, tmp_path):
 def test_jsonl_snapshot_version_race_fails_safe(spark, tmp_path):
     """ADVICE r7: if another writer grabs the computed snapshot version
     first, the commit must NOT overwrite it — O_EXCL makes the loser
-    retry with the next number, preserving both histories."""
+    retry with the next number, preserving both histories. The retry
+    loop is driven DIRECTLY against a planted collision (_write_snapshot
+    is the unit the commit hook calls — the hook itself runs in a
+    separate Python worker, where a squatted higher version is just
+    max+1'd past without ever entering the except branch), then the
+    end-to-end sink behavior over a squatted version is verified too."""
     import json as _json
     import os as _os
 
-    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
-        register_jsonl_sink,
-    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import jsonl_sink
 
-    register_jsonl_sink(spark)
+    # unit: plant the EXACT version _next_version will pick, so the 'x'
+    # open must raise FileExistsError and the loop must walk past it
+    race = str(tmp_path / "race")
+    _os.makedirs(race)
+    with open(_os.path.join(race, "_manifest-00001.json"), "w") as f:
+        _json.dump({"version": 1, "parts": [], "rows": 0}, f)
+    assert jsonl_sink._next_version(race) == 2
+    foreign = {"version": 2, "parts": ["foreign.jsonl"], "rows": 99}
+    with open(_os.path.join(race, "_manifest-00002.json"), "w") as f:
+        _json.dump(foreign, f)  # the racing writer landed first
+    payload = jsonl_sink._write_snapshot(race, ["mine.jsonl"], 7)
+    assert payload["version"] == 3  # retried past the collision
+    with open(_os.path.join(race, "_manifest-00002.json")) as f:
+        assert _json.load(f) == foreign  # loser never overwrote
+    with open(_os.path.join(race, "_manifest-00003.json")) as f:
+        assert _json.load(f) == payload
+
+    # end-to-end: a squatted future version shifts the next commit up
+    jsonl_sink.register_jsonl_sink(spark)
     path = str(tmp_path / "sink")
     spark.range(3).write.format("jsonl_dir").mode("append").option(
         "path", path
     ).save()
-    # squat on the version the next commit will compute
-    foreign = {"version": 2, "parts": ["foreign.jsonl"], "rows": 99}
     with open(_os.path.join(path, "_manifest-00002.json"), "w") as f:
         _json.dump(foreign, f)
     spark.range(5).write.format("jsonl_dir").mode("append").option(
