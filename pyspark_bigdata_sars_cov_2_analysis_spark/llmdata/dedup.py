@@ -1066,22 +1066,46 @@ def choose_containment_variant(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    sample_fraction: float | None = 0.25,
 ) -> tuple[str, dict]:
     """d16's measured dispatch (VERDICT r7 Next-round #4) — the
     :func:`choose_jaccard_variant` pattern with the ASYMMETRIC cost
-    model. Same single-scan shingle-frequency aggregate (``rows``,
-    ``quad``, ``l_max``), different saving formula: the containment
-    prefix prunes only the PROBE side (the containing side can never be
-    pruned), keeping ≈ (1−t)·|A|+1 of each doc's shingles, so under the
-    uniform shingle-rank model it expands ≈ 2·(1−t)·quad candidates
-    against naive's quad — saving quad·(2t−1), which is non-positive for
+    model. Same shingle-frequency aggregate (``rows``, ``quad``,
+    ``l_max``), different saving formula: the containment prefix prunes
+    only the PROBE side (the containing side can never be pruned),
+    keeping ≈ (1−t)·|A|+1 of each doc's shingles, so under the uniform
+    shingle-rank model it expands ≈ 2·(1−t)·quad candidates against
+    naive's quad — saving quad·(2t−1), which is non-positive for
     t ≤ 0.5 (the probe prefix then covers over half of every doc and
     prefix can only lose). Same β=2 fixed-cost bar as the Jaccard
     chooser (frequency join + rank window + candidate distinct all scale
     with ``rows``): choose prefix iff quad·(2t−1) > 2·rows. On the
     shipped corpora (quad ≈ 0.5·rows) that keeps naive; on the 50k
     hot-shingle probe corpus (quad ≫ rows, prefix measured 1.4× faster)
-    it flips to prefix."""
+    it flips to prefix.
+
+    ``sample_fraction`` (default 0.25) measures a DETERMINISTIC
+    hash-gated subset of documents instead of the full corpus — the
+    right chooser shape at 100 TB, where a full stat scan just to pick a
+    physical plan is real money. Unbiased scale-up under doc-level
+    p-sampling: each shingle's doc list is thinned binomially, so
+    E[L̂·(L̂−1)] = p²·L·(L−1) and E[Σ L̂] = p·Σ L, giving the estimators
+    quad ≈ Σ L̂(L̂−1)/2 / p² and rows ≈ Σ L̂ / p. The decision needs only
+    an order-of-magnitude margin (the two regimes sit decades apart on
+    quad/rows), so estimator noise cannot flip it anywhere near the
+    measured corpora — asserted by a test that the sampled decision
+    matches the full-scan decision on both planted regimes. The gate is
+    md5-keyed (no rand()), so the dispatch is reproducible run to run.
+    Pass ``None`` to measure the full corpus."""
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    p = 1.0 if sample_fraction is None else sample_fraction
+    if p < 1.0:
+        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+            hash_gate,
+        )
+
+        df = df.where(hash_gate(F.col(id_col), p, salt="contchoose|"))
     sh = word_shingles(df, id_col, text_col, k)
     st = (
         sh.groupBy("shingle")
@@ -1093,14 +1117,17 @@ def choose_containment_variant(
         )
         .first()
     )
-    saved = (st.quad or 0.0) * max(2.0 * threshold - 1.0, 0.0)
+    quad = (st.quad or 0.0) / (p * p)
+    rows = (st.rows or 0) / p
+    saved = quad * max(2.0 * threshold - 1.0, 0.0)
     stats = {
-        "quad": st.quad,
-        "rows": st.rows,
+        "quad": quad,
+        "rows": rows,
         "l_max": st.l_max,
         "saved_candidates_est": saved,
+        "sample_fraction": p,
     }
-    return ("prefix" if saved > 2.0 * (st.rows or 0) else "naive"), stats
+    return ("prefix" if saved > 2.0 * rows else "naive"), stats
 
 
 def containment_pairs_auto(

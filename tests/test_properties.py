@@ -1153,6 +1153,18 @@ def test_containment_auto_dispatch_and_losslessness(spark):
     hot = _hot_shingle_corpus(spark)
     v, stats = dedup.choose_containment_variant(hot, "doc_id", "text")
     assert v == "prefix", (v, stats)
+    # the default chooser measures a deterministic 25% hash-gated sample
+    # (the 100 TB shape) — its decision must match the full-scan chooser
+    # in BOTH regimes, and the scaled estimators must carry the sample
+    # fraction they were corrected by
+    for corpus_, want_ in ((cold, "naive"), (hot, "prefix")):
+        v_s, st_s = dedup.choose_containment_variant(corpus_, "doc_id", "text")
+        v_f, st_f = dedup.choose_containment_variant(
+            corpus_, "doc_id", "text", sample_fraction=None
+        )
+        assert v_s == v_f == want_, (v_s, v_f, st_s, st_f)
+        assert st_s["sample_fraction"] == 0.25
+        assert st_f["sample_fraction"] == 1.0
     # the chooser's threshold semantics: below t=0.5 the probe prefix
     # covers most of every doc — prefix can only lose, never chosen
     v_low, _ = dedup.choose_containment_variant(
