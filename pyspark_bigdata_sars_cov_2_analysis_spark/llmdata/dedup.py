@@ -993,6 +993,7 @@ def choose_jaccard_variant(
     text_col: str,
     k: int = 3,
     threshold: float = 0.1,
+    sample_fraction: float | None = 0.25,
 ) -> tuple[str, dict]:
     """Pick ``naive`` vs ``prefix`` Jaccard from ONE measured corpus stat
     instead of making the caller guess (the round-4 advice item).
@@ -1016,7 +1017,25 @@ def choose_jaccard_variant(
     large fraction of documents (L_max ~ N → quad ~ N²/2 ≫ rows) — the
     skew case candidate generation must not expand. β=2 places the
     crossover safely past both measured naive-wins points:
-    choose prefix iff quad·(1−(1−t)²) > 2·rows."""
+    choose prefix iff quad·(1−(1−t)²) > 2·rows.
+
+    ``sample_fraction`` (default 0.25): deterministic md5-gated
+    doc-level sample with unbiased scale-up (quad /= p², rows /= p) —
+    the same 100 TB chooser shape as
+    :func:`choose_containment_variant`, where the math and the
+    sampled==full decision test live; pass ``None`` for the exact
+    scan."""
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    p = 1.0 if sample_fraction is None else sample_fraction
+    if p < 1.0:
+        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+            hash_gate,
+        )
+
+        df = df.where(hash_gate(F.col(id_col), p, salt="jacchoose|"))
     sh = word_shingles(df, id_col, text_col, k)
     st = (
         sh.groupBy("shingle")
@@ -1028,14 +1047,17 @@ def choose_jaccard_variant(
         )
         .first()
     )
-    saved = (st.quad or 0.0) * (1.0 - (1.0 - threshold) ** 2)
+    quad = (st.quad or 0.0) / (p * p)
+    rows = (st.rows or 0) / p
+    saved = quad * (1.0 - (1.0 - threshold) ** 2)
     stats = {
-        "quad": st.quad,
-        "rows": st.rows,
+        "quad": quad,
+        "rows": rows,
         "l_max": st.l_max,
         "saved_candidates_est": saved,
+        "sample_fraction": p,
     }
-    return ("prefix" if saved > 2.0 * (st.rows or 0) else "naive"), stats
+    return ("prefix" if saved > 2.0 * rows else "naive"), stats
 
 
 def jaccard_pairs_auto(

@@ -433,19 +433,28 @@ def test_hot_shingle_corpus_dispatches_prefix(spark):
         spark.read.format("synthetic_docs")
         .option("n", 1000).option("parts", 4).option("hot_every", 2).load()
     )
-    variant, stats = choose_jaccard_variant(hot, "doc_id", "text", threshold=0.7)
+    # exact stat pin needs the full scan; the default (sampled) chooser
+    # must reach the same decision
+    variant, stats = choose_jaccard_variant(
+        hot, "doc_id", "text", threshold=0.7, sample_fraction=None
+    )
     assert stats["l_max"] == 500, stats  # the planted hot shingle
     assert variant == "prefix", stats
+    variant_sampled, _ = choose_jaccard_variant(
+        hot, "doc_id", "text", threshold=0.7
+    )
+    assert variant_sampled == "prefix"
     # the same corpus WITHOUT the hot shingle must dispatch naive — the
     # decision is driven by the planted skew, not corpus size
     plain = (
         spark.read.format("synthetic_docs")
         .option("n", 1000).option("parts", 4).load()
     )
-    variant_plain, stats_plain = choose_jaccard_variant(
-        plain, "doc_id", "text", threshold=0.7
-    )
-    assert variant_plain == "naive", stats_plain
+    for frac in (None, 0.25):
+        variant_plain, stats_plain = choose_jaccard_variant(
+            plain, "doc_id", "text", threshold=0.7, sample_fraction=frac
+        )
+        assert variant_plain == "naive", (frac, stats_plain)
 
 
 _AUDIT_PROBE = r"""
