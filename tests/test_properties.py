@@ -1258,3 +1258,92 @@ def test_ml01_band_contract(spark):
         assert r.band_lo < r.band_hi
         assert r.in_band, (r.model, r.accuracy, r.band_lo, r.band_hi)
         assert r.in_band == (r.band_lo <= r.accuracy <= r.band_hi)
+
+
+def test_chunk_dedup_invariants_random_corpora(spark):
+    """Seeded random-corpus sweep for d14's global invariants (beyond
+    the planted boilerplate cases): over any corpus, (1) every distinct
+    chunk survives EXACTLY once across all documents (sum of kept
+    chunks == distinct chunk count), (2) per-doc accounting holds
+    (n_chunks = ceil(words/k_words), n_dropped = n_chunks - kept), and
+    (3) the first-occurrence doc (min (id, pos) per chunk) never drops
+    that chunk. A 5-word vocabulary forces heavy cross-doc collisions."""
+    import math
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(5)]
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(5, 45))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in dedup.chunk_dedup_keep_first(
+                df, "doc_id", "text", chunk_words=10
+            ).collect()
+        }
+        # recompute ground truth in Python
+        chunks = {}  # (doc, pos) order of first occurrence per chunk text
+        per_doc = {}
+        for doc_id, text in docs:
+            w = text.split(" ")
+            n = math.ceil(len(w) / 10)
+            per_doc[doc_id] = n
+            for pos in range(n):
+                c = " ".join(w[pos * 10:(pos + 1) * 10])
+                if c not in chunks or (doc_id, pos) < chunks[c]:
+                    chunks[c] = (doc_id, pos)
+        kept_total = sum(
+            per_doc[d] - out[d].n_dropped for d in per_doc
+        )
+        assert kept_total == len(chunks), (seed, kept_total, len(chunks))
+        for d in per_doc:
+            assert out[d].n_chunks == per_doc[d], (seed, d)
+            assert 0 <= out[d].n_dropped <= out[d].n_chunks
+        # first-occurrence docs must retain their chunks, in order
+        firsts_by_doc = {}
+        for c, (d, pos) in chunks.items():
+            firsts_by_doc.setdefault(d, []).append((pos, c))
+        for d, pcs in firsts_by_doc.items():
+            expect_sub = [c for _, c in sorted(pcs)]
+            clean = out[d].clean_text
+            # every first-occurrence chunk appears; ordered by position
+            idx = -1
+            for c in expect_sub:
+                j = clean.find(c, idx + 1)
+                assert j > idx, (seed, d, c)
+                idx = j
+
+
+def test_containment_prefix_lossless_random_corpora(spark):
+    """Seeded random-corpus sweep for the asymmetric prefix bound: tiny
+    vocabulary + wildly varying doc lengths generate df_ ties, docs
+    shorter than k, and near-threshold containment scores — the naive
+    and prefix variants must emit identical pair sets on every draw and
+    at every threshold tested."""
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(8)]
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(2, 30))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for t in (0.6, 0.9):
+            naive = sorted(map(tuple, dedup.containment_pairs(
+                df, "doc_id", "text", 3, t).collect()))
+            pref = sorted(map(tuple, dedup.containment_pairs_prefix(
+                df, "doc_id", "text", 3, t).collect()))
+            assert naive == pref, (seed, t, len(naive), len(pref))
+            assert len(naive) > 0, (seed, t)
