@@ -865,3 +865,49 @@ def test_chunk_ingest_replay_survives_torn_append(spark, tmp_path):
     extra.write.mode("append").parquet(chunk_path)
     dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+
+
+def test_chunk_ingest_equals_batch_on_random_corpora(spark, tmp_path):
+    """Seeded random-corpus sweep for the d14 streaming twin: any corpus
+    split into arrival-ordered micro-batches must reproduce
+    chunk_dedup_keep_first over the concatenation exactly — not just on
+    planted boilerplate. Tiny vocabulary forces heavy cross-batch span
+    collisions."""
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    for seed in (3, 29):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(6)]
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(5, 40))))
+            for i in range(30)
+        ]
+        base = tmp_path / f"s{seed}"
+        chunk_path, out = str(base / "chunks"), str(base / "out")
+        seed_corpus = spark.createDataFrame(
+            docs[:10], "doc_id long, text string"
+        )
+        dedup.write_chunk_checkpoint(seed_corpus, chunk_path, "doc_id", "text")
+        for b, lo in enumerate(range(10, 30, 10)):
+            batch = spark.createDataFrame(
+                docs[lo:lo + 10], "doc_id long, text string"
+            )
+            dedup.chunk_ingest_batch_idempotent(
+                batch, b, chunk_path, out
+            )
+        got = {
+            r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+            for r in spark.read.parquet(out).collect()
+        }
+        full = spark.createDataFrame(docs, "doc_id long, text string")
+        want = {
+            r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+            for r in dedup.chunk_dedup_keep_first(
+                full, "doc_id", "text"
+            ).collect()
+            if r.doc_id >= 10
+        }
+        assert got == want, seed
