@@ -1165,3 +1165,32 @@ def test_merge_upsert_self_heals_crashed_swap(spark, tmp_path):
     assert stats == {"updated": 1, "inserted": 0, "rows": 2}
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == [(1, "new"), (2, "B")]
+
+
+def test_recover_staged_swap_cleanup_branch(spark, tmp_path):
+    """Crash AFTER the second rename but before marker removal: the
+    table is already in place — recovery must only clean the marker and
+    leftover backup, never touch the table."""
+    import json as _json
+    import os as _os
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        recover_staged_swap,
+    )
+
+    path = str(tmp_path / "t")
+    backup = path + "_premerge"
+    spark.createDataFrame([(1, "new")], "id long, v string").write.parquet(
+        path
+    )
+    spark.createDataFrame([(1, "old")], "id long, v string").write.parquet(
+        backup
+    )
+    with open(path + ".swap-in-progress", "w") as f:
+        _json.dump(
+            {"path": path, "staged": path + "_merging", "backup": backup}, f
+        )
+    assert recover_staged_swap(path) == {"action": "cleanup"}
+    assert spark.read.parquet(path).collect()[0].v == "new"
+    assert not _os.path.exists(backup)
+    assert not _os.path.exists(path + ".swap-in-progress")

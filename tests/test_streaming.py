@@ -911,3 +911,34 @@ def test_chunk_ingest_equals_batch_on_random_corpora(spark, tmp_path):
             if r.doc_id >= 10
         }
         assert got == want, seed
+
+
+def test_chunk_checkpoint_param_sidecar_guards(spark, tmp_path):
+    """The chunk_words sidecar must refuse a mismatched reuse on BOTH
+    the read and the append path — a silent mismatch would chunk on
+    different boundaries and dedup against nothing (the band-checkpoint
+    ADVICE r6 rule applied to the d14 state)."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "ten words exactly here to make one whole chunk boundary")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, path, "doc_id", "text",
+                                 chunk_words=10)
+    with _pytest.raises(ValueError, match="chunk_words"):
+        dedup.read_chunk_checkpoint(spark, path, "doc_id", chunk_words=5)
+    with _pytest.raises(ValueError, match="chunk_words"):
+        dedup.write_chunk_checkpoint(
+            corpus, path, "doc_id", "text", chunk_words=5, mode="append"
+        )
+    # matched params still read fine and the append path still works
+    assert dedup.read_chunk_checkpoint(
+        spark, path, "doc_id", chunk_words=10
+    ).count() > 0
+    dedup.write_chunk_checkpoint(
+        corpus, path, "doc_id", "text", chunk_words=10, mode="append"
+    )
