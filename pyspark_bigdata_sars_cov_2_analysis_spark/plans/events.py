@@ -470,27 +470,33 @@ def e11_funnel_conversion(spark, sf_dir):
     the previous step's 1-row-per-user frame ON user_id — every shuffle
     is keyed on user_id so the exchanges reuse one partitioning, and
     step frames only ever shrink. The funnel totals are 1-row aggregates
-    crossed together (the scalar-subquery execution shape)."""
+    crossed together (the scalar-subquery execution shape). Each step
+    frame is CACHED: every one has two consumers (the next step's join
+    and its own count), and without the barrier Catalyst re-expands the
+    defining subtree per consumer — the uncached plan re-scanned events
+    12 times (v's scan+aggregate alone re-ran six times); cached, each
+    step costs exactly one scan+exchange and the frames are tiny
+    (1 row per surviving user, two columns)."""
     e = table(spark, sf_dir, "events")
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
-    )
+    ).cache()
     c = (
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
-    )
+    ).cache()
     p = (
         e.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
-    )
+    ).cache()
     nv = v.agg(F.count(F.lit(1)).alias("n_view"))
     nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
