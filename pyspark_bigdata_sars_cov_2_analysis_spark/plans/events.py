@@ -541,11 +541,14 @@ def e12_retention_cohorts(spark, sf_dir):
     class), joined back on user_id, final rollup on the tiny
     (cohort, offset) grid. Epoch-week ints (``div 7`` on epoch-days)
     keep the bucketing closed-form and identical cross-engine — no
-    date_trunc('week') semantics to reconcile."""
+    date_trunc('week') semantics to reconcile. ``wk`` is cached: both
+    the cohort aggregate and the join consume it, and without the
+    barrier the events scan + distinct ran twice (the e11 lesson — the
+    frame is at most users×weeks rows of two ints)."""
     e = table(spark, sf_dir, "events")
     wk = e.select(
         "user_id", F.expr("unix_date(to_date(ts)) div 7").alias("w")
-    ).distinct()
+    ).distinct().cache()
     cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
     return (
         wk.join(cohort, "user_id")

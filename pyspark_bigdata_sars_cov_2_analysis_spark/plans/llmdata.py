@@ -1242,10 +1242,15 @@ def s05_ann_recall(spark, sf_dir):
     (s02) actually returned. The recall/cost trade the ANN docstrings
     assert becomes a first-class, oracle-checked number — the evaluation
     harness a 100 TB ANN deployment runs on a sampled probe set before
-    trusting the approximate path for a use case. Shape: both pipelines
-    share one scan; the join is on (query, neighbor) pairs — k×probes
-    rows, trivially small."""
-    e = table(spark, sf_dir, "embeddings")
+    trusting the approximate path for a use case. Shape: the embeddings
+    frame is CACHED for the eval — the exact and ANN pipelines each
+    consume it on both the probe and corpus side, and uncached the
+    parquet scan re-ran four times; at eval scale the frame fits (and a
+    true 100 TB recall eval samples the corpus side too — exact
+    brute-force over the full corpus is the cost being avoided). The
+    final join is on (query, neighbor) pairs — k×probes rows, trivially
+    small."""
+    e = table(spark, sf_dir, "embeddings").cache()
     exact = similarity.brute_force_topk(e, "vec_id", "embedding", _PROBES, k=5)
     ann = similarity.bucketed_topk(e, "vec_id", "embedding", _PROBES, k=5, m=8)
     hits = exact.select("query_id", "neighbor_id").join(
