@@ -547,11 +547,17 @@ def test_e12_retention_single_user_shuffle_class(spark):
     """e12's distinct, cohort aggregate, and join are ALL keyed on
     user_id, so the plan needs at most two hashpartitioning exchange
     targets (user-keyed + the tiny final (cohort, offset) rollup) — a
-    re-shuffle per stage would mean the keyed-frame reuse broke."""
-    plan = _plan(QUERIES["e12_retention_cohorts"](spark, SF_TEST), "simple")
-    n_shuffle = plan.count("Exchange hashpartitioning")
-    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{plan}"
-    assert "Window" not in plan, plan
+    re-shuffle per stage would mean the keyed-frame reuse broke.
+    Counted as DISTINCT formatted-mode node ids, not plan-text
+    occurrences: since r8 the wk frame is cached and the printer repeats
+    the InMemoryRelation's defining subtree (and its exchange) under
+    every consumer (the t09/a22 print-sensitivity, memory of r7)."""
+    from tests.test_shuffle_budget import count_shuffles
+
+    df = QUERIES["e12_retention_cohorts"](spark, SF_TEST)
+    n_shuffle = count_shuffles(df)
+    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})"
+    assert "Window" not in _plan(df, "simple")
 
 
 def test_a24_no_window_stats_broadcast(spark):
