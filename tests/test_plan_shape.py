@@ -549,11 +549,15 @@ def test_e12_retention_single_user_shuffle_class(spark):
     targets (user-keyed + the tiny final (cohort, offset) rollup) — a
     re-shuffle per stage would mean the keyed-frame reuse broke.
     Counted as DISTINCT formatted-mode node ids, not plan-text
-    occurrences: since r8 the wk frame is cached and the printer repeats
-    the InMemoryRelation's defining subtree (and its exchange) under
-    every consumer (the t09/a22 print-sensitivity, memory of r7)."""
+    occurrences, AND with the cache cleared first: since r8 the wk frame
+    is cached — the printer repeats the InMemoryRelation's defining
+    subtree under every consumer, and once MATERIALIZED (the parity
+    suite runs e12 earlier in a full-suite session) the in-memory scan
+    itself carries an extra exchange node (the t09/a22 r7 rule: distinct
+    ids + clearCache)."""
     from tests.test_shuffle_budget import count_shuffles
 
+    spark.catalog.clearCache()
     df = QUERIES["e12_retention_cohorts"](spark, SF_TEST)
     n_shuffle = count_shuffles(df)
     assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})"
