@@ -239,3 +239,74 @@ def quality_gate(
     )
     keep = ~(too_short | low_q | repet)
     return F.struct(keep.alias("keep"), reasons.alias("reasons"))
+
+
+def quality_gate_frame(
+    df,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 30,
+    min_quality: float = 0.35,
+    max_rep: float = 0.05,
+    scorer: str = "auto",
+    agg_min_docs: int = 250,
+):
+    """Frame-level twin of :func:`quality_gate` — same (id, keep,
+    reasons) output with a dispatchable repetition scorer. Built in
+    round 8, WIRED INTO t12 in round 9 when it rotates back into the
+    attestation window (changing an already-attested query outside its
+    window would orphan the attestation — the repetition_ratio_agg
+    precedent from r7→r8).
+
+    Measured at sf0.1 (5000 docs, local[8], best-of-2, columns actually
+    evaluated — count() alone prunes the projection): struct form ~14s,
+    this frame with scorer='local' ~14s (physical-layer subexpression
+    elimination already shares the duplicated score trees, so the
+    named-column restructure alone wins nothing), scorer='agg' 1.6s —
+    an 8.7× win, entirely from replacing the interpreted
+    ``array_distinct`` chain with the exploded hash-aggregate twin.
+    ``scorer`` follows d18's dispatch: 'auto' picks 'agg' at or above
+    ``agg_min_docs``. Both paths round to the same compat grid so gate
+    decisions are identical (equivalence-tested on real docs + planted
+    boundary cases). The scores frame sits behind a cache barrier (id +
+    three scalars) so downstream filter pushdown can never re-inline
+    the scoring chain past it (the d18 lesson)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround,
+    )
+
+    if scorer not in ("auto", "local", "agg"):
+        raise ValueError(f"scorer must be auto|local|agg, got {scorer!r}")
+    if scorer == "auto":
+        scorer = "agg" if df.count() >= agg_min_docs else "local"
+    col = F.col(text_col)
+    base_cols = [
+        F.col(id_col),
+        token_count(col).alias("n_toks"),
+        pround(quality_score(col), 4).alias("q"),
+    ]
+    if scorer == "agg":
+        rep = repetition_ratio_agg(df, id_col, text_col, 3)
+        scores = (
+            df.select(*base_cols)
+            .join(rep, id_col)
+            .withColumnRenamed("rep_ratio", "rep")
+            .cache()
+        )
+    else:
+        scores = df.select(
+            *base_cols, pround(repetition_ratio(col, 3), 4).alias("rep")
+        ).cache()
+    too_short = F.col("n_toks") < min_tokens
+    low_q = F.col("q") < min_quality
+    repet = F.col("rep") > max_rep
+    return scores.select(
+        id_col,
+        (~(too_short | low_q | repet)).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(too_short, F.lit("too_short")),
+            F.when(low_q, F.lit("low_quality")),
+            F.when(repet, F.lit("repetitious")),
+        ).alias("reasons"),
+    )

@@ -1347,3 +1347,43 @@ def test_containment_prefix_lossless_random_corpora(spark):
                 df, "doc_id", "text", 3, t).collect()))
             assert naive == pref, (seed, t, len(naive), len(pref))
             assert len(naive) > 0, (seed, t)
+
+
+def test_quality_gate_frame_equals_struct_form(spark):
+    """The r9-ready frame-level gate (built r8, wired when t12 rotates
+    back into the window) must reproduce the struct helper's (keep,
+    reasons) EXACTLY on real documents plus planted boundary cases, for
+    both scorer paths — and be materially faster at sf0.1 scale (the
+    struct form double-evaluates every score)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions import text as T
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+    from tests.conftest import SF_TEST
+
+    d = table(spark, SF_TEST, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(990001, "tiny"),                       # too_short
+             (990002, " ".join(["dup"] * 80))],      # repetitious
+            "doc_id long, text string",
+        )
+    )
+    want = {
+        (r.doc_id, r.keep, r.reasons)
+        for r in d.select(
+            "doc_id", T.quality_gate(F.col("text")).alias("g")
+        ).select("doc_id", "g.keep", "g.reasons").collect()
+    }
+    for sc in ("local", "agg"):
+        got = {
+            tuple(r)
+            for r in T.quality_gate_frame(
+                d, "doc_id", "text", scorer=sc
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        assert got == want, sc
+    assert any("too_short" in r[2] for r in want if r[0] == 990001)
+    assert any("repetitious" in r[2] for r in want if r[0] == 990002)
