@@ -213,6 +213,30 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
     )
 
 
+def _gate_decision(
+    n_toks: Column,
+    q: Column,
+    rep: Column,
+    min_tokens: int,
+    min_quality: float,
+    max_rep: float,
+) -> tuple[Column, Column]:
+    """(keep, reasons) from the three pre-rounded scores — the ONE place
+    the gate's decision logic lives, shared by the struct and frame
+    forms so their contract can never drift (their equality is what the
+    r9 t12 wiring relies on)."""
+    too_short = n_toks < min_tokens
+    low_q = q < min_quality
+    repet = rep > max_rep
+    reasons = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(low_q, F.lit("low_quality")),
+        F.when(repet, F.lit("repetitious")),
+    )
+    return ~(too_short | low_q | repet), reasons
+
+
 def quality_gate(
     col: Column,
     min_tokens: int = 30,
@@ -228,16 +252,12 @@ def quality_gate(
     engine-portable even for documents sitting exactly on a threshold."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
 
-    too_short = token_count(col) < min_tokens
-    low_q = pround(quality_score(col), 4) < min_quality
-    repet = pround(repetition_ratio(col, 3), 4) > max_rep
-    reasons = F.concat_ws(
-        ",",
-        F.when(too_short, F.lit("too_short")),
-        F.when(low_q, F.lit("low_quality")),
-        F.when(repet, F.lit("repetitious")),
+    keep, reasons = _gate_decision(
+        token_count(col),
+        pround(quality_score(col), 4),
+        pround(repetition_ratio(col, 3), 4),
+        min_tokens, min_quality, max_rep,
     )
-    keep = ~(too_short | low_q | repet)
     return F.struct(keep.alias("keep"), reasons.alias("reasons"))
 
 
@@ -266,11 +286,17 @@ def quality_gate_frame(
     an 8.7× win, entirely from replacing the interpreted
     ``array_distinct`` chain with the exploded hash-aggregate twin.
     ``scorer`` follows d18's dispatch: 'auto' picks 'agg' at or above
-    ``agg_min_docs``. Both paths round to the same compat grid so gate
-    decisions are identical (equivalence-tested on real docs + planted
-    boundary cases). The scores frame sits behind a cache barrier (id +
-    three scalars) so downstream filter pushdown can never re-inline
-    the scoring chain past it (the d18 lesson)."""
+    ``agg_min_docs``, probed with a BOUNDED ``limit(n).count()`` — never
+    a full count of an arbitrary upstream frame. Both paths round to the
+    same compat grid, and both derive keep/reasons from the shared
+    :func:`_gate_decision`, so gate decisions are identical to the
+    struct form by construction (and equivalence-tested on real docs +
+    planted boundary cases). Cache lifecycle: only the LOCAL path caches
+    (the tiny scores frame — a downstream filter on ``keep`` could
+    otherwise push past the projection and re-inline the interpreted
+    scoring chain, the d18 lesson); the recommended agg path needs no
+    cache — its join exchange already isolates the expensive score —
+    so per-shard callers in long sessions leak nothing."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround,
     )
@@ -278,7 +304,11 @@ def quality_gate_frame(
     if scorer not in ("auto", "local", "agg"):
         raise ValueError(f"scorer must be auto|local|agg, got {scorer!r}")
     if scorer == "auto":
-        scorer = "agg" if df.count() >= agg_min_docs else "local"
+        scorer = (
+            "agg"
+            if df.limit(agg_min_docs).count() >= agg_min_docs
+            else "local"
+        )
     col = F.col(text_col)
     base_cols = [
         F.col(id_col),
@@ -291,22 +321,15 @@ def quality_gate_frame(
             df.select(*base_cols)
             .join(rep, id_col)
             .withColumnRenamed("rep_ratio", "rep")
-            .cache()
         )
     else:
         scores = df.select(
             *base_cols, pround(repetition_ratio(col, 3), 4).alias("rep")
         ).cache()
-    too_short = F.col("n_toks") < min_tokens
-    low_q = F.col("q") < min_quality
-    repet = F.col("rep") > max_rep
+    keep, reasons = _gate_decision(
+        F.col("n_toks"), F.col("q"), F.col("rep"),
+        min_tokens, min_quality, max_rep,
+    )
     return scores.select(
-        id_col,
-        (~(too_short | low_q | repet)).alias("keep"),
-        F.concat_ws(
-            ",",
-            F.when(too_short, F.lit("too_short")),
-            F.when(low_q, F.lit("low_quality")),
-            F.when(repet, F.lit("repetitious")),
-        ).alias("reasons"),
+        id_col, keep.alias("keep"), reasons.alias("reasons")
     )

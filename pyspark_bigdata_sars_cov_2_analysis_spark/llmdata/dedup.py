@@ -987,6 +987,53 @@ def decontaminate_resolve_split(
     )
 
 
+def _sampled_shingle_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sample_fraction: float | None,
+    salt: str,
+) -> dict:
+    """The corpus measurement both dispatch choosers share: shingle-
+    frequency aggregate over a deterministic md5-gated doc sample, with
+    unbiased scale-up. Doc-level p-sampling thins each shingle's doc
+    list binomially, so E[L̂·(L̂−1)] = p²·L·(L−1) and E[Σ L̂] = p·Σ L —
+    hence quad /= p² and rows /= p are unbiased. ``l_max`` scales by
+    1/p as an INDICATOR only (the max of thinned lists is not the
+    thinned max — it under-reaches for rare tails; exact when
+    sample_fraction is None). The gate is md5-keyed, never rand(), so
+    the dispatch is reproducible run to run."""
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    p = 1.0 if sample_fraction is None else sample_fraction
+    if p < 1.0:
+        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+            hash_gate,
+        )
+
+        df = df.where(hash_gate(F.col(id_col), p, salt=salt))
+    st = (
+        word_shingles(df, id_col, text_col, k)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("L"))
+        .agg(
+            F.sum(F.col("L") * (F.col("L") - 1) / 2).alias("quad"),
+            F.sum("L").alias("rows"),
+            F.max("L").alias("l_max"),
+        )
+        .first()
+    )
+    return {
+        "quad": (st.quad or 0.0) / (p * p),
+        "rows": (st.rows or 0) / p,
+        "l_max": round((st.l_max or 0) / p),
+        "sample_fraction": p,
+    }
+
+
 def choose_jaccard_variant(
     df: DataFrame,
     id_col: str,
@@ -1020,44 +1067,15 @@ def choose_jaccard_variant(
     choose prefix iff quad·(1−(1−t)²) > 2·rows.
 
     ``sample_fraction`` (default 0.25): deterministic md5-gated
-    doc-level sample with unbiased scale-up (quad /= p², rows /= p) —
-    the same 100 TB chooser shape as
-    :func:`choose_containment_variant`, where the math and the
-    sampled==full decision test live; pass ``None`` for the exact
-    scan."""
-    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
-        raise ValueError(
-            f"sample_fraction must be in (0, 1], got {sample_fraction}"
-        )
-    p = 1.0 if sample_fraction is None else sample_fraction
-    if p < 1.0:
-        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
-            hash_gate,
-        )
-
-        df = df.where(hash_gate(F.col(id_col), p, salt="jacchoose|"))
-    sh = word_shingles(df, id_col, text_col, k)
-    st = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("L"))
-        .agg(
-            F.sum(F.col("L") * (F.col("L") - 1) / 2).alias("quad"),
-            F.sum("L").alias("rows"),
-            F.max("L").alias("l_max"),
-        )
-        .first()
+    doc-level sample with unbiased scale-up — the shared
+    :func:`_sampled_shingle_stats` measurement (estimator math and the
+    l_max caveat documented there); pass ``None`` for the exact scan."""
+    stats = _sampled_shingle_stats(
+        df, id_col, text_col, k, sample_fraction, salt="jacchoose|"
     )
-    quad = (st.quad or 0.0) / (p * p)
-    rows = (st.rows or 0) / p
-    saved = quad * (1.0 - (1.0 - threshold) ** 2)
-    stats = {
-        "quad": quad,
-        "rows": rows,
-        "l_max": st.l_max,
-        "saved_candidates_est": saved,
-        "sample_fraction": p,
-    }
-    return ("prefix" if saved > 2.0 * rows else "naive"), stats
+    saved = stats["quad"] * (1.0 - (1.0 - threshold) ** 2)
+    stats["saved_candidates_est"] = saved
+    return ("prefix" if saved > 2.0 * stats["rows"] else "naive"), stats
 
 
 def jaccard_pairs_auto(
@@ -1109,47 +1127,19 @@ def choose_containment_variant(
     ``sample_fraction`` (default 0.25) measures a DETERMINISTIC
     hash-gated subset of documents instead of the full corpus — the
     right chooser shape at 100 TB, where a full stat scan just to pick a
-    physical plan is real money. Unbiased scale-up under doc-level
-    p-sampling: each shingle's doc list is thinned binomially, so
-    E[L̂·(L̂−1)] = p²·L·(L−1) and E[Σ L̂] = p·Σ L, giving the estimators
-    quad ≈ Σ L̂(L̂−1)/2 / p² and rows ≈ Σ L̂ / p. The decision needs only
-    an order-of-magnitude margin (the two regimes sit decades apart on
-    quad/rows), so estimator noise cannot flip it anywhere near the
-    measured corpora — asserted by a test that the sampled decision
-    matches the full-scan decision on both planted regimes. The gate is
-    md5-keyed (no rand()), so the dispatch is reproducible run to run.
-    Pass ``None`` to measure the full corpus."""
-    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
-        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
-    p = 1.0 if sample_fraction is None else sample_fraction
-    if p < 1.0:
-        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
-            hash_gate,
-        )
-
-        df = df.where(hash_gate(F.col(id_col), p, salt="contchoose|"))
-    sh = word_shingles(df, id_col, text_col, k)
-    st = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("L"))
-        .agg(
-            F.sum(F.col("L") * (F.col("L") - 1) / 2).alias("quad"),
-            F.sum("L").alias("rows"),
-            F.max("L").alias("l_max"),
-        )
-        .first()
+    physical plan is real money (shared :func:`_sampled_shingle_stats`;
+    the unbiased estimator math and the l_max caveat live there). The
+    decision needs only an order-of-magnitude margin (the two regimes
+    sit decades apart on quad/rows), so estimator noise cannot flip it
+    anywhere near the measured corpora — asserted by a test that the
+    sampled decision matches the full-scan decision on both planted
+    regimes. Pass ``None`` to measure the full corpus."""
+    stats = _sampled_shingle_stats(
+        df, id_col, text_col, k, sample_fraction, salt="contchoose|"
     )
-    quad = (st.quad or 0.0) / (p * p)
-    rows = (st.rows or 0) / p
-    saved = quad * max(2.0 * threshold - 1.0, 0.0)
-    stats = {
-        "quad": quad,
-        "rows": rows,
-        "l_max": st.l_max,
-        "saved_candidates_est": saved,
-        "sample_fraction": p,
-    }
-    return ("prefix" if saved > 2.0 * rows else "naive"), stats
+    saved = stats["quad"] * max(2.0 * threshold - 1.0, 0.0)
+    stats["saved_candidates_est"] = saved
+    return ("prefix" if saved > 2.0 * stats["rows"] else "naive"), stats
 
 
 def containment_pairs_auto(

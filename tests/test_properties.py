@@ -1353,10 +1353,9 @@ def test_quality_gate_frame_equals_struct_form(spark):
     """The r9-ready frame-level gate (built r8, wired when t12 rotates
     back into the window) must reproduce the struct helper's (keep,
     reasons) EXACTLY on real documents plus planted boundary cases, for
-    both scorer paths — and be materially faster at sf0.1 scale (the
-    struct form double-evaluates every score)."""
-    import time
-
+    both scorer paths. (The perf claim — agg scorer 8.7x at sf0.1 — is
+    a measured number documented in quality_gate_frame's docstring, not
+    asserted here: wall-clock assertions are host-noise bait.)"""
     from pyspark.sql import functions as F
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions import text as T
