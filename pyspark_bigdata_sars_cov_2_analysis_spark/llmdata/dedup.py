@@ -218,17 +218,28 @@ def write_band_checkpoint(
     num_hashes: int = 12,
     band_rows: int = 3,
     mode: str = "overwrite",
+    batch_id: int = -1,
 ) -> None:
-    """Persist a corpus's LSH band frame ``(id, band, band_sig)`` — the
-    between-batches dedup state an ingestion pipeline maintains (the
-    at-rest twin of ``similarity.write_bucketed_layout``). Re-deriving
-    bands from 100 TB of corpus text on EVERY incoming batch is the
-    dominant repeated ingest cost; this checkpoint is a few bigints+a
-    short string per (doc, band) — ~num_hashes/band_rows tiny rows per
-    document — written once and reused by every subsequent
+    """Persist a corpus's LSH band frame ``(id, band, band_sig,
+    src_batch)`` — the between-batches dedup state an ingestion pipeline
+    maintains (the at-rest twin of ``similarity.write_bucketed_layout``).
+    Re-deriving bands from 100 TB of corpus text on EVERY incoming batch
+    is the dominant repeated ingest cost; this checkpoint is a few
+    bigints+a short string per (doc, band) — ~num_hashes/band_rows tiny
+    rows per document — written once and reused by every subsequent
     ``incremental_neardup_pairs(corpus_bands=...)`` call. Partitioned by
     ``band`` so a band-parallel consumer prunes; append a new batch's own
-    bands with ``mode='append'`` after it clears dedup."""
+    bands with ``mode='append'`` after it clears dedup.
+
+    ``batch_id`` stamps every row with the WRITING micro-batch's id
+    (``src_batch``; -1 = seed corpus, outside any batch). This is what
+    scopes :func:`ingest_batch_idempotent`'s torn-append replay
+    exclusion to exactly the rows the current batch's own crashed
+    attempt wrote (ADVICE r8): an id re-delivered in a LATER batch —
+    at-least-once upstream, a re-crawl in a different source file —
+    keeps its earlier-batch bands on the corpus side and is correctly
+    dropped as a duplicate, instead of anti-joining its own history
+    away and being silently re-admitted."""
     spark = corpus_df.sparkSession
     if mode == "append":
         # ADVICE r6: an append must VALIDATE against the existing sidecar,
@@ -246,10 +257,26 @@ def write_band_checkpoint(
                 spark, path, id_col,
                 k=k, num_hashes=num_hashes, band_rows=band_rows,
             )
+        else:
+            # ADVICE r8 (chunk twin applied here too): data files with no
+            # sidecar = a writer crashed between data and sidecar writes;
+            # appending would re-stamp the caller's params over rows
+            # possibly banded under different ones — refuse instead
+            try:
+                has_data = bool(spark.read.parquet(path).columns)
+            except Exception:
+                has_data = False
+            if has_data:
+                raise ValueError(
+                    f"band checkpoint at {path} has data files but no "
+                    "parameter sidecar (torn earlier write?): refusing to "
+                    "append — existing rows may use different band "
+                    "parameters. Re-seed with mode='overwrite'."
+                )
     bands = lsh_bands(
         minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
         id_col, num_hashes, band_rows,
-    )
+    ).withColumn("src_batch", F.lit(int(batch_id)))
     bands.write.mode(mode).partitionBy("band").parquet(path)
     # parameter sidecar in an underscore-prefixed subdir (hidden from
     # parquet partition discovery): band signatures are only comparable
@@ -270,13 +297,14 @@ def read_band_checkpoint(
     band_rows: int = 3,
 ) -> DataFrame:
     """Load a band checkpoint written by :func:`write_band_checkpoint`,
-    normalized to the ``(id_col, band, band_sig)`` shape
-    ``incremental_neardup_pairs`` expects (partition discovery re-types
-    ``band`` — pin it back to int). The ``k``/``num_hashes``/``band_rows``
-    the CALLER will band the incoming batch with are validated against
-    the checkpoint's parameter sidecar — a mismatch means no band
-    signature could ever match cross-side and every batch would silently
-    dedupe against nothing."""
+    normalized to the ``(id_col, band, band_sig, src_batch)`` shape
+    ``incremental_neardup_pairs`` / :func:`ingest_batch_idempotent`
+    expect (partition discovery re-types ``band`` — pin it back to int;
+    pre-src_batch checkpoints read as src_batch=-1, i.e. seed rows).
+    The ``k``/``num_hashes``/``band_rows`` the CALLER will band the
+    incoming batch with are validated against the checkpoint's parameter
+    sidecar — a mismatch means no band signature could ever match
+    cross-side and every batch would silently dedupe against nothing."""
     got = spark.read.parquet(f"{path}/_band_params").collect()[0]
     want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
     stored = {"k": got.k, "num_hashes": got.num_hashes,
@@ -287,8 +315,14 @@ def read_band_checkpoint(
             f"caller expects {want}: signatures would never match"
         )
     df = spark.read.parquet(path)
+    src = (
+        F.col("src_batch").cast("int")
+        if "src_batch" in df.columns
+        else F.lit(-1)
+    )
     return df.select(
-        F.col(id_col), F.col("band").cast("int").alias("band"), "band_sig"
+        F.col(id_col), F.col("band").cast("int").alias("band"), "band_sig",
+        src.alias("src_batch"),
     )
 
 
@@ -386,30 +420,41 @@ def ingest_batch_idempotent(
     only re-derive the same pair, never re-admit a document — the cost
     is bounded storage, not wrong answers.
 
-    Replay determinism (ADVICE r7 #1): the corpus side EXCLUDES any band
-    row whose id belongs to the current batch (broadcast anti-join below)
-    — a replay therefore sees exactly the pre-batch corpus state and
-    recomputes the identical survivor set REGARDLESS of how much of the
-    previous attempt's band append landed. Without this, a torn append
-    (crash mid job-commit) would let a replayed survivor match its own —
-    or a sibling survivor's — partially-landed bands and the scoped
-    dynamic overwrite would rewrite the partition without those docs:
-    permanent silent loss. A plain ``new_id != corpus_id`` self-pair
-    filter would NOT suffice: two intra-batch survivors that near-dup
-    each other would still cross-match each other's landed bands and
-    both drop. Verified by tests that replay the same (batch_df,
-    batch_id) over full AND torn band appends and get identical output."""
+    Replay determinism (ADVICE r7 #1, re-scoped per ADVICE r8): the
+    corpus side EXCLUDES every band row STAMPED with the current
+    ``batch_id`` (``src_batch == batch_id``, a row-local filter — no
+    join at all) — a replay therefore sees exactly the pre-batch corpus
+    state and recomputes the identical survivor set REGARDLESS of how
+    much of the previous attempt's band append landed. Without this, a
+    torn append (crash mid job-commit) would let a replayed survivor
+    match its own — or a sibling survivor's — partially-landed bands and
+    the scoped dynamic overwrite would rewrite the partition without
+    those docs: permanent silent loss. A plain ``new_id != corpus_id``
+    self-pair filter would NOT suffice: two intra-batch survivors that
+    near-dup each other would still cross-match each other's landed
+    bands and both drop. Scoping the exclusion by the WRITER's batch id
+    rather than by the batch's doc ids (the r8 form) also keeps
+    at-least-once upstreams honest: an id re-delivered in a LATER batch
+    still sees its own earlier-batch bands on the corpus side and is
+    dropped as the duplicate it is, instead of having its history
+    anti-joined away and being silently re-admitted. Verified by tests
+    that replay the same (batch_df, batch_id) over full AND torn band
+    appends, and by a cross-batch re-delivery test."""
+    if int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
+            "seed-corpus checkpoint rows and would exclude them"
+        )
     s = batch_df.sparkSession
     corpus_bands = read_band_checkpoint(
         s, band_path, id_col,
         k=k, num_hashes=num_hashes, band_rows=band_rows,
     )
-    # drop this batch's ids from the corpus side: replays must dedup
-    # against the pre-batch corpus only (micro-batch ids are small —
-    # broadcast keeps the anti join shuffle-free)
-    corpus_bands = corpus_bands.join(
-        F.broadcast(batch_df.select(id_col)), on=id_col, how="left_anti"
-    )
+    # drop ONLY the current batch's own (possibly torn) prior append from
+    # the corpus side: replays must dedup against the pre-batch state
+    corpus_bands = corpus_bands.where(
+        F.col("src_batch") != int(batch_id)
+    ).drop("src_batch")
     pairs = incremental_neardup_pairs(
         batch_df, None, id_col, text_col,
         k=k, num_hashes=num_hashes, band_rows=band_rows,
@@ -427,6 +472,7 @@ def ingest_batch_idempotent(
     write_band_checkpoint(
         clean, band_path, id_col, text_col,
         k=k, num_hashes=num_hashes, band_rows=band_rows, mode="append",
+        batch_id=int(batch_id),
     )
 
 
@@ -1430,6 +1476,7 @@ def write_chunk_checkpoint(
     text_col: str,
     chunk_words: int = 10,
     mode: str = "overwrite",
+    batch_id: int = -1,
 ) -> None:
     """Persist a corpus's span-dedup state — the FIRST occurrence
     ``(lh, id, pos)`` of every distinct chunk hash — the between-batches
@@ -1440,7 +1487,20 @@ def write_chunk_checkpoint(
     by every subsequent :func:`chunk_ingest_batch_idempotent` call. The
     ``chunk_words`` parameter rides a sidecar exactly like the band
     checkpoint's: a mismatched reuse would chunk on different
-    boundaries and silently drop nothing."""
+    boundaries and silently drop nothing.
+
+    ``batch_id`` stamps rows with the writing batch's id (``src_batch``;
+    -1 = seed corpus) so the ingest replay exclusion is scoped to the
+    current batch's own torn appends — same rule and rationale as
+    :func:`write_band_checkpoint` (ADVICE r8).
+
+    An ``append`` onto a directory that has data files but NO parameter
+    sidecar is refused (ADVICE r8): that state means a previous writer
+    crashed between the data write and the sidecar write, and blindly
+    re-stamping the caller's ``chunk_words`` would legitimize rows
+    possibly chunked at a different width — the exact mismatch the
+    sidecar exists to catch. Recover by re-seeding with
+    ``mode='overwrite'``."""
     spark = corpus_df.sparkSession
     if mode == "append":
         # validate, never re-stamp (the band-checkpoint ADVICE r6 rule)
@@ -1451,6 +1511,18 @@ def write_chunk_checkpoint(
             has_sidecar = False
         if has_sidecar:
             read_chunk_checkpoint(spark, path, id_col, chunk_words)
+        else:
+            try:
+                has_data = bool(spark.read.parquet(path).columns)
+            except Exception:
+                has_data = False
+            if has_data:
+                raise ValueError(
+                    f"chunk checkpoint at {path} has data files but no "
+                    "chunk_words sidecar (torn earlier write?): refusing "
+                    "to append — existing rows may be chunked at a "
+                    "different width. Re-seed with mode='overwrite'."
+                )
     firsts = (
         _doc_chunks(corpus_df, id_col, text_col, chunk_words)
         .groupBy("lh")
@@ -1460,6 +1532,7 @@ def write_chunk_checkpoint(
             )
         )
         .select("lh", F.col("fo.id").alias(id_col), F.col("fo.pos").alias("pos"))
+        .withColumn("src_batch", F.lit(int(batch_id)))
     )
     firsts.write.mode(mode).parquet(path)
     spark.createDataFrame(
@@ -1471,10 +1544,11 @@ def read_chunk_checkpoint(
     spark, path: str, id_col: str, chunk_words: int = 10
 ) -> DataFrame:
     """Load a chunk checkpoint written by :func:`write_chunk_checkpoint`
-    as ``(lh, id_col, pos)``, validating the caller's ``chunk_words``
-    against the sidecar (a mismatch chunks on different boundaries — no
-    hash could ever match and every batch would dedup against
-    nothing)."""
+    as ``(lh, id_col, pos, src_batch)``, validating the caller's
+    ``chunk_words`` against the sidecar (a mismatch chunks on different
+    boundaries — no hash could ever match and every batch would dedup
+    against nothing). Pre-src_batch checkpoints read as src_batch=-1
+    (seed rows)."""
     got = spark.read.parquet(f"{path}/_chunk_params").collect()[0]
     if got.chunk_words != chunk_words:
         raise ValueError(
@@ -1482,7 +1556,13 @@ def read_chunk_checkpoint(
             f"{got.chunk_words}, caller expects {chunk_words}: chunk "
             "boundaries would never align"
         )
-    return spark.read.parquet(path).select("lh", id_col, "pos")
+    df = spark.read.parquet(path)
+    src = (
+        F.col("src_batch").cast("int")
+        if "src_batch" in df.columns
+        else F.lit(-1)
+    )
+    return df.select("lh", id_col, "pos", src.alias("src_batch"))
 
 
 def chunk_ingest_batch_idempotent(
@@ -1508,19 +1588,27 @@ def chunk_ingest_batch_idempotent(
     :func:`chunk_dedup_keep_first` on the concatenated corpus exactly
     (streaming==batch twin test).
 
-    Replay safety follows the torn-append rule hardened into
-    :func:`ingest_batch_idempotent` this round: the checkpoint rows
-    whose id belongs to the CURRENT batch are excluded (broadcast
-    anti-join), so a replay — over a complete OR torn previous append —
-    sees exactly the pre-batch state and recomputes the identical
-    output, which the scoped dynamic overwrite then rewrites
-    byte-identically. Checkpoint appends may duplicate (lh, id, pos)
-    rows on replay; harmless — the probe is a left_anti on ``lh``."""
+    Replay safety follows the torn-append rule of
+    :func:`ingest_batch_idempotent`, re-scoped per ADVICE r8: the
+    checkpoint rows STAMPED with the current ``batch_id``
+    (``src_batch == batch_id`` — the current batch's own possibly-torn
+    prior append, and nothing else) are excluded by a row-local filter,
+    so a replay — over a complete OR torn previous append — sees exactly
+    the pre-batch state and recomputes the identical output, which the
+    scoped dynamic overwrite then rewrites byte-identically. Scoping by
+    writer batch id (not by the batch's doc ids) means an id
+    re-delivered in a LATER batch still probes against its own
+    earlier-batch spans and dedups correctly instead of being silently
+    re-admitted. Checkpoint appends may duplicate (lh, id, pos) rows on
+    replay; harmless — the probe is a left_anti on ``lh``."""
+    if int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
+            "seed-corpus checkpoint rows and would exclude them"
+        )
     s = batch_df.sparkSession
     prior = read_chunk_checkpoint(s, chunk_path, id_col, chunk_words)
-    prior = prior.join(
-        F.broadcast(batch_df.select(id_col)), on=id_col, how="left_anti"
-    )
+    prior = prior.where(F.col("src_batch") != int(batch_id)).drop("src_batch")
     chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words)
     fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
     firsts = (
@@ -1578,10 +1666,11 @@ def chunk_ingest_batch_idempotent(
             .parquet(out_path)
         )
         # the batch's own new first occurrences (post-anti-join, so this
-        # appends ONLY the batch's additions, never corpus re-chunks)
-        kept.select("lh", id_col, "pos").write.mode("append").parquet(
-            chunk_path
-        )
+        # appends ONLY the batch's additions, never corpus re-chunks),
+        # stamped with this batch's id for the replay-exclusion scope
+        kept.select("lh", id_col, "pos").withColumn(
+            "src_batch", F.lit(int(batch_id))
+        ).write.mode("append").parquet(chunk_path)
     finally:
         kept.unpersist()
 

@@ -721,10 +721,12 @@ def test_ingest_batch_replay_survives_torn_band_append(spark, tmp_path):
     )
     assert [(r.new_id, r.corpus_id) for r in pairs.collect()] == [(11, 12)]
 
-    # simulate the torn first attempt: ONLY doc 11's bands landed
+    # simulate the torn first attempt: ONLY doc 11's bands landed —
+    # stamped with the crashing attempt's batch_id (0), which is what a
+    # real torn ingest_batch_idempotent append would have written
     dedup.write_band_checkpoint(
         batch.where("doc_id = 11"), band_path, "doc_id", "text",
-        mode="append",
+        mode="append", batch_id=0,
     )
 
     # the replay (same batch_df, batch_id 0) must admit 11, 12 and 13
@@ -736,6 +738,83 @@ def test_ingest_batch_replay_survives_torn_band_append(spark, tmp_path):
     dedup.ingest_batch_idempotent(batch, 0, band_path, out)
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got
+
+
+def test_ingest_redelivered_id_in_later_batch_is_deduped(spark, tmp_path):
+    """ADVICE r8: the replay exclusion must be scoped to the WRITING
+    batch's own rows, not to every checkpoint row carrying the batch's
+    doc ids. An at-least-once upstream can re-deliver the same doc id in
+    a LATER batch (different batch_id); its earlier-batch bands must
+    stay on the corpus side so the re-delivery self-matches and drops —
+    under the old id-based exclusion it anti-joined its own history away
+    and was silently re-admitted into a second output partition."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the seed corpus document about checkpoint replay scoping "
+             "rules and batch identifier stamping semantics")],
+        "doc_id long, text string",
+    )
+    band_path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, band_path, "doc_id", "text")
+    out = str(tmp_path / "out")
+
+    doc10 = (10, "a wholly fresh text about parquet partition pruning "
+                 "and dynamic overwrite output idempotence guarantees")
+    batch0 = spark.createDataFrame([doc10], "doc_id long, text string")
+    dedup.ingest_batch_idempotent(batch0, 0, band_path, out)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [10]
+
+    # batch 1 re-delivers the identical doc: must dedup against its own
+    # batch-0 bands and admit nothing
+    batch1 = spark.createDataFrame([doc10], "doc_id long, text string")
+    dedup.ingest_batch_idempotent(batch1, 1, band_path, out)
+    got = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert got == [10], got
+
+    # batch_id=-1 would collide with the seed stamp: refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch_id"):
+        dedup.ingest_batch_idempotent(batch1, -1, band_path, out)
+
+
+def test_chunk_ingest_redelivered_id_in_later_batch_is_deduped(
+    spark, tmp_path
+):
+    """Chunk-state twin of the re-delivery test: a doc id re-delivered
+    in a later batch must find its own earlier-batch spans in the
+    checkpoint (they carry a different src_batch) and drop them all —
+    not have that state excluded and its spans re-admitted."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    B = [f"boiler{i}" for i in range(10)]
+    U = lambda tag: [f"{tag}w{i}" for i in range(10)]  # noqa: E731
+
+    corpus = spark.createDataFrame(
+        [(1, _blocks(B, U("seed")))], "doc_id long, text string"
+    )
+    chunk_path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, chunk_path, "doc_id", "text")
+    out = str(tmp_path / "out")
+
+    doc10 = (10, _blocks(B, U("ten")))  # B dups the corpus
+    batch0 = spark.createDataFrame([doc10], "doc_id long, text string")
+    dedup.chunk_ingest_batch_idempotent(batch0, 0, chunk_path, out)
+    got0 = {r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+            for r in spark.read.parquet(out).collect()}
+    assert got0 == {10: (_blocks(U("ten")), 2, 1)}
+
+    # batch 1 re-delivers doc 10: every span is already admitted (B by
+    # the corpus, U("ten") by batch 0's own append), so nothing survives
+    batch1 = spark.createDataFrame([doc10], "doc_id long, text string")
+    dedup.chunk_ingest_batch_idempotent(batch1, 1, chunk_path, out)
+    got = {(r.doc_id, r.ingest_batch): (r.clean_text, r.n_dropped)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(10, 0): (_blocks(U("ten")), 1), (10, 1): ("", 2)}, got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="batch_id"):
+        dedup.chunk_ingest_batch_idempotent(batch1, -1, chunk_path, out)
 
 
 def _blocks(*chunks10):
@@ -857,10 +936,12 @@ def test_chunk_ingest_replay_survives_torn_append(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
 
     # torn append: simulate by appending doc 10's spans AGAIN (a torn
-    # retry that half-landed) — replay must still produce `first`, not
-    # drop doc 10's spans as "already admitted"
+    # retry that half-landed, stamped with the crashing attempt's
+    # batch_id) — replay must still produce `first`, not drop doc 10's
+    # spans as "already admitted"
     extra = spark.createDataFrame(
-        [("deadbeef" * 4, 10, 0)], "lh string, doc_id long, pos int"
+        [("deadbeef" * 4, 10, 0, 0)],
+        "lh string, doc_id long, pos int, src_batch int",
     )
     extra.write.mode("append").parquet(chunk_path)
     dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
@@ -942,3 +1023,36 @@ def test_chunk_checkpoint_param_sidecar_guards(spark, tmp_path):
     dedup.write_chunk_checkpoint(
         corpus, path, "doc_id", "text", chunk_words=10, mode="append"
     )
+
+
+def test_checkpoint_append_refused_without_sidecar(spark, tmp_path):
+    """ADVICE r8: data files + missing sidecar = a writer crashed between
+    the data write and the sidecar write. An append must REFUSE (not
+    silently re-stamp the caller's params over rows possibly produced
+    under different ones); an overwrite re-seed and an append onto a
+    genuinely empty path both still work."""
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "ten words exactly here to make one whole chunk boundary")],
+        "doc_id long, text string",
+    )
+    for writer, sidecar, match in (
+        (dedup.write_chunk_checkpoint, "_chunk_params", "chunk checkpoint"),
+        (dedup.write_band_checkpoint, "_band_params", "band checkpoint"),
+    ):
+        path = tmp_path / sidecar.strip("_")
+        writer(corpus, str(path), "doc_id", "text")
+        shutil.rmtree(path / sidecar)  # the torn state
+        with _pytest.raises(ValueError, match=match):
+            writer(corpus, str(path), "doc_id", "text", mode="append")
+        # recovery: a full re-seed works, and appends resume after it
+        writer(corpus, str(path), "doc_id", "text", mode="overwrite")
+        writer(corpus, str(path), "doc_id", "text", mode="append")
+        # an append onto a brand-new empty path is still allowed
+        writer(corpus, str(tmp_path / f"fresh_{sidecar}"), "doc_id",
+               "text", mode="append")
