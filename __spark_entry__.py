@@ -32,44 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-8 window (VERDICT r7 Next-round #1 — consolidation): the 31
-# queries added late in round 7 that have NEVER appeared in a driver
-# window come first (local parity green since r7, but the driver has
-# never hashed them), then the stalest round-5 names in their existing
-# queue order. 31 + 19 = 50 exactly; the remaining 27 round-5 names are
-# the committed round-9 head (VERDICT r7 #5) and stay in _STALE_QUEUE
-# order after the cut. The cut point is COMPUTED in _ordered_names
-# (pinned by tests/test_env_contract.py::test_attestation_window_arithmetic),
+# Round-9 window (VERDICT r8 Next-round #1): the 2 queries registered
+# THIS round (never driver-attested — the standing never-attested-first
+# principle, which is why the head is 2 rather than VERDICT r8's
+# pre-registration arithmetic of 27+23) come first, then the committed
+# 27-name r5-stale head in its agreed order, then the stalest r6 names
+# in their CORRECTNESS_r06 order. 2 + 27 + 21 = 50 exactly; the
+# remaining 27 r6 names past the cut are the committed round-10 head.
+# The cut point is COMPUTED in _ordered_names (pinned by
+# tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # never driver-attested (added after the r7 window filled), in their
-    # r7 registration order — attestation required
-    "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
-    "e12_retention_cohorts", "p18_skew_profile",
-    "o09_cluster_balanced_sample", "w08_scd2_intervals", "s05_ann_recall",
-    "sql06_relational_division", "u14_pandas_udaf", "m06_resize_nn",
-    "t14_langid_margin", "d16_containment_neardup", "m07_audio_decimate",
-    "sql07_pivot_clause", "p19_snapshot_drift",
-    "w09_running_distinct_users", "e13_session_conversion",
-    "j09_temporal_scd2_join", "p20_join_cardinality_preflight",
-    "sql08_registered_udf", "e14_view_purchase_full_outer",
-    "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping",
-    "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url",
-    "t15_sentence_stats", "d18_curation_pipeline",
-    "j10_range_lookup_broadcast",
+    # registered in round 9, never driver-attested — attestation required
+    "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
 ]
 _STALE_QUEUE = [
-    # last attested round 5 (stalest anywhere), same relative order as the
-    # round-7 queue; the first WINDOW − len(_PRIORITY_FIRST) = 19 fill the
-    # round-8 window, the remaining 27 are the committed round-9 head
-    "e01_tumbling_window", "e03_dedup_latest_state", "e04_sliding_window",
-    "e05_user_totals", "e07_segment_window", "e08_gapfill_daily",
-    "a10_rollup", "a11_cube", "a12_grouping_sets", "a13_pivot",
-    "a14_count_distinct", "w04_lag_lead_rank", "w05_moving_frame",
-    "f06_posexplode_roundtrip", "sql01_subquery", "f13_null_handling",
-    "o04_deterministic_sample", "a16_percentiles", "sql02_file_scan",
-    # ---- round-9 head starts here (27 names, 3-rounds-stale when r8
-    # lands — accepted in VERDICT r7 #1; drain them first next round) ----
+    # the committed r9 head: last attested round 5 (stalest anywhere),
+    # exact order agreed in VERDICT r7 #5 / r8 #1
     "w06_distribution_ranks", "a18_theta_sketch_setops",
     "t09_tfidf_top_terms", "t11_chunk_text", "t12_quality_gate",
     "d01_exact_dedup", "d02_minhash_lsh", "d07_dup_clusters",
@@ -80,6 +59,29 @@ _STALE_QUEUE = [
     "m05_audio_frame_energy", "a09_distinct", "w01_latest_per_group",
     "w02_running_sum", "f14_variant_json", "j04_latest_via_join_equiv",
     "u07_mlp_inference",
+    # last attested round 6, in their CORRECTNESS_r06 order; the first
+    # WINDOW − 2 − 27 = 21 fill the round-9 window, the remaining 27
+    # past the cut are the committed round-10 head
+    "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
+    "o06_temperature_mixture", "t13_token_surprisal",
+    "sql03_recursive_calendar", "sql04_lateral_topn",
+    "e09_session_window_native", "f15_map_functions",
+    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
+    "ml02_confusion_matrix", "m03_frame_sample", "m04_real_bmp_roundtrip",
+    "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
+    "p05_derived_cast", "p09_recode", "p11_filter_isin",
+    "p12_compound_predicate", "p16_null_profile",
+    # ---- round-10 head starts here (27 names) ----
+    "a01_grouped_sum", "a03_count_share", "a04_max_avg",
+    "a05_group_count", "a08_ordered_collect", "e02_sessionize",
+    "e06_view_purchase_attribution", "j06_asof_join",
+    "j07_range_join_binned", "o05_stratified_sample",
+    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
+    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
+    "f11_date_funcs", "f12_json_extract", "t01_token_count",
+    "t02_quality_score", "t03_language_id", "t04_fingerprint",
+    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
+    "t06_top_bigrams",
 ]
 
 # the driver's attestation window

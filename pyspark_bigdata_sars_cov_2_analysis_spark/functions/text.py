@@ -273,10 +273,11 @@ def quality_gate_frame(
 ):
     """Frame-level twin of :func:`quality_gate` — same (id, keep,
     reasons) output with a dispatchable repetition scorer. Built in
-    round 8, WIRED INTO t12 in round 9 when it rotates back into the
-    attestation window (changing an already-attested query outside its
-    window would orphan the attestation — the repetition_ratio_agg
-    precedent from r7→r8).
+    round 8; registered in round 9 as its OWN oracle-checked query
+    (``t16_quality_audit_frame``, per VERDICT r8 #2) rather than rewired
+    into t12 — t12 stays the attestation of the row-local struct gate,
+    t16 attests this frame + the agg scorer seam, and neither plan's
+    shuffle budget moves under the other's feet.
 
     Measured at sf0.1 (5000 docs, local[8], best-of-2, columns actually
     evaluated — count() alone prunes the projection): struct form ~14s,
@@ -291,12 +292,15 @@ def quality_gate_frame(
     same compat grid, and both derive keep/reasons from the shared
     :func:`_gate_decision`, so gate decisions are identical to the
     struct form by construction (and equivalence-tested on real docs +
-    planted boundary cases). Cache lifecycle: only the LOCAL path caches
-    (the tiny scores frame — a downstream filter on ``keep`` could
-    otherwise push past the projection and re-inline the interpreted
-    scoring chain, the d18 lesson); the recommended agg path needs no
-    cache — its join exchange already isolates the expensive score —
-    so per-shard callers in long sessions leak nothing."""
+    planted boundary cases). Cache lifecycle (ADVICE r8): NEITHER path
+    caches, so per-shard callers in long sessions leak nothing — the
+    agg path's join exchange already isolates the expensive score, and
+    the local path only serves frames below ``agg_min_docs`` under
+    ``auto``, where a downstream filter on ``keep`` re-inlining the
+    row-local scoring chain (the d18 lesson) re-evaluates at most a few
+    hundred interpreted rows — cheaper than an unbounded executor-storage
+    leak. Callers FORCING ``scorer='local'`` on a large frame own the
+    barrier decision: cache the result themselves before filtering."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround,
     )
@@ -325,7 +329,7 @@ def quality_gate_frame(
     else:
         scores = df.select(
             *base_cols, pround(repetition_ratio(col, 3), 4).alias("rep")
-        ).cache()
+        )
     keep, reasons = _gate_decision(
         F.col("n_toks"), F.col("q"), F.col("rep"),
         min_tokens, min_quality, max_rep,

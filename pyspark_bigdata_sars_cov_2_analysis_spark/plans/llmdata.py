@@ -1534,3 +1534,85 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto"):
     return weighted_hash_sample(
         survivors, "doc_id", F.col("weight"), salt="cur|"
     ).select("doc_id", "weight")
+
+
+@query(
+    "d19_chunk_ingest_incremental",
+    # d14's proven chunking/first-occurrence fragments, extended with the
+    # arrival-batch rank: first occurrence is by (batch, doc_id, pos),
+    # which is exactly what seeding the checkpoint then ingesting batches
+    # in order produces. Seed docs (b = -1) feed the state but emit no
+    # output rows.
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END AS b,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, b,
+             unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos,
+             unnest(list_transform(range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                    i -> array_to_string(w[i*10+1 : i*10+10], ' '))) AS chunk
+      FROM arrs
+    ),
+    firsts AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY b, doc_id, pos) AS rn
+        FROM chunks) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT c.doc_id,
+             string_agg(c.chunk, ' ' ORDER BY c.pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM chunks c JOIN firsts f ON c.doc_id = f.doc_id AND c.pos = f.pos
+      GROUP BY c.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM chunks WHERE b >= 0 GROUP BY doc_id, b
+    )
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text, t.n_chunks,
+           CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST(t.b AS INT) AS ingest_batch
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def d19_chunk_ingest_incremental(spark, sf_dir):
+    """The r8 incremental span-dedup twin as a BATCH-COMPOSABLE query
+    (VERDICT r8 #3): seed a chunk checkpoint from a third of the corpus
+    (``doc_id % 3 == 0``), then push the other two thirds through
+    :func:`llmdata.dedup.chunk_ingest_batch_idempotent` as two ordered
+    micro-batches — the exact production ingest loop the streaming twin
+    drives, now driver-attested end-to-end (checkpoint write, state
+    probe/anti-join, within-batch first-occurrence, reassembly, AND the
+    per-batch dynamic-overwrite publish, since the returned frame READS
+    BACK the published parquet). The modulo split interleaves doc ids
+    across batches on purpose: arrival order ≠ id order, so the oracle's
+    (batch, doc_id, pos) first-occurrence rank is only reproduced if the
+    state probe really beats within-batch id order — an id-ordered split
+    couldn't tell the two apart. Scratch state lives in a per-call temp
+    dir that must outlive the returned (lazy) DataFrame; a few hundred
+    KB at attestation SFs, reclaimed by the OS tmp reaper."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup as dd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_d19_")
+    chunk_path, out = f"{tmp}/chunks", f"{tmp}/out"
+    dd.write_chunk_checkpoint(
+        d.where(F.col("doc_id") % 3 == 0), chunk_path, "doc_id", "text"
+    )
+    for b, m in ((0, 1), (1, 2)):
+        dd.chunk_ingest_batch_idempotent(
+            d.where(F.col("doc_id") % 3 == m), b, chunk_path, out
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", "clean_text", "n_chunks", "n_dropped",
+        F.col("ingest_batch").cast("int").alias("ingest_batch"),
+    )

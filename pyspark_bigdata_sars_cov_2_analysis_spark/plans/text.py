@@ -651,3 +651,86 @@ def t15_sentence_stats(spark, sf_dir):
         n_sent.cast("bigint").alias("n_sentences"),
         pround(n_words * 1.0 / n_sent, 2).alias("words_per_sentence"),
     )
+
+
+@query(
+    "t16_quality_audit_frame",
+    # same fragments as t12's oracle, rolled up to the audit shape; the
+    # share division is forced to DOUBLE (DuckDB SUM over BIGINT is
+    # HUGEINT — the u08/o06 hash class)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_DUCK_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id,
+             {_NTOK} AS n_toks,
+             {sql_round(_QUALITY_EXPR, 4)} AS q,
+             {sql_round(_REP_EXPR, 4)} AS rep
+      FROM grams
+    ),
+    gate AS (
+      SELECT (n_toks >= 30 AND q >= 0.35 AND rep <= 0.05) AS keep,
+             concat_ws(',',
+               CASE WHEN n_toks < 30 THEN 'too_short' END,
+               CASE WHEN q < 0.35 THEN 'low_quality' END,
+               CASE WHEN rep > 0.05 THEN 'repetitious' END) AS reasons
+      FROM feats
+    ),
+    counts AS (
+      SELECT keep, reasons, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM gate GROUP BY keep, reasons
+    )
+    SELECT keep, reasons, n_docs,
+           {sql_round(
+               "CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM counts)", 4
+           )} AS share
+    FROM counts
+    """,
+)
+def t16_quality_audit_frame(spark, sf_dir):
+    """Corpus-level quality AUDIT over the r8-built
+    :func:`functions.text.quality_gate_frame` (VERDICT r8 #2): the
+    keep/drop decision rolled up per distinct ``(keep, reasons)`` combo
+    with document counts and corpus share — the report a curation run
+    publishes alongside its output so threshold drift is visible per
+    shard. The frame gate runs its recommended ``agg`` scorer (codegen
+    exploded-k-gram aggregate — forced, not auto, so the attested plan
+    is the same at every SF), making this the driver attestation of the
+    dispatchable-scorer seam itself: keep/reasons values flow from the
+    same _gate_decision as t12, so a hash match here proves the agg
+    scorer's rounded scores gate identically to the row-local path.
+    Shape: row-local scoring + one doc_id-keyed join (the scorer), one
+    tiny grouped aggregate, then the share denominator as an
+    UNPARTITIONED window over that aggregate's output — safe here and
+    only here because the frame is bounded by construction at ≤ 2^3
+    rows (the distinct subsets of three reasons), so the single window
+    partition holds at any corpus size. The plan-audited alternative (a
+    1-row agg + broadcast crossJoin) recomputes the ENTIRE scoring
+    subtree for the denominator branch — Spark does not reuse exchanges
+    across a crossJoin's inputs — i.e. a second full corpus scan; the
+    window form scores the corpus exactly once."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    g = T.quality_gate_frame(
+        d.select("doc_id", "text"), "doc_id", "text", scorer="agg"
+    )
+    counts = g.groupBy("keep", "reasons").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "keep",
+        "reasons",
+        "n_docs",
+        pround(F.col("n_docs") / total, 4).alias("share"),
+    )

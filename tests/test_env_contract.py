@@ -96,19 +96,19 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 31, (
+    assert len(entry._PRIORITY_FIRST) == 2, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r7 #1: all 31 never-driver-attested late-r7 queries must be
-    # inside the round-8 window (head 31 + 19 r5-stale = 50, exactly
-    # full). Derive attestation state from the CORRECTNESS files so the
-    # pin tracks the actual record: BEFORE the round-8 file lands, the
-    # whole head must be exactly the never-attested set; AFTER it lands
-    # (round 9+ sessions see it committed), the check degrades to "no
-    # registered query is ever left unattested outside the window" —
-    # still the invariant that matters, without failing the first pytest
-    # of the next round before the window is rotated.
+    # VERDICT r8 #1 + the standing never-attested-first principle: the
+    # round-9 window is the 2 new registrations, then the committed
+    # 27-name r5-stale head, then the 21 stalest r6 names. Derive
+    # attestation state from the CORRECTNESS files so the pin tracks the
+    # actual record: BEFORE the round-9 file lands, the head must be
+    # exactly the never-attested set; AFTER it lands, the check degrades
+    # to "no registered query is ever left unattested outside the
+    # window" — still the invariant that matters, without failing the
+    # first pytest of the next round before the window is rotated.
     attested = set()
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(rec) as fh:
@@ -118,15 +118,19 @@ def test_attestation_window_arithmetic():
         f"never-attested queries outside the attestation window: "
         f"{[n for n in never if n not in window]}"
     )
-    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r08.json")):
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r09.json")):
         assert set(never) == set(entry._PRIORITY_FIRST), (
             f"never-attested set drifted from the priority head: "
             f"missing={sorted(set(never) - set(entry._PRIORITY_FIRST))} "
             f"extra={sorted(set(entry._PRIORITY_FIRST) - set(never))}"
         )
-    # VERDICT r7 #5: the round-9 head is a complete forward plan — the
-    # 27 r5-stale names past the cut, starting at w06
-    r9_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r9_head) == 27
-    assert r9_head[0] == "w06_distribution_ranks"
-    assert r9_head[-1] == "u07_mlp_inference"
+    # the committed r9-head order survives inside the window: the 27
+    # r5-stale names come straight after the never-attested head
+    assert entry._STALE_QUEUE[0] == "w06_distribution_ranks"
+    assert entry._STALE_QUEUE[26] == "u07_mlp_inference"
+    # VERDICT r8 #1: the round-10 head is a complete forward plan — the
+    # 27 r6-stale names past the cut
+    r10_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r10_head) == 27
+    assert r10_head[0] == "a01_grouped_sum"
+    assert r10_head[-1] == "t06_top_bigrams"

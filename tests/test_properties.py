@@ -1375,6 +1375,7 @@ def test_quality_gate_frame_equals_struct_form(spark):
             "doc_id", T.quality_gate(F.col("text")).alias("g")
         ).select("doc_id", "g.keep", "g.reasons").collect()
     }
+    spark.catalog.clearCache()
     for sc in ("local", "agg"):
         got = {
             tuple(r)
@@ -1382,7 +1383,9 @@ def test_quality_gate_frame_equals_struct_form(spark):
                 d, "doc_id", "text", scorer=sc
             ).collect()
         }
-        spark.catalog.clearCache()
         assert got == want, sc
+        # ADVICE r8: neither scorer path may leave cached storage behind
+        # (per-shard callers in long sessions would accumulate it)
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), sc
     assert any("too_short" in r[2] for r in want if r[0] == 990001)
     assert any("repetitious" in r[2] for r in want if r[0] == 990002)
