@@ -942,10 +942,144 @@ def test_chunk_ingest_replay_survives_torn_append(spark, tmp_path):
     extra = spark.createDataFrame(
         [("deadbeef" * 4, 10, 0, 0)],
         "lh string, doc_id long, pos int, src_batch int",
-    )
-    extra.write.mode("append").parquet(chunk_path)
+    ).withColumn("lhb", dedup._lh_bucket(F.col("lh"), 64))
+    extra.write.mode("append").partitionBy("lhb").parquet(chunk_path)
     dedup.chunk_ingest_batch_idempotent(batch, 0, chunk_path, out)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+
+
+def test_chunk_checkpoint_bucketed_probe_prunes_state(spark, tmp_path):
+    """VERDICT r8 #4: the per-batch state probe must PRUNE checkpoint
+    partitions, not scan the full linear state. Seed a many-bucket
+    checkpoint, probe with a one-chunk batch: the pruned read must carry
+    a literal lhb PartitionFilter and open strictly fewer files than the
+    checkpoint holds — and the pruned anti-join must agree with the
+    unpruned one (pruning only removes buckets the batch cannot match
+    by construction of the shared hash)."""
+    import glob as _glob
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    W = lambda d, i: f"d{d}w{i}"  # noqa: E731
+    corpus = spark.createDataFrame(
+        [(d, " ".join(W(d, i) for i in range(20))) for d in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, path, "doc_id", "text",
+                                 n_buckets=16)
+    n_dirs = len(_glob.glob(f"{path}/lhb=*"))
+    assert n_dirs >= 8, n_dirs  # 80 distinct spans spread the grid
+
+    batch = spark.createDataFrame(
+        [(100, " ".join(W(3, i) for i in range(10)))],  # doc 3's 1st span
+        "doc_id long, text string",
+    )
+    chunks = dedup._doc_chunks(batch, "doc_id", "text", 10)
+    buckets = sorted(
+        r.b for r in chunks.select(
+            dedup._lh_bucket(F.col("lh"), 16).alias("b")).distinct().collect()
+    )
+    assert len(buckets) == 1  # one chunk -> one bucket
+    pruned = dedup.read_chunk_checkpoint(spark, path, "doc_id",
+                                         buckets=buckets)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lhb" in plan.split(
+        "PartitionFilters")[1].split("]")[0], plan
+    # inputFiles() is pre-pruning (the relation's full file list); the
+    # executed scan's numFiles metric is what the filter actually opened
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    read_files = int(scan.metrics().apply("numFiles").value())
+    total_files = len(_glob.glob(f"{path}/lhb=*/*.parquet"))
+    assert 0 < read_files < total_files, (read_files, total_files)
+
+    # correctness: pruned probe == unpruned probe on the anti-join result
+    full = dedup.read_chunk_checkpoint(spark, path, "doc_id")
+    got_p = sorted(map(tuple, chunks.join(
+        pruned.select("lh"), "lh", "left_anti").collect()))
+    got_f = sorted(map(tuple, chunks.join(
+        full.select("lh"), "lh", "left_anti").collect()))
+    assert got_p == got_f
+    assert len(got_p) == 0  # doc 3's span is already admitted
+
+    # end-to-end through the ingest entry point on the bucketed layout
+    out = str(tmp_path / "out")
+    dedup.chunk_ingest_batch_idempotent(batch, 0, path, out)
+    rows = {r.doc_id: (r.clean_text, r.n_dropped)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {100: ("", 1)}, rows
+
+    # appends with a mismatched bucket grid are refused
+    with pytest.raises(ValueError, match="n_buckets"):
+        dedup.write_chunk_checkpoint(corpus, path, "doc_id", "text",
+                                     mode="append", n_buckets=8)
+
+
+def test_band_checkpoint_bucketed_probe_prunes_state(spark, tmp_path):
+    """Band-state twin of the chunk pruning test: the sigb sub-partition
+    must let a small batch's probe open strictly fewer state files than
+    the checkpoint holds, via a literal sigb PartitionFilter — and the
+    pruned pair set must equal the unpruned one (rows in other sigb
+    buckets have a different band_sig under the SAME hash, so they can
+    never share a bucket with the batch)."""
+    import glob as _glob
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    rngtext = lambda d: " ".join(  # noqa: E731
+        f"w{(d * 7 + i * 13) % 97}" for i in range(30)
+    )
+    corpus = spark.createDataFrame(
+        [(d, rngtext(d)) for d in range(60)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
+                                n_sig_buckets=16)
+    total_files = len(_glob.glob(f"{path}/band=*/sigb=*/*.parquet"))
+    assert total_files >= 16, total_files
+
+    batch = spark.createDataFrame(
+        [(100, rngtext(3))], "doc_id long, text string"  # dups doc 3
+    )
+    bands = dedup.lsh_bands(
+        dedup.minhash_signatures(batch, "doc_id", "text", 3, 12),
+        "doc_id", 12, 3,
+    )
+    sig_buckets = sorted(
+        r.b for r in bands.select(
+            dedup._lh_bucket(F.col("band_sig"), 16).alias("b")
+        ).distinct().collect()
+    )
+    assert 0 < len(sig_buckets) <= 4  # one doc -> at most 4 band sigs
+    pruned = dedup.read_band_checkpoint(spark, path, "doc_id",
+                                        sig_buckets=sig_buckets)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "sigb" in plan.split(
+        "PartitionFilters")[1].split("]")[0], plan
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    read_files = int(scan.metrics().apply("numFiles").value())
+    assert 0 < read_files < total_files, (read_files, total_files)
+
+    # pruned == unpruned pair sets
+    full = dedup.read_band_checkpoint(spark, path, "doc_id")
+    got_p = sorted(map(tuple, dedup.incremental_neardup_pairs(
+        batch, None, "doc_id", "text", corpus_bands=pruned).collect()))
+    got_f = sorted(map(tuple, dedup.incremental_neardup_pairs(
+        batch, None, "doc_id", "text", corpus_bands=full).collect()))
+    assert got_p == got_f and (100, 3) in got_p, (got_p, got_f)
+
+    # end-to-end: the duplicate batch admits nothing via the entry point
+    # (an all-dup batch publishes no data files at all)
+    out = str(tmp_path / "out")
+    dedup.ingest_batch_idempotent(batch, 0, path, out)
+    assert not _glob.glob(f"{out}/**/*.parquet", recursive=True)
+
+    # appends with a mismatched grid are refused
+    with pytest.raises(ValueError, match="n_sig_buckets"):
+        dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
+                                    mode="append", n_sig_buckets=8)
 
 
 def test_chunk_ingest_equals_batch_on_random_corpora(spark, tmp_path):
