@@ -1443,7 +1443,7 @@ _D18_AGG_MIN_DOCS = 250
                  CAST(floor(weight * 65536.0) AS INT), 65535)) END
     """,
 )
-def d18_curation_pipeline(spark, sf_dir, scorer="auto"):
+def d18_curation_pipeline(spark, sf_dir, scorer="auto", n_docs=None):
     """The canonical curation chain as ONE composed plan — the d12
     pattern applied to the quality axis: t12's Gopher gate drops junk,
     d01's keep-first collapses exact duplicates among the keepers
@@ -1466,7 +1466,13 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto"):
     at sf0.1's 5000 docs, 1.9x even at 500); ``'auto'`` (default)
     dispatches on corpus row count — above ``_D18_AGG_MIN_DOCS`` the
     per-doc interpreter bill dwarfs the fixed shuffle cost, which only
-    grows MORE lopsided at 100 TB. Both paths round to 4dp and are
+    grows MORE lopsided at 100 TB. The probe (VERDICT r8 #5) is a
+    BOUNDED ``limit(_D18_AGG_MIN_DOCS).count()`` — a few-row task even
+    on a non-parquet source, where the old full ``count()`` became a
+    whole-corpus scan — and runs ONLY under ``'auto'``; callers that
+    already know their corpus size pass ``n_docs`` and no probe job
+    runs at all. Still deterministic for a given input — never clock-
+    or sample-based. Both paths round to 4dp and are
     equivalence-tested, so the oracle — and every downstream value — is
     identical either way."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
@@ -1486,9 +1492,12 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto"):
         raise ValueError(f"scorer must be auto|local|agg, got {scorer!r}")
     d = table(spark, sf_dir, "documents")
     if scorer == "auto":
-        # parquet row-count is metadata-only; the dispatch is
-        # deterministic for a given input, never clock- or sample-based
-        scorer = "agg" if d.count() >= _D18_AGG_MIN_DOCS else "local"
+        at_least = (
+            n_docs >= _D18_AGG_MIN_DOCS
+            if n_docs is not None
+            else d.limit(_D18_AGG_MIN_DOCS).count() >= _D18_AGG_MIN_DOCS
+        )
+        scorer = "agg" if at_least else "local"
     # the gate's three scores computed ONCE as named columns (t12's
     # struct helper re-evaluates its regex-heavy predicates for the
     # audit `reasons`, which this pipeline doesn't need — measured 30s
