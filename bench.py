@@ -65,6 +65,32 @@ def _d18_local(spark, sf_dir):
 
 EXTRA = {"d18_curation_pipeline[scorer=local]": _d18_local}
 
+# Second-shelf extras (VERDICT r8 #6): the headline set tracks 30 of 178
+# registered queries, leaving CPU regressions in the rest invisible (the
+# exchange-budget gate only sees plan SHAPE). This shelf tracks the most
+# expensive NON-headline queries by measured sf0.1 cost — a one-off
+# r9 sweep of every non-headline registry query (single run, local[32],
+# clearCache between queries); the r8 VERDICT's guess list (e12, s05,
+# a22, w08, f06) was mostly NOT in the measured top — measurement wins.
+# Shelf entries are diagnostics: timed and baselined like extras, never
+# part of the headline `value`. Revisit membership when a sweep shows
+# the top has moved.
+EXTRAS_SHELF = [
+    "d06_simhash_neardup",          # 33.9s — 5.25M-pair output, the
+    #   suite's single most expensive materialization
+    "d19_chunk_ingest_incremental",  # 13.0s — full ingest loop + writes
+    "sql03_recursive_calendar",      # 8.8s
+    "t06_top_bigrams",               # 4.6s
+    "d03_ngram_jaccard",             # 2.2s
+    "e11_funnel_conversion",         # 1.8s
+    "m04_real_bmp_roundtrip",        # 1.8s
+    "t16_quality_audit_frame",       # 1.7s
+    "e09_session_window_native",     # 1.5s
+    "s04_ivf_multiprobe",            # 1.4s
+    "f06_posexplode_roundtrip",      # 1.4s
+    "s03_ivf_topk",                  # 1.4s
+]
+
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
 # SAME best-of-2 protocol this script runs. A query >1.5x its frozen
 # time is flagged. GOVERNANCE: existing entries are immutable
@@ -120,13 +146,22 @@ def _extend_baseline(out: dict) -> None:
     assert all(base["queries"][n] == v for n, v in unchanged.items()), (
         "refusing to modify frozen baseline entries"
     )
+    # extras (diagnostics shelf) extend additively under the same rule:
+    # never touch an existing frozen extras entry
+    base_extras = base.setdefault("extras", {})
+    new_extras = {
+        n: t for n, t in out.get("extras", {}).items()
+        if n not in base_extras
+    }
+    base_extras.update(new_extras)
     base["value"] = round(sum(base["queries"].values()), 3)
     base.setdefault("frozen_until", "protocol change")
     ext = base.setdefault("extensions", [])
-    if new:
+    if new or new_extras:
         ext.append(
             {
                 "queries": sorted(new),
+                "extras": sorted(new_extras),
                 "note": "additive, clean run",
                 "runs_per_query": out.get("runs_per_query"),
                 "agg": out.get("agg"),
@@ -140,7 +175,8 @@ def _extend_baseline(out: dict) -> None:
         json.dump(base, f, indent=1)
         f.write("\n")
     print(
-        f"baseline extended with {sorted(new) or 'nothing (no new queries)'}",
+        "baseline extended with "
+        f"queries={sorted(new) or 'none'} extras={sorted(new_extras) or 'none'}",
         file=sys.stderr,
     )
 
@@ -260,7 +296,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in list(HEADLINE) + sorted(EXTRA):
+    for name in list(HEADLINE) + sorted(EXTRA) + list(EXTRAS_SHELF):
         fn = EXTRA.get(name) or plans.QUERIES[name]
         best = float("inf")
         completed = 0
@@ -288,11 +324,12 @@ def main() -> None:
             # headline timings)
             spark.catalog.clearCache()
         if completed == runs:
-            # EXTRA rows are diagnostics, never part of the headline
-            # metric: keeping them out of `queries` preserves the
-            # meaning of `value` (sum of HEADLINE only) across rounds
-            # no matter what diagnostics come and go
-            (extras if name in EXTRA else timings)[name] = round(best, 3)
+            # EXTRA/EXTRAS_SHELF rows are diagnostics, never part of the
+            # headline metric: keeping them out of `queries` preserves
+            # the meaning of `value` (sum of HEADLINE only) across
+            # rounds no matter what diagnostics come and go
+            is_extra = name in EXTRA or name in EXTRAS_SHELF
+            (extras if is_extra else timings)[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -314,10 +351,10 @@ def main() -> None:
         with open(BASELINE_PATH) as f:
             base = json.load(f)
         if base.get("sf") == out["sf"]:
+            drift = None
             if base.get("host_canary", {}).get("sec"):
-                out["host_canary"]["vs_frozen"] = round(
-                    canary / base["host_canary"]["sec"], 2
-                )
+                drift = round(canary / base["host_canary"]["sec"], 2)
+                out["host_canary"]["vs_frozen"] = drift
             ratios = {
                 name: (
                     round(timings[name] / base["queries"][name], 2)
@@ -327,13 +364,40 @@ def main() -> None:
                 for name in timings
             }
             out["vs_baseline"] = ratios
+            # VERDICT r8 #7: drift-normalize in the OUTPUT instead of
+            # leaving the division to per-round judge arithmetic — the
+            # canary is a repo-code-independent workload, so dividing by
+            # its own vs_frozen removes host slowdown/speedup common to
+            # every query. The raw ratios stay recorded for audit; the
+            # regression gate reads the NORMALIZED figure (falling back
+            # to raw when no canary is frozen).
+            def _norm(rs):
+                if drift is None or drift <= 0:
+                    return dict(rs)
+                return {
+                    n: (round(r / drift, 2) if r is not None else None)
+                    for n, r in rs.items()
+                }
+
+            norm = _norm(ratios)
+            out["vs_baseline_drift_normalized"] = norm
             if extras and base.get("extras"):
-                out["extras_vs_baseline"] = {
+                ex_ratios = {
                     n: round(extras[n] / base["extras"][n], 2)
                     for n in extras
                     if base["extras"].get(n)
                 }
+                out["extras_vs_baseline"] = ex_ratios
+                ex_norm = _norm(ex_ratios)
+                out["extras_vs_baseline_drift_normalized"] = ex_norm
+                out["extras_regressions"] = sorted(
+                    n for n, r in ex_norm.items()
+                    if r is not None and r > 1.5
+                )
             out["regressions"] = sorted(
+                n for n, r in norm.items() if r is not None and r > 1.5
+            )
+            out["regressions_raw"] = sorted(
                 n for n, r in ratios.items() if r is not None and r > 1.5
             )
     except (OSError, ValueError, KeyError):
