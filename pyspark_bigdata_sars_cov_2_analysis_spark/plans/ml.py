@@ -26,22 +26,29 @@ def _prepped(spark, sf_dir):
 
 
 @query("ml01_classifier_bench", oracle=None)
-def ml01_classifier_bench(spark, sf_dir):
+def ml01_classifier_bench(spark, sf_dir, band=(0.5, 3.0)):
     """M1-M6 — the reference's classifier accuracy bench
     (spark/jobs/cases_clinical_spectrum_analysis.py:168-212), seeded.
 
     Rows-only by design (MLlib training is not SQL-expressible), but the
-    rows now CARRY the pass/fail signal (VERDICT r7 #7, the a19/a20
+    rows CARRY the pass/fail signal (VERDICT r7 #7, the a19/a20
     contract-boolean pattern): each model row states its accuracy band —
     the embeddings are random vectors, so a correct train/eval loop must
     land NEAR the chance rate 1/n_classes, with n_classes derived from
-    the data — and ``in_band`` asserts it. The driver can count the
-    rows; a reader of the recorded rows can see whether each model's
-    accuracy behaved, without needing a value hash."""
+    the data — and ``in_band`` asserts it. VERDICT r8 #8 closes the
+    loop: the driver's rows-only check cannot read booleans, so an
+    out-of-band model now RAISES (turning the driver record red via its
+    err field) instead of returning a polite false the driver would
+    count as a green row. Safe to raise because the whole path is
+    seeded and deterministic — a band exit means the train/eval loop
+    broke, not that the dice rolled badly. ``band`` is the
+    (lo, hi) multiplier pair on the chance rate; the planted-failure
+    test passes an impossible band to prove the raise fires through
+    the real training path."""
     data = _prepped(spark, sf_dir)
     n_classes = data.select("label").distinct().count()
     chance = 1.0 / n_classes
-    band_lo, band_hi = round(0.5 * chance, 4), round(3.0 * chance, 4)
+    band_lo, band_hi = round(band[0] * chance, 4), round(band[1] * chance, 4)
     train, test = seeded_split(data, [0.8, 0.2], seed=2020)
     models = train_classifiers(train)
     rows = [
@@ -54,6 +61,12 @@ def ml01_classifier_bench(spark, sf_dir):
         )
         for name, m in models.items()
     ]
+    out_of_band = [r for r in rows if not r[4]]
+    if out_of_band:
+        raise AssertionError(
+            "ml01 chance-band contract violated (broken train/eval "
+            f"loop?): {[(r[0], r[1], r[2], r[3]) for r in out_of_band]}"
+        )
     return spark.createDataFrame(
         rows,
         "model string, accuracy double, band_lo double, band_hi double, "

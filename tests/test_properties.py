@@ -1285,6 +1285,19 @@ def test_ml01_band_contract(spark):
         assert r.in_band, (r.model, r.accuracy, r.band_lo, r.band_hi)
         assert r.in_band == (r.band_lo <= r.accuracy <= r.band_hi)
 
+    # VERDICT r8 #8 planted failure: an impossible band must RAISE
+    # through the real training path (the driver's rows-only check can't
+    # read booleans — only an error turns its record red), and the
+    # message must carry the per-model evidence
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.ml import (
+        ml01_classifier_bench,
+    )
+
+    with _pytest.raises(AssertionError, match="chance-band"):
+        ml01_classifier_bench(spark, SF_TEST, band=(100.0, 200.0))
+
 
 def test_chunk_dedup_invariants_random_corpora(spark):
     """Seeded random-corpus sweep for d14's global invariants (beyond
