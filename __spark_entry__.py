@@ -32,19 +32,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-9 window (VERDICT r8 Next-round #1): the 2 queries registered
+# Round-9 window (VERDICT r8 Next-round #1): the 3 queries registered
 # THIS round (never driver-attested — the standing never-attested-first
-# principle, which is why the head is 2 rather than VERDICT r8's
+# principle, which is why the head is 3 rather than VERDICT r8's
 # pre-registration arithmetic of 27+23) come first, then the committed
 # 27-name r5-stale head in its agreed order, then the stalest r6 names
-# in their CORRECTNESS_r06 order. 2 + 27 + 21 = 50 exactly; the
-# remaining 27 r6 names past the cut are the committed round-10 head.
+# in their CORRECTNESS_r06 order. 3 + 27 + 20 = 50 exactly; the
+# remaining 28 r6 names past the cut are the committed round-10 head.
 # The cut point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
     # registered in round 9, never driver-attested — attestation required
     "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
+    "d20_band_ingest_incremental",
 ]
 _STALE_QUEUE = [
     # the committed r9 head: last attested round 5 (stalest anywhere),
@@ -60,7 +61,7 @@ _STALE_QUEUE = [
     "w02_running_sum", "f14_variant_json", "j04_latest_via_join_equiv",
     "u07_mlp_inference",
     # last attested round 6, in their CORRECTNESS_r06 order; the first
-    # WINDOW − 2 − 27 = 21 fill the round-9 window, the remaining 27
+    # WINDOW − 3 − 27 = 20 fill the round-9 window, the remaining 28
     # past the cut are the committed round-10 head
     "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
     "o06_temperature_mixture", "t13_token_surprisal",
@@ -70,8 +71,9 @@ _STALE_QUEUE = [
     "ml02_confusion_matrix", "m03_frame_sample", "m04_real_bmp_roundtrip",
     "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
     "p05_derived_cast", "p09_recode", "p11_filter_isin",
-    "p12_compound_predicate", "p16_null_profile",
-    # ---- round-10 head starts here (27 names) ----
+    "p12_compound_predicate",
+    # ---- round-10 head starts here (28 names) ----
+    "p16_null_profile",
     "a01_grouped_sum", "a03_count_share", "a04_max_avg",
     "a05_group_count", "a08_ordered_collect", "e02_sessionize",
     "e06_view_purchase_attribution", "j06_asof_join",

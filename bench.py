@@ -76,9 +76,12 @@ EXTRA = {"d18_curation_pipeline[scorer=local]": _d18_local}
 # part of the headline `value`. Revisit membership when a sweep shows
 # the top has moved.
 EXTRAS_SHELF = [
-    "d06_simhash_neardup",          # 33.9s — 5.25M-pair output, the
-    #   suite's single most expensive materialization
+    "d06_simhash_neardup",          # 33.9s at sweep time (6.3s after the
+    #   r9 join rewrite) — 5.25M-pair output, the suite's most expensive
+    #   materialization
     "d19_chunk_ingest_incremental",  # 13.0s — full ingest loop + writes
+    "d20_band_ingest_incremental",   # 16.5s — the band-side ingest loop
+    #   (registered after the sweep; measured directly)
     "sql03_recursive_calendar",      # 8.8s
     "t06_top_bigrams",               # 4.6s
     "d03_ngram_jaccard",             # 2.2s

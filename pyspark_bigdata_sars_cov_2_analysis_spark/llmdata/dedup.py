@@ -493,58 +493,81 @@ def ingest_batch_idempotent(
             "seed-corpus checkpoint rows and would exclude them"
         )
     s = batch_df.sparkSession
-    # state pruning (VERDICT r8 #4): collect the batch's own distinct
-    # sigb bucket ids — bounded by the sidecar's n_sig_buckets, the same
-    # bounded-params class as the 1-row bounds sidecars — and scan the
-    # checkpoint through that literal partition filter. The batch is
-    # banded once more inside incremental_neardup_pairs; banding a
-    # micro-batch is row-local expression work, and re-deriving it here
-    # is far cheaper than scanning every state bucket the batch can't
-    # match. A batch spanning all buckets degrades to the full scan.
-    n_sig_buckets = read_band_params(s, band_path)["n_sig_buckets"]
-    sig_buckets = None
-    if n_sig_buckets:
-        batch_bands = lsh_bands(
-            minhash_signatures(batch_df, id_col, text_col, k, num_hashes),
-            id_col, num_hashes, band_rows,
-        )
-        sig_buckets = sorted(
-            r.sigb
-            for r in batch_bands.select(
-                _lh_bucket(F.col("band_sig"), n_sig_buckets).alias("sigb")
+    # The batch's bands feed THREE consumers — the sigb pruning probe,
+    # the pair expansion, and the survivors' checkpoint append — so they
+    # are banded ONCE and cached for the batch scope (micro-batch-sized
+    # (id, band, band_sig) rows). The first cut re-minhashed the batch
+    # per consumer: three full shingle+minhash passes per micro-batch,
+    # measured as the bulk of d20's 28-42s at sf0.1 (~13s after).
+    params = read_band_params(s, band_path)
+    n_sig_buckets = params["n_sig_buckets"]
+    batch_bands = lsh_bands(
+        minhash_signatures(batch_df, id_col, text_col, k, num_hashes),
+        id_col, num_hashes, band_rows,
+    ).cache()
+    try:
+        # state pruning (VERDICT r8 #4): collect the batch's own
+        # distinct sigb bucket ids — bounded by the sidecar's
+        # n_sig_buckets, the same bounded-params class as the 1-row
+        # bounds sidecars — and scan the checkpoint through that literal
+        # partition filter. A batch spanning every bucket degrades to
+        # the full scan.
+        sig_buckets = None
+        if n_sig_buckets:
+            sig_buckets = sorted(
+                r.sigb
+                for r in batch_bands.select(
+                    _lh_bucket(F.col("band_sig"), n_sig_buckets).alias(
+                        "sigb"
+                    )
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
+        corpus_bands = read_band_checkpoint(
+            s, band_path, id_col,
+            k=k, num_hashes=num_hashes, band_rows=band_rows,
+            sig_buckets=sig_buckets,
         )
-    corpus_bands = read_band_checkpoint(
-        s, band_path, id_col,
-        k=k, num_hashes=num_hashes, band_rows=band_rows,
-        sig_buckets=sig_buckets,
-    )
-    # drop ONLY the current batch's own (possibly torn) prior append from
-    # the corpus side: replays must dedup against the pre-batch state
-    corpus_bands = corpus_bands.where(
-        F.col("src_batch") != int(batch_id)
-    ).drop("src_batch")
-    pairs = incremental_neardup_pairs(
-        batch_df, None, id_col, text_col,
-        k=k, num_hashes=num_hashes, band_rows=band_rows,
-        corpus_bands=corpus_bands,
-    )
-    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
-    clean = batch_df.join(dup_ids, on=id_col, how="left_anti")
-    (
-        clean.withColumn("ingest_batch", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .parquet(out_path)
-    )
-    write_band_checkpoint(
-        clean, band_path, id_col, text_col,
-        k=k, num_hashes=num_hashes, band_rows=band_rows, mode="append",
-        batch_id=int(batch_id),
-    )
+        # drop ONLY the current batch's own (possibly torn) prior append
+        # from the corpus side: replays must dedup against the pre-batch
+        # state
+        corpus_bands = corpus_bands.where(
+            F.col("src_batch") != int(batch_id)
+        ).drop("src_batch")
+        pairs = incremental_neardup_pairs(
+            batch_df, None, id_col, text_col,
+            k=k, num_hashes=num_hashes, band_rows=band_rows,
+            corpus_bands=corpus_bands, new_bands=batch_bands,
+        )
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        clean = batch_df.join(dup_ids, on=id_col, how="left_anti")
+        (
+            clean.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+        # append the SURVIVORS' bands from the already-computed batch
+        # bands (semi-join on the admitted ids — never a re-minhash),
+        # stamped with this batch's id and folded into the sigb grid
+        # READ FROM the sidecar (validated, never re-stamped; the
+        # sidecar file itself is untouched by appends here)
+        add = batch_bands.join(
+            F.broadcast(clean.select(id_col)), on=id_col, how="left_semi"
+        ).withColumn("src_batch", F.lit(int(batch_id)))
+        if n_sig_buckets:
+            add = add.withColumn(
+                "sigb", _lh_bucket(F.col("band_sig"), n_sig_buckets)
+            )
+            add.repartition("band", "sigb").write.mode(
+                "append"
+            ).partitionBy("band", "sigb").parquet(band_path)
+        else:
+            add.write.mode("append").partitionBy("band").parquet(band_path)
+    finally:
+        batch_bands.unpersist()
 
 
 def incremental_neardup_pairs(
@@ -556,6 +579,7 @@ def incremental_neardup_pairs(
     num_hashes: int = 12,
     band_rows: int = 3,
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates of an INCOMING batch against an EXISTING
     corpus — the dedup an ingestion pipeline runs on every new crawl
@@ -578,9 +602,17 @@ def incremental_neardup_pairs(
     batch keeps near-linear in corpus size."""
     if (corpus_df is None) == (corpus_bands is None):
         raise ValueError("pass exactly one of corpus_df / corpus_bands")
-    bn = lsh_bands(
-        minhash_signatures(new_df, id_col, text_col, k, num_hashes),
-        id_col, num_hashes, band_rows,
+    # ``new_bands``: an already-banded (id, band, band_sig) frame for the
+    # NEW side — :func:`ingest_batch_idempotent` bands its batch once and
+    # shares the frame between the pruning probe, this expansion, and
+    # the checkpoint append, instead of re-minhashing per consumer
+    bn = (
+        new_bands.select(F.col(id_col), "band", "band_sig")
+        if new_bands is not None
+        else lsh_bands(
+            minhash_signatures(new_df, id_col, text_col, k, num_hashes),
+            id_col, num_hashes, band_rows,
+        )
     ).withColumn("side", F.lit(1))
     if corpus_bands is None:
         corpus_bands = lsh_bands(

@@ -1625,3 +1625,100 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
         "doc_id", "clean_text", "n_chunks", "n_dropped",
         F.col("ingest_batch").cast("int").alias("ingest_batch"),
     )
+
+
+_BANDS20_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, b, {b} AS band, concat_ws(',', "
+    + ", ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
+    + ") AS band_sig FROM mh"
+    for b in range(4)
+)
+
+
+@query(
+    "d20_band_ingest_incremental",
+    # d02's proven minhash/band fragments with the arrival batch carried:
+    # batch-0 admissions dedup against the seed's bands only; batch-1
+    # admissions dedup against seed + batch-0 ADMITTED docs (rejected
+    # docs never append their bands). Cross-side pairs only — intra-batch
+    # near-dups are both admitted, exactly the incremental operator's
+    # semantics. Docs too short to shingle have no bands and are always
+    # admitted on both sides.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END AS b,
+             string_split({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, b,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, b,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS20_SQL}
+    ),
+    dup0 AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.band_sig = c.band_sig AND c.b = -1
+      WHERE n.b = 0
+    ),
+    adm0 AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 1
+        AND doc_id NOT IN (SELECT doc_id FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.band_sig = c.band_sig
+      WHERE n.b = 1
+        AND (c.b = -1
+             OR (c.b = 0 AND c.doc_id IN (SELECT doc_id FROM adm0)))
+    )
+    SELECT doc_id, CAST(0 AS INT) AS ingest_batch FROM adm0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS ingest_batch FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 2
+      AND doc_id NOT IN (SELECT doc_id FROM dup1)
+    """,
+)
+def d20_band_ingest_incremental(spark, sf_dir):
+    """The d11 LSH ingest loop as a batch-composable, driver-attestable
+    query — d19's band-side twin: seed a band checkpoint from a third of
+    the corpus, push the other two thirds through
+    :func:`llmdata.dedup.ingest_batch_idempotent` as two ordered
+    micro-batches, read back the admitted docs per batch. This drives
+    the round-9 state machinery end-to-end under the oracle gate: the
+    src_batch replay-exclusion stamps, the sigb-bucketed checkpoint
+    probe (batch-1's read carries the literal sigb partition filter),
+    the validated append of batch-0's bands, and the per-batch dynamic
+    overwrite publish. The modulo split interleaves ids across batches
+    so arrival order ≠ id order, same rationale as d19. Scratch state in
+    a per-call temp dir that must outlive the returned lazy frame."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup as dd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_d20_")
+    band_path, out = f"{tmp}/bands", f"{tmp}/out"
+    dd.write_band_checkpoint(
+        d.where(F.col("doc_id") % 3 == 0), band_path, "doc_id", "text"
+    )
+    for b, m in ((0, 1), (1, 2)):
+        dd.ingest_batch_idempotent(
+            d.where(F.col("doc_id") % 3 == m), b, band_path, out
+        )
+    return spark.read.parquet(out).select(
+        "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
+    )

@@ -96,13 +96,13 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 2, (
+    assert len(entry._PRIORITY_FIRST) == 3, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
     # VERDICT r8 #1 + the standing never-attested-first principle: the
-    # round-9 window is the 2 new registrations, then the committed
-    # 27-name r5-stale head, then the 21 stalest r6 names. Derive
+    # round-9 window is the 3 new registrations, then the committed
+    # 27-name r5-stale head, then the 20 stalest r6 names. Derive
     # attestation state from the CORRECTNESS files so the pin tracks the
     # actual record: BEFORE the round-9 file lands, the head must be
     # exactly the never-attested set; AFTER it lands, the check degrades
@@ -129,8 +129,8 @@ def test_attestation_window_arithmetic():
     assert entry._STALE_QUEUE[0] == "w06_distribution_ranks"
     assert entry._STALE_QUEUE[26] == "u07_mlp_inference"
     # VERDICT r8 #1: the round-10 head is a complete forward plan — the
-    # 27 r6-stale names past the cut
+    # 28 r6-stale names past the cut
     r10_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r10_head) == 27
-    assert r10_head[0] == "a01_grouped_sum"
+    assert len(r10_head) == 28
+    assert r10_head[0] == "p16_null_profile"
     assert r10_head[-1] == "t06_top_bigrams"
