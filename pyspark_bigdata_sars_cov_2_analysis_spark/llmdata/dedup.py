@@ -336,6 +336,7 @@ def read_band_checkpoint(
     num_hashes: int = 12,
     band_rows: int = 3,
     sig_buckets: list[int] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Load a band checkpoint written by :func:`write_band_checkpoint`,
     normalized to the ``(id_col, band, band_sig, src_batch)`` shape
@@ -350,8 +351,13 @@ def read_band_checkpoint(
     ``sig_buckets``: on a sub-bucketed checkpoint, restrict the scan to
     these ``sigb`` partition values (literal partition filter — prunes
     unmatched state directories; the VERDICT r8 #4 path). Ignored on a
-    flat layout."""
-    params = read_band_params(spark, path)
+    flat layout.
+
+    ``params``: a sidecar dict the caller already read via
+    :func:`read_band_params` — skips the second sidecar collect job
+    (one driver round-trip per micro-batch in the ingest loop)."""
+    if params is None:
+        params = read_band_params(spark, path)
     want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
     stored = {kk: params[kk] for kk in want}
     if stored != want:
@@ -527,7 +533,7 @@ def ingest_batch_idempotent(
         corpus_bands = read_band_checkpoint(
             s, band_path, id_col,
             k=k, num_hashes=num_hashes, band_rows=band_rows,
-            sig_buckets=sig_buckets,
+            sig_buckets=sig_buckets, params=params,
         )
         # drop ONLY the current batch's own (possibly torn) prior append
         # from the corpus side: replays must dedup against the pre-batch
@@ -1724,6 +1730,7 @@ def read_chunk_checkpoint(
     id_col: str,
     chunk_words: int = 10,
     buckets: list[int] | None = None,
+    params: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Load a chunk checkpoint written by :func:`write_chunk_checkpoint`
     as ``(lh, id_col, pos, src_batch)``, validating the caller's
@@ -1736,8 +1743,14 @@ def read_chunk_checkpoint(
     ``lhb`` partition values as a LITERAL partition filter — the scan
     then never opens the other buckets' files (the VERDICT r8 #4
     pruning path). Ignored on a flat (n_buckets=0) layout, where there
-    is nothing to prune."""
-    stored_cw, stored_nb = read_chunk_params(spark, path)
+    is nothing to prune.
+
+    ``params``: a (chunk_words, n_buckets) pair the caller already read
+    via :func:`read_chunk_params` — skips the second sidecar collect
+    job (one driver round-trip per micro-batch in the ingest loop)."""
+    stored_cw, stored_nb = (
+        params if params is not None else read_chunk_params(spark, path)
+    )
     if stored_cw != chunk_words:
         raise ValueError(
             f"chunk checkpoint at {path} was written with chunk_words="
@@ -1807,7 +1820,8 @@ def chunk_ingest_batch_idempotent(
         )
     s = batch_df.sparkSession
     chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words)
-    _, n_buckets = read_chunk_params(s, chunk_path)
+    params = read_chunk_params(s, chunk_path)
+    n_buckets = params[1]
     buckets = None
     if n_buckets:
         buckets = sorted(
@@ -1819,7 +1833,7 @@ def chunk_ingest_batch_idempotent(
             .collect()
         )
     prior = read_chunk_checkpoint(
-        s, chunk_path, id_col, chunk_words, buckets=buckets
+        s, chunk_path, id_col, chunk_words, buckets=buckets, params=params
     )
     prior = prior.where(F.col("src_batch") != int(batch_id)).drop("src_batch")
     fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
