@@ -1656,6 +1656,12 @@ def write_chunk_checkpoint(
     pays off when a micro-batch's distinct chunk count is small against
     ``n_buckets`` or the hash space is hot-skewed; a batch that touches
     every bucket degrades gracefully to the full scan it did before.
+    SIZE the grid to the state, not the default: each bucket is a
+    partition directory whose per-write commit has a fixed cost
+    (measured ~35 ms/dir on local FS, worse on object stores), so aim
+    for per-bucket state around file-sized (100 MB-1 GB at scale) — a
+    10k-row state over 64 buckets pays more in commits than in data
+    (2.75s vs 0.45s flat, measured; the attestation queries use 16).
 
     An ``append`` onto a directory that has data files but NO parameter
     sidecar is refused (ADVICE r8): that state means a previous writer

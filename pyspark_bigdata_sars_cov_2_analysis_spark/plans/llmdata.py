@@ -1606,7 +1606,15 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
     state probe really beats within-batch id order — an id-ordered split
     couldn't tell the two apart. Scratch state lives in a per-call temp
     dir that must outlive the returned (lazy) DataFrame; a few hundred
-    KB at attestation SFs, reclaimed by the OS tmp reaper."""
+    KB at attestation SFs, reclaimed by the OS tmp reaper.
+
+    ``n_buckets=16``, not the 64 default: the grid must be sized to the
+    STATE (per-bucket state around file-sized, not row-sized) — each
+    bucket is a partition directory whose per-write commit costs more
+    than its data at this corpus's ~10k-chunk state (measured: the
+    64-dir seed write was 2.75s vs 0.45s flat for 9.5k rows — pure
+    commit overhead). 16 still exercises the pruning path end-to-end;
+    a 100 TB deployment sizes upward instead."""
     import tempfile
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup as dd
@@ -1615,7 +1623,8 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="spark_graft_d19_")
     chunk_path, out = f"{tmp}/chunks", f"{tmp}/out"
     dd.write_chunk_checkpoint(
-        d.where(F.col("doc_id") % 3 == 0), chunk_path, "doc_id", "text"
+        d.where(F.col("doc_id") % 3 == 0), chunk_path, "doc_id", "text",
+        n_buckets=16,
     )
     for b, m in ((0, 1), (1, 2)):
         dd.chunk_ingest_batch_idempotent(
@@ -1704,7 +1713,11 @@ def d20_band_ingest_incremental(spark, sf_dir):
     the validated append of batch-0's bands, and the per-batch dynamic
     overwrite publish. The modulo split interleaves ids across batches
     so arrival order ≠ id order, same rationale as d19. Scratch state in
-    a per-call temp dir that must outlive the returned lazy frame."""
+    a per-call temp dir that must outlive the returned lazy frame.
+    ``n_sig_buckets=4`` (4 bands x 4 = 16 grid cells), not the 16
+    default: d19's grid-sizing rule — per-cell state around file-sized;
+    this corpus's ~6.7k band rows over 64 cells paid more in
+    per-directory commits than in data."""
     import tempfile
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup as dd
@@ -1713,7 +1726,8 @@ def d20_band_ingest_incremental(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="spark_graft_d20_")
     band_path, out = f"{tmp}/bands", f"{tmp}/out"
     dd.write_band_checkpoint(
-        d.where(F.col("doc_id") % 3 == 0), band_path, "doc_id", "text"
+        d.where(F.col("doc_id") % 3 == 0), band_path, "doc_id", "text",
+        n_sig_buckets=4,
     )
     for b, m in ((0, 1), (1, 2)):
         dd.ingest_batch_idempotent(
