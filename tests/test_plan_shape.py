@@ -174,6 +174,56 @@ def test_simhash_single_aggregate_shuffle(spark):
     assert "Join" not in plan, f"no joins in the signature stage\n{plan}"
 
 
+def test_simhash_pairs_join_form_no_distinct_exchange(spark):
+    """The r9 pair expansion: a banded self-EQUI-join (never a nested
+    loop / cartesian product) whose canonical first-matching-band filter
+    makes every pair unique at EMISSION — so the plan must carry no
+    deduplicating exchange keyed on the output pair (the old global
+    distinct's hashpartitioning(id_a, id_b...) shuffle)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import table
+
+    out = dedup.simhash_neardup_pairs(
+        table(spark, SF_TEST, "documents"), "doc_id", "text",
+        max_hamming=6, band_bits=4,
+    )
+    plan = _plan(out, mode="simple")
+    assert "Join" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(id_a" not in plan, (
+        f"the canonical-band emission should need no pair-dedup "
+        f"exchange\n{plan}"
+    )
+
+
+def test_simhash_pairs_unique_on_identical_docs(spark):
+    """Worst-case duplicate factor for the canonical-band rule: IDENTICAL
+    documents match on every band (xor mask 0), so the old
+    emit-per-band form produced n_bands copies per pair pre-distinct.
+    The operator must emit each pair exactly once — and at Hamming 0
+    the pair count for m identical docs is exactly m·(m−1)/2."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    text = ("the same document repeated verbatim so every simhash band "
+            "slice agrees across all copies of it")
+    df = spark.createDataFrame(
+        [(i, text) for i in range(5)] + [(99, "a wholly different text "
+                                              "about something unrelated")],
+        "doc_id long, text string",
+    )
+    rows = dedup.simhash_neardup_pairs(
+        df, "doc_id", "text", max_hamming=6, band_bits=4
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    ident = [p for p in pairs if p[0] < 90 and p[1] < 90]
+    assert sorted(ident) == [
+        (a, b) for a in range(5) for b in range(5) if a < b
+    ]
+    assert all(r.hamming == 0 for r in rows if (r.id_a, r.id_b) in ident)
+
+
 def test_w01_single_window_shuffle(spark):
     plan = _plan(QUERIES["w01_latest_per_group"](spark, SF_TEST), mode="simple")
     n_shuffle = plan.count("Exchange hashpartitioning")
