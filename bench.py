@@ -98,7 +98,7 @@ EXTRAS_SHELF = [
 # SAME best-of-2 protocol this script runs. A query >1.5x its frozen
 # time is flagged. GOVERNANCE: existing entries are immutable
 # ("frozen_until": "protocol change") — a full re-freeze requires a bench
-# protocol change, stated in the round verdict. Two sanctioned writes:
+# protocol change, stated in the round verdict. Three sanctioned writes:
 # `python bench.py --extend-baseline` ADDS entries for headline queries
 # the baseline doesn't know yet and refuses to touch existing numbers;
 # `python bench.py --refreeze` replaces the WHOLE baseline from the
@@ -107,7 +107,15 @@ EXTRAS_SHELF = [
 # r4 entries predate the r6 clearCache protocol AND documented intra-day
 # host drift had pushed identical code past the 1.5x flag line, so the r8
 # re-freeze realigns every entry under the current protocol and adds the
-# host-drift canary the ratios are now read against).
+# host-drift canary the ratios are now read against);
+# `python bench.py --rebase-extras name1,name2` re-stamps the NAMED
+# diagnostics-shelf entries from the current run, recording the replaced
+# values and SPARK_GRAFT_REBASE_REASON in extensions — for extras whose
+# QUERY was deliberately rewritten after its freeze (a 6x-improved query
+# gated against its pre-rewrite time is blind to a real regression until
+# it undoes the whole improvement). Headline entries are never
+# rebaseable this way; a headline rewrite waits for a sanctioned
+# refreeze so the headline total stays comparable across rounds.
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json"
 )
@@ -182,6 +190,60 @@ def _extend_baseline(out: dict) -> None:
         f"queries={sorted(new) or 'none'} extras={sorted(new_extras) or 'none'}",
         file=sys.stderr,
     )
+
+
+def _rebase_extras(out: dict, names: list[str]) -> None:
+    """Re-stamp named EXTRAS entries from this run (see GOVERNANCE note):
+    only for shelf diagnostics whose query was deliberately rewritten
+    after its freeze — the old gate value is kept in the extension
+    record, and a reason must be stated via SPARK_GRAFT_REBASE_REASON."""
+    reason = os.environ.get("SPARK_GRAFT_REBASE_REASON")
+    if not reason:
+        print(
+            "refusing to rebase extras: set SPARK_GRAFT_REBASE_REASON "
+            "(which rewrite, which commit)",
+            file=sys.stderr,
+        )
+        return
+    with open(BASELINE_PATH) as f:
+        base = json.load(f)
+    if base.get("sf") != out["sf"]:
+        print("refusing to rebase extras: sf mismatch", file=sys.stderr)
+        return
+    base_extras = base.setdefault("extras", {})
+    replaced = {}
+    for n in names:
+        if n not in base_extras:
+            print(f"refusing to rebase extras: {n} not frozen",
+                  file=sys.stderr)
+            return
+        if n not in out.get("extras", {}):
+            print(f"refusing to rebase extras: {n} not measured this run",
+                  file=sys.stderr)
+            return
+        if n in base.get("queries", {}):
+            print(f"refusing to rebase extras: {n} is a headline entry",
+                  file=sys.stderr)
+            return
+        replaced[n] = base_extras[n]
+        base_extras[n] = out["extras"][n]
+    base.setdefault("extensions", []).append(
+        {
+            "rebased_extras": {
+                n: {"old": replaced[n], "new": base_extras[n]}
+                for n in replaced
+            },
+            "note": reason,
+            "sf": out["sf"],
+            "recorded_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+    )
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(base, f, indent=1)
+        f.write("\n")
+    print(f"extras rebased: {sorted(replaced)}", file=sys.stderr)
 
 
 def _refreeze_baseline(out: dict) -> None:
@@ -411,6 +473,15 @@ def main() -> None:
             print("refusing to extend baseline: errored run", file=sys.stderr)
         else:
             _extend_baseline(out)
+    if "--rebase-extras" in sys.argv:
+        if errors:
+            print("refusing to rebase extras: errored run", file=sys.stderr)
+        else:
+            idx = sys.argv.index("--rebase-extras")
+            names = sys.argv[idx + 1].split(",") if idx + 1 < len(
+                sys.argv
+            ) else []
+            _rebase_extras(out, [n for n in names if n])
     if "--refreeze" in sys.argv:
         if errors:
             print("refusing to refreeze: errored run", file=sys.stderr)

@@ -365,11 +365,18 @@ def read_band_checkpoint(
             f"band checkpoint at {path} was written with {stored}, "
             f"caller expects {want}: signatures would never match"
         )
-    df = spark.read.parquet(path)
+    # mergeSchema: a checkpoint upgraded mid-life can hold pre-src_batch
+    # files next to stamped ones; without merging, Spark takes one
+    # arbitrary footer's schema and either NULLs the legacy rows (the
+    # != filter then drops the whole legacy corpus from the probe) or
+    # hides the stamps entirely (a torn append would self-match). With
+    # merging + coalesce, legacy rows read as seed rows (-1), stamped
+    # rows keep their writer id — both failure modes gone.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if params["n_sig_buckets"] and sig_buckets is not None:
         df = df.where(F.col("sigb").isin([int(b) for b in sig_buckets]))
     src = (
-        F.col("src_batch").cast("int")
+        F.coalesce(F.col("src_batch").cast("int"), F.lit(-1))
         if "src_batch" in df.columns
         else F.lit(-1)
     )
@@ -546,7 +553,12 @@ def ingest_batch_idempotent(
             k=k, num_hashes=num_hashes, band_rows=band_rows,
             corpus_bands=corpus_bands, new_bands=batch_bands,
         )
-        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+        # dup_ids feeds TWO actions through `clean` (the output write and
+        # the band-append's semi-join) — cache the tiny id set so the
+        # expensive probe chain behind it (state scan + bucket expansion)
+        # runs once per batch, not once per consumer
+        dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct(
+        ).cache()
         clean = batch_df.join(dup_ids, on=id_col, how="left_anti")
         (
             clean.withColumn("ingest_batch", F.lit(int(batch_id)))
@@ -574,6 +586,8 @@ def ingest_batch_idempotent(
             add.write.mode("append").partitionBy("band").parquet(band_path)
     finally:
         batch_bands.unpersist()
+        if "dup_ids" in locals():
+            dup_ids.unpersist()
 
 
 def incremental_neardup_pairs(
@@ -1763,11 +1777,14 @@ def read_chunk_checkpoint(
             f"{stored_cw}, caller expects {chunk_words}: chunk "
             "boundaries would never align"
         )
-    df = spark.read.parquet(path)
+    # mergeSchema + coalesce: see read_band_checkpoint — mixed
+    # pre/post-src_batch files must read as seed rows (-1), not as NULLs
+    # the exclusion filter silently drops
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if stored_nb and buckets is not None:
         df = df.where(F.col("lhb").isin([int(b) for b in buckets]))
     src = (
-        F.col("src_batch").cast("int")
+        F.coalesce(F.col("src_batch").cast("int"), F.lit(-1))
         if "src_batch" in df.columns
         else F.lit(-1)
     )
@@ -1825,7 +1842,14 @@ def chunk_ingest_batch_idempotent(
             "seed-corpus checkpoint rows and would exclude them"
         )
     s = batch_df.sparkSession
-    chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words)
+    # chunks feeds the lhb bucket probe, the fresh->firsts->kept chain
+    # (twice within the output write's own branches), and totals — cache
+    # the micro-batch-sized exploded frame for the batch scope so the
+    # split/transform/md5 chunking runs once, not once per consumer (the
+    # same per-consumer-recompute fix as batch_bands in the band twin;
+    # this is a BATCH frame, not the corpus — the never-cache-exploded-
+    # corpus rule doesn't apply)
+    chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words).cache()
     params = read_chunk_params(s, chunk_path)
     n_buckets = params[1]
     buckets = None
@@ -1917,6 +1941,7 @@ def chunk_ingest_batch_idempotent(
             add.write.mode("append").parquet(chunk_path)
     finally:
         kept.unpersist()
+        chunks.unpersist()
 
 
 def streaming_chunk_dedup_ingest(

@@ -64,12 +64,21 @@ _MH_SQL = {
     )
     for j in range(12)
 }
-_BANDS_SQL = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, {b} AS band, concat_ws(',', "
-    + ", ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
-    + ") AS band_sig FROM mh"
-    for b in range(4)
-)
+def _bands_sql(extra: str = "") -> str:
+    """The 4-band UNION ALL over the mh CTE, optionally carrying extra
+    projected columns (d20 threads the arrival batch ``b`` through) —
+    ONE source of truth for the band layout every minhash oracle
+    shares, so a num_hashes/band_rows change can't desynchronize
+    d02/d07/d11's oracles from d20's."""
+    return "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {extra}{b} AS band, concat_ws(',', "
+        + ", ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
+        + ") AS band_sig FROM mh"
+        for b in range(4)
+    )
+
+
+_BANDS_SQL = _bands_sql()
 
 
 @query(
@@ -1636,12 +1645,7 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
     )
 
 
-_BANDS20_SQL = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, b, {b} AS band, concat_ws(',', "
-    + ", ".join(f"mh_{j}" for j in range(3 * b, 3 * b + 3))
-    + ") AS band_sig FROM mh"
-    for b in range(4)
-)
+_BANDS20_SQL = _bands_sql(extra="b, ")
 
 
 @query(
