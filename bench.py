@@ -205,6 +205,14 @@ def _rebase_extras(out: dict, names: list[str]) -> None:
             file=sys.stderr,
         )
         return
+    # dedupe, preserving order: a repeated name would otherwise record
+    # {old: <new>} on its second pass, destroying the audit trail's true
+    # frozen value; an empty list would "succeed" while rebasing nothing
+    # and still append a junk extension record
+    names = list(dict.fromkeys(names))
+    if not names:
+        print("refusing to rebase extras: no names given", file=sys.stderr)
+        return
     with open(BASELINE_PATH) as f:
         base = json.load(f)
     if base.get("sf") != out["sf"]:

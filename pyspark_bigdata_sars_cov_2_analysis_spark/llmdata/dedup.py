@@ -219,7 +219,7 @@ def write_band_checkpoint(
     band_rows: int = 3,
     mode: str = "overwrite",
     batch_id: int = -1,
-    n_sig_buckets: int = 16,
+    n_sig_buckets: int | None = None,
 ) -> None:
     """Persist a corpus's LSH band frame ``(id, band, band_sig,
     src_batch)`` — the between-batches dedup state an ingestion pipeline
@@ -248,24 +248,36 @@ def write_band_checkpoint(
     ingest probe can restrict the state scan to the signature buckets
     the incoming batch actually hashes into — a literal partition
     filter, pruning whole directories. The grid rides the sidecar
-    (appends must match it); 0 = flat per-band layout."""
+    (appends must match it); 0 = flat per-band layout. The default
+    ``None`` resolves to 16 on a fresh write and to the EXISTING
+    sidecar's grid on an append — so appending to a pre-bucketing
+    (flat) or differently-sized checkpoint with defaults keeps working
+    instead of raising a grid mismatch against a default the checkpoint
+    never used; pass an explicit int to ASSERT the grid instead."""
     spark = corpus_df.sparkSession
     if mode == "append":
         # ADVICE r6: an append must VALIDATE against the existing sidecar,
         # not re-stamp it — overwriting would relabel old band rows
         # (computed under the previous parameters) with the new ones,
         # recreating exactly the undetected zero-match state the sidecar
-        # exists to prevent. read_band_checkpoint raises on mismatch.
+        # exists to prevent. ONE sidecar read serves the banding-params
+        # check, the grid check, and the None-grid resolution (the first
+        # cut launched three driver jobs here).
         try:
-            spark.read.parquet(f"{path}/_band_params")
-            has_sidecar = True
+            params = read_band_params(spark, path)
         except Exception:
-            has_sidecar = False
-        if has_sidecar:
-            read_band_checkpoint(
-                spark, path, id_col,
-                k=k, num_hashes=num_hashes, band_rows=band_rows,
-            )
+            params = None
+        if params is not None:
+            _validate_band_params(path, params, k, num_hashes, band_rows)
+            if n_sig_buckets is None:
+                n_sig_buckets = params["n_sig_buckets"]
+            elif params["n_sig_buckets"] != n_sig_buckets:
+                raise ValueError(
+                    f"band checkpoint at {path} is bucketed with "
+                    f"n_sig_buckets={params['n_sig_buckets']}, caller "
+                    f"expects {n_sig_buckets}: appended rows would land "
+                    "outside the probe's partition grid"
+                )
         else:
             # ADVICE r8 (chunk twin applied here too): data files with no
             # sidecar = a writer crashed between data and sidecar writes;
@@ -282,18 +294,8 @@ def write_band_checkpoint(
                     "append — existing rows may use different band "
                     "parameters. Re-seed with mode='overwrite'."
                 )
-    if mode == "append":
-        try:
-            stored_nb = read_band_params(spark, path)["n_sig_buckets"]
-        except Exception:
-            stored_nb = None
-        if stored_nb is not None and stored_nb != n_sig_buckets:
-            raise ValueError(
-                f"band checkpoint at {path} is bucketed with "
-                f"n_sig_buckets={stored_nb}, caller expects "
-                f"{n_sig_buckets}: appended rows would land outside the "
-                "probe's partition grid"
-            )
+    if n_sig_buckets is None:
+        n_sig_buckets = 16
     bands = lsh_bands(
         minhash_signatures(corpus_df, id_col, text_col, k, num_hashes),
         id_col, num_hashes, band_rows,
@@ -328,6 +330,21 @@ def read_band_params(spark, path: str) -> dict:
     return got
 
 
+def _validate_band_params(
+    path: str, params: dict, k: int, num_hashes: int, band_rows: int
+) -> None:
+    """Raise unless the caller's banding parameters match the sidecar's —
+    shared by the reader and the append path of the writer so both fail
+    with the same message from ONE sidecar read."""
+    want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
+    stored = {kk: params[kk] for kk in want}
+    if stored != want:
+        raise ValueError(
+            f"band checkpoint at {path} was written with {stored}, "
+            f"caller expects {want}: signatures would never match"
+        )
+
+
 def read_band_checkpoint(
     spark,
     path: str,
@@ -358,20 +375,21 @@ def read_band_checkpoint(
     (one driver round-trip per micro-batch in the ingest loop)."""
     if params is None:
         params = read_band_params(spark, path)
-    want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
-    stored = {kk: params[kk] for kk in want}
-    if stored != want:
-        raise ValueError(
-            f"band checkpoint at {path} was written with {stored}, "
-            f"caller expects {want}: signatures would never match"
-        )
+    _validate_band_params(path, params, k, num_hashes, band_rows)
     # mergeSchema: a checkpoint upgraded mid-life can hold pre-src_batch
     # files next to stamped ones; without merging, Spark takes one
     # arbitrary footer's schema and either NULLs the legacy rows (the
     # != filter then drops the whole legacy corpus from the probe) or
     # hides the stamps entirely (a torn append would self-match). With
     # merging + coalesce, legacy rows read as seed rows (-1), stamped
-    # rows keep their writer id — both failure modes gone.
+    # rows keep their writer id. SCOPE of that guarantee: it keeps the
+    # legacy CORPUS correct, but it cannot re-attribute a legacy TORN
+    # append — unstamped rows a pre-stamp build's crashed batch wrote
+    # look identical to legacy seed rows, so a replay of that same batch
+    # under this code would still self-match them (the pre-stamp bug, in
+    # its one-time upgrade window). Closing it needs the operator:
+    # run :func:`migrate_band_checkpoint_stamps` at a CLEAN boundary
+    # (no crashed in-flight batch) before the first post-upgrade ingest.
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if params["n_sig_buckets"] and sig_buckets is not None:
         df = df.where(F.col("sigb").isin([int(b) for b in sig_buckets]))
@@ -383,6 +401,103 @@ def read_band_checkpoint(
     return df.select(
         F.col(id_col), F.col("band").cast("int").alias("band"), "band_sig",
         src.alias("src_batch"),
+    )
+
+
+def _migrate_checkpoint_stamps(
+    spark, path: str, part_cols: list[str], sidecar: str
+) -> dict:
+    """Shared body of the two stamp migrations: rewrite a checkpoint so
+    every data row carries an EXPLICIT ``src_batch`` (existing stamps
+    preserved, unstamped legacy rows stamped -1), keeping the partition
+    layout and the parameter sidecar, via the count-verified staged swap
+    the parquet maintenance ops use (crash mid-swap → marker →
+    :func:`io.writers.recover_staged_swap`)."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        _swap_in,
+        recover_staged_swap,
+    )
+
+    recover_staged_swap(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    had_stamp_col = "src_batch" in df.columns
+    src = (
+        F.coalesce(F.col("src_batch").cast("int"), F.lit(-1))
+        if had_stamp_col
+        else F.lit(-1).cast("int")
+    )
+    out = df.withColumn("src_batch", src)
+    stamped = out.where(F.col("src_batch") == -1).count() if had_stamp_col else None
+    want = df.count()
+    tmp = path.rstrip("/") + ".migrating"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    writer = (
+        out.repartition(*part_cols).write.partitionBy(*part_cols)
+        if part_cols
+        else out.write
+    )
+    writer.parquet(tmp)
+    # the parameter sidecar lives INSIDE the checkpoint dir (underscore
+    # prefix hides it from partition discovery) — carry it into the
+    # staged copy or the swapped-in checkpoint would read as sidecar-less
+    # (torn) and refuse every append
+    _shutil.copytree(
+        _os.path.join(path, sidecar), _os.path.join(tmp, sidecar)
+    )
+    got = spark.read.parquet(tmp).count()
+    if got != want:
+        raise RuntimeError(
+            f"stamp migration row-count mismatch ({got} != {want}); "
+            f"staged output left at {tmp}, original untouched"
+        )
+    _swap_in(path, tmp, ".pre-stamp-migration")
+    return {
+        "rows": want,
+        "seed_rows": stamped if stamped is not None else want,
+        "had_stamp_col": had_stamp_col,
+    }
+
+
+def migrate_band_checkpoint_stamps(spark, path: str) -> dict:
+    """ONE-TIME upgrade migration for band checkpoints written (fully or
+    partially) by pre-``src_batch`` builds: rewrites the state so every
+    row carries an explicit stamp — existing stamps preserved, unstamped
+    legacy rows stamped -1 (seed) — and keeps the partition grid and
+    parameter sidecar.
+
+    Why it exists: :func:`read_band_checkpoint`'s mergeSchema+coalesce
+    keeps a legacy CORPUS correct, but an unstamped row written by a
+    pre-stamp build's crashed (torn) append is indistinguishable from a
+    legacy seed row — a replay of that same batch under stamped code
+    would self-match it, the pre-stamp silent-loss bug in its one-time
+    upgrade window. No row-level rule can tell those two apart, so the
+    operator must assert the distinction: run this at a CLEAN boundary
+    (no crashed in-flight batch — e.g. after the last pre-upgrade batch
+    completed, before the first post-upgrade one starts), at which point
+    stamping everything unstamped as seed is exactly right. After the
+    migration every future torn append is stamped by the writing batch
+    and the replay exclusion is airtight again. Idempotent; returns
+    ``{rows, seed_rows, had_stamp_col}``."""
+    return _migrate_checkpoint_stamps(
+        spark,
+        path,
+        ["band", "sigb"]
+        if read_band_params(spark, path)["n_sig_buckets"]
+        else ["band"],
+        "_band_params",
+    )
+
+
+def migrate_chunk_checkpoint_stamps(spark, path: str) -> dict:
+    """:func:`migrate_band_checkpoint_stamps` for chunk checkpoints —
+    same one-time upgrade window, same clean-boundary precondition,
+    same semantics."""
+    _, n_buckets = read_chunk_params(spark, path)
+    return _migrate_checkpoint_stamps(
+        spark, path, ["lhb"] if n_buckets else [], "_chunk_params"
     )
 
 
@@ -499,7 +614,12 @@ def ingest_batch_idempotent(
     dropped as the duplicate it is, instead of having its history
     anti-joined away and being silently re-admitted. Verified by tests
     that replay the same (batch_df, batch_id) over full AND torn band
-    appends, and by a cross-batch re-delivery test."""
+    appends, and by a cross-batch re-delivery test. Upgrade caveat: a
+    checkpoint holding UNSTAMPED rows from a pre-stamp build must be
+    migrated at a clean boundary first
+    (:func:`migrate_band_checkpoint_stamps`) — a legacy torn append is
+    indistinguishable from legacy seed rows and sits outside this
+    exclusion's reach."""
     if int(batch_id) < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
@@ -1632,6 +1752,18 @@ def read_chunk_params(spark, path: str) -> tuple[int, int]:
     return int(d["chunk_words"]), int(d.get("n_buckets", 0) or 0)
 
 
+def _validate_chunk_words(path: str, stored_cw: int, chunk_words: int) -> None:
+    """Raise unless the caller's chunk width matches the sidecar's —
+    shared by the reader and the append path of the writer so both fail
+    with the same message from ONE sidecar read."""
+    if stored_cw != chunk_words:
+        raise ValueError(
+            f"chunk checkpoint at {path} was written with chunk_words="
+            f"{stored_cw}, caller expects {chunk_words}: chunk "
+            "boundaries would never align"
+        )
+
+
 def write_chunk_checkpoint(
     corpus_df: DataFrame,
     path: str,
@@ -1640,7 +1772,7 @@ def write_chunk_checkpoint(
     chunk_words: int = 10,
     mode: str = "overwrite",
     batch_id: int = -1,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> None:
     """Persist a corpus's span-dedup state — the FIRST occurrence
     ``(lh, id, pos)`` of every distinct chunk hash — the between-batches
@@ -1666,7 +1798,11 @@ def write_chunk_checkpoint(
     full linear state every micro-batch — the known-linear residual
     VERDICT r8 adjudicated. The bucket count rides the sidecar (appends
     must fold new rows into the SAME partition grid or the probe's
-    literal filter would miss them); 0 = flat legacy layout. Pruning
+    literal filter would miss them); 0 = flat legacy layout. The
+    default ``None`` resolves to 64 on a fresh write and to the
+    EXISTING sidecar's grid on an append (so appending to a flat or
+    differently-sized checkpoint with defaults keeps working); pass an
+    explicit int to ASSERT the grid instead. Pruning
     pays off when a micro-batch's distinct chunk count is small against
     ``n_buckets`` or the hash space is hot-skewed; a batch that touches
     every bucket degrades gracefully to the full scan it did before.
@@ -1686,14 +1822,25 @@ def write_chunk_checkpoint(
     ``mode='overwrite'``."""
     spark = corpus_df.sparkSession
     if mode == "append":
-        # validate, never re-stamp (the band-checkpoint ADVICE r6 rule)
+        # validate, never re-stamp (the band-checkpoint ADVICE r6 rule);
+        # ONE sidecar read serves the width check, the grid check, and
+        # the None-grid resolution (the first cut launched three driver
+        # jobs here)
         try:
-            spark.read.parquet(f"{path}/_chunk_params")
-            has_sidecar = True
+            stored_cw, stored_nb = read_chunk_params(spark, path)
         except Exception:
-            has_sidecar = False
-        if has_sidecar:
-            read_chunk_checkpoint(spark, path, id_col, chunk_words)
+            stored_cw = stored_nb = None
+        if stored_cw is not None:
+            _validate_chunk_words(path, stored_cw, chunk_words)
+            if n_buckets is None:
+                n_buckets = stored_nb
+            elif stored_nb != n_buckets:
+                raise ValueError(
+                    f"chunk checkpoint at {path} is bucketed with "
+                    f"n_buckets={stored_nb}, caller expects {n_buckets}: "
+                    "appended rows would land outside the probe's "
+                    "partition grid"
+                )
         else:
             try:
                 has_data = bool(spark.read.parquet(path).columns)
@@ -1706,17 +1853,8 @@ def write_chunk_checkpoint(
                     "to append — existing rows may be chunked at a "
                     "different width. Re-seed with mode='overwrite'."
                 )
-    if mode == "append":
-        try:
-            _, stored_nb = read_chunk_params(spark, path)
-        except Exception:
-            stored_nb = None
-        if stored_nb is not None and stored_nb != n_buckets:
-            raise ValueError(
-                f"chunk checkpoint at {path} is bucketed with n_buckets="
-                f"{stored_nb}, caller expects {n_buckets}: appended rows "
-                "would land outside the probe's partition grid"
-            )
+    if n_buckets is None:
+        n_buckets = 64
     firsts = (
         _doc_chunks(corpus_df, id_col, text_col, chunk_words)
         .groupBy("lh")
@@ -1771,15 +1909,13 @@ def read_chunk_checkpoint(
     stored_cw, stored_nb = (
         params if params is not None else read_chunk_params(spark, path)
     )
-    if stored_cw != chunk_words:
-        raise ValueError(
-            f"chunk checkpoint at {path} was written with chunk_words="
-            f"{stored_cw}, caller expects {chunk_words}: chunk "
-            "boundaries would never align"
-        )
+    _validate_chunk_words(path, stored_cw, chunk_words)
     # mergeSchema + coalesce: see read_band_checkpoint — mixed
     # pre/post-src_batch files must read as seed rows (-1), not as NULLs
-    # the exclusion filter silently drops
+    # the exclusion filter silently drops. Same scope caveat: a legacy
+    # TORN append is indistinguishable from legacy seed rows — run
+    # :func:`migrate_chunk_checkpoint_stamps` at a clean boundary before
+    # the first post-upgrade ingest.
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if stored_nb and buckets is not None:
         df = df.where(F.col("lhb").isin([int(b) for b in buckets]))
@@ -1826,7 +1962,10 @@ def chunk_ingest_batch_idempotent(
     re-delivered in a LATER batch still probes against its own
     earlier-batch spans and dedups correctly instead of being silently
     re-admitted. Checkpoint appends may duplicate (lh, id, pos) rows on
-    replay; harmless — the probe is a left_anti on ``lh``.
+    replay; harmless — the probe is a left_anti on ``lh``. Upgrade
+    caveat (band twin's rule): a checkpoint with unstamped pre-stamp
+    rows needs :func:`migrate_chunk_checkpoint_stamps` at a clean
+    boundary before the first post-upgrade ingest.
 
     State pruning (VERDICT r8 #4): on a bucketed checkpoint the probe
     first collects the batch's own DISTINCT ``lhb`` bucket ids — a
@@ -1850,71 +1989,82 @@ def chunk_ingest_batch_idempotent(
     # this is a BATCH frame, not the corpus — the never-cache-exploded-
     # corpus rule doesn't apply)
     chunks = _doc_chunks(batch_df, id_col, text_col, chunk_words).cache()
-    params = read_chunk_params(s, chunk_path)
-    n_buckets = params[1]
-    buckets = None
-    if n_buckets:
-        buckets = sorted(
-            r.lhb
-            for r in chunks.select(
-                _lh_bucket(F.col("lh"), n_buckets).alias("lhb")
-            )
-            .distinct()
-            .collect()
-        )
-    prior = read_chunk_checkpoint(
-        s, chunk_path, id_col, chunk_words, buckets=buckets, params=params
-    )
-    prior = prior.where(F.col("src_batch") != int(batch_id)).drop("src_batch")
-    fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
-    firsts = (
-        fresh.groupBy("lh")
-        .agg(
-            F.min(F.struct(F.col(id_col).alias("id"), F.col("pos"))).alias(
-                "fo"
-            )
-        )
-        .select(
-            F.col("lh").alias("f_lh"),
-            F.col("fo.id").alias("f_id"),
-            F.col("fo.pos").alias("f_pos"),
-        )
-    )
-    # kept feeds TWO actions (the output write and the checkpoint
-    # append) — cache it for the batch scope so the state anti-join and
-    # first-occurrence aggregate run once, not twice; micro-batch sized,
-    # released in the finally below
-    kept = fresh.join(
-        firsts,
-        (F.col("lh") == F.col("f_lh"))
-        & (F.col(id_col) == F.col("f_id"))
-        & (F.col("pos") == F.col("f_pos")),
-        "left_semi",
-    ).cache()
-    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                lambda st: st["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    out = (
-        totals.join(rebuilt, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_dropped"
-            ),
-        )
-        .withColumn("ingest_batch", F.lit(int(batch_id)))
-    )
+    # EVERYTHING after the cache sits inside the try: the sidecar read /
+    # chunk_words validation and the bucket-probe collect can all raise,
+    # and in a long-lived foreachBatch session a raise that skipped the
+    # finally would pin another exploded batch frame in executor storage
+    # on every failed retry
+    kept = None
     try:
+        params = read_chunk_params(s, chunk_path)
+        n_buckets = params[1]
+        buckets = None
+        if n_buckets:
+            buckets = sorted(
+                r.lhb
+                for r in chunks.select(
+                    _lh_bucket(F.col("lh"), n_buckets).alias("lhb")
+                )
+                .distinct()
+                .collect()
+            )
+        prior = read_chunk_checkpoint(
+            s, chunk_path, id_col, chunk_words, buckets=buckets,
+            params=params,
+        )
+        prior = prior.where(
+            F.col("src_batch") != int(batch_id)
+        ).drop("src_batch")
+        fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
+        firsts = (
+            fresh.groupBy("lh")
+            .agg(
+                F.min(
+                    F.struct(F.col(id_col).alias("id"), F.col("pos"))
+                ).alias("fo")
+            )
+            .select(
+                F.col("lh").alias("f_lh"),
+                F.col("fo.id").alias("f_id"),
+                F.col("fo.pos").alias("f_pos"),
+            )
+        )
+        # kept feeds TWO actions (the output write and the checkpoint
+        # append) — cache it for the batch scope so the state anti-join
+        # and first-occurrence aggregate run once, not twice;
+        # micro-batch sized, released in the finally below
+        kept = fresh.join(
+            firsts,
+            (F.col("lh") == F.col("f_lh"))
+            & (F.col(id_col) == F.col("f_id"))
+            & (F.col("pos") == F.col("f_pos")),
+            "left_semi",
+        ).cache()
+        totals = chunks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_chunks")
+        )
+        rebuilt = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda st: st["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        out = (
+            totals.join(rebuilt, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "n_chunks",
+                (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+                    "n_dropped"
+                ),
+            )
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+        )
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1940,7 +2090,8 @@ def chunk_ingest_batch_idempotent(
         else:
             add.write.mode("append").parquet(chunk_path)
     finally:
-        kept.unpersist()
+        if kept is not None:
+            kept.unpersist()
         chunks.unpersist()
 
 

@@ -1639,7 +1639,15 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
         dd.chunk_ingest_batch_idempotent(
             d.where(F.col("doc_id") % 3 == m), b, chunk_path, out
         )
-    return spark.read.parquet(out).select(
+    # explicit schema: an all-duplicate (or empty) batch publishes NO
+    # parquet files under its partition, and a run where every batch
+    # does so leaves the directory with no readable footers — schema
+    # inference would throw instead of returning the empty frame the
+    # query semantics call for
+    return spark.read.schema(
+        "doc_id bigint, clean_text string, n_chunks bigint, "
+        "n_dropped bigint, ingest_batch int"
+    ).parquet(out).select(
         "doc_id", "clean_text", "n_chunks", "n_dropped",
         F.col("ingest_batch").cast("int").alias("ingest_batch"),
     )
@@ -1737,6 +1745,11 @@ def d20_band_ingest_incremental(spark, sf_dir):
         dd.ingest_batch_idempotent(
             d.where(F.col("doc_id") % 3 == m), b, band_path, out
         )
-    return spark.read.parquet(out).select(
+    # explicit schema, d19's rule: an all-duplicate batch publishes no
+    # data files (proven by the bucketed-probe test), so inference over
+    # a fully-deduped run would throw instead of returning empty
+    return spark.read.schema(
+        "doc_id bigint, text string, ingest_batch int"
+    ).parquet(out).select(
         "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
     )

@@ -1190,3 +1190,182 @@ def test_checkpoint_append_refused_without_sidecar(spark, tmp_path):
         # an append onto a brand-new empty path is still allowed
         writer(corpus, str(tmp_path / f"fresh_{sidecar}"), "doc_id",
                "text", mode="append")
+
+
+def test_checkpoint_grid_defaults_adopt_sidecar_on_append(spark, tmp_path):
+    """Review r9: the grid default must not BREAK the documented append
+    path on a checkpoint whose grid differs from today's default (a flat
+    pre-bucketing layout, or a deliberately smaller grid). Default
+    (None) adopts the sidecar's grid on append; an explicit int still
+    asserts it."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(d, f"some shingled text body number {d} for banding") for d in
+         range(4)],
+        "doc_id long, text string",
+    )
+    more = corpus.withColumn("doc_id", F.col("doc_id") + 100)
+
+    # flat band checkpoint (the pre-bucketing layout): a default append
+    # must keep it flat, not raise 0 != 16
+    path = str(tmp_path / "bands_flat")
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
+                                n_sig_buckets=0)
+    dedup.write_band_checkpoint(more, path, "doc_id", "text", mode="append")
+    assert dedup.read_band_params(spark, path)["n_sig_buckets"] == 0
+    assert not _glob.glob(f"{path}/band=*/sigb=*")
+    assert dedup.read_band_checkpoint(spark, path, "doc_id").count() > 0
+    # explicit grid on append still asserts
+    with _pytest.raises(ValueError, match="n_sig_buckets"):
+        dedup.write_band_checkpoint(more, path, "doc_id", "text",
+                                    mode="append", n_sig_buckets=16)
+
+    # chunk twin with a non-default grid: default append adopts 8
+    cpath = str(tmp_path / "chunks8")
+    dedup.write_chunk_checkpoint(corpus, cpath, "doc_id", "text",
+                                 n_buckets=8)
+    dedup.write_chunk_checkpoint(more, cpath, "doc_id", "text",
+                                 mode="append")
+    assert dedup.read_chunk_params(spark, cpath) == (10, 8)
+    # appended rows landed INSIDE the 8-bucket grid (probe-visible)
+    assert len(_glob.glob(f"{cpath}/lhb=*")) <= 8
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dedup.write_chunk_checkpoint(more, cpath, "doc_id", "text",
+                                     mode="append", n_buckets=64)
+
+
+def test_chunk_ingest_unpersists_on_validation_error(spark, tmp_path):
+    """Review r9: a chunk_words-mismatch raise fires AFTER the batch's
+    exploded chunk frame is cached — the finally must still release it,
+    or each failed foreachBatch retry in a long session pins another
+    frame in executor storage."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "ten words exactly here to make one whole chunk boundary")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, path, "doc_id", "text",
+                                 chunk_words=10)
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    with _pytest.raises(ValueError, match="chunk_words"):
+        dedup.chunk_ingest_batch_idempotent(
+            corpus, 0, path, str(tmp_path / "out"), chunk_words=5
+        )
+    assert cm.isEmpty(), "validation error leaked the cached chunk frame"
+
+
+def test_stamp_migration_on_legacy_and_mixed_checkpoints(spark, tmp_path):
+    """Review r9: rows written by a pre-stamp build are indistinguishable
+    from seed rows, so the one-time migration (run at a clean boundary)
+    must stamp them -1 EXPLICITLY in the files, preserve existing stamps
+    and the parameter sidecar, and leave a state the ingest loop runs on
+    without mergeSchema coalescing."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(d, f"some shingled text body number {d} for banding") for d in
+         range(6)],
+        "doc_id long, text string",
+    )
+
+    # --- band side: a fully legacy checkpoint (no src_batch anywhere,
+    # flat layout, hand-written sidecar mimicking the pre-stamp writer)
+    path = str(tmp_path / "bands_legacy")
+    dedup.lsh_bands(
+        dedup.minhash_signatures(corpus, "doc_id", "text", 3, 12),
+        "doc_id", 12, 3,
+    ).write.partitionBy("band").parquet(path)
+    spark.createDataFrame(
+        [(3, 12, 3)], "k int, num_hashes int, band_rows int"
+    ).coalesce(1).write.parquet(f"{path}/_band_params")
+    before = spark.read.parquet(path).count()
+
+    res = dedup.migrate_band_checkpoint_stamps(spark, path)
+    assert res["rows"] == before and res["had_stamp_col"] is False
+
+    raw = spark.read.parquet(path)  # NO mergeSchema: stamps are physical
+    assert "src_batch" in raw.columns
+    assert raw.count() == before
+    assert raw.where(F.col("src_batch") != -1).count() == 0
+    assert dedup.read_band_params(spark, path)["n_sig_buckets"] == 0
+    # the ingest loop runs on the migrated state and dedups against it
+    batch = corpus.where(F.col("doc_id") == 2).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    out = str(tmp_path / "band_out")
+    dedup.ingest_batch_idempotent(batch, 0, path, out)
+    import glob as _glob
+
+    assert not _glob.glob(f"{out}/**/*.parquet", recursive=True)
+
+    # --- chunk side: MIXED state — stamped batch rows next to a
+    # hand-appended legacy (unstamped) file; migration must preserve the
+    # real stamps and seed-stamp only the legacy rows
+    cpath = str(tmp_path / "chunks_mixed")
+    dedup.write_chunk_checkpoint(
+        corpus.where(F.col("doc_id") < 3), cpath, "doc_id", "text",
+        n_buckets=0,
+    )
+    dedup.write_chunk_checkpoint(
+        corpus.where(F.col("doc_id") == 3), cpath, "doc_id", "text",
+        n_buckets=0, mode="append", batch_id=5,
+    )
+    legacy = (
+        dedup._doc_chunks(
+            corpus.where(F.col("doc_id") > 3), "doc_id", "text", 10
+        )
+        .groupBy("lh")
+        .agg(F.min(F.struct(F.col("doc_id").alias("id"),
+                            F.col("pos"))).alias("fo"))
+        .select("lh", F.col("fo.id").alias("doc_id"),
+                F.col("fo.pos").alias("pos"))
+    )
+    legacy.write.mode("append").parquet(cpath)  # unstamped, pre-stamp form
+    n_legacy = legacy.count()
+    total = spark.read.option("mergeSchema", "true").parquet(cpath).count()
+
+    res = dedup.migrate_chunk_checkpoint_stamps(spark, cpath)
+    assert res["rows"] == total and res["had_stamp_col"] is True
+
+    raw = spark.read.parquet(cpath)
+    assert raw.count() == total
+    # the explicit batch-5 stamps survived; exactly the legacy rows (and
+    # the original seed rows) read as -1
+    assert raw.where(F.col("src_batch") == 5).count() > 0
+    assert raw.where(F.col("src_batch").isNull()).count() == 0
+    assert raw.where(F.col("src_batch") == -1).count() >= n_legacy
+    assert dedup.read_chunk_params(spark, cpath) == (10, 0)
+
+
+def test_ingest_queries_empty_output_read_back(spark, tmp_path):
+    """Review r9: a run where every batch publishes zero data files (no
+    docs land outside the seed third, or every batch doc is a dup) must
+    return an EMPTY frame from d19/d20, not an AnalysisException from
+    schema inference over a footerless directory."""
+    import os
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark import plans
+
+    sf = str(tmp_path / "sf_seed_only")
+    os.makedirs(sf)
+    # only ids ≡ 0 (mod 3): both modulo-third batches are EMPTY
+    docs = spark.createDataFrame(
+        [(d * 3, f"some shingled text body number {d} for banding",
+          "en", "crawl", 40) for d in range(4)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    assert plans.QUERIES["d19_chunk_ingest_incremental"](spark, sf).count() == 0
+    assert plans.QUERIES["d20_band_ingest_incremental"](spark, sf).count() == 0
