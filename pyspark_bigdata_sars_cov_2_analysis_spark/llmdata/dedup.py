@@ -255,6 +255,7 @@ def write_band_checkpoint(
     instead of raising a grid mismatch against a default the checkpoint
     never used; pass an explicit int to ASSERT the grid instead."""
     spark = corpus_df.sparkSession
+    sidecar_exists = False
     if mode == "append":
         # ADVICE r6: an append must VALIDATE against the existing sidecar,
         # not re-stamp it — overwriting would relabel old band rows
@@ -268,6 +269,7 @@ def write_band_checkpoint(
         except Exception:
             params = None
         if params is not None:
+            sidecar_exists = True
             _validate_band_params(path, params, k, num_hashes, band_rows)
             if n_sig_buckets is None:
                 n_sig_buckets = params["n_sig_buckets"]
@@ -315,11 +317,16 @@ def write_band_checkpoint(
     # parquet partition discovery): band signatures are only comparable
     # between sides computed with the SAME (k, num_hashes, band_rows) —
     # a mismatched reuse would silently return zero pairs, appending a
-    # duplicate-laden batch to the corpus
-    spark.createDataFrame(
-        [(k, num_hashes, band_rows, n_sig_buckets)],
-        "k int, num_hashes int, band_rows int, n_sig_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
+    # duplicate-laden batch to the corpus. On an append with a validated
+    # sidecar already in place the rewrite is SKIPPED: the values are
+    # guaranteed identical, and the overwrite (delete-then-commit) would
+    # re-open the torn-sidecar crash window on every micro-batch that
+    # the refusal above exists to catch.
+    if not sidecar_exists:
+        spark.createDataFrame(
+            [(k, num_hashes, band_rows, n_sig_buckets)],
+            "k int, num_hashes int, band_rows int, n_sig_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
 
 
 def read_band_params(spark, path: str) -> dict:
@@ -405,14 +412,20 @@ def read_band_checkpoint(
 
 
 def _migrate_checkpoint_stamps(
-    spark, path: str, part_cols: list[str], sidecar: str
+    spark, path: str, part_cols_fn, sidecar: str
 ) -> dict:
     """Shared body of the two stamp migrations: rewrite a checkpoint so
     every data row carries an EXPLICIT ``src_batch`` (existing stamps
     preserved, unstamped legacy rows stamped -1), keeping the partition
     layout and the parameter sidecar, via the count-verified staged swap
     the parquet maintenance ops use (crash mid-swap → marker →
-    :func:`io.writers.recover_staged_swap`)."""
+    :func:`io.writers.recover_staged_swap`).
+
+    ``part_cols_fn`` is a THUNK (it reads the parameter sidecar) and is
+    called only after ``recover_staged_swap`` — a crash between the
+    swap's two renames leaves no table at ``path``, so an eager sidecar
+    read in the caller would raise before recovery could run and the
+    documented rerun-to-self-heal path would be unreachable."""
     import os as _os
     import shutil as _shutil
 
@@ -422,6 +435,7 @@ def _migrate_checkpoint_stamps(
     )
 
     recover_staged_swap(path)
+    part_cols = part_cols_fn()
     df = spark.read.option("mergeSchema", "true").parquet(path)
     had_stamp_col = "src_batch" in df.columns
     src = (
@@ -430,8 +444,13 @@ def _migrate_checkpoint_stamps(
         else F.lit(-1).cast("int")
     )
     out = df.withColumn("src_batch", src)
-    stamped = out.where(F.col("src_batch") == -1).count() if had_stamp_col else None
-    want = df.count()
+    # ONE pre-write scan for both counts (total + seed) — the rewrite
+    # itself is a second scan, and a 100 TB state should not pay a third
+    counts = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("src_batch") == -1).cast("long")).alias("seed"),
+    ).collect()[0]
+    want, seed = int(counts["n"]), int(counts["seed"] or 0)
     tmp = path.rstrip("/") + ".migrating"
     _shutil.rmtree(tmp, ignore_errors=True)
     writer = (
@@ -454,11 +473,7 @@ def _migrate_checkpoint_stamps(
             f"staged output left at {tmp}, original untouched"
         )
     _swap_in(path, tmp, ".pre-stamp-migration")
-    return {
-        "rows": want,
-        "seed_rows": stamped if stamped is not None else want,
-        "had_stamp_col": had_stamp_col,
-    }
+    return {"rows": want, "seed_rows": seed, "had_stamp_col": had_stamp_col}
 
 
 def migrate_band_checkpoint_stamps(spark, path: str) -> dict:
@@ -484,9 +499,11 @@ def migrate_band_checkpoint_stamps(spark, path: str) -> dict:
     return _migrate_checkpoint_stamps(
         spark,
         path,
-        ["band", "sigb"]
-        if read_band_params(spark, path)["n_sig_buckets"]
-        else ["band"],
+        lambda: (
+            ["band", "sigb"]
+            if read_band_params(spark, path)["n_sig_buckets"]
+            else ["band"]
+        ),
         "_band_params",
     )
 
@@ -495,9 +512,11 @@ def migrate_chunk_checkpoint_stamps(spark, path: str) -> dict:
     """:func:`migrate_band_checkpoint_stamps` for chunk checkpoints —
     same one-time upgrade window, same clean-boundary precondition,
     same semantics."""
-    _, n_buckets = read_chunk_params(spark, path)
     return _migrate_checkpoint_stamps(
-        spark, path, ["lhb"] if n_buckets else [], "_chunk_params"
+        spark,
+        path,
+        lambda: ["lhb"] if read_chunk_params(spark, path)[1] else [],
+        "_chunk_params",
     )
 
 
@@ -1821,6 +1840,7 @@ def write_chunk_checkpoint(
     sidecar exists to catch. Recover by re-seeding with
     ``mode='overwrite'``."""
     spark = corpus_df.sparkSession
+    sidecar_exists = False
     if mode == "append":
         # validate, never re-stamp (the band-checkpoint ADVICE r6 rule);
         # ONE sidecar read serves the width check, the grid check, and
@@ -1831,6 +1851,7 @@ def write_chunk_checkpoint(
         except Exception:
             stored_cw = stored_nb = None
         if stored_cw is not None:
+            sidecar_exists = True
             _validate_chunk_words(path, stored_cw, chunk_words)
             if n_buckets is None:
                 n_buckets = stored_nb
@@ -1877,9 +1898,13 @@ def write_chunk_checkpoint(
         ).parquet(path)
     else:
         firsts.write.mode(mode).parquet(path)
-    spark.createDataFrame(
-        [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
+    # skipped on an append with a validated sidecar in place — the
+    # values are guaranteed identical and the overwrite would re-open
+    # the torn-sidecar crash window (band twin's rule)
+    if not sidecar_exists:
+        spark.createDataFrame(
+            [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
 
 
 def read_chunk_checkpoint(

@@ -1648,8 +1648,7 @@ def d19_chunk_ingest_incremental(spark, sf_dir):
         "doc_id bigint, clean_text string, n_chunks bigint, "
         "n_dropped bigint, ingest_batch int"
     ).parquet(out).select(
-        "doc_id", "clean_text", "n_chunks", "n_dropped",
-        F.col("ingest_batch").cast("int").alias("ingest_batch"),
+        "doc_id", "clean_text", "n_chunks", "n_dropped", "ingest_batch"
     )
 
 
@@ -1750,6 +1749,4 @@ def d20_band_ingest_incremental(spark, sf_dir):
     # a fully-deduped run would throw instead of returning empty
     return spark.read.schema(
         "doc_id bigint, text string, ingest_batch int"
-    ).parquet(out).select(
-        "doc_id", F.col("ingest_batch").cast("int").alias("ingest_batch")
-    )
+    ).parquet(out).select("doc_id", "ingest_batch")

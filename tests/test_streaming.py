@@ -1369,3 +1369,80 @@ def test_ingest_queries_empty_output_read_back(spark, tmp_path):
     docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
     assert plans.QUERIES["d19_chunk_ingest_incremental"](spark, sf).count() == 0
     assert plans.QUERIES["d20_band_ingest_incremental"](spark, sf).count() == 0
+
+
+def test_stamp_migration_rerun_heals_mid_swap_crash(spark, tmp_path):
+    """Review r9 follow-up: a crash between the swap's two renames leaves
+    no table at ``path`` (marker + staged + backup only). The documented
+    recovery is simply RE-RUNNING the migration — which means the
+    parameter-sidecar read (it decides the partition columns) must not
+    run until after recover_staged_swap, or the rerun dies on
+    PATH_NOT_FOUND before recovery can roll forward."""
+    import json as _json
+    import shutil as _shutil
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(d, f"some shingled text body number {d} for banding") for d in
+         range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    dedup.lsh_bands(
+        dedup.minhash_signatures(corpus, "doc_id", "text", 3, 12),
+        "doc_id", 12, 3,
+    ).write.partitionBy("band").parquet(path)
+    spark.createDataFrame(
+        [(3, 12, 3)], "k int, num_hashes int, band_rows int"
+    ).coalesce(1).write.parquet(f"{path}/_band_params")
+    before = spark.read.parquet(path).count()
+
+    # fabricate the exact mid-swap crash state: table moved to backup,
+    # verified staged output in place, marker on disk, NOTHING at path
+    staged = path + ".migrating"
+    backup = path + ".pre-stamp-migration"
+    _shutil.copytree(path, staged)
+    _shutil.move(path, backup)
+    with open(path + ".swap-in-progress", "w") as f:
+        _json.dump({"path": path, "staged": staged, "backup": backup}, f)
+
+    res = dedup.migrate_band_checkpoint_stamps(spark, path)
+    assert res["rows"] == before
+    raw = spark.read.parquet(path)
+    assert raw.count() == before
+    assert raw.where(F.col("src_batch") != -1).count() == 0
+    assert dedup.read_band_params(spark, path)["k"] == 3
+
+
+def test_append_skips_sidecar_rewrite(spark, tmp_path):
+    """Review r9 follow-up: an append with a validated sidecar must not
+    rewrite it — the values are identical by construction, and the
+    delete-then-commit overwrite would re-open the torn-sidecar window
+    on every micro-batch. The sidecar FILES must be byte-identical
+    before and after an append."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "ten words exactly here to make one whole chunk boundary")],
+        "doc_id long, text string",
+    )
+    for writer, sidecar in (
+        (dedup.write_band_checkpoint, "_band_params"),
+        (dedup.write_chunk_checkpoint, "_chunk_params"),
+    ):
+        path = str(tmp_path / sidecar.strip("_"))
+        writer(corpus, path, "doc_id", "text")
+        files = sorted(_glob.glob(f"{path}/{sidecar}/*"))
+        stamps = {f: _os.stat(f).st_mtime_ns for f in files}
+        writer(
+            corpus.withColumn("doc_id", F.col("doc_id") + 1),
+            path, "doc_id", "text", mode="append",
+        )
+        after = sorted(_glob.glob(f"{path}/{sidecar}/*"))
+        assert after == files and all(
+            _os.stat(f).st_mtime_ns == stamps[f] for f in files
+        ), f"{sidecar} was rewritten on append"
