@@ -1428,3 +1428,55 @@ def test_quality_gate_frame_equals_struct_form(spark):
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), sc
     assert any("too_short" in r[2] for r in want if r[0] == 990001)
     assert any("repetitious" in r[2] for r in want if r[0] == 990002)
+
+
+def test_stamp_migration_invariants_on_random_mixed_states(spark, tmp_path):
+    """Seeded sweep of the r9 stamp migration over random MIXED chunk
+    checkpoints (stamped files from several batches interleaved with
+    unstamped pre-stamp files, the real upgrade state): row multiset
+    preserved, every existing stamp kept exactly, every legacy row
+    seed-stamped -1, sidecar intact, and a second run is a fixpoint."""
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        rows = [
+            (f"h{rng.randrange(500):03d}", rng.randrange(50),
+             rng.randrange(8))
+            for _ in range(200)
+        ]
+        # random stamp assignment: ~half legacy (no column), the rest
+        # spread over seed (-1) and batches 0..3
+        stamped = [(lh, i, p, rng.choice([-1, 0, 1, 2, 3]))
+                   for (lh, i, p) in rows[:100]]
+        legacy = rows[100:]
+        path = str(tmp_path / f"mixed_{seed}")
+        spark.createDataFrame(
+            stamped, "lh string, doc_id long, pos long, src_batch int"
+        ).write.parquet(path)
+        spark.createDataFrame(
+            legacy, "lh string, doc_id long, pos long"
+        ).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            [(10, 0)], "chunk_words int, n_buckets int"
+        ).coalesce(1).write.parquet(f"{path}/_chunk_params")
+
+        res = dedup.migrate_chunk_checkpoint_stamps(spark, path)
+        assert res["rows"] == len(rows) and res["had_stamp_col"] is True
+
+        def state():
+            return sorted(
+                map(tuple, spark.read.parquet(path).select(
+                    "lh", "doc_id", "pos", "src_batch").collect())
+            )
+
+        got = state()
+        want = sorted(stamped + [(lh, i, p, -1) for (lh, i, p) in legacy])
+        assert got == want, f"seed={seed}"
+        assert res["seed_rows"] == sum(1 for r in want if r[3] == -1)
+        assert dedup.read_chunk_params(spark, path) == (10, 0)
+        # fixpoint: migrating an already-migrated state changes nothing
+        res2 = dedup.migrate_chunk_checkpoint_stamps(spark, path)
+        assert res2["rows"] == len(rows) and state() == want
