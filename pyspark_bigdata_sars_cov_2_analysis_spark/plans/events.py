@@ -29,20 +29,36 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
 )
 def e01_tumbling_window(spark, sf_dir):
     """Tumbling 1-hour window agg — the batch twin of the streaming
-    watermarked window (streaming/events.py)."""
-    e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            pround(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    watermarked window. Delegates to the streaming function itself (the
+    e06 pattern: ``withWatermark`` is a no-op on a batch frame), so the
+    window/agg/select shape exists once for both execution modes."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        tumbling_counts,
+    )
+
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+def _sessionized(e):
+    """The 30-minute-gap sessionization (lag + running sum) SHARED by
+    e02 and e13, so the gap constant and the boundary rule (``diff >
+    gap`` keeps an exactly-at-gap event in-session) live in exactly one
+    place — two drifting copies of the session definition would let one
+    query's sessions silently disagree with the other's. Input needs
+    (user_id, event_id, us) plus any passenger columns; output appends
+    ``session_id`` (1-based per user, arrival-ordered)."""
+    order = [F.asc("us"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("us") - F.lag("us").over(w_lag) > gap_us, 1
+        ).otherwise(F.when(F.lag("us").over(w_lag).isNull(), 1).otherwise(0)),
+    )
+    return marked.withColumn(
+        "session_id", F.sum("new_session").over(w_run).cast("bigint")
     )
 
 
@@ -73,21 +89,10 @@ def e01_tumbling_window(spark, sf_dir):
 def e02_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the batch twin of streaming session_window()."""
-    e = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
-    )
-    order = [F.asc("us"), F.asc("event_id")]
-    w_lag = Window.partitionBy("user_id").orderBy(*order)
-    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 1800 * 1_000_000
-    marked = e.withColumn(
-        "new_session",
-        F.when(
-            F.col("us") - F.lag("us").over(w_lag) > gap_us, 1
-        ).otherwise(F.when(F.lag("us").over(w_lag).isNull(), 1).otherwise(0)),
-    )
-    sessions = marked.withColumn(
-        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    sessions = _sessionized(
+        table(spark, sf_dir, "events").select(
+            "user_id", "event_id", F.unix_micros("ts").alias("us")
+        )
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -182,22 +187,14 @@ def e03_dedup_latest_state(spark, sf_dir):
 )
 def e04_sliding_window(spark, sf_dir):
     """Sliding 1-hour/30-min hopping window agg — batch twin of
-    streaming/events.sliding_counts. Each event contributes to
-    width/slide = 2 windows."""
-    e = table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            pround(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    streaming/events.sliding_counts (each event contributes to
+    width/slide = 2 windows). Delegates to the streaming function (the
+    e01/e06 pattern)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.streaming.events import (
+        sliding_counts,
     )
+
+    return sliding_counts(table(spark, sf_dir, "events"))
 
 
 @query(
@@ -556,7 +553,11 @@ def e12_retention_cohorts(spark, sf_dir):
             F.col("c").cast("bigint").alias("cohort_week"),
             (F.col("w") - F.col("c")).cast("bigint").alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # count, not countDistinct: wk is distinct on (user_id, w) and a
+        # user's cohort is functionally determined by user_id, so each
+        # user appears at most once per (cohort, offset) group — the
+        # distinct-aggregate expand pass would re-dedup for free nothing
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
 
 
@@ -603,24 +604,13 @@ def e13_session_conversion(spark, sf_dir):
     already-sessionized frame (min view time, max purchase time — the
     comparison needs no join because both live in the same group), so
     the whole query adds zero exchanges beyond e02's sessionization."""
-    e = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-    )
-    order = [F.asc("us"), F.asc("event_id")]
-    w_lag = Window.partitionBy("user_id").orderBy(*order)
-    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 1800 * 1_000_000
-    marked = e.withColumn(
-        "new_session",
-        F.when(F.col("us") - F.lag("us").over(w_lag) > gap_us, 1).otherwise(
-            F.when(F.lag("us").over(w_lag).isNull(), 1).otherwise(0)
-        ),
-    )
-    sessions = marked.withColumn(
-        "session_id", F.sum("new_session").over(w_run).cast("bigint")
+    sessions = _sessionized(
+        table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
     )
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(

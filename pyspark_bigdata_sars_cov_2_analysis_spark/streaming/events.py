@@ -45,21 +45,12 @@ def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window count+sum per event_type — streaming twin
-    of plans/events.e01_tumbling_window."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            pround(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
-    )
+    of plans/events.e01_tumbling_window. A tumbling window IS the sliding
+    window with slide == width (``F.window(ts, w)`` ≡ ``F.window(ts, w,
+    w)``, and Catalyst's slide==width fast path skips the per-row window
+    expansion either way), so the agg/select shape lives once in
+    :func:`sliding_counts`."""
+    return sliding_counts(events, width=width, slide=width, watermark=watermark)
 
 
 def sessionized(
@@ -99,8 +90,9 @@ def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> Data
     (update mode). The streaming twin of the batch window-max plan
     plans/events.e03_dedup_latest_state — after an availableNow backfill
     the last emission per user equals the batch answer (tested). State is
-    one (ts, event_type, value) triple per user; the ts tiebreak matches
-    the batch twin's (ts DESC, event_id DESC) via max on the
+    one (ts_us, event_id, event_type, value) quadruple per user —
+    event_id is load-bearing, not bookkeeping: the tiebreak matching the
+    batch twin's (ts DESC, event_id DESC) is the max over the
     (ts_us, event_id) pair."""
     import pandas as pd  # local import: Arrow path only
 
@@ -220,36 +212,17 @@ def view_purchase_attribution(
     user's preceding views within the attribution window. Both sides carry
     watermarks and the join condition bounds event-time distance, so state
     on each side is evicted once the watermark passes the window — the
-    canonical bounded-state stream-stream join."""
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", watermark)
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", watermark)
-    )
-    return views.join(
-        purchases,
-        on=(F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")),
-    ).select(
-        F.col("v_user").alias("user_id"),
-        "view_id",
-        "purchase_id",
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
-    )
+    canonical bounded-state stream-stream join.
+
+    The inner variant IS the outer family at ``how='inner'`` minus the
+    outer-only columns, so the side projections and the three-clause
+    interval predicate live once in
+    :func:`view_purchase_attribution_outer` — a change to the window
+    bound or the user-key condition cannot diverge the inner join (and
+    its oracle-checked batch twin e06) from e10/e14."""
+    return view_purchase_attribution_outer(
+        events, attribution_window, watermark, how="inner"
+    ).drop("v_ts")
 
 
 def segment_window_counts(
