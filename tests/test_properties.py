@@ -851,7 +851,8 @@ def test_band_checkpoint_append_validates_sidecar(spark, tmp_path):
     # keep the ORIGINAL stamp
     with pytest.raises(ValueError, match="band checkpoint"):
         dedup.write_band_checkpoint(
-            docs, path, "doc_id", "text", num_hashes=24, mode="append"
+            docs, path, "doc_id", "text", num_hashes=24, mode="append",
+            batch_id=-1,
         )
     assert dedup.read_band_checkpoint(
         spark, path, "doc_id", num_hashes=12
@@ -861,6 +862,7 @@ def test_band_checkpoint_append_validates_sidecar(spark, tmp_path):
     dedup.write_band_checkpoint(
         docs.withColumn("doc_id", F.col("doc_id") + 100),
         path, "doc_id", "text", num_hashes=12, mode="append",
+        batch_id=-1,
     )
     assert spark.read.parquet(path).count() == 2 * before
 

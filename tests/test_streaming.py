@@ -817,6 +817,97 @@ def test_chunk_ingest_redelivered_id_in_later_batch_is_deduped(
         dedup.chunk_ingest_batch_idempotent(batch1, -1, chunk_path, out)
 
 
+def test_ingest_refuses_batch_ids_below_high_water_mark(spark, tmp_path):
+    """ADVICE r9: foreachBatch epoch ids restart at 0 whenever the
+    STREAMING checkpoint is deleted or relocated (or a second pipeline
+    targets the same state path), and the stamp-scoped replay exclusion
+    then treats a PRIOR incarnation's committed same-id state as 'this
+    batch's torn append' — excluding it from the corpus side (silently
+    re-admitting its near-duplicates) and clobbering its same-id output
+    partition. Committed batches therefore drop an O_EXCL high-water
+    marker; ids BELOW it raise loudly, while == hwm stays allowed as
+    the legitimate newest-batch replay. Both state twins."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    texts = {
+        0: "a first distinctive document about broadcast hash join "
+           "planning and adaptive query execution thresholds",
+        1: "a second distinctive document about shuffle partition "
+           "coalescing and skew split heuristics in runtime plans",
+        2: "a third distinctive document about columnar parquet "
+           "encodings and dictionary page fallback behavior",
+    }
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(10 + i, texts[i])], "doc_id long, text string"
+    )
+    seed = spark.createDataFrame(
+        [(1, "the seed corpus text about watermark state eviction and "
+             "late arrival handling semantics")],
+        "doc_id long, text string",
+    )
+
+    band_path, bout = str(tmp_path / "bands"), str(tmp_path / "bout")
+    dedup.write_band_checkpoint(seed, band_path, "doc_id", "text")
+    assert dedup.ingest_high_water_mark(band_path) == -1  # pre-ingest
+    dedup.ingest_batch_idempotent(mk(0), 0, band_path, bout)
+    dedup.ingest_batch_idempotent(mk(1), 1, band_path, bout)
+    assert dedup.ingest_high_water_mark(band_path) == 1
+    # incarnation restart: id 0 again, below hwm -> refused
+    with _pytest.raises(ValueError, match="high-water"):
+        dedup.ingest_batch_idempotent(mk(2), 0, band_path, bout)
+    # == hwm is the newest-batch replay: allowed and idempotent
+    dedup.ingest_batch_idempotent(mk(1), 1, band_path, bout)
+    got = sorted(r.doc_id for r in spark.read.parquet(bout).collect())
+    assert got == [10, 11], got
+    # the manual append path shares the guard
+    with _pytest.raises(ValueError, match="high-water"):
+        dedup.write_band_checkpoint(mk(2), band_path, "doc_id", "text",
+                                    mode="append", batch_id=0)
+
+    chunk_path, cout = str(tmp_path / "chunks"), str(tmp_path / "cout")
+    dedup.write_chunk_checkpoint(seed, chunk_path, "doc_id", "text")
+    dedup.chunk_ingest_batch_idempotent(mk(0), 0, chunk_path, cout)
+    dedup.chunk_ingest_batch_idempotent(mk(1), 1, chunk_path, cout)
+    assert dedup.ingest_high_water_mark(chunk_path) == 1
+    with _pytest.raises(ValueError, match="high-water"):
+        dedup.chunk_ingest_batch_idempotent(mk(2), 0, chunk_path, cout)
+    dedup.chunk_ingest_batch_idempotent(mk(1), 1, chunk_path, cout)
+    with _pytest.raises(ValueError, match="high-water"):
+        dedup.write_chunk_checkpoint(mk(2), chunk_path, "doc_id", "text",
+                                     mode="append", batch_id=0)
+
+
+def test_checkpoint_append_requires_explicit_batch_id(spark, tmp_path):
+    """ADVICE r9: a default-stamped append would mark the rows as seed
+    (-1), placing them OUTSIDE the replay exclusion — a torn manual
+    append replayed through the ingest loop would then self-match its
+    own half-landed rows, the exact silent-loss bug the stamps close.
+    Appends must say which batch is writing (or assert a clean-boundary
+    seed extension with an explicit -1); overwrites keep the seed
+    default."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "ten words exactly here to make one whole chunk boundary")],
+        "doc_id long, text string",
+    )
+    for writer, name in (
+        (dedup.write_band_checkpoint, "bands"),
+        (dedup.write_chunk_checkpoint, "chunks"),
+    ):
+        path = str(tmp_path / name)
+        writer(corpus, path, "doc_id", "text")  # default ok on seed
+        with _pytest.raises(ValueError, match="explicit batch_id"):
+            writer(corpus, path, "doc_id", "text", mode="append")
+        # the two documented intents both remain expressible
+        writer(corpus, path, "doc_id", "text", mode="append", batch_id=-1)
+        writer(corpus, path, "doc_id", "text", mode="append", batch_id=0)
+
+
 def _blocks(*chunks10):
     """Join 10-word blocks into a doc text (keeps span boundaries
     aligned so identical blocks hash identically at chunk_words=10)."""
@@ -1013,7 +1104,8 @@ def test_chunk_checkpoint_bucketed_probe_prunes_state(spark, tmp_path):
     # appends with a mismatched bucket grid are refused
     with pytest.raises(ValueError, match="n_buckets"):
         dedup.write_chunk_checkpoint(corpus, path, "doc_id", "text",
-                                     mode="append", n_buckets=8)
+                                     mode="append", batch_id=-1,
+                                     n_buckets=8)
 
 
 def test_band_checkpoint_bucketed_probe_prunes_state(spark, tmp_path):
@@ -1079,7 +1171,8 @@ def test_band_checkpoint_bucketed_probe_prunes_state(spark, tmp_path):
     # appends with a mismatched grid are refused
     with pytest.raises(ValueError, match="n_sig_buckets"):
         dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
-                                    mode="append", n_sig_buckets=8)
+                                    mode="append", batch_id=-1,
+                                    n_sig_buckets=8)
 
 
 def test_chunk_ingest_equals_batch_on_random_corpora(spark, tmp_path):
@@ -1148,14 +1241,16 @@ def test_chunk_checkpoint_param_sidecar_guards(spark, tmp_path):
         dedup.read_chunk_checkpoint(spark, path, "doc_id", chunk_words=5)
     with _pytest.raises(ValueError, match="chunk_words"):
         dedup.write_chunk_checkpoint(
-            corpus, path, "doc_id", "text", chunk_words=5, mode="append"
+            corpus, path, "doc_id", "text", chunk_words=5, mode="append",
+            batch_id=-1,
         )
     # matched params still read fine and the append path still works
     assert dedup.read_chunk_checkpoint(
         spark, path, "doc_id", chunk_words=10
     ).count() > 0
     dedup.write_chunk_checkpoint(
-        corpus, path, "doc_id", "text", chunk_words=10, mode="append"
+        corpus, path, "doc_id", "text", chunk_words=10, mode="append",
+        batch_id=-1,
     )
 
 
@@ -1183,13 +1278,15 @@ def test_checkpoint_append_refused_without_sidecar(spark, tmp_path):
         writer(corpus, str(path), "doc_id", "text")
         shutil.rmtree(path / sidecar)  # the torn state
         with _pytest.raises(ValueError, match=match):
-            writer(corpus, str(path), "doc_id", "text", mode="append")
+            writer(corpus, str(path), "doc_id", "text", mode="append",
+                   batch_id=-1)
         # recovery: a full re-seed works, and appends resume after it
         writer(corpus, str(path), "doc_id", "text", mode="overwrite")
-        writer(corpus, str(path), "doc_id", "text", mode="append")
+        writer(corpus, str(path), "doc_id", "text", mode="append",
+               batch_id=-1)
         # an append onto a brand-new empty path is still allowed
         writer(corpus, str(tmp_path / f"fresh_{sidecar}"), "doc_id",
-               "text", mode="append")
+               "text", mode="append", batch_id=-1)
 
 
 def test_checkpoint_grid_defaults_adopt_sidecar_on_append(spark, tmp_path):
@@ -1216,27 +1313,30 @@ def test_checkpoint_grid_defaults_adopt_sidecar_on_append(spark, tmp_path):
     path = str(tmp_path / "bands_flat")
     dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
                                 n_sig_buckets=0)
-    dedup.write_band_checkpoint(more, path, "doc_id", "text", mode="append")
+    dedup.write_band_checkpoint(more, path, "doc_id", "text", mode="append",
+                                batch_id=-1)
     assert dedup.read_band_params(spark, path)["n_sig_buckets"] == 0
     assert not _glob.glob(f"{path}/band=*/sigb=*")
     assert dedup.read_band_checkpoint(spark, path, "doc_id").count() > 0
     # explicit grid on append still asserts
     with _pytest.raises(ValueError, match="n_sig_buckets"):
         dedup.write_band_checkpoint(more, path, "doc_id", "text",
-                                    mode="append", n_sig_buckets=16)
+                                    mode="append", batch_id=-1,
+                                    n_sig_buckets=16)
 
     # chunk twin with a non-default grid: default append adopts 8
     cpath = str(tmp_path / "chunks8")
     dedup.write_chunk_checkpoint(corpus, cpath, "doc_id", "text",
                                  n_buckets=8)
     dedup.write_chunk_checkpoint(more, cpath, "doc_id", "text",
-                                 mode="append")
+                                 mode="append", batch_id=-1)
     assert dedup.read_chunk_params(spark, cpath) == (10, 8)
     # appended rows landed INSIDE the 8-bucket grid (probe-visible)
     assert len(_glob.glob(f"{cpath}/lhb=*")) <= 8
     with _pytest.raises(ValueError, match="n_buckets"):
         dedup.write_chunk_checkpoint(more, cpath, "doc_id", "text",
-                                     mode="append", n_buckets=64)
+                                     mode="append", batch_id=-1,
+                                     n_buckets=64)
 
 
 def test_chunk_ingest_unpersists_on_validation_error(spark, tmp_path):
@@ -1440,7 +1540,7 @@ def test_append_skips_sidecar_rewrite(spark, tmp_path):
         stamps = {f: _os.stat(f).st_mtime_ns for f in files}
         writer(
             corpus.withColumn("doc_id", F.col("doc_id") + 1),
-            path, "doc_id", "text", mode="append",
+            path, "doc_id", "text", mode="append", batch_id=-1,
         )
         after = sorted(_glob.glob(f"{path}/{sidecar}/*"))
         assert after == files and all(
