@@ -52,8 +52,12 @@ def count_with_share(df: DataFrame, keys: list[str]) -> DataFrame:
 
     counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
     total = F.sum("count").over(Window.partitionBy())
+    # multiply BEFORE dividing: (c*100.0)/t and (c/t)*100.0 round
+    # differently on boundary ratios under the compat floor-round
+    # (c=23, t=160 -> 14.375 vs 14.374999999999998 -> 14.38 vs 14.37),
+    # and the a03 oracle computes COUNT(*) * 100.0 / total
     return counted.withColumn(
-        "percentage", pround(F.col("count") / total * 100.0, 2)
+        "percentage", pround(F.col("count") * 100.0 / total, 2)
     )
 
 

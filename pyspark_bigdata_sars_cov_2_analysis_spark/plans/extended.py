@@ -476,6 +476,26 @@ def sql02_file_scan(spark, sf_dir):
     )
 
 
+def _rank_interval_within(value_col: str, n, bound):
+    """Rank-interval sketch contract shared by the a19 (GK) and a20
+    (KLL) attestations (ADVICE r6): the estimate occupies ranks
+    [#{x < est}+1, #{x <= est}], and the sketch only promises SOME rank
+    in that interval is within ``bound`` of q·n — a high-multiplicity
+    value near the quantile can push the max rank alone past the bound
+    while the sketch still meets its contract, so assert interval
+    INTERSECTION, not the max rank. One definition so a future fix to
+    the intersection math cannot leave the two sketch queries checking
+    different contracts. ``n``/``bound`` are aggregate Columns evaluated
+    in the caller's single-pass agg."""
+
+    def within(q: float, est_col: str):
+        lt = F.sum((F.col(value_col) < F.col(est_col)).cast("long"))
+        le = F.sum((F.col(value_col) <= F.col(est_col)).cast("long"))
+        return ((lt + 1) <= n * q + bound) & (le >= n * q - bound)
+
+    return within
+
+
 @query(
     "a19_approx_percentile_rankcheck",
     # a18/a15 trick for quantile sketches: the approx median's VALUE is
@@ -513,13 +533,7 @@ def a19_approx_percentile_rankcheck(spark, sf_dir):
     )
     j = li.crossJoin(F.broadcast(est))
     n = F.count(F.lit(1))
-    bound = n / 100 + 1
-
-    def within(q: float, est_col: str):
-        lt = F.sum((F.col("l_extendedprice") < F.col(est_col)).cast("long"))
-        le = F.sum((F.col("l_extendedprice") <= F.col(est_col)).cast("long"))
-        return ((lt + 1) <= n * q + bound) & (le >= n * q - bound)
-
+    within = _rank_interval_within("l_extendedprice", n, n / 100 + 1)
     return j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         within(0.5, "p50").alias("p50_within_bound"),
@@ -579,13 +593,7 @@ def a20_kll_mergeable_quantiles(spark, sf_dir):
     )
     j = li.crossJoin(F.broadcast(est))
     n = F.count(F.lit(1))
-    bound = n * 0.05 + 1
-
-    def within(q: float, est_col: str):
-        lt = F.sum((F.col("l_extendedprice") < F.col(est_col)).cast("long"))
-        le = F.sum((F.col("l_extendedprice") <= F.col(est_col)).cast("long"))
-        return ((lt + 1) <= n * q + bound) & (le >= n * q - bound)
-
+    within = _rank_interval_within("l_extendedprice", n, n * 0.05 + 1)
     return j.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
@@ -706,8 +714,6 @@ def w06_distribution_ranks(spark, sf_dir):
     """W3 completeness — distribution window functions (ntile /
     percent_rank / cume_dist) with a unique tiebreak so every engine
     agrees on the frame order."""
-    from pyspark.sql.window import Window
-
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
@@ -1023,13 +1029,12 @@ def w08_scd2_intervals(spark, sf_dir):
         .where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
         .drop("prev_attr")
     )
-    wc = Window.partitionBy("user_id").orderBy("d")
     return changes.select(
         "user_id",
         "attr",
         F.date_format("d", "yyyy-MM-dd").alias("valid_from"),
         F.date_format(
-            F.date_sub(F.lead("d").over(wc), 1), "yyyy-MM-dd"
+            F.date_sub(F.lead("d").over(w), 1), "yyyy-MM-dd"
         ).alias("valid_to"),
     )
 

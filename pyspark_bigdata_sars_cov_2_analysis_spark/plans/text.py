@@ -252,7 +252,7 @@ def t06_top_bigrams(spark, sf_dir):
 
 @query(
     "t09_tfidf_top_terms",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
@@ -263,7 +263,7 @@ def t06_top_bigrams(spark, sf_dir):
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfq), 4) AS tfidf
+             {sql_round("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.dfq)", 4)} AS tfidf
       FROM tf JOIN dfreq USING (tok) CROSS JOIN n
     )
     SELECT doc_id, tok, tfidf FROM (
@@ -616,7 +616,7 @@ def t14_langid_margin(spark, sf_dir):
              len(string_split({_DUCK_NORM}, ' ')) AS n_words
       FROM planted JOIN documents USING (doc_id))
     SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
-           {sql_round("n_words * 1.0 / n_sentences", 2)} AS words_per_sentence
+           {sql_round("n_words * 1.0 / NULLIF(n_sentences, 0)", 2)} AS words_per_sentence
     FROM sents
     """,
 )
@@ -646,10 +646,16 @@ def t15_sentence_stats(spark, sf_dir):
         )
     )
     n_words = F.size(words)
+    # NULLIF guard on BOTH sides: an empty/whitespace-only document has
+    # zero planted sentences, where a bare divide diverges between the
+    # engines (Spark NULL or ANSI DIVIDE_BY_ZERO vs DuckDB's IEEE inf) —
+    # the same empty-doc edge chunk_array() guards (ADVICE r4)
     return d.select(
         "doc_id",
         n_sent.cast("bigint").alias("n_sentences"),
-        pround(n_words * 1.0 / n_sent, 2).alias("words_per_sentence"),
+        pround(
+            n_words * 1.0 / F.nullif(n_sent, F.lit(0)), 2
+        ).alias("words_per_sentence"),
     )
 
 

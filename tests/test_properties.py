@@ -1482,3 +1482,74 @@ def test_stamp_migration_invariants_on_random_mixed_states(spark, tmp_path):
         # fixpoint: migrating an already-migrated state changes nothing
         res2 = dedup.migrate_chunk_checkpoint_stamps(spark, path)
         assert res2["rows"] == len(rows) and state() == want
+
+
+def test_t15_empty_document_edge_matches_oracle(spark, tmp_path):
+    """Review r9: a whitespace-only/empty document has ZERO planted
+    sentences, where a bare divide diverges between the engines (Spark
+    NULL — or ANSI DIVIDE_BY_ZERO — vs DuckDB's IEEE inf). Both sides
+    NULLIF-guard the denominator so the row agrees as NULL; proven over
+    a planted mini-corpus because the read-only fixtures contain no
+    empty documents (min trimmed length ~47 chars)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark import plans
+    from tests.oracle_harness import compare
+
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    # single parquet FILE, the fixture layout both engines read
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": [
+                "   ",
+                "",
+                "seven words make one sentence plus remainder tail "
+                "words continuing past the planted boundary marker",
+            ],
+            "lang": ["en", "en", "en"],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    compare(
+        spark, "t15_sentence_stats",
+        plans.QUERIES["t15_sentence_stats"],
+        plans.ORACLES["t15_sentence_stats"], sf_dir,
+    )
+    got = {
+        r.doc_id: r.words_per_sentence
+        for r in plans.QUERIES["t15_sentence_stats"](spark, sf_dir).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is not None, got
+
+
+def test_a03_share_boundary_ratio_matches_oracle(spark, tmp_path):
+    """Review r9: (c/t)*100.0 and (c*100.0)/t round DIFFERENTLY on
+    boundary ratios under the compat floor-round — c=23 of t=160 gives
+    14.374999999999998 vs 14.375, i.e. 14.37 vs 14.38 at 2 decimals.
+    The operator multiplies before dividing, matching the oracle's
+    COUNT(*) * 100.0 / total; pinned here on a planted corpus that hits
+    the boundary, since the shipped fixtures happen not to."""
+    import pandas as pd
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark import plans
+    from tests.oracle_harness import compare
+
+    sf_dir = str(tmp_path)
+    langs = ["aa"] * 23 + ["bb"] * 137  # 23/160 -> the boundary ratio
+    pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(langs)), dtype="int64"),
+            "text": [f"document body {i}" for i in range(len(langs))],
+            "lang": langs,
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    compare(
+        spark, "a03_count_share",
+        plans.QUERIES["a03_count_share"],
+        plans.ORACLES["a03_count_share"], sf_dir,
+    )
+    got = {
+        r.lang: r.percentage
+        for r in plans.QUERIES["a03_count_share"](spark, sf_dir).collect()
+    }
+    assert got["aa"] == 14.38, got  # the pre-fix order produced 14.37
