@@ -37,7 +37,16 @@ def normalize_text(col: Column) -> Column:
 
 def token_count(col: Column) -> Column:
     """Whitespace token count — ``size(split(...))``
-    (ref: spark/jobs/research_challenge_analysis.py:100)."""
+    (ref: spark/jobs/research_challenge_analysis.py:100).
+
+    Contract note (review r9): an empty or whitespace-only document
+    counts as 1, not 0 — ``split('')`` yields ``['']`` in Spark, DuckDB,
+    and Python alike, and every DuckDB oracle replicates this exact
+    expression, so the engines agree by construction. Changing it to 0
+    would also divide-by-zero every ratio built on it
+    (:func:`stopword_ratio`, :func:`avg_token_length`); gates that must
+    treat empty docs as empty should test ``trim(col) = ''`` explicitly
+    (as :func:`~...llmdata.dedup.chunk_array` does)."""
     return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
 
 
@@ -48,8 +57,14 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def word_occurrences(col: Column, word: str) -> Column:
-    """Non-overlapping whole-word occurrence count."""
-    return F.regexp_count(col, F.lit(rf"\b{word}\b")).cast("bigint")
+    """Non-overlapping whole-word occurrence count. The word is quoted
+    with ``\\Q...\\E`` (supported by both Java regex and DuckDB's RE2,
+    so the oracle twin ``plans/text._occ_sql`` stays in lockstep):
+    unescaped interpolation made ``'c++'`` a pattern-compile error and
+    counted ``'UXSY'`` as a hit for ``'U.S.'`` (review r9)."""
+    if "\\E" in word:
+        raise ValueError(r"word must not contain the \E quote terminator")
+    return F.regexp_count(col, F.lit(rf"\b\Q{word}\E\b")).cast("bigint")
 
 
 def stopword_ratio(col: Column) -> Column:
@@ -90,11 +105,12 @@ def detect_language(col: Column) -> Column:
         F.struct(s.alias("score"), F.lit(lang).alias("lang"))
         for lang, s in sorted(scores.items())
     ]
-    # array_max on struct compares field-by-field: highest score, then
-    # lexicographically greatest lang. To make ties pick the SMALLEST lang
-    # deterministically we invert via sort+reverse trick: sort desc by
-    # (score, -lang) is not directly expressible, so order langs descending
-    # and rely on array_max tie-breaking by the later struct field.
+    # Tiebreak: array_max over the scores finds the best SCORE only;
+    # filter keeps every (score, lang) pair achieving it in the array's
+    # lang-ascending build order, and element_at(..., 1) takes the first
+    # — so ties deterministically pick the lexicographically SMALLEST
+    # language. (A struct-comparing array_max would pick the GREATEST
+    # lang on ties — that is why the argmax is split into max + filter.)
     arr = F.array(*pairs)
     best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
     firsts = F.filter(arr, lambda s: s["score"] == best_score)

@@ -37,12 +37,22 @@ def rate_to_hex(rate: float, digits: int = 4) -> str:
     return format(n, f"0{digits}x")
 
 
+def _hash_prefix(key: Column, salt: str) -> Column:
+    """The 4-hex md5 prefix every gate in this module compares against
+    its threshold. ONE definition: the prefix width and the (salt, key)
+    concat scheme are a cross-engine contract with the DuckDB oracles —
+    a drifted copy in one gate would silently decorrelate it from the
+    others."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4
+    )
+
+
 def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
     """Boolean column: deterministically true for ~``rate`` of distinct
     keys. ``salt`` decorrelates independent gates over the same key (a
     sample gate and a split gate must not select nested subsets)."""
-    prefix = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
-    return prefix < F.lit(rate_to_hex(rate))
+    return _hash_prefix(key, salt) < F.lit(rate_to_hex(rate))
 
 
 def stratified_hash_sample(
@@ -82,12 +92,21 @@ def rate_threshold_hex(rate: Column) -> Column:
     so rate < 1.0 cannot reach 65536, but the clamp makes the
     truncation impossible by construction rather than by that
     binade argument (which a non-power-of-two granularity would
-    silently invalidate)."""
-    return F.when(rate >= 1.0, F.lit("g")).otherwise(
+    silently invalidate).
+
+    Total over the rate domain (review r9): a NEGATIVE rate is clamped
+    to 0 ('0000', keep nothing) — unclamped, its two's-complement hex
+    would lpad-truncate to 'ffff' and keep ~everything, the silent
+    inversion the module comment warns about; a NaN rate (undefined
+    keep probability) likewise encodes as keep-NOTHING via nanvl —
+    under Spark's NaN-is-greatest ordering it would otherwise satisfy
+    ``rate >= 1.0`` and keep the entire corpus."""
+    r = F.greatest(F.nanvl(rate, F.lit(0.0)), F.lit(0.0))
+    return F.when(r >= 1.0, F.lit("g")).otherwise(
         F.lower(
             F.lpad(
                 F.hex(
-                    F.least(F.floor(rate * 65536).cast("int"), F.lit(65535))
+                    F.least(F.floor(r * 65536).cast("int"), F.lit(65535))
                 ),
                 4,
                 "0",
@@ -113,12 +132,12 @@ def weighted_hash_sample(
     guards included), so the whole operator stays a row-local filter —
     zero shuffle, trivially scale-clean. Weights must be deterministic
     (derive them from content, not ``rand()``), or reproducibility is
-    lost upstream of the gate."""
-    thresh = rate_threshold_hex(F.greatest(weight, F.lit(0.0)))
-    prefix = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    lost upstream of the gate. Negative and NaN weights keep NOTHING
+    (the encoder clamps both — an undefined keep probability must not
+    keep ~everything)."""
+    return df.where(
+        _hash_prefix(F.col(id_col), salt) < rate_threshold_hex(weight)
     )
-    return df.where(prefix < thresh)
 
 
 def temperature_mixture_sample(
@@ -152,12 +171,29 @@ def temperature_mixture_sample(
     corpus is read once and filtered in place."""
     if inv_temperature < 1:
         raise ValueError("inv_temperature must be a positive integer")
-    bad = {s: w for s, w in weights.items() if w < 0}
+    # budget and weights are driver-side Python floats — fail fast on the
+    # values whose per-source rate the hex encoder would clamp to
+    # keep-NOTHING (negative) or that signal a config bug (NaN): either
+    # way the caller meant neither an empty nor a full corpus. The
+    # NaN > 0 comparison is False, so one check catches both.
+    if not budget > 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    bad = {s: w for s, w in weights.items() if not w >= 0}
     if bad:
-        # a negative weight would yield a negative rate whose hex encoding
-        # truncates to 'ffff' under lpad — silently keeping ~everything,
-        # the opposite of the caller's intent
-        raise ValueError(f"weights must be >= 0, got {bad}")
+        # a negative or NaN weight has no meaningful target share;
+        # pre-clamp, a negative rate's hex encoding lpad-truncated to
+        # 'ffff' — silently keeping ~everything
+        raise ValueError(f"weights must be >= 0 and not NaN, got {bad}")
+    reserved = ("__src", "__n", "__sw", "__ntot", "__swtot", "__thresh")
+    clash = sorted(set(df.columns) & set(reserved))
+    if clash:
+        # the final drop() would otherwise remove the CALLER's columns
+        # (the joins._assert_no_reserved rule)
+        raise ValueError(
+            f"temperature_mixture_sample: input columns {clash} collide "
+            f"with internal working names (reserved: {sorted(reserved)}); "
+            "rename them before calling"
+        )
     pairs = [
         x
         for key in sorted(weights)
@@ -191,12 +227,7 @@ def temperature_mixture_sample(
     )
     gated = df.join(
         F.broadcast(rates), df[source_col] == rates["__src"]
-    ).where(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
-        )
-        < F.col("__thresh")
-    )
+    ).where(_hash_prefix(F.col(id_col), salt) < F.col("__thresh"))
     return gated.drop("__src", "__thresh")
 
 

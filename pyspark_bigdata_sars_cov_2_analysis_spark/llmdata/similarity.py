@@ -41,6 +41,32 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _score_rank_topk(joined: DataFrame, k: int, decimals: int) -> DataFrame:
+    """Shared tail of the three top-k paths (exact / sign-bucket / IVF):
+    drop self-matches, score each candidate pair with the hoisted-norm
+    cosine, round BEFORE ranking (cross-engine rank stability), rank per
+    query with the neighbor-id tiebreak, keep k. ONE definition (review
+    r9) so the ranking contract — tiebreak order, rounding grid, rank
+    dtype — cannot drift between the exact baseline and the ANN paths
+    it is the recall yardstick for. ``joined`` carries (query_id, q, nq)
+    × (neighbor_id, v, nv)."""
+    scored = joined.where(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        pround(
+            _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
+            decimals,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -72,25 +98,7 @@ def brute_force_topk(
             _norm(vec).alias("nq"),
         )
     )
-    scored = (
-        vecs.crossJoin(F.broadcast(probes))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround(
-                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                decimals,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-    )
+    return _score_rank_topk(vecs.crossJoin(F.broadcast(probes)), k, decimals)
 
 
 def sign_bucket(vec: Column, m: int = 8) -> Column:
@@ -185,24 +193,8 @@ def bucketed_topk(
             sign_bucket(vec, m).alias("bucket"),
         )
     )
-    scored = (
-        base.join(F.broadcast(probes), on="bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround(
-                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                decimals,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
+    return _score_rank_topk(
+        base.join(F.broadcast(probes), on="bucket"), k, decimals
     )
 
 
@@ -317,22 +309,8 @@ def ivf_topk(
         )
         .join(probe_cells, on="query_id")
     )
-    scored = (
-        base.join(F.broadcast(probes), on="cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            pround(
-                _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
-                decimals,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
+    return _score_rank_topk(
+        base.join(F.broadcast(probes), on="cell"), k, decimals
     )
 
 

@@ -21,7 +21,9 @@ _DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
 def _occ_sql(word: str) -> str:
-    return f"len(regexp_extract_all(text, '\\b{word}\\b'))"
+    # \Q...\E quoting in lockstep with functions/text.word_occurrences
+    # (RE2 supports it just like Java regex — review r9)
+    return f"len(regexp_extract_all(text, '\\b\\Q{word}\\E\\b'))"
 
 
 def _score_sql(words: list[str]) -> str:

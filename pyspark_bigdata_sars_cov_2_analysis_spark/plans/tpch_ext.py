@@ -452,18 +452,23 @@ def q19_discounted_revenue(spark, sf_dir):
     SELECT c_nationkey, COUNT(*) AS numcust,
            {sql_round("SUM(c_acctbal)", 2)} AS totacctbal
     FROM customer c
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT {sql_round("AVG(c_acctbal)", 2)}
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_nationkey
     """,
 )
 def q22_global_sales_opportunity(spark, sf_dir):
     """TPC-H Q22 family — above-average-balance customers with no orders:
-    scalar-avg subquery as a broadcast single-row frame + LEFT ANTI join."""
+    scalar-avg subquery as a broadcast single-row frame + LEFT ANTI join.
+    The threshold average is ROUNDED to cents on both sides before the
+    compare (the q15/q11 rule): Spark and DuckDB sum doubles in
+    different orders, and a customer whose balance lands inside the
+    engines' last-ulp disagreement window would otherwise flip sides."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        pround(F.avg("c_acctbal"), 2).alias("__avg_bal")
     )
     rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg_bal"))
     no_orders = joins.anti_join(rich, o, on=rich.c_custkey == o.o_custkey)

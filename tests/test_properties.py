@@ -1553,3 +1553,73 @@ def test_a03_share_boundary_ratio_matches_oracle(spark, tmp_path):
         for r in plans.QUERIES["a03_count_share"](spark, sf_dir).collect()
     }
     assert got["aa"] == 14.38, got  # the pre-fix order produced 14.37
+
+
+def test_sampling_gates_total_over_bad_rates(spark):
+    """Review r9: the hex rate encoder must be TOTAL — a negative rate's
+    two's-complement hex lpad-truncated to 'ffff' (keep ~everything) and
+    a NaN rate satisfied rate >= 1.0 under Spark's NaN-is-greatest
+    ordering (keep everything): both silent inversions of the caller's
+    intent. Now: per-row negative/NaN weights keep NOTHING; driver-side
+    bad budgets/weights and working-column collisions raise."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        temperature_mixture_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "src") for i in range(100)], "doc_id bigint, src string"
+    )
+    # per-row weight column: negative and NaN rows drop, valid rows gate
+    w = (
+        F.when(F.col("doc_id") < 30, F.lit(-0.5))
+        .when(F.col("doc_id") < 60, F.lit(float("nan")))
+        .otherwise(F.lit(1.0))
+    )
+    got = {r.doc_id for r in weighted_hash_sample(df, "doc_id", w).collect()}
+    assert got == set(range(60, 100)), got
+    # driver-side validation fails fast
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture_sample(df, "doc_id", "src", {"src": 1.0},
+                                   budget=-0.3)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture_sample(df, "doc_id", "src", {"src": 1.0},
+                                   budget=float("nan"))
+    with pytest.raises(ValueError, match="NaN"):
+        temperature_mixture_sample(df, "doc_id", "src",
+                                   {"src": float("nan")}, budget=0.25)
+    clash = df.withColumn("__thresh", F.lit("keep me"))
+    with pytest.raises(ValueError, match="__thresh"):
+        temperature_mixture_sample(clash, "doc_id", "src", {"src": 1.0},
+                                   budget=0.25)
+
+
+def test_word_occurrences_escapes_regex_metacharacters(spark):
+    """Review r9: the word is interpolated into a regex — unquoted,
+    'c++' failed pattern compilation and 'U.S.' counted 'UXSY' as a
+    hit. \\Q...\\E quoting (Java regex AND DuckDB RE2) makes the word
+    literal; plain words are unchanged."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        word_occurrences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat the c++ U.S. UXSY")], "id bigint, text string"
+    )
+    got = df.select(
+        word_occurrences(F.col("text"), "the").alias("plain"),
+        word_occurrences(F.col("text"), "c++").alias("plus"),
+        word_occurrences(F.col("text"), "U.S").alias("dotted"),
+    ).collect()[0]
+    # 'c++' / trailing-'.' words can't end on \b (punctuation is not a
+    # word char) — the point is literal matching without a compile error
+    assert (got.plain, got.plus) == (2, 0), got
+    # '.' is literal: matches the real 'U.S.' once, NOT 'UXSY' (which
+    # the unquoted pattern counted as a second hit)
+    assert got.dotted == 1, got
+    with pytest.raises(ValueError, match="quote terminator"):
+        word_occurrences(F.col("text"), "bad\\Eword")
