@@ -46,32 +46,40 @@ def ml01_classifier_bench(spark, sf_dir, band=(0.5, 3.0)):
     test passes an impossible band to prove the raise fires through
     the real training path."""
     data = _prepped(spark, sf_dir)
-    n_classes = data.select("label").distinct().count()
-    chance = 1.0 / n_classes
-    band_lo, band_hi = round(band[0] * chance, 4), round(band[1] * chance, 4)
-    train, test = seeded_split(data, [0.8, 0.2], seed=2020)
-    models = train_classifiers(train)
-    rows = [
-        (
-            name,
-            (acc := round(evaluate_accuracy(m, test), 4)),
-            band_lo,
-            band_hi,
-            band_lo <= acc <= band_hi,
+    try:
+        n_classes = data.select("label").distinct().count()
+        chance = 1.0 / n_classes
+        band_lo = round(band[0] * chance, 4)
+        band_hi = round(band[1] * chance, 4)
+        train, test = seeded_split(data, [0.8, 0.2], seed=2020)
+        models = train_classifiers(train)
+        rows = [
+            (
+                name,
+                (acc := round(evaluate_accuracy(m, test), 4)),
+                band_lo,
+                band_hi,
+                band_lo <= acc <= band_hi,
+            )
+            for name, m in models.items()
+        ]
+        out_of_band = [r for r in rows if not r[4]]
+        if out_of_band:
+            raise AssertionError(
+                "ml01 chance-band contract violated (broken train/eval "
+                f"loop?): {[(r[0], r[1], r[2], r[3]) for r in out_of_band]}"
+            )
+        return spark.createDataFrame(
+            rows,
+            "model string, accuracy double, band_lo double, band_hi double, "
+            "in_band boolean",
         )
-        for name, m in models.items()
-    ]
-    out_of_band = [r for r in rows if not r[4]]
-    if out_of_band:
-        raise AssertionError(
-            "ml01 chance-band contract violated (broken train/eval "
-            f"loop?): {[(r[0], r[1], r[2], r[3]) for r in out_of_band]}"
-        )
-    return spark.createDataFrame(
-        rows,
-        "model string, accuracy double, band_lo double, band_hi double, "
-        "in_band boolean",
-    )
+    finally:
+        # training and eval are EAGER (MLlib fits + accuracy actions run
+        # above), and the returned frame is a local createDataFrame — the
+        # cached features block would otherwise sit in executor storage
+        # for the rest of a multi-query suite run (review r9)
+        data.unpersist()
 
 
 _CM_COLS = ",\n           ".join(
@@ -133,21 +141,32 @@ def ml02_confusion_matrix(spark, sf_dir):
 
     e = table(spark, sf_dir, "embeddings")
     test = e.where(~hash_gate(F.col("vec_id"), 0.8, salt="mlsplit"))
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 32768 + F.lit(0.5)).cast("long"),
+    # materialize the quantized embedding as a COLUMN before the score
+    # lambdas reference it (review r9, the oracle's CTE `t` shape): an
+    # inlined `q` is re-evaluated per element_at access inside the
+    # nested higher-order functions, where subexpression elimination
+    # does not reach — the full embedding transform ran up to
+    # 10 classes × d elements per row
+    t = test.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 32768 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
     )
     scores = F.transform(
         F.sequence(F.lit(0), F.lit(9)),
         lambda c: F.aggregate(
-            F.sequence(F.lit(1), F.size(q)),
+            F.sequence(F.lit(1), F.size("q")),
             F.lit(0).cast("long"),
             lambda acc, i: acc
-            + F.element_at(q, i) * (((i - 1) * 7 + c * 13) % 5 - 2),
+            + F.element_at(F.col("q"), i) * (((i - 1) * 7 + c * 13) % 5 - 2),
         ),
     )
-    preds = test.select(
-        F.col("label").cast("bigint").alias("label"),
+    preds = t.select(
+        "label",
         (F.array_position(scores, F.array_max(scores)) - 1)
         .cast("bigint")
         .alias("prediction"),

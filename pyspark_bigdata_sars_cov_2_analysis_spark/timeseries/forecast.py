@@ -32,20 +32,30 @@ FORECAST_SCHEMA = "key string, step bigint, yhat double"
 Fitter = Callable[[pd.Series, pd.Series], Callable[[pd.Series], pd.Series]]
 
 
-def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float, float]:
+def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float | None, float | None]:
     """Closed-form least squares (slope, intercept) — matches SQL
-    regr_slope/regr_intercept to fp precision."""
+    regr_slope/regr_intercept to fp precision INCLUDING the degenerate
+    case (review r9): a zero-variance group (all x identical) returns
+    (None, None) exactly as regr_slope/regr_intercept return NULL — the
+    old slope=0/intercept=mean fallback silently diverged from the u05
+    oracle on single-day groups."""
     xm, ym = x.mean(), y.mean()
     dx = x - xm
     var = (dx * dx).sum()
-    slope = ((dx * (y - ym)).sum() / var) if var != 0 else 0.0
+    if var == 0:
+        return None, None
+    slope = (dx * (y - ym)).sum() / var
     return float(slope), float(ym - slope * xm)
 
 
 def ols_fitter(x: pd.Series, y: pd.Series) -> Callable[[pd.Series], pd.Series]:
     """Default fitter: deterministic closed-form OLS — dependency-free and
-    oracle-checkable via SQL regr_slope/regr_intercept."""
+    oracle-checkable via SQL regr_slope/regr_intercept. A zero-variance
+    group forecasts all-NULL (the SQL twin's NULL propagated through
+    ``icept + slope * x``)."""
     slope, intercept = _ols_line(x, y)
+    if slope is None:
+        return lambda xn: pd.Series([None] * len(xn), dtype="object")
     return lambda xn: intercept + slope * xn.astype("float64")
 
 
@@ -106,7 +116,12 @@ def linear_forecast_by_group(
             {
                 "key": pdf[key_col].iloc[0],
                 "step": steps,
-                "yhat": [pyround(float(v), decimals) for v in yhat],
+                # NULL (not NaN) for degenerate fits: the driver's value
+                # hash distinguishes the two, and the SQL twin yields NULL
+                "yhat": [
+                    None if pd.isna(v) else pyround(float(v), decimals)
+                    for v in yhat
+                ],
             }
         )
 

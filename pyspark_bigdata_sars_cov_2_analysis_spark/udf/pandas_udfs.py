@@ -168,18 +168,37 @@ def grouped_quantized_stats_arrow(table):
     codec batches) that ``applyInPandas`` would pay a conversion tax on.
     Same 1/32768 integer quantization as u08, so the whole aggregate is
     exact int64 math and the DuckDB oracle recomputes it symbolically.
-    Vectorized over the group's flat values buffer; no per-row as_py."""
+    Vectorized over the group's flat values buffer; no per-row as_py.
+
+    Null semantics mirror the u13 oracle (review r9 — the same masking
+    u08's mapInArrow worker already had): DuckDB's SUM and
+    list_aggregate('sum') SKIP nulls, so a NULL element and a NULL
+    embedding row both contribute nothing, and a group whose rows are
+    all NULL sums to NULL — where the unmasked ``astype(int64)`` of the
+    NaN that nulls decay into produced int64 garbage."""
     import pyarrow as pa
 
     label = table.column("label")[0].as_py()
     emb = table.column("embedding").combine_chunks()
+    off = np.asarray(emb.offsets)
     vals = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+    if emb.values.null_count:
+        vals = np.where(
+            emb.values.is_null().to_numpy(zero_copy_only=False), 0.0, vals
+        )
     q = np.floor(vals * 32768.0 + 0.5).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(q)))
+    row_sums = cum[off[1:]] - cum[off[:-1]]
+    if emb.null_count:
+        valid = ~emb.is_null().to_numpy(zero_copy_only=False)
+        total = int(row_sums[valid].sum()) if valid.any() else None
+    else:
+        total = int(row_sums.sum())
     return pa.table(
         {
             "label": pa.array([label], pa.int32()),
             "n": pa.array([table.num_rows], pa.int64()),
-            "qsum_total": pa.array([int(q.sum())], pa.int64()),
+            "qsum_total": pa.array([total], pa.int64()),
         }
     )
 
@@ -187,7 +206,6 @@ def grouped_quantized_stats_arrow(table):
 def grouped_count_udaf():
     """Companion GROUPED_AGG count (see :func:`quantized_sum_udaf`'s
     placement restriction — native count() cannot share its agg)."""
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def gcount(emb: pd.Series) -> int:
@@ -213,12 +231,26 @@ def quantized_sum_udaf():
     GROUPED_AGG pandas UDF cannot share one ``agg()`` with NATIVE
     aggregate functions (``INVALID_PANDAS_UDF_PLACEMENT``) — mix only
     with other pandas UDAFs, or join native aggregates back on the
-    group key."""
-    from pyspark.sql.functions import pandas_udf
+    group key.
 
+    Null semantics mirror the u14 oracle (review r9): NULL rows are
+    skipped, null elements contribute nothing, and an all-NULL group
+    returns NULL — where the unguarded ``np.concatenate`` previously
+    crashed on a None row and the NaN a null element decays into cast
+    to int64 garbage. Caveat of the pandas transport: a null element
+    and a genuine NaN value are both delivered as NaN, so both are
+    skipped (the fixtures contain neither)."""
+
+    # the `-> int` hint is what tells pandas_udf this is a GROUPED_AGG
+    # (Series -> scalar) UDF; returning None for an all-NULL group is
+    # still valid at runtime (the hint drives eval-type inference only)
     @pandas_udf("long")
     def qsum(emb: pd.Series) -> int:
-        flat = np.concatenate([np.asarray(v, dtype="float64") for v in emb])
+        arrs = [np.asarray(v, dtype="float64") for v in emb if v is not None]
+        if not arrs:
+            return None
+        flat = np.concatenate(arrs)
+        flat = np.where(np.isnan(flat), 0.0, flat)
         return int(np.floor(flat * 32768.0 + 0.5).astype(np.int64).sum())
 
     return qsum

@@ -1623,3 +1623,86 @@ def test_word_occurrences_escapes_regex_metacharacters(spark):
     assert got.dotted == 1, got
     with pytest.raises(ValueError, match="quote terminator"):
         word_occurrences(F.col("text"), "bad\\Eword")
+
+
+def test_udaf_and_arrow_null_semantics(spark):
+    """Review r9: the u13/u14 oracles' SUM/list_aggregate SKIP nulls, so
+    a NULL embedding row and a NULL element must contribute nothing and
+    an all-NULL group must aggregate to NULL — previously a None row
+    crashed np.concatenate and a null element decayed to NaN whose
+    int64 cast is garbage."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.pandas_udfs import (
+        grouped_count_udaf,
+        grouped_quantized_stats_arrow,
+        quantized_sum_udaf,
+    )
+
+    rows = [
+        (0, [1.0, 2.0]),        # q = 32768 + 65536
+        (0, None),              # NULL row: skipped
+        (0, [0.5, None]),       # null element: contributes nothing
+        (1, None),              # all-NULL group -> NULL total
+        (1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "label int, embedding array<double>"
+    )
+    expect = {0: 32768 + 65536 + 16384, 1: None}
+
+    qsum, gcount = quantized_sum_udaf(), grouped_count_udaf()
+    got = {
+        r.label: r.qsum_total
+        for r in df.groupBy("label")
+        .agg(gcount("embedding").alias("n"),
+             qsum("embedding").alias("qsum_total"))
+        .collect()
+    }
+    assert got == expect, got
+
+    got_a = {
+        r.label: r.qsum_total
+        for r in df.groupBy("label")
+        .applyInArrow(
+            grouped_quantized_stats_arrow,
+            schema="label int, n bigint, qsum_total bigint",
+        )
+        .collect()
+    }
+    assert got_a == expect, got_a
+
+
+def test_forecast_zero_variance_group_yields_null(spark):
+    """Review r9: a group whose x values are all identical has no OLS
+    line — SQL regr_slope/regr_intercept return NULL there, and u05's
+    oracle propagates it into NULL yhat. The Python fitter previously
+    emitted a flat mean forecast, silently diverging from the oracle;
+    now both engines agree on NULL."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.timeseries.forecast import (
+        linear_forecast_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("flat", 5, 10.0), ("flat", 5, 20.0),
+         ("line", 1, 1.0), ("line", 2, 2.0)],
+        "k string, x int, y double",
+    )
+    got = {
+        (r.key, r.step): r.yhat
+        for r in linear_forecast_by_group(df, "k", "x", "y", horizon=2)
+        .collect()
+    }
+    assert got[("flat", 1)] is None and got[("flat", 2)] is None, got
+    assert got[("line", 1)] == 3.0 and got[("line", 2)] == 4.0, got
+
+
+def test_merge_countmin_rejects_empty():
+    """Review r9: merge_countmin() with no sketches raised an opaque
+    reduce() TypeError; now it states the contract."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sketches import (
+        merge_countmin,
+    )
+
+    with pytest.raises(ValueError, match="at least one sketch"):
+        merge_countmin()
