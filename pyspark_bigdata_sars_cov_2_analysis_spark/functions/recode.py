@@ -30,9 +30,17 @@ def label_from_code(col: Column, mapping: Mapping[int | str, str], default: str 
 
 
 def rate_percent(numer: Column, denom: Column, decimals: int = 2) -> Column:
-    """round(numer/denom*100, d) — the mortality/recovery-rate expression
-    (ref: spark/jobs/cases_time_analysis.py:183-189)."""
-    return F.round(numer / denom * 100.0, decimals)
+    """Compat-rounded ``numer/denom*100`` — the mortality/recovery-rate
+    expression (ref: spark/jobs/cases_time_analysis.py:183-189), in the
+    exact operand order the cases_time golden outputs pin. Uses the
+    compat floor-round, NOT ``F.round`` (review r9): native round is
+    HALF_UP/half-even depending on type and disagrees with the
+    DuckDB/compat grid on half-boundary doubles."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround,
+    )
+
+    return pround(numer / denom * 100.0, decimals)
 
 
 def fuzzy_recode(

@@ -141,6 +141,10 @@ def decode_image_stats(
             ns = payloads.map(len)
             sums = payloads.map(lambda b: sum(b))
             sqs = payloads.map(lambda b: sum(x * x for x in b))
+            # a zero-length payload has no pixels: 0/0 -> NaN here, and
+            # unguarded pyround would raise (math.floor(NaN)) and kill
+            # the whole stage — emit NULL stats instead, the same
+            # degenerate-input rule as binary_stats (review r9)
             mean = sums / ns
             var = (sqs - sums * sums / ns) / ns
             yield pd.DataFrame(
@@ -148,9 +152,13 @@ def decode_image_stats(
                     "doc_id": pdf[id_col].astype("int64"),
                     "height": ((ns + width - 1) // width).astype("int32"),
                     "width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "mean_pixel": mean.map(lambda v: pyround(v, 4)),
+                    "mean_pixel": mean.map(
+                        lambda v: None if pd.isna(v) else pyround(v, 4)
+                    ),
                     "std_pixel": var.map(
-                        lambda v: pyround(math.sqrt(v) if v > 0 else 0.0, 4)
+                        lambda v: None if pd.isna(v) else pyround(
+                            math.sqrt(v) if v > 0 else 0.0, 4
+                        )
                     ),
                 }
             )

@@ -64,15 +64,28 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 
 
 def latest_per_group_via_join(
-    df: DataFrame, keys: list[str], order_col: str
+    df: DataFrame, keys: list[str], order_col: str,
+    broadcast_maxes: bool = True,
 ) -> DataFrame:
     """Greatest-row-per-group, join formulation — the semantic twin of
     ``windows.latest_per_group`` (reference idiom W1/P14,
     `spark/jobs/cases_time_analysis.py:158-161`). Kept so tests can verify
-    the two formulations agree; the window form avoids re-scanning."""
+    the two formulations agree; the window form avoids re-scanning.
+
+    Keys compare NULL-SAFELY (review r9): ``partitionBy`` and SQL
+    ``GROUP BY`` both treat NULL as one group, so the window twin keeps
+    a NULL-key group's latest rows — a plain ``==`` join condition would
+    silently drop them and the documented equivalence would hold only on
+    corpora without NULL keys. ``broadcast_maxes``: the per-group max
+    frame is ONE ROW PER DISTINCT KEY — broadcast is right for bounded
+    key domains (countries, labels) but unbounded at, say, a customer
+    key at 100 TB; pass False there (or use the window form, which
+    never materializes the maxes at all)."""
     maxes = df.groupBy(*keys).agg(F.max(order_col).alias("__max"))
-    cond = [df[k] == maxes[k] for k in keys] + [df[order_col] == maxes["__max"]]
-    return df.join(F.broadcast(maxes), on=cond, how="inner").select(df["*"])
+    cond = [df[k].eqNullSafe(maxes[k]) for k in keys]
+    cond.append(df[order_col] == maxes["__max"])
+    rhs = F.broadcast(maxes) if broadcast_maxes else maxes
+    return df.join(rhs, on=cond, how="inner").select(df["*"])
 
 
 def asof_join(
@@ -111,9 +124,20 @@ def asof_join(
 
     Right side must be unique per (key, right_ts) — pre-aggregate if not
     (duplicate instants have no deterministic "latest" in either engine).
+
+    NULL semantics mirror the DuckDB oracle's equi+inequality contract
+    (review r9): right rows with a NULL key or NULL ``right_ts`` can
+    never match (``l.k = r.k`` / ``l.ts >= r.ts`` are never true on
+    NULL) and are filtered out up front — unfiltered, a NULL-ts row
+    sorts FIRST under Spark's NULLS FIRST ordering and
+    ``last(ignorenulls)`` would carry its struct into left rows that
+    truly have no preceding match. NULL-key and NULL-ts LEFT rows are
+    kept and get NULL as-of columns (left-join semantics: the NULL-key
+    partition then contains no right rows, and a NULL ts orders before
+    every right row).
     """
     _assert_no_reserved(
-        "asof_join", ("__k", "__ts", "__side", "__r", "__a"),
+        "asof_join", ("__k", "__ts", "__side", "__r", "__a", "__rts"),
         left=left, right=right,
     )
     right_cols = list(right_cols) or [
@@ -126,6 +150,9 @@ def asof_join(
     row_struct = F.struct(
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(c) for c in right_cols],
+    )
+    right = right.where(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
     )
     marked_r = right.select(
         F.col(on).alias("__k"),
@@ -265,6 +292,11 @@ def asof_join_cogroup(
     )
     lcols = list(left.columns)
     tol = pd.Timedelta(microseconds=tolerance_us) if tolerance_us is not None else None
+    # the native twin's NULL rule (review r9): right rows with NULL key
+    # or NULL ts can never match — filtering BEFORE the cogroup also
+    # empties the NULL-key group's right batch, so NULL-key left rows
+    # come back with NULL as-of columns instead of matching each other
+    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
@@ -272,8 +304,13 @@ def asof_join_cogroup(
         r = rpdf[[right_ts, *right_cols]].rename(
             columns={right_ts: "__rts", **{c: f"{c}_asof" for c in right_cols}}
         )
+        # merge_asof REJECTS NaT keys as unsorted (sort_values puts NaT
+        # last) — split them out and re-attach as no-match rows, which is
+        # what the native form computes for a NULL left_ts (review r9)
+        has_ts = lpdf[lpdf[left_ts].notna()]
+        no_ts = lpdf[lpdf[left_ts].isna()]
         merged = pd.merge_asof(
-            lpdf.sort_values(left_ts, kind="mergesort"),
+            has_ts.sort_values(left_ts, kind="mergesort"),
             r.sort_values("__rts", kind="mergesort"),
             left_on=left_ts,
             right_on="__rts",
@@ -281,6 +318,8 @@ def asof_join_cogroup(
             allow_exact_matches=True,
             tolerance=tol,
         )
+        if len(no_ts):
+            merged = pd.concat([merged, no_ts], ignore_index=True)
         return merged.rename(columns={"__rts": f"{right_ts}_asof"})[
             lcols + [f"{c}_asof" for c in right_cols] + [f"{right_ts}_asof"]
         ]
@@ -315,6 +354,7 @@ def salted_join(
     so they are rejected. The salt must be deterministic (xxhash64 of the
     whole left row), never rand(): retried tasks must re-derive the same
     salt or the join duplicates/drops rows."""
+    _assert_no_reserved("salted_join", ("__salt",), left=left, right=right)
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
     if how.lower() not in allowed:
         raise ValueError(

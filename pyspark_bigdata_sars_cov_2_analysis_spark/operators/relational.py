@@ -95,7 +95,17 @@ def spread_compute(df: DataFrame) -> DataFrame:
     stages (hashing, shingling, vector math) onto one core. Repartition to
     the session's default parallelism ONLY when the scan is narrower —
     at real scale inputs already carry enough splits and this is a no-op,
-    so the round-robin shuffle only ever moves small data."""
+    so the round-robin shuffle only ever moves small data.
+
+    Known limits (review r9, adjudicated): ``rdd.getNumPartitions()``
+    reports the STATIC pre-AQE count, so a post-shuffle frame AQE later
+    coalesces to a few partitions still reads as wide and is not
+    re-spread — callers feeding expression-heavy work from a shuffle
+    output should repartition explicitly. The ``.rdd`` access also
+    compiles the physical plan once per call; acceptable at build time,
+    not in a loop. Both are left as-is deliberately: an unconditional
+    repartition would add an exchange to every consumer's plan (the
+    per-query shuffle budgets pin exactly where exchanges may appear)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -20,6 +20,11 @@ def latest_per_group(
     partitionBy(keys), keep rows equal to the max
     (`spark/jobs/cases_time_analysis.py:158-161`). Keeps ALL tied rows,
     matching the reference (and plain SQL ``= (SELECT max…)``)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+        _assert_no_reserved,
+    )
+
+    _assert_no_reserved("latest_per_group", ("__max",), df=df)
     w = Window.partitionBy(*keys)
     return (
         df.withColumn("__max", F.max(order_col).over(w))

@@ -22,6 +22,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
     pround,
     pyround,
 )
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import rate_percent
 from pyspark_bigdata_sars_cov_2_analysis_spark.io.readers import read_csv
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import top_k_resorted
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.windows import (
@@ -97,7 +98,7 @@ def _rate_ranking(df: DataFrame, num: str, rate_name: str, k: int) -> DataFrame:
     snap = latest_snapshot_by_country(df)
     rated = snap.withColumn(
         rate_name,
-        pround(F.col(num) / F.col("sum(confirmed)") * 100.0, 2),
+        rate_percent(F.col(num), F.col("sum(confirmed)")),
     )
     return top_k_resorted(
         rated,

@@ -1706,3 +1706,107 @@ def test_merge_countmin_rejects_empty():
 
     with pytest.raises(ValueError, match="at least one sketch"):
         merge_countmin()
+
+
+def test_asof_join_null_semantics_match_equi_contract(spark):
+    """Review r9: DuckDB's ASOF JOIN (l.k = r.k AND l.ts >= r.ts — the
+    j06 oracle) never matches NULL keys or NULL timestamps. The
+    union+window formulation previously fabricated matches: a NULL-ts
+    right row sorted FIRST (NULLS FIRST) so last(ignorenulls) carried
+    its struct into genuinely match-less left rows, and NULL-keyed rows
+    on both sides met in one window partition. The cogroup twin crashed
+    outright on a NULL left ts (merge_asof rejects NaT keys as
+    unsorted). Both forms now agree with the SQL contract and each
+    other."""
+    import datetime as dt
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(9)), (None, t(9)), (1, None)], "k bigint, lts timestamp"
+    )
+    bad_right = spark.createDataFrame(
+        [(1, None, 7.0), (None, t(8), 8.0)],
+        "k bigint, rts timestamp, v double",
+    )
+    want_none = {
+        (1, t(9)): (None, None),
+        (None, t(9)): (None, None),
+        (1, None): (None, None),
+    }
+    for op in (joins.asof_join, joins.asof_join_cogroup):
+        got = {
+            (r.k, r.lts): (r.v_asof, r.rts_asof)
+            for r in op(
+                left, bad_right, on="k", left_ts="lts", right_ts="rts"
+            ).collect()
+        }
+        assert got == want_none, (op.__name__, got)
+    # a real preceding row still matches through both forms, and only
+    # for the non-NULL key/ts left row
+    right = spark.createDataFrame(
+        [(1, t(8), 7.0)], "k bigint, rts timestamp, v double"
+    )
+    for op in (joins.asof_join, joins.asof_join_cogroup):
+        got = {
+            (r.k, r.lts): r.v_asof
+            for r in op(
+                left, right, on="k", left_ts="lts", right_ts="rts"
+            ).collect()
+        }
+        assert got == {(1, t(9)): 7.0, (None, t(9)): None, (1, None): None}, (
+            op.__name__, got,
+        )
+
+
+def test_latest_per_group_twins_agree_on_null_keys(spark):
+    """Review r9: partitionBy and SQL GROUP BY treat NULL as one group,
+    so the join twin must compare keys null-safely or it silently drops
+    the NULL-key group — the pinned window≡join equivalence held only
+    because the corpus had no NULL keys. Also pins the new reserved-name
+    guards on latest_per_group and salted_join."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import (
+        joins,
+        windows,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b"), ("x", 1, "c")],
+        "k string, d int, v string",
+    )
+    want = {(None, 2, "b"), ("x", 1, "c")}
+    got_w = {(r.k, r.d, r.v)
+             for r in windows.latest_per_group(df, ["k"], "d").collect()}
+    got_j = {(r.k, r.d, r.v)
+             for r in joins.latest_per_group_via_join(df, ["k"], "d").collect()}
+    assert got_w == got_j == want, (got_w, got_j)
+    with _pytest.raises(ValueError, match="latest_per_group.*__max"):
+        windows.latest_per_group(
+            df.withColumn("__max", F.lit(1)), ["k"], "d"
+        )
+    with _pytest.raises(ValueError, match="salted_join.*__salt"):
+        joins.salted_join(df.withColumn("__salt", F.lit(1)), df, "k", "k")
+
+
+def test_decode_image_stats_empty_payload_yields_null(spark):
+    """Review r9: a zero-length payload made mean/var NaN and pyround
+    raised ValueError inside mapInPandas, killing the stage; empty
+    payloads now emit NULL stats (binary_stats' degenerate-input
+    rule)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.multimodal import (
+        decode_image_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"\x04\x04"))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: (r.mean_pixel, r.std_pixel, r.height)
+        for r in decode_image_stats(df, width=2).collect()
+    }
+    assert got[1] == (None, None, 0), got
+    assert got[2] == (4.0, 0.0, 1), got
