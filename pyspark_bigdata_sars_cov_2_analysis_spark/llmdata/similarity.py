@@ -198,6 +198,64 @@ def bucketed_topk(
     )
 
 
+def _centroid_codebook(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """ONE-ROW frame holding the IVF codebook as data: the ``n_centroids``
+    ``(cid, c, nc)`` structs collected into a ``cents`` array. Centroids
+    are the vectors with id < n_centroids — the deterministic stand-in for
+    a k-means codebook trained offline. Collecting the codebook into a row
+    makes cell assignment a ROW-LOCAL expression over the big side (one
+    broadcast, zero shuffles) instead of a per-vector window shuffle plus
+    a full-table join-back — the shape that survives 100 TB, where the
+    codebook is KBs and the vectors are the corpus. ``collect_list`` order
+    is nondeterministic, which is fine: every consumer re-sorts or argmaxes
+    under the total (d DESC, cid ASC) order."""
+    vec = F.col(vec_col).cast("array<double>")
+    return (
+        df.where(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"), vec.alias("c"), _norm(vec).alias("nc")
+        )
+        .agg(F.collect_list(F.struct("cid", "c", "nc")).alias("cents"))
+    )
+
+
+def _scored_cells(v: Column, nv: Column, assign_decimals: int) -> Column:
+    """Per-row array of ``(d, cid)`` structs: rounded cosine of the row's
+    vector against every codebook centroid (row-local ``transform`` over
+    the broadcast ``cents`` array — same arithmetic as the former
+    crossJoin formulation, same pround grid)."""
+    return F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            pround(_dot(v, ct["c"]) / (nv * ct["nc"]), assign_decimals).alias(
+                "d"
+            ),
+            ct["cid"].alias("cid"),
+        ),
+    )
+
+
+def _cell_cmp(a: Column, b: Column) -> Column:
+    """array_sort comparator for (d DESC NULLS LAST, cid ASC) — the exact
+    total order the former ``row_number`` window used, including Spark's
+    NaN-greatest double semantics (``>`` agrees with DESC sort order on
+    NaN) and NULLS-LAST-under-DESC for a NULL cosine (zero-norm vector)."""
+    return (
+        F.when(
+            a["d"].eqNullSafe(b["d"]),
+            F.when(a["cid"] < b["cid"], -1)
+            .when(a["cid"] > b["cid"], 1)
+            .otherwise(0),
+        )
+        .when(a["d"].isNull(), 1)
+        .when(b["d"].isNull(), -1)
+        .when(a["d"] > b["d"], -1)
+        .otherwise(1)
+    )
+
+
 def ivf_assign_cells(
     df: DataFrame,
     id_col: str,
@@ -207,35 +265,39 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid
     (max cosine, rounded for cross-engine rank stability, centroid-id
-    tiebreak). Centroids are the vectors with id < n_centroids — the
-    deterministic stand-in for a k-means codebook trained offline; at
-    100 TB the cell id becomes the partition key of the at-rest layout.
+    tiebreak); at 100 TB the cell id becomes the partition key of the
+    at-rest layout.
 
-    Returns (id, cell)."""
-    vec = F.col(vec_col).cast("array<double>")
+    Shape (review r9 rewrite): one full scan + a pushdown-filtered
+    codebook scan, joined by a one-row broadcast — NO shuffle. The former
+    formulation crossJoined 16 rows per vector, shuffled the whole table
+    through a per-vector window, then hash-joined the assignment back:
+    two full-table exchanges that dominate at scale and bought nothing.
+
+    Returns (id, cell). Rows whose best cell is undefined (empty codebook)
+    are dropped, matching the former inner-join contract."""
     base = spread_compute(df).select(
-        F.col(id_col).alias("__vid"), vec.alias("v"), _norm(vec).alias("nv")
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    cents = (
-        df.where(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            vec.alias("c"),
-            _norm(vec).alias("nc"),
-        )
+    best = F.element_at(
+        F.array_sort(
+            _scored_cells(F.col("v"), _norm(F.col("v")), assign_decimals),
+            _cell_cmp,
+        ),
+        1,
     )
-    d = pround(
-        _dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("nc")),
-        assign_decimals,
-    )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "__vid", F.col("cid"), d.alias("d")
-    )
-    w = Window.partitionBy("__vid").orderBy(F.desc("d"), F.asc("cid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col("__vid").alias(id_col), F.col("cid").alias("cell"))
+        base.join(
+            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
+            how="cross",
+        )
+        # empty-codebook guard on size(cents), NOT on the derived cell
+        # (a filter referencing the interpreted HOF chain would re-inline
+        # and re-evaluate the whole scoring per row — the measured trap
+        # from the d18 profile); non-empty cents ⇒ cell is non-NULL
+        .where(F.size(F.col("cents")) > 0)
+        .select(F.col("__vid").alias(id_col), best["cid"].alias("cell"))
     )
 
 
@@ -249,27 +311,33 @@ def ivf_probe_cells(
     assign_decimals: int = 6,
 ) -> DataFrame:
     """(query_id, cell): each probe's ``nprobe`` nearest centroid cells —
-    the recall/cost dial of IVF search. Scoring is |probes| × n_centroids
-    rows against the broadcast codebook (driver-free, tiny)."""
+    the recall/cost dial of IVF search. Row-local: sort the per-probe
+    ``(d, cid)`` array under the same total order as assignment, slice
+    ``nprobe``, explode — |probes| rows against a one-row broadcast
+    codebook, no window, no shuffle."""
     vec = F.col(vec_col).cast("array<double>")
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
     )
-    cents = df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), vec.alias("c"), _norm(vec).alias("nc")
+    top = F.slice(
+        F.array_sort(
+            _scored_cells(F.col("q"), F.col("nq"), assign_decimals), _cell_cmp
+        ),
+        1,
+        nprobe,
     )
-    d = pround(
-        _dot(F.col("q"), F.col("c")) / (F.col("nq") * F.col("nc")),
-        assign_decimals,
-    )
-    scored = probes.crossJoin(F.broadcast(cents)).select(
-        "query_id", F.col("cid"), d.alias("d")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("cid"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", F.col("cid").alias("cell"))
+        probes.join(
+            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
+            how="cross",
+        )
+        .select(
+            "query_id",
+            F.explode(F.filter(top, lambda s: s["d"].isNotNull())).alias(
+                "__cell"
+            ),
+        )
+        .select("query_id", F.col("__cell")["cid"].alias("cell"))
     )
 
 
@@ -287,27 +355,65 @@ def ivf_topk(
     With cells as partition keys the scan is partition-pruned to
     ~nprobe/n_centroids of the data per probe. Every data vector belongs
     to exactly one cell, so the cell join emits each (query, neighbor)
-    pair at most once — no post-dedup needed at any nprobe."""
-    cells = ivf_assign_cells(df, id_col, vec_col, n_centroids)
+    pair at most once — no post-dedup needed at any nprobe.
+
+    Shape (review r9 rewrite): the big side is scanned ONCE — cell
+    assignment is a row-local expression against the one-row broadcast
+    codebook, projected alongside (v, nv) before the broadcast cell join.
+    The former formulation scanned the embeddings six times (assign base,
+    assign join-back, candidate base, probe side twice, codebook) and
+    shuffled the full table twice (per-vector window + assignment hash
+    join); the only shuffle left is the per-query ranking window over the
+    already cell-pruned candidates."""
     vec = F.col(vec_col).cast("array<double>")
+    best = F.element_at(
+        F.array_sort(
+            _scored_cells(F.col("v"), F.col("nv"), 6), _cell_cmp
+        ),
+        1,
+    )
     base = (
-        df.select(
-            F.col(id_col).alias("neighbor_id"), vec.alias("v"), _norm(vec).alias("nv")
+        spread_compute(df)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            vec.alias("v"),
+            _norm(vec).alias("nv"),
         )
         .join(
-            cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
-            on="neighbor_id",
+            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
+            how="cross",
         )
+        # no NULL-cell guard needed: the inner equi-join on cell below
+        # never matches NULL keys, and a filter on the derived column
+        # would re-inline the interpreted HOF scoring chain per reference
+        .select("neighbor_id", "v", "nv", best["cid"].alias("cell"))
     )
-    probe_cells = ivf_probe_cells(
-        df, id_col, vec_col, probe_ids, nprobe, n_centroids
+    # probes carry their nprobe cells directly (same row-local derivation
+    # as ivf_probe_cells, inlined so the probe vectors are scanned once
+    # and never joined back on query_id)
+    top = F.slice(
+        F.array_sort(_scored_cells(F.col("q"), F.col("nq"), 6), _cell_cmp),
+        1,
+        nprobe,
     )
     probes = (
         df.where(F.col(id_col).isin(probe_ids))
         .select(
             F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
         )
-        .join(probe_cells, on="query_id")
+        .join(
+            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
+            how="cross",
+        )
+        .select(
+            "query_id",
+            "q",
+            "nq",
+            F.explode(F.filter(top, lambda s: s["d"].isNotNull())).alias(
+                "__cell"
+            ),
+        )
+        .select("query_id", "q", "nq", F.col("__cell")["cid"].alias("cell"))
     )
     return _score_rank_topk(
         base.join(F.broadcast(probes), on="cell"), k, decimals

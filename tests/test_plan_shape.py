@@ -581,16 +581,16 @@ def test_sql_broadcast_hint_is_honored(spark):
 def test_o09_assignment_broadcasts_no_fact_shuffle_before_window(spark):
     """o09's cell assignment must be a broadcast of the 16 centroids
     (never a shuffle of the embedding side); the only exchange class is
-    the bounded per-cell window."""
+    the bounded per-cell window. Since the review-r9 IVF rewrite the
+    assignment is a row-local argmax over the one-row broadcast codebook —
+    no per-vector window exists at all, so the ONLY hashpartitioning
+    exchange is the per-cell top-10 window, WindowGroupLimit-pruned
+    (partial+final) so no task ever materializes an unbounded group."""
     plan = _plan(QUERIES["o09_cluster_balanced_sample"](spark, SF_TEST), "simple")
     assert "BroadcastExchange" in plan, plan
-    # exactly two bounded-window exchanges: the per-vector argmax (16
-    # candidate rows each, WindowGroupLimit-pruned) and the per-cell
-    # top-10; both must carry the partial WindowGroupLimit so no task
-    # ever materializes an unbounded group
     n_shuffle = plan.count("Exchange hashpartitioning")
-    assert n_shuffle <= 2, f"unexpected extra shuffle\n{plan}"
-    assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final × 2
+    assert n_shuffle <= 1, f"unexpected extra shuffle\n{plan}"
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial+final
 
 
 def test_e12_retention_single_user_shuffle_class(spark):
@@ -632,3 +632,23 @@ def test_j10_deliberate_bnlj_tiny_dim(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     n_shuffle = plan.count("Exchange hashpartitioning")
     assert n_shuffle <= 1, plan  # only the final 5-group aggregate
+
+
+def test_ivf_single_full_scan_no_table_shuffle(spark):
+    """s03/s04 (review r9 rewrite): IVF cell assignment is a row-local
+    expression against the one-row broadcast codebook, so the embeddings
+    table is scanned exactly ONCE unfiltered (3 further scans are the
+    pushdown-pruned codebook/probe slivers) and the ONLY hashpartitioning
+    exchange is the per-query ranking window — the former shape shuffled
+    the whole table twice (per-vector assignment window + assignment
+    join-back), which is the part that dies at 100 TB."""
+    for name in ("s03_ivf_topk", "s04_ivf_multiprobe"):
+        plan = _plan(QUERIES[name](spark, SF_TEST), "simple")
+        assert plan.count("Scan parquet") == 4, (name, plan)
+        n_shuffle = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_shuffle == 1, (name, plan)
+        # the codebook attaches as a one-row broadcast, the probes as a
+        # broadcast hash join on cell — the big side never moves
+        assert "BroadcastHashJoin" in plan, (name, plan)
