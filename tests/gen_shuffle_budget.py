@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 def main() -> None:
     from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
-    from tests.test_shuffle_budget import BUDGET_PATH, EXCLUDE, count_shuffles
+    from tests.test_shuffle_budget import BUDGET_PATH, EXCLUDE, measure
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -29,7 +29,7 @@ def main() -> None:
     for name, fn in sorted(QUERIES.items()):
         if name in EXCLUDE:
             continue
-        budget[name] = count_shuffles(fn(spark, "/root/testdata/sf0.001"))
+        budget[name] = measure(fn(spark, "/root/testdata/sf0.001"))
         print(f"{name}: {budget[name]}")
     with open(BUDGET_PATH, "w") as f:
         json.dump(budget, f, indent=1, sort_keys=True)

@@ -1,14 +1,25 @@
-"""Registry-wide shuffle-count regression gate.
+"""Registry-wide shuffle- and scan-count regression gate.
 
 The hand-written plan-shape tests guard specific queries; this gate
-generalizes the most important scale invariant — DON'T ADD SHUFFLES — to
-EVERY registered query: ``shuffle_budget.json`` records each query's
-data-moving exchange count (hash/range/single-partition; broadcasts and
-reuses excluded — those are the good outcomes), and any query whose plan
-grows past its recorded budget fails here. Regenerate deliberately with
-``python tests/gen_shuffle_budget.py`` when a query's shape legitimately
-changes — the diff then shows the reviewer exactly which queries pay
-more exchanges and by how much.
+generalizes the two most important scale invariants to EVERY registered
+query:
+
+- DON'T ADD SHUFFLES — ``shuffle_budget.json`` records each query's
+  data-moving exchange count (hash/range/single-partition; broadcasts and
+  reuses excluded — those are the good outcomes);
+- DON'T ADD SCANS — the same file records each query's DISTINCT parquet
+  scan-node count. Plans that reference a subtree from several consumers
+  (crossJoin branches, self-joins, un-reused exchanges) silently multiply
+  source scans; at 100 TB each extra unfiltered scan is a full pass over
+  the corpus. Multi-table joins (TPC-H), deliberately recomputed exploded
+  shingle frames (d03/d16), and pushdown-pruned slivers (IVF codebook /
+  probe scans) legitimately count several scan nodes — the budget records
+  today's count per query, so only GROWTH fails.
+
+Any query whose plan grows past either recorded budget fails here.
+Regenerate deliberately with ``python tests/gen_shuffle_budget.py`` when a
+query's shape legitimately changes — the diff then shows the reviewer
+exactly which queries pay more exchanges/scans and by how much.
 
 ``ml01_classifier_bench`` is excluded (plan construction trains real
 MLlib models); everything else builds its plan at sf0.001.
@@ -29,10 +40,19 @@ BUDGET_PATH = os.path.join(os.path.dirname(__file__), "shuffle_budget.json")
 EXCLUDE = {"ml01_classifier_bench"}  # plan construction trains models
 
 _NODE = re.compile(r"^\((\d+)\) Exchange\b")
+_SCAN = re.compile(r"^\((\d+)\) Scan parquet\b")
 _KIND = re.compile(r"hashpartitioning|rangepartitioning|SinglePartition")
 
 
-def count_shuffles(df) -> int:
+def _formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_shuffles(df, plan: str | None = None) -> int:
     """Count DISTINCT data-moving Exchange nodes from formatted-mode
     details. Line-counting the tree is print-sensitive: once a cached
     frame MATERIALIZES, the plan printer repeats the InMemoryRelation's
@@ -41,11 +61,7 @@ def count_shuffles(df) -> int:
     session and one where the parity suite had materialized the caches).
     Formatted mode lists every node once by id in the details section —
     count ids, immune to caching state and subtree re-printing."""
-    jvm = df.sparkSession._jvm
-    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = df._jdf.queryExecution().explainString(mode)
+    plan = plan if plan is not None else _formatted_plan(df)
     lines = plan.splitlines()
     ids = set()
     for i, ln in enumerate(lines):
@@ -58,7 +74,35 @@ def count_shuffles(df) -> int:
     return len(ids)
 
 
-def test_no_query_gained_shuffles(spark):
+def count_scans(df, plan: str | None = None) -> int:
+    """Count DISTINCT parquet scan nodes (same distinct-node-id rule as
+    count_shuffles, for the same cache-printing reason)."""
+    plan = plan if plan is not None else _formatted_plan(df)
+    return len({
+        m.group(1)
+        for ln in plan.splitlines()
+        if (m := _SCAN.match(ln.strip()))
+    })
+
+
+def measure(df) -> dict:
+    """One plan build → both budget figures."""
+    plan = _formatted_plan(df)
+    return {
+        "shuffles": count_shuffles(df, plan),
+        "scans": count_scans(df, plan),
+    }
+
+
+def _entry(budget_value) -> dict:
+    # pre-r9 files recorded a bare shuffle int; tolerate both shapes so a
+    # stale checkout fails on real growth, not on schema
+    if isinstance(budget_value, dict):
+        return budget_value
+    return {"shuffles": budget_value, "scans": None}
+
+
+def test_no_query_gained_shuffles_or_scans(spark):
     # cached frames (t09/t13/a22) print one extra exchange once their
     # cache has MATERIALIZED (e.g. after the parity suite ran them), so
     # normalize to the fresh-session state the generator measures from:
@@ -74,13 +118,19 @@ def test_no_query_gained_shuffles(spark):
         if name not in budget:
             missing.append(name)
             continue
-        n = count_shuffles(fn(spark, SF_TEST))
-        if n > budget[name]:
-            over[name] = (n, budget[name])
+        got = measure(fn(spark, SF_TEST))
+        want = _entry(budget[name])
+        bad = {
+            k: (got[k], want[k])
+            for k in ("shuffles", "scans")
+            if want.get(k) is not None and got[k] > want[k]
+        }
+        if bad:
+            over[name] = bad
     assert not over, (
-        f"queries gained shuffles vs tests/shuffle_budget.json: {over} — "
-        "if intentional, regenerate with python tests/gen_shuffle_budget.py "
-        "and justify the new counts in the commit"
+        f"queries gained shuffles/scans vs tests/shuffle_budget.json: {over}"
+        " — if intentional, regenerate with python tests/gen_shuffle_budget.py"
+        " and justify the new counts in the commit"
     )
     assert not missing, (
         f"new queries without a shuffle budget: {missing} — run "
