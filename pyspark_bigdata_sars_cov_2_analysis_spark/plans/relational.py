@@ -813,9 +813,14 @@ def p18_skew_profile(spark, sf_dir):
     Shape: one map-side-combined count per key (the same shuffle any
     join on this key would pay), a 1-row stats aggregate broadcast back
     via crossJoin, top-5 via TakeOrderedAndProject — diagnosing skew on
-    a 100 TB key column costs one aggregate, not a sort."""
+    a 100 TB key column costs one aggregate, not a sort. The per-key
+    frame is CACHED (e11's barrier rule): it has two consumers (the
+    stats aggregate and the ranked output) and Catalyst re-expands a
+    crossJoin input's defining subtree per consumer — uncached, the
+    events scan + count shuffle ran twice; cached, once, and the frame
+    is small (two columns, one row per distinct key)."""
     e = table(spark, sf_dir, "events")
-    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).cache()
     s = k.agg(
         F.sum("n").alias("total"),
         F.max("n").alias("mx"),
