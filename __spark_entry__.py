@@ -47,6 +47,16 @@ _PRIORITY_FIRST = [
     "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
     "d20_band_ingest_incremental",
 ]
+
+# Registered LATE in round 9, after the r9 window above was committed —
+# per the standing overflow rule they queue BEHIND the window (local
+# parity covers them until then) instead of displacing a committed stale
+# name. They are never-attested, so the ROUND-10 window must lead with
+# them (move them into _PRIORITY_FIRST when rotating), then the 28-name
+# r10 head marked in _STALE_QUEUE below.
+_NEXT_WINDOW_FIRST = [
+    "a27_approx_top_k_mergeable", "u15_python_udtf",
+]
 _STALE_QUEUE = [
     # the committed r9 head: last attested round 5 (stalest anywhere),
     # exact order agreed in VERDICT r7 #5 / r8 #1
@@ -91,7 +101,11 @@ WINDOW = 50
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in _PRIORITY_FIRST + _STALE_QUEUE if n in plans.QUERIES]
+    head = [
+        n
+        for n in _PRIORITY_FIRST + _STALE_QUEUE + _NEXT_WINDOW_FIRST
+        if n in plans.QUERIES
+    ]
     seen = set(head)
     return head + [n for n in plans.QUERIES if n not in seen]
 

@@ -1253,3 +1253,69 @@ def a26_deterministic_mode(spark, sf_dir):
         (F.col("user_id") == F.col("c_user"))
         & (F.col("modal_type") == F.col("c_type")),
     ).select("user_id", "modal_type", "n")
+
+
+@query(
+    "a27_approx_top_k_mergeable",
+    # exactness regime, a18's rule: the SpaceSaving-style summary is
+    # EXACT while every shard tracks fewer distinct items than its
+    # maxItemsTracked budget (no eviction ever happens), and the events
+    # corpus sits orders of magnitude under the 100k budget at every
+    # attestation SF — so the merged estimates hash-exactly against the
+    # oracle's true counts and est_matches_exact pins the contract: an
+    # eviction-regime scale-up flips it and fails the hash loudly
+    oracle="""
+    WITH ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 5)
+    SELECT user_id, exact_n, exact_n AS est_n, TRUE AS est_matches_exact
+    FROM ex
+    """,
+)
+def a27_approx_top_k_mergeable(spark, sf_dir):
+    """Sketch-family completion — the fourth mergeable axis (heavy
+    hitters) in Spark 4.1's native accumulate/combine/estimate form:
+    per-day ``approx_top_k_accumulate`` summaries of event traffic by
+    user, merged with ``approx_top_k_combine``, queried with
+    ``approx_top_k_estimate``. THE pattern for top-k at 100 TB, same as
+    a17's HLL and a20's KLL: daily partitions aggregate once into
+    bounded-size summary blobs; any date-range top-k is then a merge of
+    blobs, never a re-scan. The verification recount (exact per-user
+    counts, top-5 by (n DESC, user_id) — deterministic through the
+    sf0.1 fifth-place tie) is the a19-style second pass a sketch
+    contract inherently needs; both sides of the final join are ≤100
+    rows. Estimates are taken at k=100 ≫ 5 so a boundary tie inside the
+    sketch's own (unspecified) tied-order can never drop a top-5 item
+    from the joined estimate set."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
+        top_k,
+    )
+
+    e = table(spark, sf_dir, "events")
+    merged = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.expr("approx_top_k_accumulate(user_id, 100000)").alias("acc")
+        )
+        .agg(F.expr("approx_top_k_combine(acc)").alias("comb"))
+        .select(
+            F.explode(F.expr("approx_top_k_estimate(comb, 100)")).alias("s")
+        )
+        .select(
+            F.col("s.item").alias("user_id"),
+            F.col("s.count").cast("bigint").alias("est_n"),
+        )
+    )
+    exact = top_k(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n")),
+        5,
+        F.desc("exact_n"),
+        F.asc("user_id"),
+    ).select("user_id", F.col("exact_n").cast("bigint").alias("exact_n"))
+    return exact.join(F.broadcast(merged), on="user_id", how="left").select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") == F.col("exact_n")).alias("est_matches_exact"),
+    )

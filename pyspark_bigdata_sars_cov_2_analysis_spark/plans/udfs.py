@@ -262,3 +262,58 @@ def sql08_registered_udf(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, byte_feature_sql(text) AS derived FROM docs_udf_v"
     )
+
+
+@query(
+    "u15_python_udtf",
+    # same struct-comprehension style as d19's oracle; pos is the
+    # 1-based token index, length() and Python len() agree on this
+    # corpus (single-codepoint characters)
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    hits AS (
+      SELECT doc_id,
+             unnest([{'pos': CAST(i AS INT), 'tok': w[i],
+                      'tok_len': CAST(length(w[i]) AS INT)}
+                     for i in generate_series(1, len(w))
+                     if length(w[i]) >= 8]) AS u
+      FROM toks
+    )
+    SELECT doc_id, u.pos AS pos, u.tok AS tok, u.tok_len AS tok_len
+    FROM hits
+    """,
+)
+def u15_python_udtf(spark, sf_dir):
+    """D7-family — the Python USER-DEFINED TABLE FUNCTION (Spark 4),
+    the one Python entry point that returns ROWS rather than columns:
+    a generator class invoked per input row through SQL ``LATERAL``,
+    here emitting every ≥8-char token with its 1-based position and
+    length. Arrow-batched transport (``useArrow=True``; u09's row-Python
+    ban holds — this is an API-surface attestation on a %20-pruned
+    slice, not a pattern endorsement: the same semantics are a native
+    posexplode+filter, which is literally what f06 attests). The UDTF
+    registers idempotently per session and the filter stays INSIDE the
+    generator so only matching rows cross the Arrow boundary."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int", useArrow=True)
+    class LongTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" "), start=1):
+                if len(t) >= 8:
+                    yield i, t, len(t)
+
+    spark.udtf.register("long_tokens_u15", LongTokens)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    d.createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok, t.tok_len
+        FROM docs_udtf_v d, LATERAL long_tokens_u15(d.text) t
+        """
+    )
