@@ -56,6 +56,7 @@ _PRIORITY_FIRST = [
 # r10 head marked in _STALE_QUEUE below.
 _NEXT_WINDOW_FIRST = [
     "a27_approx_top_k_mergeable", "u15_python_udtf",
+    "j11_lateral_join_api", "a28_listagg_within_group",
 ]
 _STALE_QUEUE = [
     # the committed r9 head: last attested round 5 (stalest anywhere),

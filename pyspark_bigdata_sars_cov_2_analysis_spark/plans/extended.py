@@ -1319,3 +1319,81 @@ def a27_approx_top_k_mergeable(spark, sf_dir):
         "est_n",
         (F.col("est_n") == F.col("exact_n")).alias("est_matches_exact"),
     )
+
+
+@query(
+    "j11_lateral_join_api",
+    oracle=f"""
+    SELECT c_custkey, o_orderkey, {sql_round("o_totalprice", 2)} AS price,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+    WHERE rn <= 2
+    """,
+)
+def j11_lateral_join_api(spark, sf_dir):
+    """§2.3/SQL-surface cross — ``DataFrame.lateralJoin`` (Spark 4), the
+    DataFrame-API form of sql04's correlated LATERAL: each customer's
+    top-2 orders by price, the inner side referencing the outer row via
+    ``F.col(...).outer()``. The point this attests: Catalyst DECORRELATES
+    the per-row subquery into one WindowGroupLimit-pruned ranking window
+    plus a join — never a per-outer-row re-execution — so the API's
+    convenience costs the same single keyed shuffle w03's explicit
+    bounded window pays (the plan the scale path wants; a true per-row
+    loop would be quadratic at 100 TB)."""
+    c = table(spark, sf_dir, "customer").alias("c")
+    o = table(spark, sf_dir, "orders")
+    sub = (
+        o.where(F.col("o_custkey") == F.col("c.c_custkey").outer())
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    joined = c.lateralJoin(sub, how="inner")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return joined.select(
+        "c_custkey",
+        "o_orderkey",
+        pround(F.col("o_totalprice"), 2).alias("price"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "a28_listagg_within_group",
+    # a08's exact ordering contract (the synthetic lineitem has duplicate
+    # (orderkey, linenumber) pairs, so the value tiebreak appears on both
+    # engines) — shared semantics, DIFFERENT Spark entry point: the
+    # native listagg aggregate with WITHIN GROUP ordering
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_partkey AS VARCHAR),
+                      ',' ORDER BY l_linenumber, l_partkey) AS parts
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a28_listagg_within_group(spark, sf_dir):
+    """A8's native-function twin — Spark 4.1's ``listagg(expr, delim)
+    WITHIN GROUP (ORDER BY ...)``: deterministic ordered string
+    aggregation as ONE native aggregate (codegen, map-side partials of
+    collected buffers), where a08 composes the same contract from
+    sort_array(collect_list(struct)). Both beat the reference's O(n²)
+    running-window collect; the WITHIN GROUP ordering carries the
+    duplicate-key value tiebreak so ties cannot flap between engines.
+    SQL-text entry point — WITHIN GROUP has no DataFrame builder yet."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_a28"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               listagg(CAST(l_partkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY l_linenumber, l_partkey) AS parts
+        FROM lineitem_a28 GROUP BY l_orderkey
+        """
+    )

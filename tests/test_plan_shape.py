@@ -652,3 +652,14 @@ def test_ivf_single_full_scan_no_table_shuffle(spark):
         # the codebook attaches as a one-row broadcast, the probes as a
         # broadcast hash join on cell — the big side never moves
         assert "BroadcastHashJoin" in plan, (name, plan)
+
+
+def test_j11_lateral_join_decorrelates_to_window(spark):
+    """DataFrame.lateralJoin's per-row top-2 subquery must DECORRELATE
+    into one WindowGroupLimit-pruned ranking window + a join — never a
+    per-outer-row re-execution (no nested-loop over the subquery, no
+    extra exchange class beyond the keyed window/join shuffles)."""
+    plan = _plan(QUERIES["j11_lateral_join_api"](spark, SF_TEST), "simple")
+    assert "WindowGroupLimit" in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 2, plan
