@@ -1546,3 +1546,45 @@ def test_append_skips_sidecar_rewrite(spark, tmp_path):
         assert after == files and all(
             _os.stat(f).st_mtime_ns == stamps[f] for f in files
         ), f"{sidecar} was rewritten on append"
+
+
+def test_statestore_reader_exposes_dedup_state(spark, events_dir, tmp_path):
+    """Ops surface for §2.12 — Spark 4's ``statestore`` / ``state-metadata``
+    readers: the "what is my streaming state right now" diagnostic a
+    100 TB deployment needs before state grows unbounded. A drained
+    dropDuplicates(user_id) stream must expose exactly the batch-distinct
+    user ids as state keys (the stateful-dedup contract made directly
+    inspectable), and the metadata reader must name the dedup operator
+    with its checkpoint bounds."""
+    ckpt = str(tmp_path / "ss_ckpt")
+    stream = (
+        spark.readStream.schema(
+            registry.table(spark, SF_TEST, "events").schema
+        )
+        .parquet(events_dir)
+        .dropDuplicates(["user_id"])
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state_keys = {
+        r.user_id
+        for r in spark.read.format("statestore")
+        .load(ckpt)
+        .select(F.col("key.user_id").alias("user_id"))
+        .collect()
+    }
+    batch_keys = {
+        r.user_id
+        for r in registry.table(spark, SF_TEST, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert state_keys == batch_keys
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert any("dedupe" in r.operatorName.lower() for r in meta), meta
