@@ -1397,3 +1397,48 @@ def a28_listagg_within_group(spark, sf_dir):
         FROM lineitem_a28 GROUP BY l_orderkey
         """
     )
+
+
+@query(
+    "sql09_sql_scripting",
+    # the oracle inlines the variable as a CTE scalar; the threshold is
+    # compat-floor-rounded to the 2dp grid on BOTH engines so last-ulp
+    # AVG drift cannot flip boundary rows (the standing rounding rule),
+    # and COUNT casts through BIGINT (the recurring DuckDB HUGEINT class)
+    oracle=f"""
+    WITH t AS (
+      SELECT {sql_round("avg(l_extendedprice)", 2)} AS thr FROM lineitem)
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_above,
+           t.thr AS threshold
+    FROM lineitem, t WHERE l_extendedprice > t.thr
+    GROUP BY l_returnflag, t.thr
+    """,
+)
+def sql09_sql_scripting(spark, sf_dir):
+    """SQL-surface completion — Spark 4.1 SQL SCRIPTING (``BEGIN …
+    END`` with a block-scoped ``DECLARE``/``SET`` variable): the
+    parameterized-report pattern a SQL-first user migrates in — compute
+    a data-derived threshold into a variable, then gate the report on
+    it. The script executes sequentially at ``spark.sql`` time (the
+    SET's aggregate is one scan; d19/d20 set the construction-time-work
+    precedent) and returns the LAST statement's frame. The threshold is
+    floor-rounded to the compat 2dp grid inside the script — the same
+    expression the oracle inlines — so the gate comparison runs on the
+    same grid in both engines. Block-scoped DECLARE leaves no session
+    variable behind."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql09"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (SELECT floor(avg(l_extendedprice) * 100 + 0.5) / 100
+                     FROM lineitem_sql09);
+          SELECT l_returnflag, COUNT(*) AS n_above, thr AS threshold
+          FROM lineitem_sql09
+          WHERE l_extendedprice > thr
+          GROUP BY l_returnflag;
+        END
+        """
+    )
