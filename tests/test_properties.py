@@ -1810,3 +1810,38 @@ def test_decode_image_stats_empty_payload_yields_null(spark):
     }
     assert got[1] == (None, None, 0), got
     assert got[2] == (4.0, 0.0, 1), got
+
+
+def test_approx_top_k_exact_below_budget_degrades_above(spark):
+    """Pins a27's exactness-regime argument: the approx_top_k summary is
+    EXACT while maxItemsTracked exceeds the distinct universe (estimates
+    equal true counts for every key), and under eviction it visibly
+    degrades (the merged summary cannot represent the full universe) —
+    which is why a27's est_matches_exact boolean is a real tripwire, not
+    a tautology."""
+    rows = [(i,) for i in range(1000)] + [(7,)] * 50
+    df = spark.createDataFrame(rows, "k bigint").repartition(1)
+
+    def run(budget, k):
+        out = (
+            df.groupBy((F.col("k") % 2).alias("shard"))
+            .agg(
+                F.expr(
+                    f"approx_top_k_accumulate(k, {budget})"
+                ).alias("acc")
+            )
+            .agg(F.expr("approx_top_k_combine(acc)").alias("c"))
+            .select(
+                F.explode(
+                    F.expr(f"approx_top_k_estimate(c, {k})")
+                ).alias("s")
+            )
+            .select("s.item", "s.count")
+            .collect()
+        )
+        return {r.item: r["count"] for r in out}
+
+    exact = {i: 1 for i in range(1000)}
+    exact[7] = 51
+    assert run(2000, 1000) == exact
+    assert len(run(4, 4)) < 1000
