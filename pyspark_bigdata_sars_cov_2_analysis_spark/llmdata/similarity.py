@@ -276,13 +276,18 @@ def ivf_assign_cells(
 
     Returns (id, cell). Rows whose best cell is undefined (empty codebook)
     are dropped, matching the former inner-join contract."""
+    vec = F.col(vec_col).cast("array<double>")
+    # norm projected ONCE per row (review r9): transform lambdas get no
+    # lambda-invariant hoisting, so an nv expression inlined into
+    # _scored_cells would re-run the O(dim) norm aggregate per centroid
     base = spread_compute(df).select(
         F.col(id_col).alias("__vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        vec.alias("v"),
+        _norm(vec).alias("nv"),
     )
     best = F.element_at(
         F.array_sort(
-            _scored_cells(F.col("v"), _norm(F.col("v")), assign_decimals),
+            _scored_cells(F.col("v"), F.col("nv"), assign_decimals),
             _cell_cmp,
         ),
         1,
@@ -314,7 +319,13 @@ def ivf_probe_cells(
     the recall/cost dial of IVF search. Row-local: sort the per-probe
     ``(d, cid)`` array under the same total order as assignment, slice
     ``nprobe``, explode — |probes| rows against a one-row broadcast
-    codebook, no window, no shuffle."""
+    codebook, no window, no shuffle.
+
+    NULL contract (review r9, deliberate change from the window form): a
+    probe whose cosine to EVERY centroid is NULL (NULL/zero-information
+    vector) emits no cells — the asof_join rule, a NULL score never
+    "matches". The former window kept rn<=nprobe rows even when every d
+    was NULL, probing nprobe arbitrary lowest-cid cells."""
     vec = F.col(vec_col).cast("array<double>")
     probes = df.where(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
@@ -366,6 +377,11 @@ def ivf_topk(
     join); the only shuffle left is the per-query ranking window over the
     already cell-pruned candidates."""
     vec = F.col(vec_col).cast("array<double>")
+    # ONE codebook frame feeds both the assignment and the probe side —
+    # the code-level invariant that both score against the same codebook
+    codebook = F.broadcast(
+        _centroid_codebook(df, id_col, vec_col, n_centroids)
+    )
     best = F.element_at(
         F.array_sort(
             _scored_cells(F.col("v"), F.col("nv"), 6), _cell_cmp
@@ -379,18 +395,19 @@ def ivf_topk(
             vec.alias("v"),
             _norm(vec).alias("nv"),
         )
-        .join(
-            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
-            how="cross",
-        )
-        # no NULL-cell guard needed: the inner equi-join on cell below
-        # never matches NULL keys, and a filter on the derived column
-        # would re-inline the interpreted HOF scoring chain per reference
+        .join(codebook, how="cross")
+        # empty-codebook guard on size(cents), same as ivf_assign_cells:
+        # under Spark 4's default ANSI mode element_at(<empty>, 1) THROWS
+        # (it only returns NULL with ANSI off), so the guard is load-
+        # bearing, not just contract hygiene. It must test cents, never
+        # the derived cell — a filter referencing the interpreted HOF
+        # chain re-inlines and re-evaluates the whole scoring per row
+        .where(F.size(F.col("cents")) > 0)
         .select("neighbor_id", "v", "nv", best["cid"].alias("cell"))
     )
     # probes carry their nprobe cells directly (same row-local derivation
-    # as ivf_probe_cells, inlined so the probe vectors are scanned once
-    # and never joined back on query_id)
+    # and NULL contract as ivf_probe_cells, inlined so the probe vectors
+    # are scanned once and never joined back on query_id)
     top = F.slice(
         F.array_sort(_scored_cells(F.col("q"), F.col("nq"), 6), _cell_cmp),
         1,
@@ -401,10 +418,7 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"), vec.alias("q"), _norm(vec).alias("nq")
         )
-        .join(
-            F.broadcast(_centroid_codebook(df, id_col, vec_col, n_centroids)),
-            how="cross",
-        )
+        .join(codebook, how="cross")
         .select(
             "query_id",
             "q",

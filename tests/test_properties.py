@@ -1845,3 +1845,34 @@ def test_approx_top_k_exact_below_budget_degrades_above(spark):
     exact[7] = 51
     assert run(2000, 1000) == exact
     assert len(run(4, 4)) < 1000
+
+
+def test_ivf_empty_codebook_returns_empty_not_ansi_error(spark):
+    """Review r9: under Spark 4's default ANSI mode element_at(<empty
+    array>, 1) THROWS, so a corpus with no ids below n_centroids (empty
+    codebook) must be guarded — every IVF entry point returns empty,
+    matching the former inner-join contract, instead of killing the
+    stage. Also pins the probe-side NULL contract: a NULL-vector probe
+    emits no cells."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import similarity
+
+    df = spark.createDataFrame(
+        [(1000, [1.0, 0.0]), (1001, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert similarity.ivf_assign_cells(df, "vec_id", "embedding").count() == 0
+    assert (
+        similarity.ivf_probe_cells(df, "vec_id", "embedding", [1000]).count()
+        == 0
+    )
+    assert (
+        similarity.ivf_topk(df, "vec_id", "embedding", [1000]).count() == 0
+    )
+    withnull = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (50, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = similarity.ivf_probe_cells(
+        withnull, "vec_id", "embedding", [1, 50], n_centroids=2
+    ).collect()
+    assert {r.query_id for r in got} == {1}, got
