@@ -1876,3 +1876,49 @@ def test_ivf_empty_codebook_returns_empty_not_ansi_error(spark):
         withnull, "vec_id", "embedding", [1, 50], n_centroids=2
     ).collect()
     assert {r.query_id for r in got} == {1}, got
+
+
+def test_asof_join_twins_agree_on_random_corpora(spark):
+    """Seeded random sweep (review r9): the union+window asof_join and
+    the merge_asof cogroup twin must produce IDENTICAL results on
+    arbitrary corpora — including NULL keys, NULL timestamps on either
+    side, duplicate timestamps across keys, and keys present on only one
+    side. The planted NULL test pins the contract's corners; this sweep
+    guards the whole surface between them."""
+    import datetime as dt
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins
+
+    rng = random.Random(20260815)
+    base = dt.datetime(2024, 1, 1)
+
+    def corpus(n, keys):
+        return [
+            (
+                rng.choice(keys),
+                None
+                if rng.random() < 0.1
+                else base + dt.timedelta(minutes=rng.randrange(500)),
+                float(rng.randrange(100)),
+            )
+            for _ in range(n)
+        ]
+
+    for trial in range(3):
+        keys = [None, 1, 2, 3, 4][: rng.randrange(2, 6)]
+        left = spark.createDataFrame(
+            corpus(40, keys), "k bigint, lts timestamp, lv double"
+        )
+        right = spark.createDataFrame(
+            # unique (k, rts): pre-dedup like the operator contract asks
+            list({(k, ts): (k, ts, v) for k, ts, v in corpus(30, keys)}.values()),
+            "k bigint, rts timestamp, rv double",
+        )
+        a = joins.asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+        b = joins.asof_join_cogroup(
+            left, right, on="k", left_ts="lts", right_ts="rts"
+        )
+        ra = sorted(map(tuple, a.collect()), key=str)
+        rb = sorted(map(tuple, b.collect()), key=str)
+        assert ra == rb, (trial, ra[:5], rb[:5])
