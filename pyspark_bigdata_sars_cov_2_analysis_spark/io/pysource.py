@@ -92,17 +92,73 @@ class SyntheticDocsReader(DataSourceReader):
             )
         self.hot_every = int(options.get("hot_every", 0))
         self.seed = int(options.get("seed", 7))
+        # id range after filter pushdown; [0, n) until pushFilters narrows
+        self.lo = 0
+        self.hi = self.n
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(i) for i in range(self.parts)]
 
     def read(self, partition: InputPartition):
         # round-robin id assignment: content depends only on doc_id, so
-        # changing `parts` re-slices the same corpus
-        for doc_id in range(partition.value, self.n, self.parts):
+        # changing `parts` re-slices the same corpus and a narrowed
+        # [lo, hi) bound re-slices a contiguous window of it
+        p = partition.value
+        if self.lo >= self.hi:
+            return
+        start = self.lo + ((p - self.lo) % self.parts)
+        for doc_id in range(start, self.hi, self.parts):
             yield _doc_row(
                 self.seed, doc_id, self.doc_len, self.dup_every, self.hot_every
             )
+
+
+class SyntheticDocsPushdownReader(SyntheticDocsReader):
+    """The pushdown-capable variant, selected by ``option("pushdown",
+    "true")``. Separate class because Spark REFUSES any reader that
+    merely DEFINES pushFilters while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the session
+    default) — folding this into the base reader would break every
+    vanilla-session consumer. Callers opting in must set that conf AND
+    the option (tests pin the coupling)."""
+
+    def pushFilters(self, filters):
+        """Spark 4.1 Python DSv2 filter pushdown: range predicates on
+        ``doc_id`` narrow the GENERATION range — the connector-side twin
+        of parquet row-group pruning. A handled filter is NOT re-applied
+        by Spark, so handling must be exact: only conjunctive int-valued
+        range/equality comparisons on the top-level doc_id column are
+        claimed; everything else is yielded back for Spark to apply.
+        Content depends only on doc_id (module invariant), so narrowing
+        the range preserves every surviving row bit-identically —
+        ``WHERE doc_id >= 10**9 - 1000`` on a billion-doc corpus
+        generates 1000 rows instead of 10**9."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            value = getattr(f, "value", None)
+            if attr != ("doc_id",) or not isinstance(value, int):
+                yield f
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, value)
+                self.hi = min(self.hi, value + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, value + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, value)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, value)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, value + 1)
+            else:
+                yield f
 
 
 class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
@@ -153,6 +209,8 @@ class SyntheticDocsDataSource(DataSource):
         return SYNTH_DOCS_SCHEMA
 
     def reader(self, schema) -> SyntheticDocsReader:
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return SyntheticDocsPushdownReader(self.options)
         return SyntheticDocsReader(self.options)
 
     def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:

@@ -1194,3 +1194,79 @@ def test_recover_staged_swap_cleanup_branch(spark, tmp_path):
     assert spark.read.parquet(path).collect()[0].v == "new"
     assert not _os.path.exists(backup)
     assert not _os.path.exists(path + ".swap-in-progress")
+
+
+def test_python_datasource_filter_pushdown(spark):
+    """Spark 4.1 Python DSv2 filter pushdown (review r9): range
+    predicates on doc_id narrow the GENERATION range — the connector-side
+    twin of parquet row-group pruning. Pins three things: (1) the
+    pushdown reader narrows [lo, hi) exactly and yields back every
+    filter it cannot handle exactly (non-doc_id, non-int); (2) an
+    end-to-end filtered read equals the plain reader's on the same
+    predicate (handled filters are NOT re-applied by Spark, so handling
+    must be exact); (3) the DEFAULT reader does not even define
+    pushFilters — Spark refuses any reader that defines it while
+    spark.sql.python.filterPushdown.enabled is false, so folding it into
+    the base class would break every vanilla-session consumer."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        SyntheticDocsPushdownReader,
+        SyntheticDocsReader,
+        register_synthetic_docs,
+    )
+
+    assert "pushFilters" not in SyntheticDocsReader.__dict__
+    r = SyntheticDocsPushdownReader({"n": "10000"})
+    left = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 9990),
+                LessThan(("doc_id",), 9995),
+                IsNotNull(("lang",)),
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (9990, 9995)
+    assert left == [IsNotNull(("lang",))]
+    got = sorted(
+        doc_id for p in r.partitions() for (doc_id, *_rest) in r.read(p)
+    )
+    assert got == list(range(9990, 9995))
+    # contradictory bounds generate nothing
+    r2 = SyntheticDocsPushdownReader({"n": "100"})
+    list(r2.pushFilters([EqualTo(("doc_id",), 5), EqualTo(("doc_id",), 6)]))
+    assert [row for p in r2.partitions() for row in r2.read(p)] == []
+
+    register_synthetic_docs(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pred = "doc_id >= 9990 AND doc_id < 9995"
+        pushed = (
+            spark.read.format("synthetic_docs")
+            .option("n", 10000)
+            .option("pushdown", "true")
+            .load()
+            .filter(pred)
+            .collect()
+        )
+        plain = (
+            spark.read.format("synthetic_docs")
+            .option("n", 10000)
+            .load()
+            .filter(pred)
+            .collect()
+        )
+        assert sorted(map(tuple, pushed)) == sorted(map(tuple, plain))
+        assert len(pushed) == 5
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
