@@ -61,9 +61,25 @@ def word_occurrences(col: Column, word: str) -> Column:
     with ``\\Q...\\E`` (supported by both Java regex and DuckDB's RE2,
     so the oracle twin ``plans/text._occ_sql`` stays in lockstep):
     unescaped interpolation made ``'c++'`` a pattern-compile error and
-    counted ``'UXSY'`` as a hit for ``'U.S.'`` (review r9)."""
+    counted ``'UXSY'`` as a hit for ``'U.S.'`` (review r9).
+
+    Words whose FIRST or LAST character is not a word character
+    (``'c++'``, ``'U.S.'``) are REFUSED (review r9 follow-up): the
+    ``\\b`` anchors can never match adjacent to punctuation, so such a
+    word would count zero on every input — a caller adding one to a
+    marker list would get silent decorrelation instead of an error.
+    Counting punctuation-edged tokens needs a different boundary rule
+    (lookarounds on ``\\s``), which no current marker needs."""
     if "\\E" in word:
         raise ValueError(r"word must not contain the \E quote terminator")
+    if not word or not (word[0].isalnum() or word[0] == "_") or not (
+        word[-1].isalnum() or word[-1] == "_"
+    ):
+        raise ValueError(
+            f"word {word!r} starts or ends with a non-word character: the "
+            r"\b whole-word anchors can never match next to punctuation, "
+            "so its count would be silently zero on every input"
+        )
     return F.regexp_count(col, F.lit(rf"\b\Q{word}\E\b")).cast("bigint")
 
 

@@ -237,28 +237,71 @@ def ingest_high_water_mark(path: str) -> int:
     return max(ids, default=-1)
 
 
-def _mark_batch_committed(path: str, batch_id: int) -> None:
+def _batch_fingerprint(batch_df: DataFrame, id_col: str) -> str:
+    """Order- and partitioning-independent fingerprint of a batch's id
+    set (``count:sum-of-bounded-id-hashes``) — cheap enough for one tiny
+    agg per micro-batch, discriminating enough to tell "the same batch
+    replayed" from "a DIFFERENT batch reusing the same id" (review r9:
+    the ``== hwm`` allowance is only safe for the former). The per-id
+    hash is bounded below 2^30 so the sum stays far from bigint overflow
+    (ANSI would throw) at any plausible batch size."""
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007))
+        ).alias("h"),
+    ).collect()[0]
+    return f"{int(row['n'])}:{int(row['h'] or 0)}"
+
+
+def _mark_batch_committed(
+    path: str, batch_id: int, fingerprint: str = ""
+) -> None:
     """Record ``batch_id`` as committed into the checkpoint at ``path``.
-    Idempotent (a replay's duplicate marker is a no-op via EEXIST);
-    written only AFTER the batch's output and state appends both
-    succeeded, so a crash mid-batch leaves the mark absent and the
-    replay passes the high-water-mark guard as ``batch_id == hwm + 1``
-    (or ``== hwm`` when the marker landed but the stream checkpoint
-    commit did not — at-least-once replay, which the stamp-scoped
-    exclusion makes idempotent)."""
+    Idempotent (a replay's duplicate marker is a no-op via EEXIST, and a
+    legitimate replay carries the identical fingerprint anyway); written
+    only AFTER the batch's output and state appends both succeeded, so a
+    crash mid-batch leaves the mark absent and the replay passes the
+    high-water-mark guard as ``batch_id == hwm + 1`` (or ``== hwm`` when
+    the marker landed but the stream checkpoint commit did not —
+    at-least-once replay, which the stamp-scoped exclusion makes
+    idempotent). The marker FILE CONTENT is the committed batch's id-set
+    fingerprint: O_EXCL-create a staged name, write, rename — a crash
+    can leave a stale ``.tmp``, never a truncated marker, so an existing
+    marker's content is trustworthy (empty = legacy pre-fingerprint
+    marker, which the guard treats as unverifiable and allows)."""
     import os as _os
 
     d = _hwm_dir(path)
     _os.makedirs(d, exist_ok=True)
+    final = _os.path.join(d, f"b{int(batch_id)}")
+    if _os.path.exists(final):
+        return
+    tmp = final + ".tmp"
     try:
-        _os.close(
-            _os.open(
-                _os.path.join(d, f"b{int(batch_id)}"),
-                _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
-            )
-        )
+        fd = _os.open(tmp, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
     except FileExistsError:
-        pass
+        # a concurrent/crashed attempt staged the same marker — replays
+        # carry identical content, so take over the stale stage
+        fd = _os.open(tmp, _os.O_CREAT | _os.O_TRUNC | _os.O_WRONLY)
+    with _os.fdopen(fd, "w") as fh:
+        fh.write(fingerprint)
+    try:
+        _os.rename(tmp, final)
+    except FileExistsError:  # pragma: no cover - Windows-only race shape
+        _os.remove(tmp)
+
+
+def _committed_fingerprint(path: str, batch_id: int) -> str | None:
+    """Content of batch ``batch_id``'s commit marker (None = no marker,
+    "" = legacy empty marker)."""
+    import os as _os
+
+    try:
+        with open(_os.path.join(_hwm_dir(path), f"b{int(batch_id)}")) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
 
 
 def _resolve_append_batch_id(
@@ -283,7 +326,9 @@ def _resolve_append_batch_id(
     return -1
 
 
-def _guard_batch_id_monotonic(path: str, batch_id: int, what: str) -> None:
+def _guard_batch_id_monotonic(
+    path: str, batch_id: int, what: str, fingerprint: str | None = None
+) -> None:
     """Raise when ``batch_id`` has fallen BELOW the checkpoint's
     committed high-water mark — the batch-id-collision hazard of the
     stamp-scoped replay exclusion (ADVICE r9). ``foreachBatch`` epoch
@@ -293,10 +338,16 @@ def _guard_batch_id_monotonic(path: str, batch_id: int, what: str) -> None:
     committed same-id state rows from the corpus side — silently
     re-admitting their near-duplicates — and (b) clobber that
     incarnation's same-id output partition via the dynamic overwrite.
-    ``batch_id == hwm`` stays allowed: that is the legitimate
+    ``batch_id == hwm`` is allowed ONLY as the legitimate
     replay-after-crash of the newest batch, which the exclusion makes
-    idempotent. Equal-or-higher ids never collide because each
-    incarnation's ids are monotonic within its own stream checkpoint."""
+    idempotent — and since review r9 that claim is VERIFIED, not
+    assumed: commit markers carry the committed batch's id-set
+    fingerprint, and an ``== hwm`` arrival whose content fingerprint
+    differs is a restarted incarnation whose FIRST epoch collides with
+    the newest committed batch (the hwm==0 blind spot of the
+    strictly-below check) and is refused. Legacy empty markers are
+    unverifiable and stay allowed. Equal-or-higher ids never collide
+    within one incarnation because its ids are monotonic."""
     hwm = ingest_high_water_mark(path)
     if int(batch_id) < hwm:
         raise ValueError(
@@ -310,6 +361,21 @@ def _guard_batch_id_monotonic(path: str, batch_id: int, what: str) -> None:
             "original stream checkpoint), or seed a fresh state path "
             "for a genuinely new corpus run."
         )
+    if int(batch_id) == hwm and fingerprint is not None:
+        committed = _committed_fingerprint(path, hwm)
+        if committed and committed != fingerprint:
+            raise ValueError(
+                f"batch_id {batch_id} equals the {what}'s committed "
+                f"high-water mark at {path} but carries DIFFERENT "
+                "content than the committed batch (fingerprint "
+                f"{fingerprint} != {committed}): this is not a replay "
+                "— batch ids restarted at the newest committed id (new "
+                "streaming checkpoint over kept state, or a second "
+                "pipeline on this path). Proceeding would exclude the "
+                "committed batch's state from the replay filter and "
+                "overwrite its output partition. Continue numbering "
+                "above the mark or seed a fresh state path."
+            )
 
 
 def write_band_checkpoint(
@@ -370,8 +436,12 @@ def write_band_checkpoint(
     instead of raising a grid mismatch against a default the checkpoint
     never used; pass an explicit int to ASSERT the grid instead."""
     batch_id = _resolve_append_batch_id(mode, batch_id, "band checkpoint")
+    batch_fp = None
     if mode == "append" and batch_id >= 0:
-        _guard_batch_id_monotonic(path, batch_id, "band checkpoint")
+        batch_fp = _batch_fingerprint(corpus_df, id_col)
+        _guard_batch_id_monotonic(
+            path, batch_id, "band checkpoint", fingerprint=batch_fp
+        )
     spark = corpus_df.sparkSession
     sidecar_exists = False
     if mode == "append":
@@ -446,7 +516,7 @@ def write_band_checkpoint(
             "k int, num_hashes int, band_rows int, n_sig_buckets int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
     if mode == "append" and batch_id >= 0:
-        _mark_batch_committed(path, batch_id)
+        _mark_batch_committed(path, batch_id, batch_fp or "")
 
 
 def read_band_params(spark, path: str) -> dict:
@@ -586,6 +656,15 @@ def _migrate_checkpoint_stamps(
     _shutil.copytree(
         _os.path.join(path, sidecar), _os.path.join(tmp, sidecar)
     )
+    # the committed-batch markers too (review r9): losing _ingest_hwm in
+    # the swap silently resets the high-water mark to -1, DISARMING the
+    # batch-id collision guard — a restarted-at-zero counter over the
+    # migrated state would then pass the guard, exclude a prior
+    # incarnation's committed rows from the replay filter, and clobber
+    # its output partition (the exact hazard the markers exist to refuse)
+    hwm_src = _hwm_dir(path)
+    if _os.path.isdir(hwm_src):
+        _shutil.copytree(hwm_src, _hwm_dir(tmp))
     got = spark.read.parquet(tmp).count()
     if got != want:
         raise RuntimeError(
@@ -635,7 +714,11 @@ def migrate_chunk_checkpoint_stamps(spark, path: str) -> dict:
     return _migrate_checkpoint_stamps(
         spark,
         path,
-        lambda: ["lhb"] if read_chunk_params(spark, path)[1] else [],
+        lambda: (
+            ["lhb"]
+            if read_chunk_params(spark, path)["n_buckets"]
+            else []
+        ),
         "_chunk_params",
     )
 
@@ -775,7 +858,10 @@ def ingest_batch_idempotent(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
-    _guard_batch_id_monotonic(band_path, batch_id, "band checkpoint")
+    batch_fp = _batch_fingerprint(batch_df, id_col)
+    _guard_batch_id_monotonic(
+        band_path, batch_id, "band checkpoint", fingerprint=batch_fp
+    )
     s = batch_df.sparkSession
     # The batch's bands feed THREE consumers — the sigb pruning probe,
     # the pair expansion, and the survivors' checkpoint append — so they
@@ -862,7 +948,7 @@ def ingest_batch_idempotent(
             add.write.mode("append").partitionBy("band").parquet(band_path)
         # commit marker LAST: a crash anywhere above leaves it absent
         # and the replay re-enters as batch_id >= hwm
-        _mark_batch_committed(band_path, batch_id)
+        _mark_batch_committed(band_path, batch_id, batch_fp)
     finally:
         batch_bands.unpersist()
         if dup_ids is not None:
@@ -1903,12 +1989,18 @@ def _lh_bucket(col: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(int(n_buckets)))
 
 
-def read_chunk_params(spark, path: str) -> tuple[int, int]:
-    """(chunk_words, n_buckets) from a chunk checkpoint's parameter
-    sidecar; pre-bucketing sidecars read as n_buckets=0 (flat layout)."""
-    got = spark.read.parquet(f"{path}/_chunk_params").collect()[0]
-    d = got.asDict()
-    return int(d["chunk_words"]), int(d.get("n_buckets", 0) or 0)
+def read_chunk_params(spark, path: str) -> dict:
+    """The chunk checkpoint's parameter sidecar as a dict —
+    ``{"chunk_words", "n_buckets"}`` — the same shape as its band twin
+    :func:`read_band_params` (review r9: the tuple form forced
+    magic-index access at call sites, and adding a sidecar field — as
+    this round did for bands — silently shifts tuple positions).
+    Pre-bucketing sidecars read as n_buckets=0 (flat layout)."""
+    got = spark.read.parquet(f"{path}/_chunk_params").collect()[0].asDict()
+    return {
+        "chunk_words": int(got["chunk_words"]),
+        "n_buckets": int(got.get("n_buckets", 0) or 0),
+    }
 
 
 def _validate_chunk_words(path: str, stored_cw: int, chunk_words: int) -> None:
@@ -1985,8 +2077,12 @@ def write_chunk_checkpoint(
     sidecar exists to catch. Recover by re-seeding with
     ``mode='overwrite'``."""
     batch_id = _resolve_append_batch_id(mode, batch_id, "chunk checkpoint")
+    batch_fp = None
     if mode == "append" and batch_id >= 0:
-        _guard_batch_id_monotonic(path, batch_id, "chunk checkpoint")
+        batch_fp = _batch_fingerprint(corpus_df, id_col)
+        _guard_batch_id_monotonic(
+            path, batch_id, "chunk checkpoint", fingerprint=batch_fp
+        )
     spark = corpus_df.sparkSession
     sidecar_exists = False
     if mode == "append":
@@ -1995,7 +2091,9 @@ def write_chunk_checkpoint(
         # the None-grid resolution (the first cut launched three driver
         # jobs here)
         try:
-            stored_cw, stored_nb = read_chunk_params(spark, path)
+            params = read_chunk_params(spark, path)
+            stored_cw = params["chunk_words"]
+            stored_nb = params["n_buckets"]
         except Exception:
             stored_cw = stored_nb = None
         if stored_cw is not None:
@@ -2054,7 +2152,7 @@ def write_chunk_checkpoint(
             [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
     if mode == "append" and batch_id >= 0:
-        _mark_batch_committed(path, batch_id)
+        _mark_batch_committed(path, batch_id, batch_fp or "")
 
 
 def read_chunk_checkpoint(
@@ -2078,12 +2176,12 @@ def read_chunk_checkpoint(
     pruning path). Ignored on a flat (n_buckets=0) layout, where there
     is nothing to prune.
 
-    ``params``: a (chunk_words, n_buckets) pair the caller already read
-    via :func:`read_chunk_params` — skips the second sidecar collect
-    job (one driver round-trip per micro-batch in the ingest loop)."""
-    stored_cw, stored_nb = (
-        params if params is not None else read_chunk_params(spark, path)
-    )
+    ``params``: a sidecar dict the caller already read via
+    :func:`read_chunk_params` — skips the second sidecar collect job
+    (one driver round-trip per micro-batch in the ingest loop)."""
+    if params is None:
+        params = read_chunk_params(spark, path)
+    stored_cw, stored_nb = params["chunk_words"], params["n_buckets"]
     _validate_chunk_words(path, stored_cw, chunk_words)
     # mergeSchema + coalesce: see read_band_checkpoint — mixed
     # pre/post-src_batch files must read as seed rows (-1), not as NULLs
@@ -2162,7 +2260,10 @@ def chunk_ingest_batch_idempotent(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
-    _guard_batch_id_monotonic(chunk_path, batch_id, "chunk checkpoint")
+    batch_fp = _batch_fingerprint(batch_df, id_col)
+    _guard_batch_id_monotonic(
+        chunk_path, batch_id, "chunk checkpoint", fingerprint=batch_fp
+    )
     s = batch_df.sparkSession
     # chunks feeds the lhb bucket probe, the fresh->firsts->kept chain
     # (twice within the output write's own branches), and totals — cache
@@ -2180,7 +2281,7 @@ def chunk_ingest_batch_idempotent(
     kept = None
     try:
         params = read_chunk_params(s, chunk_path)
-        n_buckets = params[1]
+        n_buckets = params["n_buckets"]
         buckets = None
         if n_buckets:
             buckets = sorted(
@@ -2274,7 +2375,7 @@ def chunk_ingest_batch_idempotent(
             add.write.mode("append").parquet(chunk_path)
         # commit marker LAST (band twin's rule): a crash above leaves it
         # absent and the replay re-enters as batch_id >= hwm
-        _mark_batch_committed(chunk_path, batch_id)
+        _mark_batch_committed(chunk_path, batch_id, batch_fp)
     finally:
         if kept is not None:
             kept.unpersist()

@@ -174,20 +174,30 @@ def future_predictions(df: DataFrame, seed: int = 2020, fitter=None) -> DataFram
         F.col("y").cast("double"),
     ).toPandas()
     predict = fitter(tp["x"].astype("float64"), tp["y"])
-    resid = tp["y"] - predict(tp["x"])
-    band = 2.0 * float((resid * resid).mean() ** 0.5)
     xp = test.select(
         "ds", F.datediff(F.to_date("ds"), F.lit("2020-01-01")).alias("x")
     ).toPandas()
-    yhat = predict(xp["x"].astype("float64"))
+    pred_train = predict(tp["x"].astype("float64"))
+    # degenerate fit — empty or zero-variance train split — forecasts
+    # all-NULL (review r9): ols_fitter's SQL-twin NULL contract
+    # propagates here too; the old arithmetic raised on float(None)
+    if len(tp) == 0 or pd.isna(pred_train).all():
+        yh = lo = up = [None] * len(xp)
+    else:
+        resid = tp["y"] - pred_train
+        band = 2.0 * float((resid * resid).mean() ** 0.5)
+        yhat = predict(xp["x"].astype("float64"))
+        yh = [pyround(float(v), 3) for v in yhat]
+        lo = [pyround(float(v) - band, 3) for v in yhat]
+        up = [pyround(float(v) + band, 3) for v in yhat]
     spark = df.sparkSession
     out = spark.createDataFrame(
         pd.DataFrame(
             {
                 "ds": xp["ds"],
-                "yhat": [pyround(float(v), 3) for v in yhat],
-                "yhat_lower": [pyround(float(v) - band, 3) for v in yhat],
-                "yhat_upper": [pyround(float(v) + band, 3) for v in yhat],
+                "yhat": yh,
+                "yhat_lower": lo,
+                "yhat_upper": up,
             }
         ),
         "ds string, yhat double, yhat_lower double, yhat_upper double",

@@ -319,3 +319,34 @@ class TestResearchAndRadiographyJobParity:
         }
         for name in written:
             assert glob.glob(os.path.join(out, name, "part-*")), name
+
+
+def test_future_predictions_degenerate_train_split_yields_nulls(spark):
+    """Review r9: a train split with zero or one distinct day makes the
+    OLS fit degenerate — ols_fitter returns the all-NULL predictor (its
+    SQL-twin contract) and future_predictions previously crashed on
+    float(None) arithmetic. Every split outcome must now return cleanly:
+    numeric forecasts from a healthy fit, all-NULL rows (yhat and both
+    bands) from a degenerate one, never an exception."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.pipelines.cases_time import (
+        future_predictions,
+    )
+
+    df = spark.createDataFrame(
+        [("2020-03-01", 5), ("2020-03-01", 7), ("2020-03-02", 9)],
+        "date string, confirmed long",
+    )
+    saw_degenerate = False
+    for seed in range(12):
+        rows = future_predictions(df, seed=seed).collect()
+        for r in rows:
+            vals = (r.yhat, r.yhat_lower, r.yhat_upper)
+            if r.yhat is None:
+                saw_degenerate = True
+                assert vals == (None, None, None), (seed, r)
+            else:
+                assert all(v is not None for v in vals), (seed, r)
+    # with 2 candidate days and 12 seeds, some split leaves <=1 distinct
+    # train day — if this ever stops holding, add seeds rather than
+    # weakening the assertion
+    assert saw_degenerate

@@ -1478,7 +1478,7 @@ def test_stamp_migration_invariants_on_random_mixed_states(spark, tmp_path):
         want = sorted(stamped + [(lh, i, p, -1) for (lh, i, p) in legacy])
         assert got == want, f"seed={seed}"
         assert res["seed_rows"] == sum(1 for r in want if r[3] == -1)
-        assert dedup.read_chunk_params(spark, path) == (10, 0)
+        assert dedup.read_chunk_params(spark, path) == {"chunk_words": 10, "n_buckets": 0}
         # fixpoint: migrating an already-migrated state changes nothing
         res2 = dedup.migrate_chunk_checkpoint_stamps(spark, path)
         assert res2["rows"] == len(rows) and state() == want
@@ -1612,17 +1612,19 @@ def test_word_occurrences_escapes_regex_metacharacters(spark):
     )
     got = df.select(
         word_occurrences(F.col("text"), "the").alias("plain"),
-        word_occurrences(F.col("text"), "c++").alias("plus"),
         word_occurrences(F.col("text"), "U.S").alias("dotted"),
     ).collect()[0]
-    # 'c++' / trailing-'.' words can't end on \b (punctuation is not a
-    # word char) — the point is literal matching without a compile error
-    assert (got.plain, got.plus) == (2, 0), got
+    assert got.plain == 2, got
     # '.' is literal: matches the real 'U.S.' once, NOT 'UXSY' (which
     # the unquoted pattern counted as a second hit)
     assert got.dotted == 1, got
     with pytest.raises(ValueError, match="quote terminator"):
         word_occurrences(F.col("text"), "bad\\Eword")
+    # review r9 follow-up: punctuation-EDGED words can never match the
+    # \b anchors, so instead of a silent always-zero count they raise
+    for bad in ("c++", "U.S.", "", "+x", "x+"):
+        with pytest.raises(ValueError, match="non-word character|quote"):
+            word_occurrences(F.col("text"), bad)
 
 
 def test_udaf_and_arrow_null_semantics(spark):

@@ -728,6 +728,17 @@ def test_ingest_batch_replay_survives_torn_band_append(spark, tmp_path):
         batch.where("doc_id = 11"), band_path, "doc_id", "text",
         mode="append", batch_id=0,
     )
+    # ...but a REAL torn ingest append crashes BEFORE its commit marker
+    # lands (markers are written last), whereas the manual writer above
+    # legitimately marks its completed append committed — remove the
+    # marker so the simulated state matches the crash, not a commit
+    # (review r9: with the marker present, the replay's full-batch
+    # fingerprint differs from the doc-11-only commit and is refused as
+    # an incarnation collision — the correct answer for a COMMITTED
+    # same-id batch with different content)
+    import os as _os
+
+    _os.remove(_os.path.join(dedup._hwm_dir(band_path), "b0"))
 
     # the replay (same batch_df, batch_id 0) must admit 11, 12 and 13
     dedup.ingest_batch_idempotent(batch, 0, band_path, out)
@@ -861,6 +872,12 @@ def test_ingest_refuses_batch_ids_below_high_water_mark(spark, tmp_path):
     dedup.ingest_batch_idempotent(mk(1), 1, band_path, bout)
     got = sorted(r.doc_id for r in spark.read.parquet(bout).collect())
     assert got == [10, 11], got
+    # review r9: == hwm with DIFFERENT content is NOT a replay — it is a
+    # restarted incarnation whose id happens to collide with the newest
+    # committed batch (the hwm==0 blind spot of the strictly-below
+    # check); the marker's content fingerprint refuses it
+    with _pytest.raises(ValueError, match="DIFFERENT content"):
+        dedup.ingest_batch_idempotent(mk(2), 1, band_path, bout)
     # the manual append path shares the guard
     with _pytest.raises(ValueError, match="high-water"):
         dedup.write_band_checkpoint(mk(2), band_path, "doc_id", "text",
@@ -874,9 +891,56 @@ def test_ingest_refuses_batch_ids_below_high_water_mark(spark, tmp_path):
     with _pytest.raises(ValueError, match="high-water"):
         dedup.chunk_ingest_batch_idempotent(mk(2), 0, chunk_path, cout)
     dedup.chunk_ingest_batch_idempotent(mk(1), 1, chunk_path, cout)
+    with _pytest.raises(ValueError, match="DIFFERENT content"):
+        dedup.chunk_ingest_batch_idempotent(mk(2), 1, chunk_path, cout)
     with _pytest.raises(ValueError, match="high-water"):
         dedup.write_chunk_checkpoint(mk(2), chunk_path, "doc_id", "text",
                                      mode="append", batch_id=0)
+
+
+def test_hwm_zero_incarnation_collision_refused(spark, tmp_path):
+    """Review r9: the strictly-below guard's blind spot — after exactly
+    ONE committed batch (hwm==0) a restarted incarnation's first epoch
+    is 0 == hwm and previously passed as a 'newest-batch replay',
+    silently excluding the committed batch's state from the corpus side
+    and clobbering its output partition. The marker's content
+    fingerprint closes it: same id + different docs raises; the true
+    same-content replay stays allowed and idempotent."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    seed = spark.createDataFrame(
+        [(1, "seed text about executor memory overhead accounting and "
+             "off heap allocation limits")],
+        "doc_id long, text string",
+    )
+    x = spark.createDataFrame(
+        [(10, "incarnation A batch about dynamic allocation upscaling "
+              "policies and idle executor reaping")],
+        "doc_id long, text string",
+    )
+    y = spark.createDataFrame(
+        [(20, "incarnation B batch about speculative task launch "
+              "quantiles and straggler mitigation")],
+        "doc_id long, text string",
+    )
+    path, out = str(tmp_path / "bands"), str(tmp_path / "out")
+    dedup.write_band_checkpoint(seed, path, "doc_id", "text")
+    dedup.ingest_batch_idempotent(x, 0, path, out)
+    assert dedup.ingest_high_water_mark(path) == 0
+    # true replay of the same batch: allowed, output unchanged
+    dedup.ingest_batch_idempotent(x, 0, path, out)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [10]
+    # restarted incarnation reusing id 0 with different docs: refused
+    # BEFORE any state or output is touched
+    with _pytest.raises(ValueError, match="DIFFERENT content"):
+        dedup.ingest_batch_idempotent(y, 0, path, out)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [10]
 
 
 def test_checkpoint_append_requires_explicit_batch_id(spark, tmp_path):
@@ -1330,7 +1394,7 @@ def test_checkpoint_grid_defaults_adopt_sidecar_on_append(spark, tmp_path):
                                  n_buckets=8)
     dedup.write_chunk_checkpoint(more, cpath, "doc_id", "text",
                                  mode="append", batch_id=-1)
-    assert dedup.read_chunk_params(spark, cpath) == (10, 8)
+    assert dedup.read_chunk_params(spark, cpath) == {"chunk_words": 10, "n_buckets": 8}
     # appended rows landed INSIDE the 8-bucket grid (probe-visible)
     assert len(_glob.glob(f"{cpath}/lhb=*")) <= 8
     with _pytest.raises(ValueError, match="n_buckets"):
@@ -1445,7 +1509,10 @@ def test_stamp_migration_on_legacy_and_mixed_checkpoints(spark, tmp_path):
     assert raw.where(F.col("src_batch") == 5).count() > 0
     assert raw.where(F.col("src_batch").isNull()).count() == 0
     assert raw.where(F.col("src_batch") == -1).count() >= n_legacy
-    assert dedup.read_chunk_params(spark, cpath) == (10, 0)
+    assert dedup.read_chunk_params(spark, cpath) == {"chunk_words": 10, "n_buckets": 0}
+    # review r9: the swap must carry the committed-batch markers — losing
+    # them resets the high-water mark and disarms the collision guard
+    assert dedup.ingest_high_water_mark(cpath) == 5
 
 
 def test_ingest_queries_empty_output_read_back(spark, tmp_path):
