@@ -1442,3 +1442,39 @@ def sql09_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@query(
+    "sql10_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round("SUM(l_quantity)", 2)} AS sum_qty,
+           {sql_round("SUM(l_extendedprice)", 2)} AS sum_price
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql10_pipe_syntax(spark, sf_dir):
+    """SQL-surface completion — Spark 4.1 PIPE syntax (`|>`), the
+    linear-dataflow SQL dialect (FROM … |> WHERE … |> AGGREGATE … |>
+    ORDER BY) that reads in execution order: the q1 pricing-summary
+    shape through the pipe parser. Parser-path attestation (sql05's
+    framing): Catalyst rewrites each pipe stage into the same logical
+    operators the clause form produces, so the plan — pushdown-filtered
+    scan, one partial+final hash aggregate — is identical; this pins
+    that a user migrating pipe-dialect queries loses nothing. Sums ride
+    the compat floor-round grid inside the AGGREGATE stage."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql10"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_sql10
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE COUNT(*) AS n,
+             floor(SUM(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+             floor(SUM(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, sum_price
+        """
+    )
