@@ -57,7 +57,7 @@ _PRIORITY_FIRST = [
 _NEXT_WINDOW_FIRST = [
     "a27_approx_top_k_mergeable", "u15_python_udtf",
     "j11_lateral_join_api", "a28_listagg_within_group",
-    "sql09_sql_scripting", "sql10_pipe_syntax",
+    "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
 ]
 _STALE_QUEUE = [
     # the committed r9 head: last attested round 5 (stalest anywhere),

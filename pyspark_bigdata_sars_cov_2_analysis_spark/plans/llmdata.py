@@ -1750,3 +1750,82 @@ def d20_band_ingest_incremental(spark, sf_dir):
     return spark.read.schema(
         "doc_id bigint, text string, ingest_batch int"
     ).parquet(out).select("doc_id", "ingest_batch")
+
+
+@query(
+    "o10_token_budget_plan",
+    # o06's DOUBLE-cast discipline: every numeric literal is ::DOUBLE
+    # (bare decimals type as DECIMAL in DuckDB and compute a DIFFERENT
+    # product than Spark's double arithmetic); the rate rides the compat
+    # 6dp floor grid so the floor(rate*toks) boundary agrees bit-for-bit
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY lang
+    ),
+    t2 AS (
+      SELECT lang, toks,
+             CASE lang WHEN 'en' THEN 0.4::DOUBLE WHEN 'zh' THEN 0.3::DOUBLE
+                       WHEN 'de' THEN 0.2::DOUBLE WHEN 'fr' THEN 0.1::DOUBLE
+                       ELSE 0.0::DOUBLE END AS share,
+             0.5::DOUBLE * CAST(SUM(toks) OVER () AS DOUBLE) AS b
+      FROM toks
+    ),
+    r AS (
+      SELECT lang, toks, share, b,
+             floor(least(1.0::DOUBLE, b * share / CAST(toks AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS rate
+      FROM t2
+    )
+    SELECT lang, toks, rate,
+           CAST(floor(rate * CAST(toks AS DOUBLE)) AS BIGINT)
+             AS achieved_tokens,
+           CAST(floor(b * share) AS BIGINT)
+             - CAST(floor(rate * CAST(toks AS DOUBLE)) AS BIGINT)
+             AS deficit_tokens
+    FROM r
+    """,
+)
+def o10_token_budget_plan(spark, sf_dir):
+    """Mixture PLANNING — the step before o06's mixing executes: given
+    per-source token totals, target shares, and a token budget (here
+    50% of the corpus), emit each source's keep-rate, the tokens that
+    rate achieves, and the shortfall against its target allocation —
+    the planner's report that says "zh cannot fill its 30% share at
+    this budget" BEFORE a multi-day sampling job runs. One grouped
+    aggregate; the corpus total comes from an UNPARTITIONED window over
+    the ≤|langs|-row post-agg frame (t16's precedent — crossJoin
+    branches recompute their subtree, a window over a provably-tiny
+    aggregate does not). Rates ride the compat 6dp grid so the
+    floor(rate·toks) token accounting agrees across engines; a capped
+    rate (≥1) reports the deficit the budget cannot buy."""
+    from pyspark.sql.window import Window
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.sum(token_count(F.col("text"))).alias("toks"))
+    share = (
+        F.when(F.col("lang") == "en", F.lit(0.4))
+        .when(F.col("lang") == "zh", F.lit(0.3))
+        .when(F.col("lang") == "de", F.lit(0.2))
+        .when(F.col("lang") == "fr", F.lit(0.1))
+        .otherwise(F.lit(0.0))
+    )
+    b = F.lit(0.5) * F.sum("toks").over(Window.partitionBy()).cast("double")
+    rate = pround(
+        F.least(F.lit(1.0), b * share / F.col("toks").cast("double")), 6
+    )
+    achieved = F.floor(rate * F.col("toks").cast("double")).cast("bigint")
+    want = F.floor(b * share).cast("bigint")
+    return per.select(
+        "lang",
+        "toks",
+        rate.alias("rate"),
+        achieved.alias("achieved_tokens"),
+        (want - achieved).alias("deficit_tokens"),
+    )
