@@ -58,6 +58,7 @@ _NEXT_WINDOW_FIRST = [
     "a27_approx_top_k_mergeable", "u15_python_udtf",
     "j11_lateral_join_api", "a28_listagg_within_group",
     "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
+    "d21_curation_funnel",
 ]
 _STALE_QUEUE = [
     # the committed r9 head: last attested round 5 (stalest anywhere),

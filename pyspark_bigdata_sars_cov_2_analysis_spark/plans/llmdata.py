@@ -1829,3 +1829,139 @@ def o10_token_budget_plan(spark, sf_dir):
         achieved.alias("achieved_tokens"),
         (want - achieved).alias("deficit_tokens"),
     )
+
+
+@query(
+    "d21_curation_funnel",
+    # d18's own fragments, re-aggregated as stage flags: the funnel's
+    # numbers are BY CONSTRUCTION the stage cardinalities of the
+    # curation chain, so the report cannot drift from the pipeline it
+    # reports on. MIN(CASE WHEN gate ...) over an all-false fp group is
+    # NULL and NULL-compares false — identical in both engines.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, text,
+             CASE WHEN len(w) >= 3
+                  THEN [array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, len(w) - 2)]
+                  ELSE [] END AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, md5({_NORM}) AS fp,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+             {sql_round(_QUALITY_EXPR, 4)} AS q,
+             {sql_round("CASE WHEN len(g) > 0 THEN (len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE) ELSE 0.0 END", 4)}
+               AS rep
+      FROM grams
+    ),
+    flags AS (
+      SELECT doc_id, fp,
+             (n_toks >= 30 AND q >= 0.35 AND rep <= 0.05) AS gate,
+             greatest(q, 0.0) AS weight
+      FROM feats
+    ),
+    keep AS (
+      SELECT *,
+             gate AND doc_id = MIN(CASE WHEN gate THEN doc_id END)
+               OVER (PARTITION BY fp) AS keeper
+      FROM flags
+    ),
+    samp AS (
+      SELECT *,
+             keeper AND substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < CASE WHEN weight >= 1.0 THEN 'g'
+                      ELSE printf('%04x', least(
+                        CAST(floor(weight * 65536.0) AS INT), 65535)) END
+               AS sampled
+      FROM keep
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN gate THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+           CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           {sql_round("SUM(CASE WHEN gate THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 4)}
+             AS gate_rate,
+           {sql_round("SUM(CASE WHEN sampled THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 4)}
+             AS yield_rate
+    FROM samp
+    """,
+)
+def d21_curation_funnel(spark, sf_dir):
+    """The curation FUNNEL report — per-stage survivor accounting for
+    the d18 chain (total → quality-gated → exact-unique → sampled) in
+    ONE pass: the numbers you check before shipping a curated snapshot
+    ("the gate drops 54%, dedup another 3%, the weighted sample yields
+    31% — is that the corpus we meant to build?"). Same fragments as
+    d18 so the report cannot drift from the pipeline: every doc gets
+    stage FLAGS (gate row-local; keeper = min-doc-per-fingerprint among
+    gate-passers via one fp-keyed window over the cached score frame;
+    sampled = the same deterministic md5 weight gate), then one global
+    conditional aggregate. Shape: the codegen agg repetition scorer
+    (always — a corpus-wide report is exactly the regime where the
+    interpreted row-local scorer loses), one fp shuffle (fingerprint
+    groups are duplicate-cluster-sized, bounded), one single-row
+    aggregate. The cached frame is (id, fp, 3 scalars), text-free —
+    d18's barrier rule: flags reference the scores several times and an
+    uncached frame would re-inline the scoring per reference."""
+    from pyspark.sql.window import Window
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround as _pr,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+        repetition_ratio_agg,
+        token_count,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+        _hash_prefix,
+        rate_threshold_hex,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    rep = repetition_ratio_agg(d, "doc_id", "text", 3)
+    scored = (
+        d.select(
+            F.col("doc_id"),
+            F.md5(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+            ).alias("fp"),
+            token_count(F.col("text")).alias("n_toks"),
+            _pr(quality_score(F.col("text")), 4).alias("q"),
+        )
+        .join(rep, "doc_id")
+        .withColumnRenamed("rep_ratio", "rep")
+        .cache()
+    )
+    gate = (
+        (F.col("n_toks") >= 30) & (F.col("q") >= 0.35) & (F.col("rep") <= 0.05)
+    )
+    weight = F.greatest(F.col("q"), F.lit(0.0))
+    w = Window.partitionBy("fp")
+    keeper = gate & (
+        F.col("doc_id")
+        == F.min(F.when(gate, F.col("doc_id"))).over(w)
+    )
+    sampled = keeper & (
+        _hash_prefix(F.col("doc_id"), "cur|") < rate_threshold_hex(weight)
+    )
+    flagged = scored.select(
+        gate.alias("gate"), keeper.alias("keeper"), sampled.alias("sampled")
+    )
+    n = F.count(F.lit(1))
+    n_gate = F.sum(F.col("gate").cast("long"))
+    n_samp = F.sum(F.col("sampled").cast("long"))
+    return flagged.agg(
+        n.alias("n_total"),
+        n_gate.alias("n_gated"),
+        F.sum(F.col("keeper").cast("long")).alias("n_unique"),
+        n_samp.alias("n_sampled"),
+        _pr(n_gate * 1.0 / n, 4).alias("gate_rate"),
+        _pr(n_samp * 1.0 / n, 4).alias("yield_rate"),
+    )
