@@ -72,13 +72,19 @@ def word_occurrences(col: Column, word: str) -> Column:
     (lookarounds on ``\\s``), which no current marker needs."""
     if "\\E" in word:
         raise ValueError(r"word must not contain the \E quote terminator")
-    if not word or not (word[0].isalnum() or word[0] == "_") or not (
-        word[-1].isalnum() or word[-1] == "_"
-    ):
+    # ASCII word-char test, NOT str.isalnum() (second review pass): Java
+    # regex and RE2 define \b over [A-Za-z0-9_] only, so 'café' — whose
+    # 'é' IS alnum to Python — still never matches the trailing \b and
+    # would slip a Unicode-edged word past a Python-semantics guard
+    wordchar = set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+    if not word or word[0] not in wordchar or word[-1] not in wordchar:
         raise ValueError(
-            f"word {word!r} starts or ends with a non-word character: the "
-            r"\b whole-word anchors can never match next to punctuation, "
-            "so its count would be silently zero on every input"
+            f"word {word!r} starts or ends with a character outside the "
+            r"regex \b word class [A-Za-z0-9_]: the whole-word anchors "
+            "can never match next to it, so its count would be silently "
+            "zero on every input"
         )
     return F.regexp_count(col, F.lit(rf"\b\Q{word}\E\b")).cast("bigint")
 

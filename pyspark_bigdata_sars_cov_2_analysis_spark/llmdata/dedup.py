@@ -237,18 +237,28 @@ def ingest_high_water_mark(path: str) -> int:
     return max(ids, default=-1)
 
 
-def _batch_fingerprint(batch_df: DataFrame, id_col: str) -> str:
-    """Order- and partitioning-independent fingerprint of a batch's id
-    set (``count:sum-of-bounded-id-hashes``) — cheap enough for one tiny
-    agg per micro-batch, discriminating enough to tell "the same batch
-    replayed" from "a DIFFERENT batch reusing the same id" (review r9:
-    the ``== hwm`` allowance is only safe for the former). The per-id
-    hash is bounded below 2^30 so the sum stays far from bigint overflow
-    (ANSI would throw) at any plausible batch size."""
+def _batch_fingerprint(batch_df: DataFrame, id_col: str, text_col: str) -> str:
+    """Order- and partitioning-independent fingerprint of a batch's
+    CONTENT (``count:sum-of-bounded-(id,text)-hashes``) — cheap enough
+    for one tiny agg per micro-batch, discriminating enough to tell
+    "the same batch replayed" from "a DIFFERENT batch reusing the same
+    ids" (review r9: the ``== hwm`` allowance is only safe for the
+    former). The hash covers id AND text (second review pass): ids
+    alone miss the common restart shape where a new incarnation's
+    sequential id assignment reproduces the exact id range with
+    different documents. The per-row hash is bounded below 2^30 so the
+    sum stays far from bigint overflow (ANSI would throw) at any
+    plausible batch size. Format note: changing this fingerprint's
+    definition invalidates ``== hwm`` replay verification across the
+    code-version boundary — upgrade at a clean boundary (no crashed
+    in-flight batch), the stamp-migration rule."""
     row = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007))
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col(text_col)),
+                F.lit(1_000_000_007),
+            )
         ).alias("h"),
     ).collect()[0]
     return f"{int(row['n'])}:{int(row['h'] or 0)}"
@@ -438,7 +448,7 @@ def write_band_checkpoint(
     batch_id = _resolve_append_batch_id(mode, batch_id, "band checkpoint")
     batch_fp = None
     if mode == "append" and batch_id >= 0:
-        batch_fp = _batch_fingerprint(corpus_df, id_col)
+        batch_fp = _batch_fingerprint(corpus_df, id_col, text_col)
         _guard_batch_id_monotonic(
             path, batch_id, "band checkpoint", fingerprint=batch_fp
         )
@@ -858,7 +868,7 @@ def ingest_batch_idempotent(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
-    batch_fp = _batch_fingerprint(batch_df, id_col)
+    batch_fp = _batch_fingerprint(batch_df, id_col, text_col)
     _guard_batch_id_monotonic(
         band_path, batch_id, "band checkpoint", fingerprint=batch_fp
     )
@@ -2079,7 +2089,7 @@ def write_chunk_checkpoint(
     batch_id = _resolve_append_batch_id(mode, batch_id, "chunk checkpoint")
     batch_fp = None
     if mode == "append" and batch_id >= 0:
-        batch_fp = _batch_fingerprint(corpus_df, id_col)
+        batch_fp = _batch_fingerprint(corpus_df, id_col, text_col)
         _guard_batch_id_monotonic(
             path, batch_id, "chunk checkpoint", fingerprint=batch_fp
         )
@@ -2161,7 +2171,7 @@ def read_chunk_checkpoint(
     id_col: str,
     chunk_words: int = 10,
     buckets: list[int] | None = None,
-    params: tuple[int, int] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Load a chunk checkpoint written by :func:`write_chunk_checkpoint`
     as ``(lh, id_col, pos, src_batch)``, validating the caller's
@@ -2260,7 +2270,7 @@ def chunk_ingest_batch_idempotent(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
             "seed-corpus checkpoint rows and would exclude them"
         )
-    batch_fp = _batch_fingerprint(batch_df, id_col)
+    batch_fp = _batch_fingerprint(batch_df, id_col, text_col)
     _guard_batch_id_monotonic(
         chunk_path, batch_id, "chunk checkpoint", fingerprint=batch_fp
     )

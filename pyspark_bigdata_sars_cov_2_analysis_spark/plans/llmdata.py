@@ -1406,6 +1406,69 @@ def m07_audio_decimate(spark, sf_dir):
 # 'agg' as per-executor doc counts grow at 100 TB.
 _D18_AGG_MIN_DOCS = 250
 
+# The curation chain's shared contract (review r9): d18 (the pipeline)
+# and d21 (its funnel report) gate, weigh, and sample through ONE set of
+# constants and ONE scored-frame builder, so tuning the pipeline cannot
+# silently leave the report describing a different chain — the same
+# by-construction coupling the oracle side gets from sharing _NORM /
+# _QUALITY_EXPR fragments.
+_CURATION_MIN_TOKS = 30
+_CURATION_MIN_Q = 0.35
+_CURATION_MAX_REP = 0.05
+_CURATION_SALT = "cur|"
+
+
+def _curation_scored(d, scorer: str):
+    """The curation chain's CACHED score frame — ``(doc_id, fp, n_toks,
+    q, rep)``, text-free and tiny. The gate's three scores are computed
+    ONCE as named columns (t12's struct helper re-evaluates its
+    regex-heavy predicates for the audit ``reasons``, which the chain
+    doesn't need — measured 30s naive / 13s struct-gated / ~2s this way
+    at sf0.1) and the frame is cached because MULTIPLE consumers read it
+    (the keeper aggregate and survivor join in d18; the flag projection
+    referencing the scores several times in d21) — ReuseExchange never
+    deduplicates across differing projections, and pushing the ``rep``
+    threshold into the projection would re-inline the interpreted n-gram
+    chain per reference (the measured d18-profile trap)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
+        pround as _pr,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+        repetition_ratio,
+        repetition_ratio_agg,
+        token_count,
+    )
+
+    base_cols = [
+        F.col("doc_id"),
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        token_count(F.col("text")).alias("n_toks"),
+        _pr(quality_score(F.col("text")), 4).alias("q"),
+    ]
+    if scorer == "agg":
+        rep = repetition_ratio_agg(d, "doc_id", "text", 3)
+        return (
+            d.select(*base_cols)
+            .join(rep, "doc_id")
+            .withColumnRenamed("rep_ratio", "rep")
+            .cache()
+        )
+    return d.select(
+        *base_cols, _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep")
+    ).cache()
+
+
+def _curation_gate():
+    """The Gopher-style keep predicate over the scored frame's columns."""
+    return (
+        (F.col("n_toks") >= _CURATION_MIN_TOKS)
+        & (F.col("q") >= _CURATION_MIN_Q)
+        & (F.col("rep") <= _CURATION_MAX_REP)
+    )
+
 
 @query(
     "d18_curation_pipeline",
@@ -1484,15 +1547,6 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto", n_docs=None):
     or sample-based. Both paths round to 4dp and are
     equivalence-tested, so the oracle — and every downstream value — is
     identical either way."""
-    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
-        pround as _pr,
-    )
-    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
-        quality_score,
-        repetition_ratio,
-        repetition_ratio_agg,
-        token_count,
-    )
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
         weighted_hash_sample,
     )
@@ -1507,42 +1561,8 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto", n_docs=None):
             else d.limit(_D18_AGG_MIN_DOCS).count() >= _D18_AGG_MIN_DOCS
         )
         scorer = "agg" if at_least else "local"
-    # the gate's three scores computed ONCE as named columns (t12's
-    # struct helper re-evaluates its regex-heavy predicates for the
-    # audit `reasons`, which this pipeline doesn't need — measured 30s
-    # naive / 13s struct-gated / ~2s this way at sf0.1), then the frame
-    # is cached because BOTH the keeper aggregate and the survivor join
-    # consume it (the t09/a22 lesson: ReuseExchange never deduplicates
-    # across their differing projections)
-    # the cache sits BEFORE the threshold filter: pushing `rep <= 0.05`
-    # into the projection re-inlines the interpreted n-gram chain per
-    # reference — the barrier makes every score evaluate exactly once,
-    # and the cached frame is (id, fp, 3 scalars), text-free and tiny.
-    base_cols = [
-        F.col("doc_id"),
-        F.md5(
-            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-        ).alias("fp"),
-        token_count(F.col("text")).alias("n_toks"),
-        _pr(quality_score(F.col("text")), 4).alias("q"),
-    ]
-    if scorer == "agg":
-        rep = repetition_ratio_agg(d, "doc_id", "text", 3)
-        scored = (
-            d.select(*base_cols)
-            .join(rep, "doc_id")
-            .withColumnRenamed("rep_ratio", "rep")
-            .cache()
-        )
-    else:
-        scored = d.select(
-            *base_cols, _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep")
-        ).cache()
-    kept = scored.where(
-        (F.col("n_toks") >= 30)
-        & (F.col("q") >= 0.35)
-        & (F.col("rep") <= 0.05)
-    ).select(
+    scored = _curation_scored(d, scorer)
+    kept = scored.where(_curation_gate()).select(
         "doc_id", "fp", F.greatest(F.col("q"), F.lit(0.0)).alias("weight")
     )
     keepers = (
@@ -1550,7 +1570,7 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto", n_docs=None):
     )
     survivors = kept.join(keepers, "doc_id").select("doc_id", "weight")
     return weighted_hash_sample(
-        survivors, "doc_id", F.col("weight"), salt="cur|"
+        survivors, "doc_id", F.col("weight"), salt=_CURATION_SALT
     ).select("doc_id", "weight")
 
 
@@ -1914,34 +1934,14 @@ def d21_curation_funnel(spark, sf_dir):
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround as _pr,
     )
-    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
-        quality_score,
-        repetition_ratio_agg,
-        token_count,
-    )
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
         _hash_prefix,
         rate_threshold_hex,
     )
 
     d = table(spark, sf_dir, "documents")
-    rep = repetition_ratio_agg(d, "doc_id", "text", 3)
-    scored = (
-        d.select(
-            F.col("doc_id"),
-            F.md5(
-                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-            ).alias("fp"),
-            token_count(F.col("text")).alias("n_toks"),
-            _pr(quality_score(F.col("text")), 4).alias("q"),
-        )
-        .join(rep, "doc_id")
-        .withColumnRenamed("rep_ratio", "rep")
-        .cache()
-    )
-    gate = (
-        (F.col("n_toks") >= 30) & (F.col("q") >= 0.35) & (F.col("rep") <= 0.05)
-    )
+    scored = _curation_scored(d, "agg")
+    gate = _curation_gate()
     weight = F.greatest(F.col("q"), F.lit(0.0))
     w = Window.partitionBy("fp")
     keeper = gate & (
@@ -1949,7 +1949,8 @@ def d21_curation_funnel(spark, sf_dir):
         == F.min(F.when(gate, F.col("doc_id"))).over(w)
     )
     sampled = keeper & (
-        _hash_prefix(F.col("doc_id"), "cur|") < rate_threshold_hex(weight)
+        _hash_prefix(F.col("doc_id"), _CURATION_SALT)
+        < rate_threshold_hex(weight)
     )
     flagged = scored.select(
         gate.alias("gate"), keeper.alias("keeper"), sampled.alias("sampled")

@@ -1620,10 +1620,12 @@ def test_word_occurrences_escapes_regex_metacharacters(spark):
     assert got.dotted == 1, got
     with pytest.raises(ValueError, match="quote terminator"):
         word_occurrences(F.col("text"), "bad\\Eword")
-    # review r9 follow-up: punctuation-EDGED words can never match the
-    # \b anchors, so instead of a silent always-zero count they raise
-    for bad in ("c++", "U.S.", "", "+x", "x+"):
-        with pytest.raises(ValueError, match="non-word character|quote"):
+    # review r9 follow-up: words EDGED outside the ASCII \b word class
+    # can never match the anchors, so instead of a silent always-zero
+    # count they raise — including Unicode-alnum edges (café), which
+    # Python's isalnum would wave through but RE2/Java \b never match
+    for bad in ("c++", "U.S.", "", "+x", "x+", "café", "über"):
+        with pytest.raises(ValueError, match="word class|quote"):
             word_occurrences(F.col("text"), bad)
 
 

@@ -920,8 +920,12 @@ def test_hwm_zero_incarnation_collision_refused(spark, tmp_path):
               "policies and idle executor reaping")],
         "doc_id long, text string",
     )
+    # SAME doc id as incarnation A's batch, different text — the common
+    # restart shape where sequential id assignment reproduces the exact
+    # id range; an id-only fingerprint would call this a replay (second
+    # review pass: the fingerprint must cover content, not just ids)
     y = spark.createDataFrame(
-        [(20, "incarnation B batch about speculative task launch "
+        [(10, "incarnation B batch about speculative task launch "
               "quantiles and straggler mitigation")],
         "doc_id long, text string",
     )
