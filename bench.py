@@ -92,6 +92,9 @@ EXTRAS_SHELF = [
     "s04_ivf_multiprobe",            # 1.4s
     "f06_posexplode_roundtrip",      # 1.4s
     "s03_ivf_topk",                  # 1.4s
+    "d21_curation_funnel",           # 2.1s — late-r9 funnel report; the
+    #   most expensive of the eight late-r9 registrations (the other
+    #   seven measured 0.3-0.9s and stay untracked)
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
