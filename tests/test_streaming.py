@@ -1659,3 +1659,60 @@ def test_statestore_reader_exposes_dedup_state(spark, events_dir, tmp_path):
     assert state_keys == batch_keys
     meta = spark.read.format("state-metadata").load(ckpt).collect()
     assert any("dedupe" in r.operatorName.lower() for r in meta), meta
+
+
+def test_band_ingest_matches_independent_sequential_admission(
+    spark, tmp_path
+):
+    """Independent semantic check for the band ingest loop (beyond the
+    replay/torn tests, which verify idempotence, and d20's oracle, which
+    fixes one corpus): on a random corpus, each batch's published
+    admissions must equal exactly the batch docs with NO band collision
+    against bands(seed ∪ previously admitted) — the sequential-admission
+    definition recomputed here from lsh_bands directly, never through
+    the ingest code under test. A mid-run same-content replay rides
+    along to confirm it cannot perturb the admission sequence."""
+    import random
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    def bands_of(df):
+        return dedup.lsh_bands(
+            dedup.minhash_signatures(df, "doc_id", "text", 3, 12),
+            "doc_id", 12, 3,
+        )
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(10)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25))))
+        for i in range(24)
+    ]
+    bp, out = str(tmp_path / "bands"), str(tmp_path / "out")
+    seed_df = spark.createDataFrame(docs[:8], "doc_id long, text string")
+    dedup.write_band_checkpoint(seed_df, bp, "doc_id", "text")
+    corpus_docs = list(docs[:8])
+    for b, lo in enumerate(range(8, 24, 8)):
+        rows = docs[lo:lo + 8]
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup.ingest_batch_idempotent(bdf, b, bp, out)
+        if b == 0:
+            dedup.ingest_batch_idempotent(bdf, b, bp, out)  # replay
+        cb = bands_of(
+            spark.createDataFrame(corpus_docs, "doc_id long, text string")
+        ).select("band", "band_sig")
+        nb = bands_of(bdf)
+        dup = {
+            r.doc_id
+            for r in nb.join(cb, ["band", "band_sig"])
+            .select("doc_id").distinct().collect()
+        }
+        expect = sorted(d[0] for d in rows if d[0] not in dup)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(out)
+            .where(F.col("ingest_batch") == b)
+            .collect()
+        )
+        assert got == expect, (b, got, expect)
+        corpus_docs += [d for d in rows if d[0] not in dup]
