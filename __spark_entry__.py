@@ -32,60 +32,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-9 window (VERDICT r8 Next-round #1): the 3 queries registered
-# THIS round (never driver-attested — the standing never-attested-first
-# principle, which is why the head is 3 rather than VERDICT r8's
-# pre-registration arithmetic of 27+23) come first, then the committed
-# 27-name r5-stale head in its agreed order, then the stalest r6 names
-# in their CORRECTNESS_r06 order. 3 + 27 + 20 = 50 exactly; the
-# remaining 28 r6 names past the cut are the committed round-10 head.
-# The cut point is COMPUTED in _ordered_names (pinned by
+# Round-10 window (VERDICT r9 Next-round #1): the 8 queries registered
+# LATE in round 9 (never driver-attested — the standing
+# never-attested-first principle) come first, then the committed
+# 28-name r6-stale r10 head in its agreed order, then the stalest
+# r7-attested names in their CORRECTNESS_r07 order. 8 + 28 + 14 = 50
+# exactly; the remaining 36 r7 names past the cut are the committed
+# round-11 head. `ml01_classifier_bench` (last attested r5) stays out
+# of the rotation by design — it is the rows-only query, so a window
+# slot buys no hash attestation (VERDICT r9 window plan). The cut point
+# is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # registered in round 9, never driver-attested — attestation required
-    "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
-    "d20_band_ingest_incremental",
-]
-
-# Registered LATE in round 9, after the r9 window above was committed —
-# per the standing overflow rule they queue BEHIND the window (local
-# parity covers them until then) instead of displacing a committed stale
-# name. They are never-attested, so the ROUND-10 window must lead with
-# them (move them into _PRIORITY_FIRST when rotating), then the 28-name
-# r10 head marked in _STALE_QUEUE below.
-_NEXT_WINDOW_FIRST = [
+    # registered late in round 9, never driver-attested — attestation
+    # required; order as committed in VERDICT r9 #1
     "a27_approx_top_k_mergeable", "u15_python_udtf",
     "j11_lateral_join_api", "a28_listagg_within_group",
     "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
     "d21_curation_funnel",
 ]
+
+# Queries registered DURING round 10, after the window above was
+# committed — per the standing overflow rule they queue BEHIND the
+# window (local parity covers them until then) instead of displacing a
+# committed stale name. They are never-attested, so the ROUND-11 window
+# must lead with them (move them into _PRIORITY_FIRST when rotating),
+# then the 36-name r11 head marked in _STALE_QUEUE below.
+_NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the committed r9 head: last attested round 5 (stalest anywhere),
-    # exact order agreed in VERDICT r7 #5 / r8 #1
-    "w06_distribution_ranks", "a18_theta_sketch_setops",
-    "t09_tfidf_top_terms", "t11_chunk_text", "t12_quality_gate",
-    "d01_exact_dedup", "d02_minhash_lsh", "d07_dup_clusters",
-    "d11_incremental_dedup", "d09_decontaminate", "d10_dedup_keep_best",
-    "d03_ngram_jaccard", "d04_simhash", "d06_simhash_neardup",
-    "s01_cosine_topk", "s02_bucketed_topk", "d05_embedding_neardup",
-    "m01_binary_stats", "m02_image_decode_stats", "t10_sequence_packing",
-    "m05_audio_frame_energy", "a09_distinct", "w01_latest_per_group",
-    "w02_running_sum", "f14_variant_json", "j04_latest_via_join_equiv",
-    "u07_mlp_inference",
-    # last attested round 6, in their CORRECTNESS_r06 order; the first
-    # WINDOW − 3 − 27 = 20 fill the round-9 window, the remaining 28
-    # past the cut are the committed round-10 head
-    "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
-    "o06_temperature_mixture", "t13_token_surprisal",
-    "sql03_recursive_calendar", "sql04_lateral_topn",
-    "e09_session_window_native", "f15_map_functions",
-    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
-    "ml02_confusion_matrix", "m03_frame_sample", "m04_real_bmp_roundtrip",
-    "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
-    "p05_derived_cast", "p09_recode", "p11_filter_isin",
-    "p12_compound_predicate",
-    # ---- round-10 head starts here (28 names) ----
+    # the committed r10 head: last attested round 6 (stalest in the
+    # rotation), exact order agreed in VERDICT r8 #1 / r9 #1
     "p16_null_profile",
     "a01_grouped_sum", "a03_count_share", "a04_max_avg",
     "a05_group_count", "a08_ordered_collect", "e02_sessionize",
@@ -97,6 +74,31 @@ _STALE_QUEUE = [
     "t02_quality_score", "t03_language_id", "t04_fingerprint",
     "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
     "t06_top_bigrams",
+    # last attested round 7, in their CORRECTNESS_r07 order; the first
+    # WINDOW − 8 − 28 = 14 fill the round-10 window, the remaining 36
+    # past the cut are the committed round-11 head
+    "u08_arrow_batch_transform", "a20_kll_mergeable_quantiles",
+    "a19_approx_percentile_rankcheck", "d14_chunk_dedup_keep_first",
+    "a21_unpivot_melt", "ml03_regression_metrics", "u09_arrow_scalar_udf",
+    "sql05_lateral_view_tokens", "e10_view_purchase_outer",
+    "w07_time_range_frame", "f16_array_lambda", "u10_except_all",
+    "u11_intersect_all", "o07_zorder_cells",
+    # ---- round-11 head starts here (36 names) ----
+    "j08_full_outer", "u12_union_schema_evolution",
+    "a22_countmin_heavy_hitters", "o08_quality_weighted_sample",
+    "ml04_kfold_assignment", "p17_summary_stats", "a23_corr_covar",
+    "f17_fuzzy_recode", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_items", "j01_left_join", "j02_semi_join",
+    "j03_anti_join", "j05_salted_join_equiv", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
+    "q18_large_volume", "q19_discounted_revenue",
+    "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
+    "q20_potential_promotion", "q21_waiting_supplier",
+    "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
+    "u06_batch_inference",
 ]
 
 # the driver's attestation window

@@ -98,15 +98,15 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 3, (
+    assert len(entry._PRIORITY_FIRST) == 8, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r8 #1 + the standing never-attested-first principle: the
-    # round-9 window is the 3 new registrations, then the committed
-    # 27-name r5-stale head, then the 20 stalest r6 names. Derive
+    # VERDICT r9 #1 + the standing never-attested-first principle: the
+    # round-10 window is the 8 late-r9 registrations, then the committed
+    # 28-name r6-stale head, then the 14 stalest r7 names. Derive
     # attestation state from the CORRECTNESS files so the pin tracks the
-    # actual record: BEFORE the round-9 file lands, the head must be
+    # actual record: BEFORE the round-10 file lands, the head must be
     # exactly the never-attested set; AFTER it lands, the check degrades
     # to "no registered query is ever left unattested outside the
     # window" — still the invariant that matters, without failing the
@@ -127,7 +127,7 @@ def test_attestation_window_arithmetic():
         f"committed next-window head: "
         f"{[n for n in never if n not in allowed]}"
     )
-    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r09.json")):
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r10.json")):
         want_never = set(entry._PRIORITY_FIRST) | set(
             entry._NEXT_WINDOW_FIRST
         )
@@ -136,13 +136,20 @@ def test_attestation_window_arithmetic():
             f"missing={sorted(set(never) - want_never)} "
             f"extra={sorted(want_never - set(never))}"
         )
-    # the committed r9-head order survives inside the window: the 27
-    # r5-stale names come straight after the never-attested head
-    assert entry._STALE_QUEUE[0] == "w06_distribution_ranks"
-    assert entry._STALE_QUEUE[26] == "u07_mlp_inference"
-    # VERDICT r8 #1: the round-10 head is a complete forward plan — the
-    # 28 r6-stale names past the cut
-    r10_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r10_head) == 28
-    assert r10_head[0] == "p16_null_profile"
-    assert r10_head[-1] == "t06_top_bigrams"
+    # the committed r10-head order survives inside the window: the 28
+    # r6-stale names come straight after the never-attested head, then
+    # the r7-stale names in their CORRECTNESS_r07 order
+    assert entry._STALE_QUEUE[0] == "p16_null_profile"
+    assert entry._STALE_QUEUE[27] == "t06_top_bigrams"
+    assert entry._STALE_QUEUE[28] == "u08_arrow_batch_transform"
+    # `ml01_classifier_bench` (rows-only, last attested r5) stays OUT of
+    # the rotation by design — a window slot buys no hash attestation
+    assert "ml01_classifier_bench" not in (
+        entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
+    )
+    # VERDICT r9 #1: the round-11 head is a complete forward plan — the
+    # 36 r7-stale names past the cut
+    r11_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r11_head) == 36
+    assert r11_head[0] == "j08_full_outer"
+    assert r11_head[-1] == "u06_batch_inference"
