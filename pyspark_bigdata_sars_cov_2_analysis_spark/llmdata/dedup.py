@@ -733,6 +733,157 @@ def migrate_chunk_checkpoint_stamps(spark, path: str) -> dict:
     )
 
 
+def _compact_checkpoint(spark, path: str, sidecar: str, part_cols_fn) -> dict:
+    """Shared body of the two checkpoint compactions (VERDICT r9 #2):
+    rewrite every bucket directory of a band/chunk dedup checkpoint to
+    ONE file, keeping the partition grid, the parameter sidecar, and the
+    committed-batch high-water markers, via the count-verified staged
+    swap the other parquet maintenance ops use (crash mid-swap → marker
+    → :func:`io.writers.recover_staged_swap`).
+
+    Why it exists: each ingest micro-batch appends one file per touched
+    bucket, so after N batches a bucket directory holds up to N small
+    files and the pruned per-batch probe — whose whole point is opening
+    few files — degrades into a small-files scan. Plain
+    :func:`io.writers.compact_parquet` cannot run here: it flattens the
+    Hive partition layout the literal-filter pruning depends on, and it
+    knows nothing of the sidecar or the ``_ingest_hwm`` markers, whose
+    loss would re-arm the torn-sidecar refusal and DISARM the batch-id
+    collision guard respectively.
+
+    Clean-boundary refusal: rows stamped ABOVE the committed high-water
+    mark belong to an in-flight (or crashed and not-yet-replayed) batch
+    — the same uncommitted state the hwm fingerprint guard refuses to
+    re-admit. Compacting concurrently with that batch's writer would
+    read a snapshot, then swap away whatever the writer appended after
+    the read — silent state loss. So compaction refuses until the batch
+    either commits (marker lands) or is replayed to completion, exactly
+    the stamp-migration precondition. Rows AT or below the hwm compact
+    freely; their ``src_batch`` stamps are preserved verbatim, so the
+    replay exclusion and re-delivery semantics are unchanged (proven by
+    running the ingest-equivalence tests over a mid-sequence-compacted
+    checkpoint). Legacy unstamped rows (pre-``src_batch`` files under
+    mergeSchema) rewrite as explicit NULL stamps, which the readers
+    coalesce to -1 — observably identical to the un-compacted mixed
+    layout, and NOT a stamp migration (a legacy torn append stays in
+    its documented pre-migration limbo; run the migration first if that
+    window applies).
+
+    ``part_cols_fn`` is a thunk (it reads the parameter sidecar) called
+    only after ``recover_staged_swap`` — same rationale as the stamp
+    migration. Idempotent; returns ``{rows, files_before, files_after,
+    hwm}``."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        _swap_in,
+        recover_staged_swap,
+    )
+
+    recover_staged_swap(path)
+    part_cols = part_cols_fn()
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    files_before = len(df.inputFiles())
+    hwm = ingest_high_water_mark(path)
+    if "src_batch" in df.columns:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.coalesce(F.col("src_batch").cast("int"), F.lit(-1))
+            ).alias("mx"),
+        ).collect()[0]
+        want = int(stats["n"])
+        max_src = int(stats["mx"]) if stats["mx"] is not None else -1
+    else:
+        want, max_src = df.count(), -1
+    if max_src > hwm:
+        raise ValueError(
+            f"checkpoint at {path} holds rows stamped src_batch="
+            f"{max_src}, above the committed high-water mark {hwm}: an "
+            "ingest batch is in flight (or crashed and not yet "
+            "replayed). Compaction would swap away anything that batch "
+            "appends after the snapshot read — let it commit or replay "
+            "to completion first (the stamp-migration clean-boundary "
+            "rule)."
+        )
+    tmp = path.rstrip("/") + ".compacting"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    if part_cols:
+        # repartition ON the grid: each partition value combo lands in
+        # exactly one task, so every bucket directory gets exactly one
+        # output file — the post-compact invariant the tests pin
+        (
+            df.repartition(*part_cols)
+            .write.partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(1).write.parquet(tmp)
+    # carry the parameter sidecar and the committed-batch markers into
+    # the staged copy — losing the former re-arms the torn-sidecar
+    # append refusal, losing the latter resets the hwm to -1 and disarms
+    # the batch-id collision guard (the migrate_* rules)
+    _shutil.copytree(
+        _os.path.join(path, sidecar), _os.path.join(tmp, sidecar)
+    )
+    hwm_src = _hwm_dir(path)
+    if _os.path.isdir(hwm_src):
+        _shutil.copytree(hwm_src, _hwm_dir(tmp))
+    staged = spark.read.parquet(tmp)
+    got = staged.count()
+    if got != want:
+        raise RuntimeError(
+            f"checkpoint compaction row-count mismatch ({got} != {want});"
+            f" staged output left at {tmp}, original untouched"
+        )
+    files_after = len(staged.inputFiles())
+    _swap_in(path, tmp, ".pre-compaction")
+    return {
+        "rows": want,
+        "files_before": files_before,
+        "files_after": files_after,
+        "hwm": hwm,
+    }
+
+
+def compact_band_checkpoint(spark, path: str) -> dict:
+    """Compact a band checkpoint's accumulated per-batch append files to
+    one file per ``(band, sigb)`` bucket directory (one per ``band`` on
+    a flat layout), preserving grid, sidecar, hwm markers, and every
+    ``src_batch`` stamp — see :func:`_compact_checkpoint` for the
+    clean-boundary refusal and crash-recovery contract. Run it on the
+    maintenance cadence that keeps per-bucket file counts O(1) between
+    compactions (e.g. every N batches); the probe's literal-filter
+    pruning then opens ~1 file per matched bucket instead of N."""
+    return _compact_checkpoint(
+        spark,
+        path,
+        "_band_params",
+        lambda: (
+            ["band", "sigb"]
+            if read_band_params(spark, path)["n_sig_buckets"]
+            else ["band"]
+        ),
+    )
+
+
+def compact_chunk_checkpoint(spark, path: str) -> dict:
+    """:func:`compact_band_checkpoint` for chunk checkpoints — one file
+    per ``lhb`` bucket directory (a single file on a flat layout), same
+    preservation and refusal contract."""
+    return _compact_checkpoint(
+        spark,
+        path,
+        "_chunk_params",
+        lambda: (
+            ["lhb"]
+            if read_chunk_params(spark, path)["n_buckets"]
+            else []
+        ),
+    )
+
+
 def streaming_neardup_ingest(
     spark,
     source_dir: str,
