@@ -59,7 +59,9 @@ _PRIORITY_FIRST = [
 # committed stale name. They are never-attested, so the ROUND-11 window
 # must lead with them (move them into _PRIORITY_FIRST when rotating),
 # then the 36-name r11 head marked in _STALE_QUEUE below.
-_NEXT_WINDOW_FIRST: list[str] = []
+_NEXT_WINDOW_FIRST: list[str] = [
+    "o11_budgeted_mixture",
+]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the
     # rotation), exact order agreed in VERDICT r8 #1 / r9 #1

@@ -1852,6 +1852,205 @@ def o10_token_budget_plan(spark, sf_dir):
 
 
 @query(
+    "o11_budgeted_mixture",
+    # o10's DOUBLE-cast + 6dp-grid discipline for the shared plan
+    # columns; the execution side is pure integer arithmetic (token
+    # cumsums and mins over bigints), so the booleans are exact in both
+    # engines. The oracle's cumsum is ONE window per lang — DuckDB
+    # doesn't need the distributed two-phase form the Spark side uses.
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, CAST(SUM(tok) AS BIGINT) AS toks FROM t GROUP BY lang
+    ),
+    plan AS (
+      SELECT lang, toks,
+             CAST(floor(b * share) AS BIGINT) AS alloc_tokens,
+             CAST(floor(
+               floor(least(1.0::DOUBLE, b * share / CAST(toks AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000
+               * CAST(toks AS DOUBLE)) AS BIGINT) AS plan_rate_tokens
+      FROM (
+        SELECT lang, toks,
+               CASE lang WHEN 'en' THEN 0.4::DOUBLE
+                         WHEN 'zh' THEN 0.3::DOUBLE
+                         WHEN 'de' THEN 0.2::DOUBLE
+                         WHEN 'fr' THEN 0.1::DOUBLE
+                         ELSE 0.0::DOUBLE END AS share,
+               0.5::DOUBLE * CAST(SUM(toks) OVER () AS DOUBLE) AS b
+        FROM per
+      )
+    ),
+    cum AS (
+      SELECT t.lang, t.tok,
+             SUM(t.tok) OVER (PARTITION BY t.lang ORDER BY t.h, t.doc_id
+                              ROWS UNBOUNDED PRECEDING) AS c,
+             p.toks, p.alloc_tokens, p.plan_rate_tokens
+      FROM t JOIN plan p USING (lang)
+    )
+    SELECT lang, toks, alloc_tokens, plan_rate_tokens,
+           CAST(SUM(CASE WHEN c <= alloc_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS sampled_docs,
+           CAST(COALESCE(SUM(CASE WHEN c <= alloc_tokens THEN tok END), 0)
+                AS BIGINT) AS sampled_tokens,
+           CAST(MIN(CASE WHEN c > alloc_tokens THEN c END)
+                - COALESCE(MAX(CASE WHEN c <= alloc_tokens THEN c END), 0)
+                AS BIGINT) AS next_doc_tokens,
+           COALESCE(SUM(CASE WHEN c <= alloc_tokens THEN tok END), 0)
+             <= alloc_tokens AS within_budget,
+           COALESCE(SUM(CASE WHEN c <= alloc_tokens THEN tok END), 0)
+             = COALESCE(MAX(CASE WHEN c <= alloc_tokens THEN c END), 0)
+             AS prefix_identity
+    FROM cum
+    GROUP BY lang, toks, alloc_tokens, plan_rate_tokens
+    """,
+)
+def o11_budgeted_mixture(spark, sf_dir):
+    """Budgeted mixture EXECUTION — the step that closes o10's loop
+    (VERDICT r9 #3): actually build the per-source token allocation the
+    planner promised, deterministically, and attest in-row that the
+    execution hit its budget. Per source, the allocation is
+    ``floor(budget · share)`` tokens (o10's ``want``); the execution
+    keeps documents in deterministic md5-hash order (the reproducible
+    "random" order every gate in this module uses, salt ``mix|``) while
+    the running token total stays within the allocation — a greedy
+    hash-ordered prefix, the token-exact form of budgeted sampling.
+
+    Honesty note vs the VERDICT's sketch: o10's ``achieved_tokens``
+    (``floor(rate·toks)``) is an ARITHMETIC ESTIMATE of what a rate
+    gate would yield — a hash gate keeps ~rate of *documents*, so its
+    token yield only coincidentally equals the floor arithmetic, and an
+    exact-equality attestation between the two would be a false
+    invariant. The execution here is budget-exact instead, and the
+    attestable facts ride the row: ``within_budget`` (the prefix never
+    exceeds the allocation — the plan's hard constraint holds in the
+    output), ``prefix_identity`` (sum-of-kept-tokens == last kept
+    cumsum, the p20-style two-path equality pinning the window and the
+    aggregate to each other), and ``next_doc_tokens`` (what the first
+    unaffordable document would have cost — NULL means the source was
+    exhausted below budget, o10's deficit case). ``plan_rate_tokens``
+    carries o10's estimate alongside ``sampled_tokens`` so the report
+    quantifies exactly how far the rate arithmetic over/under-buys.
+
+    Scale shape: the naive per-source cumsum window moves EACH SOURCE to
+    one partition — the classic 100 TB window bottleneck. This plan uses
+    the distributed two-phase prefix sum instead: documents bucket by
+    their hash's leading 2 hex digits (256 range-ordered buckets whose
+    lexicographic order equals the global hash order), per-(lang,bucket)
+    token subtotals form a ≤|langs|·256-row frame whose running offsets
+    are windowed driver-cheap and broadcast back, and the wide window
+    runs per (lang, bucket) — 256-way parallel per source. One shuffle
+    for the subtotal agg, one for the per-bucket window, one broadcast;
+    no corpus-sized single partition anywhere."""
+    from pyspark.sql.window import Window
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # text-free per-doc frame (lang, id, tok, 8-hex hash, bucket) feeds
+    # THREE consumers (subtotals, the cumsum join, and — via subtotals —
+    # the plan frame); cached per d18's barrier rule so the corpus text
+    # is scanned and tokenized ONCE, not re-expanded per consumer. Like
+    # _curation_scored, the cache has no unpersist hook — bench harnesses
+    # clearCache between runs (ADVICE r9 adjudication).
+    t = (
+        d.select(
+            "lang",
+            "doc_id",
+            token_count(F.col("text")).alias("tok"),
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ).alias("h"),
+        )
+        .withColumn("bk", F.substring(F.col("h"), 1, 2))
+        .cache()
+    )
+    sub = t.groupBy("lang", "bk").agg(F.sum("tok").alias("btok"))
+    # per-source totals re-aggregate the ≤|langs|·256-row subtotal frame
+    # — never a second corpus pass
+    per = sub.groupBy("lang").agg(F.sum("btok").alias("toks"))
+    share = (
+        F.when(F.col("lang") == "en", F.lit(0.4))
+        .when(F.col("lang") == "zh", F.lit(0.3))
+        .when(F.col("lang") == "de", F.lit(0.2))
+        .when(F.col("lang") == "fr", F.lit(0.1))
+        .otherwise(F.lit(0.0))
+    )
+    b = F.lit(0.5) * F.sum("toks").over(Window.partitionBy()).cast("double")
+    rate = pround(
+        F.least(F.lit(1.0), b * share / F.col("toks").cast("double")), 6
+    )
+    plan = per.select(
+        "lang",
+        "toks",
+        F.floor(b * share).cast("bigint").alias("alloc_tokens"),
+        F.floor(rate * F.col("toks").cast("double"))
+        .cast("bigint")
+        .alias("plan_rate_tokens"),
+    )
+    # distributed prefix sum: per-(lang, bucket) subtotals → running
+    # offset over the tiny subtotal frame → broadcast back → local
+    # cumsum per (lang, bucket). Bucket order == hash order because the
+    # bucket IS the hash's leading hex digits.
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.select(
+        "lang",
+        "bk",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_loc = (
+        Window.partitionBy("lang", "bk")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        t.join(F.broadcast(off), ["lang", "bk"])
+        .withColumn("c", F.col("off") + F.sum("tok").over(w_loc))
+        .join(F.broadcast(plan), "lang")
+    )
+    kept = F.col("c") <= F.col("alloc_tokens")
+    return (
+        cum.groupBy("lang", "toks", "alloc_tokens", "plan_rate_tokens")
+        .agg(
+            F.sum(kept.cast("long")).cast("bigint").alias("sampled_docs"),
+            F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("sampled_tokens"),
+            (
+                F.min(F.when(~kept, F.col("c")))
+                - F.coalesce(F.max(F.when(kept, F.col("c"))), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("next_doc_tokens"),
+            (
+                F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0))
+                <= F.col("alloc_tokens")
+            ).alias("within_budget"),
+            (
+                F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0))
+                == F.coalesce(F.max(F.when(kept, F.col("c"))), F.lit(0))
+            ).alias("prefix_identity"),
+        )
+    )
+
+
+@query(
     "d21_curation_funnel",
     # d18's own fragments, re-aggregated as stage flags: the funnel's
     # numbers are BY CONSTRUCTION the stage cardinalities of the
