@@ -61,6 +61,7 @@ _PRIORITY_FIRST = [
 # then the 36-name r11 head marked in _STALE_QUEUE below.
 _NEXT_WINDOW_FIRST: list[str] = [
     "o11_budgeted_mixture",
+    "j12_runtime_filter",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

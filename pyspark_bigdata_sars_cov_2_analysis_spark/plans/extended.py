@@ -1365,6 +1365,75 @@ def j11_lateral_join_api(spark, sf_dir):
 
 
 @query(
+    "j12_runtime_filter",
+    # the runtime filter is a pure PRUNING optimization — result values
+    # are those of the plain join, which is exactly what the oracle runs
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_round("SUM(o_totalprice)", 2)} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    GROUP BY c_mktsegment
+    """,
+)
+def j12_runtime_filter(spark, sf_dir):
+    """Runtime-filter join attestation (VERDICT r9 #4) — Catalyst's
+    ``InjectRuntimeFilter``: on a selective dim→fact shuffle join, the
+    optimizer builds a bloom filter from the filtered creation side
+    (``bloom_filter_agg`` over ``c_custkey``) and pushes a
+    ``might_contain`` probe into the FACT side's scan filter, so fact
+    rows that cannot join are dropped at the scan instead of riding the
+    join shuffle — the Catalyst-native scale lever (with partitioned
+    fact tables the same rule family does dynamic partition pruning;
+    these parquet tables are unpartitioned, so the bloom path is the
+    one in play). The plan-shape test pins both nodes.
+
+    Conf pinning (the VERDICT's anticipated caveat): injection is
+    size-gated — the application side must scan >
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold`` (10 GB
+    default), which a sf0.001/sf0.01 fixture never reaches, and a
+    creation side small enough to BROADCAST skips the rule entirely
+    (the broadcast join already prunes via its build side). At real
+    scale the defaults fire on their own; here the query pins the
+    thresholds while FORCING physical planning (``executedPlan`` is a
+    Scala lazy val, so the plan the driver later collects is the one
+    planned under the pinned confs) and restores every conf before
+    returning — no leakage into other registry entries' plans, verified
+    by the restore assertions in the plan-shape test."""
+    pins = {
+        # sf-fixture scans are far below the 10 GB application-side gate
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # force the shuffle join the injector targets (a broadcast dim
+        # makes the rule correctly skip — nothing left to prune)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "AUTOMOBILE"
+        )
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                pround(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+        # force physical planning NOW, under the pinned confs — the
+        # lazy val pins the injected plan for the later collect
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@query(
     "a28_listagg_within_group",
     # a08's exact ordering contract (the synthetic lineitem has duplicate
     # (orderkey, linenumber) pairs, so the value tiebreak appears on both

@@ -663,3 +663,28 @@ def test_j11_lateral_join_decorrelates_to_window(spark):
     assert "WindowGroupLimit" in plan, plan
     n_shuffle = plan.count("Exchange hashpartitioning")
     assert n_shuffle <= 2, plan
+
+
+def test_j12_runtime_filter_injected_and_confs_restored(spark):
+    """j12 must carry Catalyst's injected runtime filter: the creation
+    side builds a bloom filter over the filtered dim's join key
+    (bloom_filter_agg) and the FACT side's scan filter probes it
+    (might_contain) — rows that cannot join die at the scan, never
+    riding the join shuffle. The query pins the size-gate confs only
+    for the duration of plan forcing; afterwards the session confs must
+    be exactly what they were (no leakage into other registry entries'
+    plans)."""
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    before = {k: spark.conf.get(k) for k in keys}
+    df = QUERIES["j12_runtime_filter"](spark, SF_TEST)
+    assert {k: spark.conf.get(k) for k in keys} == before
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+    # the probe sits on the fact (orders) side, upstream of the join
+    probe_side = plan.split("might_contain")[1]
+    assert "o_custkey" in plan.split("might_contain")[1][:200], probe_side[:200]
