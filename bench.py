@@ -489,9 +489,17 @@ def main() -> None:
             print("refusing to rebase extras: errored run", file=sys.stderr)
         else:
             idx = sys.argv.index("--rebase-extras")
-            names = sys.argv[idx + 1].split(",") if idx + 1 < len(
-                sys.argv
-            ) else []
+            # the operand must be a name list, not the next flag: under
+            # `--rebase-extras --refreeze` the old code treated
+            # '--refreeze' as a query name and emitted a confusing
+            # 'not frozen' refusal (ADVICE r9)
+            operand = sys.argv[idx + 1] if idx + 1 < len(sys.argv) else ""
+            names = operand.split(",") if not operand.startswith("--") else []
+            if not names:
+                print(
+                    "--rebase-extras needs a comma-separated name list",
+                    file=sys.stderr,
+                )
             _rebase_extras(out, [n for n in names if n])
     if "--refreeze" in sys.argv:
         if errors:

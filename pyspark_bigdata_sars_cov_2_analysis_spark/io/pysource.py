@@ -144,7 +144,14 @@ class SyntheticDocsPushdownReader(SyntheticDocsReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             value = getattr(f, "value", None)
-            if attr != ("doc_id",) or not isinstance(value, int):
+            if (
+                attr != ("doc_id",)
+                or not isinstance(value, int)
+                # bool is an int subclass: EqualTo(('doc_id',), True)
+                # must be yielded back, not narrowed to [1, 2) (ADVICE
+                # r9 — claiming it as handled would silently drop rows)
+                or isinstance(value, bool)
+            ):
                 yield f
             elif isinstance(f, EqualTo):
                 self.lo = max(self.lo, value)

@@ -1429,7 +1429,16 @@ def _curation_scored(d, scorer: str):
     referencing the scores several times in d21) — ReuseExchange never
     deduplicates across differing projections, and pushing the ``rep``
     threshold into the projection would re-inline the interpreted n-gram
-    chain per reference (the measured d18-profile trap)."""
+    chain per reference (the measured d18-profile trap).
+
+    Cache lifetime (ADVICE r9): each CALL caches a fresh frame with no
+    unpersist hook, and both d18 and d21 route through here — a
+    long-lived session invoking both pins two score frames in executor
+    storage until ``spark.catalog.clearCache()``. Acceptable for the
+    bench/attestation harnesses (they clear between runs, and the frame
+    is text-free — 5 scalars/doc); a resident service embedding these
+    plans should own the lifetime: build once, pass the frame down,
+    unpersist at request end."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround as _pr,
     )

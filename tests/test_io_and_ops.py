@@ -1242,6 +1242,13 @@ def test_python_datasource_filter_pushdown(spark):
     r2 = SyntheticDocsPushdownReader({"n": "100"})
     list(r2.pushFilters([EqualTo(("doc_id",), 5), EqualTo(("doc_id",), 6)]))
     assert [row for p in r2.partitions() for row in r2.read(p)] == []
+    # bool is an int subclass (ADVICE r9): EqualTo(doc_id, True) must be
+    # YIELDED BACK for Spark to evaluate, never claimed and narrowed to
+    # [1, 2) — claiming it would silently drop every other row
+    r3 = SyntheticDocsPushdownReader({"n": "100"})
+    boolf = EqualTo(("doc_id",), True)
+    assert list(r3.pushFilters([boolf])) == [boolf]
+    assert (r3.lo, r3.hi) == (0, 100)
 
     register_synthetic_docs(spark)
     old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)

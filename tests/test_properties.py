@@ -1152,6 +1152,53 @@ def test_d18_scorer_seam_paths_identical(spark):
     assert explicit < bare <= explicit + 3, (bare, explicit)
 
 
+def test_d06_n_docs_hint_skips_sizing_count(spark):
+    """VERDICT r9 #5 — the probe-hint seams must be symmetric: like
+    d18's, simhash_neardup_pairs' default band_bits sizing costs one
+    count() job at plan-build, and callers that pass ``n_docs`` (or pin
+    ``band_bits``) must build the identical plan with ZERO pre-plan
+    jobs. The hint only sizes the band layout, so hinting the TRUE
+    corpus size reproduces the default path's pairs exactly."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common boilerplate header text plus unique tail w{i} "
+             f"x{i * 3} y{i * 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_neardup_pairs(
+                docs, "doc_id", "text", **kw
+            ).collect()
+        )
+
+    assert pairs(n_docs=40) == pairs()  # true-size hint == counted path
+
+    import uuid
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    run_tag = uuid.uuid4().hex[:8]  # group names survive in the status
+    # tracker for the session: a re-collected run of this test must not
+    # double-count its first invocation's jobs
+
+    def jobs(group, **kw):
+        group = f"{group}_{run_tag}"
+        sc.setJobGroup(group, group)
+        dedup.simhash_neardup_pairs(docs, "doc_id", "text", **kw)
+        sc.setJobGroup(f"{group}_done", "reset")
+        return len(st.getJobIdsForGroup(group))
+
+    pinned = jobs("d06_pinned", band_bits=8)
+    hinted = jobs("d06_hinted", n_docs=40)
+    bare = jobs("d06_bare")
+    assert hinted == pinned, (hinted, pinned)
+    assert pinned < bare <= pinned + 3, (bare, pinned)
+
+
 def _hot_shingle_corpus(spark, n_docs=120):
     """A boilerplate-wrapped corpus: every doc shares the same hot
     header shingles (the containment-dedup hot regime) plus a unique
