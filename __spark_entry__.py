@@ -62,6 +62,7 @@ _PRIORITY_FIRST = [
 _NEXT_WINDOW_FIRST: list[str] = [
     "o11_budgeted_mixture",
     "j12_runtime_filter",
+    "sql11_sql_body_udf",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -1547,3 +1547,57 @@ def sql10_pipe_syntax(spark, sf_dir):
         |> SELECT l_returnflag, l_linestatus, n, sum_qty, sum_price
         """
     )
+
+
+@query(
+    "sql11_sql_body_udf",
+    # the oracle INLINES the function body — a SQL UDF is by definition
+    # equivalent to its inlined expression, which is exactly the
+    # property under attestation
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round("SUM(l_extendedprice * (1.0 - l_discount)"
+                      " * (1.0 + l_tax))", 2)} AS net_rev,
+           CAST(SUM(CASE WHEN l_extendedprice * (1.0 - l_discount)
+                              * (1.0 + l_tax) > 30000.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql11_sql_body_udf(spark, sf_dir):
+    """SQL-surface completion (VERDICT r9 stretch #7) — Spark 4.1 SQL
+    UDFs (``CREATE FUNCTION … RETURNS <type> RETURN <expr>``): the
+    SQL-first extension path that needs NO Python worker at all.
+    Catalyst inlines the body into the caller's expression tree at
+    analysis time, so invoking the function twice (inside the sum AND
+    inside a predicate) costs exactly the inlined expressions — stays
+    inside whole-stage codegen, vectorizable, pushdown-eligible; the
+    plan-shape test pins the absence of any Python eval node, the
+    contrast with u09/sql08 (the Arrow-worker attestations). TEMPORARY
+    scope keeps the registration session-local but the function is
+    dropped-on-replace anyway; the oracle simply inlines the body —
+    which is the semantics being attested. Sums ride the compat
+    floor-round grid."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql11"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+          p DOUBLE, d DOUBLE, t DOUBLE)
+        RETURNS DOUBLE
+        RETURN p * (1.0 - d) * (1.0 + t)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               floor(SUM(net_price(l_extendedprice, l_discount, l_tax))
+                     * 100 + 0.5) / 100 AS net_rev,
+               SUM(CASE WHEN net_price(l_extendedprice, l_discount, l_tax)
+                             > 30000.0 THEN 1 ELSE 0 END) AS n_big
+        FROM lineitem_sql11
+        GROUP BY l_returnflag
+        """
+    )

@@ -688,3 +688,22 @@ def test_j12_runtime_filter_injected_and_confs_restored(spark):
     # the probe sits on the fact (orders) side, upstream of the join
     probe_side = plan.split("might_contain")[1]
     assert "o_custkey" in plan.split("might_contain")[1][:200], probe_side[:200]
+
+
+def test_sql11_sql_udf_inlines_no_python_worker(spark):
+    """A SQL-body UDF must INLINE into the caller's expression tree —
+    zero Python eval nodes even though the function is invoked twice
+    (sum + predicate), staying inside whole-stage codegen. The contrast
+    with u09/sql08, whose Arrow workers are the deliberate API
+    attestations."""
+    df = QUERIES["sql11_sql_body_udf"](spark, SF_TEST)
+    plan = _plan(df, "simple")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in plan, (node, plan)
+    # the body is visibly INLINED arithmetic inside the aggregate (AQE's
+    # pre-final simple plan hides codegen spans, so the inlining itself
+    # is the witness), with a map-side partial — one scan, one exchange
+    assert "* (1.0 - " in plan, plan
+    assert "partial_sum" in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 1, plan
