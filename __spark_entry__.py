@@ -63,6 +63,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "o11_budgeted_mixture",
     "j12_runtime_filter",
     "sql11_sql_body_udf",
+    "d22_compacted_ingest",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -23,6 +23,14 @@ from pyspark.sql.window import Window
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import spread_compute
 
+# Vector math scales with data VOLUME, so a narrow scan only bottlenecks
+# one core once a split actually carries substantial bytes — below this,
+# the spread exchange's fixed cost exceeds the whole single-split compute
+# (measured on s01's 2k-vector probe scoring: ~0.60s unspread vs ~0.77s
+# spread steady-state). Half a default 128 MB split: one core chewing
+# more than that is slower than one round-robin exchange.
+_SPREAD_MIN_BYTES = 64 << 20
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -85,7 +93,7 @@ def brute_force_topk(
     # per-pair expression is a single dot product (same arithmetic, same
     # bits: sqrt(dot(v,v)) is evaluated identically, just hoisted).
     vec = F.col(vec_col).cast("array<double>")
-    vecs = spread_compute(df).select(
+    vecs = spread_compute(df, _SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -130,7 +138,7 @@ def embedding_neardup_pairs(
     At 100 TB the bucket is the shuffle key; within-bucket comparison is
     quadratic only in bucket size."""
     vec = F.col(vec_col).cast("array<double>")
-    base = spread_compute(df).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("vid"),
         vec.alias("v"),
         _norm(vec).alias("nrm"),
@@ -178,7 +186,7 @@ def bucketed_topk(
     column is the layout partition key so each probe reads ~1/2^m of data.
     """
     vec = F.col(vec_col).cast("array<double>")
-    base = spread_compute(df).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -280,7 +288,7 @@ def ivf_assign_cells(
     # norm projected ONCE per row (review r9): transform lambdas get no
     # lambda-invariant hoisting, so an nv expression inlined into
     # _scored_cells would re-run the O(dim) norm aggregate per centroid
-    base = spread_compute(df).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
         F.col(id_col).alias("__vid"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -389,7 +397,7 @@ def ivf_topk(
         1,
     )
     base = (
-        spread_compute(df)
+        spread_compute(df, _SPREAD_MIN_BYTES)
         .select(
             F.col(id_col).alias("neighbor_id"),
             vec.alias("v"),

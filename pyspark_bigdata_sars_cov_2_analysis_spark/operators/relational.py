@@ -86,7 +86,7 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.select(aggs)
 
 
-def spread_compute(df: DataFrame) -> DataFrame:
+def spread_compute(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Widen a narrow scan before CPU-heavy row-local work (X1 family —
     the reference's manual ``repartition(200)`` after the image union,
     `spark/jobs/radiography_analysis.py:102`, made adaptive).
@@ -97,6 +97,19 @@ def spread_compute(df: DataFrame) -> DataFrame:
     at real scale inputs already carry enough splits and this is a no-op,
     so the round-robin shuffle only ever moves small data.
 
+    ``min_bytes`` (r10): below this optimizer-estimated input size the
+    spread is SKIPPED outright — for a table tiny enough that the
+    single-split compute finishes faster than the exchange's fixed cost,
+    the "help" is pure overhead (measured on s01's 2k-vector probe
+    scoring: ~0.77s spread vs ~0.60s unspread steady-state, the exchange
+    + extra stage being the whole difference). Callers whose per-row
+    work is heavy relative to row width (shingling over text) keep the
+    default 0 (always spread narrow scans); callers whose work scales
+    with data volume (vector math) pass the split-size threshold at
+    which one core actually becomes the bottleneck. The size probe is
+    driver-side plan statistics — no job, and cheaper than the ``.rdd``
+    partition probe it short-circuits.
+
     Known limits (review r9, adjudicated): ``rdd.getNumPartitions()``
     reports the STATIC pre-AQE count, so a post-shuffle frame AQE later
     coalesces to a few partitions still reads as wide and is not
@@ -106,6 +119,12 @@ def spread_compute(df: DataFrame) -> DataFrame:
     not in a loop. Both are left as-is deliberately: an unconditional
     repartition would add an exchange to every consumer's plan (the
     per-query shuffle budgets pin exactly where exchanges may appear)."""
+    if min_bytes:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est < min_bytes:
+            return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -1782,6 +1782,121 @@ def d20_band_ingest_incremental(spark, sf_dir):
 
 
 @query(
+    "d22_compacted_ingest",
+    # d20's oracle VERBATIM in the admissions columns — compaction is a
+    # maintenance op and must be INVISIBLE to what the loop admits; any
+    # admission drift under the mid-sequence compactions hash-fails.
+    # max_files_per_bucket is the oracle's PREDICTION (1) against the
+    # Spark side's measured post-compaction layout (p20's
+    # prediction==actual pattern, here for a storage invariant).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END AS b,
+             string_split({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, b,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, b,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS20_SQL}
+    ),
+    dup0 AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.band_sig = c.band_sig AND c.b = -1
+      WHERE n.b = 0
+    ),
+    adm0 AS (
+      SELECT doc_id FROM documents
+      WHERE CAST(doc_id % 3 AS INT) = 1
+        AND doc_id NOT IN (SELECT doc_id FROM dup0)
+    ),
+    dup1 AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.band_sig = c.band_sig
+      WHERE n.b = 1
+        AND (c.b = -1
+             OR (c.b = 0 AND c.doc_id IN (SELECT doc_id FROM adm0)))
+    )
+    SELECT doc_id, CAST(0 AS INT) AS ingest_batch,
+           CAST(1 AS BIGINT) AS max_files_per_bucket
+    FROM adm0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS ingest_batch,
+           CAST(1 AS BIGINT) AS max_files_per_bucket
+    FROM documents
+    WHERE CAST(doc_id % 3 AS INT) = 2
+      AND doc_id NOT IN (SELECT doc_id FROM dup1)
+    """,
+)
+def d22_compacted_ingest(spark, sf_dir):
+    """The d20 ingest loop with state COMPACTION running mid-sequence
+    (r10) — the driver-attested form of the maintenance contract: seed →
+    batch 0 → ``compact_band_checkpoint`` → batch 1 → compact again,
+    then read back the admissions. Two facts enter the hash: (1) the
+    admitted (doc_id, ingest_batch) set is byte-identical to d20's
+    uncompacted oracle — compaction preserves the band rows, the
+    ``src_batch`` stamps, the sidecar grid, and the hwm markers, so the
+    loop cannot tell it ran (the invisibility contract, here under the
+    driver gate rather than a local test); (2) ``max_files_per_bucket``
+    — the measured post-compaction layout, exactly 1 file per touched
+    (band, sigb) directory — against the oracle's literal 1, p20's
+    prediction==actual pattern applied to a storage invariant. A
+    compaction that silently dropped/duplicated state rows flips the
+    admissions; one that failed to rewrite buckets flips the file
+    column. Same scratch-dir and construction-time-work precedent as
+    d19/d20."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup as dd
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_d22_")
+    band_path, out = f"{tmp}/bands", f"{tmp}/out"
+    dd.write_band_checkpoint(
+        d.where(F.col("doc_id") % 3 == 0), band_path, "doc_id", "text",
+        n_sig_buckets=4,
+    )
+    for b, m in ((0, 1), (1, 2)):
+        dd.ingest_batch_idempotent(
+            d.where(F.col("doc_id") % 3 == m), b, band_path, out
+        )
+        dd.compact_band_checkpoint(spark, band_path)
+    max_files = max(
+        (
+            len(_glob.glob(_os.path.join(bucket, "*.parquet")))
+            for bucket in _glob.glob(f"{band_path}/band=*/sigb=*")
+        ),
+        default=0,
+    )
+    return (
+        spark.read.schema("doc_id bigint, text string, ingest_batch int")
+        .parquet(out)
+        .select(
+            "doc_id",
+            "ingest_batch",
+            F.lit(int(max_files)).cast("bigint").alias(
+                "max_files_per_bucket"
+            ),
+        )
+    )
+
+
+@query(
     "o10_token_budget_plan",
     # o06's DOUBLE-cast discipline: every numeric literal is ::DOUBLE
     # (bare decimals type as DECIMAL in DuckDB and compute a DIFFERENT
