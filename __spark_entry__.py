@@ -64,6 +64,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "j12_runtime_filter",
     "sql11_sql_body_udf",
     "d22_compacted_ingest",
+    "o12_weighted_reservoir",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

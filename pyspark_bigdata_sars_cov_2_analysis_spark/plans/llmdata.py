@@ -935,6 +935,86 @@ def o08_quality_weighted_sample(spark, sf_dir):
     )
 
 
+@query(
+    "o12_weighted_reservoir",
+    # priority = (32-bit md5 draw + 1) / weight: integer hash exactly
+    # representable in double, one IEEE division (correctly rounded in
+    # BOTH engines — the o06 rule: +,-,×,÷ only, never pow/ln, which
+    # differ in the last ulp across libms and would flip ranks), rank
+    # ascending with the doc_id tiebreak
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, doc_id,
+             greatest({sql_round(_QUALITY_EXPR, 4)}, 0.0) AS weight
+      FROM documents
+    ),
+    k AS (
+      SELECT lang, doc_id, weight,
+             (CAST(CAST('0x' || substr(md5('res|' ||
+                CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+              + 1) / weight AS key
+      FROM w WHERE weight > 0.0
+    )
+    SELECT lang, doc_id, weight, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY key, doc_id) AS rk
+      FROM k)
+    WHERE rk <= 50
+    """,
+)
+def o12_weighted_reservoir(spark, sf_dir):
+    """Sampling-family completion (r10) — EXACT-SIZE weighted sampling:
+    "give me exactly k documents per source, chosen ∝ quality". o08's
+    Bernoulli gate yields a BINOMIAL sample size (right for rate
+    thinning, wrong when the budget is a row count); this is the
+    fixed-k counterpart via sequential Poisson sampling (Ohlsson 1998,
+    the πps-approximating order-sampling design): each row draws a
+    deterministic uniform from md5(salt, id), its priority key is
+    ``u / weight``, and the k SMALLEST keys per stratum win — high
+    weight shrinks the key, so inclusion probability grows ∝ weight.
+    Determinism discipline: the draw is the hash integer itself (+1 to
+    dodge zero) over one IEEE division — correctly rounded identically
+    in Spark and DuckDB, unlike the classic A-Res ``u^(1/w)`` whose
+    libm ``pow`` can flip last-ulp ranks across engines (the same
+    reason o06 squares instead of pow()). Zero-weight docs are excluded
+    up front (their key would be +inf anyway). Scale shape: the rank ≤ k
+    predicate compiles to WindowGroupLimit (plan-pinned), so each map
+    task keeps only its local top-k BEFORE the lang shuffle — the
+    100 TB-safe form of per-group selection; one keyed exchange total."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_score,
+    )
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang",
+        "doc_id",
+        F.greatest(pround(quality_score(F.col("text")), 4), F.lit(0.0)).alias(
+            "weight"
+        ),
+    ).where(F.col("weight") > 0.0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = w.withColumn(
+        "key", (h + F.lit(1)).cast("double") / F.col("weight")
+    )
+    win = Window.partitionBy("lang").orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .where(F.col("rk") <= 50)
+        .select("lang", "doc_id", "weight", "rk")
+    )
+
+
 _MIX_W = (
     "CAST(CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 "
     "WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END AS DOUBLE)"

@@ -707,3 +707,19 @@ def test_sql11_sql_udf_inlines_no_python_worker(spark):
     assert "partial_sum" in plan, plan
     n_shuffle = plan.count("Exchange hashpartitioning")
     assert n_shuffle <= 1, plan
+
+
+def test_o12_reservoir_group_limit_before_shuffle(spark):
+    """o12's rank<=k predicate must compile to WindowGroupLimit with a
+    PARTIAL mode instance below the lang exchange — each map task keeps
+    only its local top-k before shuffling, the 100 TB-safe per-group
+    selection; one keyed exchange total, no pow/ln in the plan (the
+    cross-engine determinism rule — division-only priority keys)."""
+    df = QUERIES["o12_weighted_reservoir"](spark, SF_TEST)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:120] or \
+        plan.count("WindowGroupLimit") >= 2, plan
+    assert "POWER" not in plan.upper().replace("LOWER", ""), plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 1, plan
