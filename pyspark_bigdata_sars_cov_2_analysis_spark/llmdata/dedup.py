@@ -901,6 +901,7 @@ def streaming_neardup_ingest(
     num_hashes: int = 12,
     band_rows: int = 3,
     max_files_per_trigger: int = 1,
+    compact_every: int = 0,
 ):
     """Streaming twin of the d11 band checkpoint (VERDICT r6 #8): an
     ``availableNow`` ingestion loop where each micro-batch of documents
@@ -928,7 +929,19 @@ def streaming_neardup_ingest(
     The band checkpoint must already exist (seed it once from the
     initial corpus with :func:`write_band_checkpoint`) — that's the
     production flow, and it pins the (k, num_hashes, band_rows)
-    parameters every batch must use."""
+    parameters every batch must use.
+
+    ``compact_every`` (r10): run :func:`compact_band_checkpoint` after
+    every Nth committed batch (ids N-1, 2N-1, …), folding the state
+    maintenance into the loop so per-bucket file counts stay O(N)
+    between compactions instead of growing one file per batch forever.
+    The compaction runs AFTER the batch's commit marker lands, so its
+    in-flight refusal can never fire here, and it is itself crash-safe
+    (marker-protected swap, self-healing on the next run); a compaction
+    crash before the swap completes leaves the checkpoint valid and the
+    stream checkpoint un-advanced for nothing — the batch was already
+    committed. 0 disables (the default — small deployments may prefer
+    an external maintenance window)."""
     # fail fast (and pin parameters) before any micro-batch runs
     read_band_checkpoint(
         spark, band_path, id_col,
@@ -941,6 +954,8 @@ def streaming_neardup_ingest(
             id_col=id_col, text_col=text_col,
             k=k, num_hashes=num_hashes, band_rows=band_rows,
         )
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            compact_band_checkpoint(spark, band_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -2567,15 +2582,18 @@ def streaming_chunk_dedup_ingest(
     text_col: str = "text",
     chunk_words: int = 10,
     max_files_per_trigger: int = 1,
+    compact_every: int = 0,
 ):
     """Streaming driver for :func:`chunk_ingest_batch_idempotent` — the
     d14 twin of :func:`streaming_neardup_ingest`, same ``availableNow``
     + ``foreachBatch`` shape, same restart semantics (the streaming
     checkpoint records consumed source files; the per-batch dynamic
-    overwrite makes mid-batch crash replays byte-identical). Seed the
-    chunk checkpoint once from the initial corpus with
-    :func:`write_chunk_checkpoint`. Returns a ``DataStreamWriter``;
-    callers ``.start()`` it."""
+    overwrite makes mid-batch crash replays byte-identical), same
+    ``compact_every`` maintenance cadence (compact AFTER every Nth
+    batch's commit marker lands — the in-flight refusal can never fire
+    from inside the loop; 0 disables). Seed the chunk checkpoint once
+    from the initial corpus with :func:`write_chunk_checkpoint`.
+    Returns a ``DataStreamWriter``; callers ``.start()`` it."""
     read_chunk_checkpoint(spark, chunk_path, id_col, chunk_words)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -2583,6 +2601,8 @@ def streaming_chunk_dedup_ingest(
             batch_df, batch_id, chunk_path, out_path,
             id_col=id_col, text_col=text_col, chunk_words=chunk_words,
         )
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            compact_chunk_checkpoint(spark, chunk_path)
 
     stream = (
         spark.readStream.schema(schema)

@@ -261,3 +261,57 @@ def test_compact_rerun_heals_mid_swap_crash(spark, tmp_path):
     per_dir = _bucket_files(path, "band=*/sigb=*")
     assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
     assert stats["hwm"] == 0  # markers carried through the healed swap
+
+
+def test_streaming_ingest_with_compact_every_matches_plain(
+    spark, tmp_path
+):
+    """r10: the streaming loops fold compaction into their maintenance
+    cadence (``compact_every=N``, run AFTER the Nth batch's marker
+    lands). A drain with compact_every=1 must admit exactly what the
+    uncompacted drain admits, and leave every touched bucket at one
+    file."""
+    import time as _time
+
+    T = {
+        i: f"the quick brown fox number {i} jumps over the lazy dog "
+           f"and then recites shingle {i} twice for minhash stability"
+        for i in range(1, 6)
+    }
+    U1 = "an entirely fresh document about spark structured streaming"
+    U2 = "another novel text concerning locality sensitive hashing bands"
+    V1 = "a third unique body of text on incremental corpus ingestion"
+
+    corpus = spark.createDataFrame(
+        [(i, T[i]) for i in range(1, 6)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(101, T[1]), (102, U1), (103, U2)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)
+    spark.createDataFrame(
+        [(201, U1), (202, T[2]), (203, V1)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    admitted = {}
+    for variant, every in (("plain", 0), ("compacted", 1)):
+        base = tmp_path / variant
+        band_path, out = str(base / "bands"), str(base / "out")
+        dedup.write_band_checkpoint(corpus, band_path, "doc_id", "text",
+                                    n_sig_buckets=8)
+        q = dedup.streaming_neardup_ingest(
+            spark, src, "doc_id long, text string",
+            band_path, out, str(base / "ckpt"), compact_every=every,
+        ).start()
+        q.awaitTermination(120)
+        admitted[variant] = sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+        if every:
+            per_dir = _bucket_files(band_path, "band=*/sigb=*")
+            assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+            # the loop committed both batches before compacting each time
+            assert dedup.ingest_high_water_mark(band_path) == 1
+    assert admitted["compacted"] == admitted["plain"] == [102, 103, 203]
