@@ -65,6 +65,8 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "sql11_sql_body_udf",
     "d22_compacted_ingest",
     "o12_weighted_reservoir",
+    "d23_contamination_report",
+    "j13_asof_nearest",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -197,6 +197,107 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """As-of join, NEAREST-in-either-direction (pandas ``merge_asof``
+    ``direction='nearest'``): for every left row, attach the same-key
+    right row minimizing ``|right_ts − left_ts|``; ties (equidistant
+    preceding and following) take the PRECEDING row — sensor alignment
+    and "closest snapshot to this event" semantics that the
+    nearest-preceding :func:`asof_join` can't express when the best
+    match may sit in the future.
+
+    Spark-first formulation, r10: the SAME tagged union and the SAME
+    one keyed window sort as :func:`asof_join`, read through TWO frames
+    — ``last(struct, ignorenulls)`` over (unbounded preceding, current)
+    for the backward candidate and ``first(struct, ignorenulls)`` over
+    (current, unbounded following) for the forward one — then a
+    row-local pick by time distance. Still exactly ONE shuffle and one
+    sort, zero row fan-out; the naive form (equi join + |Δ| window)
+    explodes every left row against its key's whole history. Equal-ts
+    right rows sort before left rows (side ordering) and are therefore
+    backward candidates at distance 0, which the tie rule prefers —
+    matching the oracle's CASE. ``tolerance_us`` bounds the ACCEPTED
+    |Δ| as a row-local post-filter, like ``merge_asof``'s. NULL
+    key/ts handling mirrors :func:`asof_join` (NULL right keys/ts can
+    never match and are pre-filtered; NULL left keys/ts keep the row
+    with NULL match columns)."""
+    _assert_no_reserved(
+        "asof_join_nearest",
+        ("__k", "__ts", "__side", "__r", "__b", "__f", "__n", "__rts"),
+        left=left, right=right,
+    )
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    from pyspark.sql import Window
+
+    row_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    marked_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        row_struct.alias("__r"),
+    )
+    struct_type = marked_r.schema["__r"].dataType
+    marked_l = left.select(
+        "*",
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_type).alias("__r"),
+    )
+    both = marked_l.unionByName(
+        marked_r.select(
+            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+            "__k", "__ts", "__side", "__r",
+        )
+    )
+    base = Window.partitionBy("__k").orderBy("__ts", "__side")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cand = both.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(w_back).alias("__b"),
+        F.first("__r", ignorenulls=True).over(w_fwd).alias("__f"),
+    ).where(F.col("__side") == 1)
+    ts_us = F.unix_micros(F.col("__ts"))
+    d_back = ts_us - F.unix_micros(F.col("__b.__rts"))
+    d_fwd = F.unix_micros(F.col("__f.__rts")) - ts_us
+    nearest = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(d_fwd < d_back, F.col("__f"))
+        .otherwise(F.col("__b"))  # tie → preceding
+    )
+    picked = cand.select(*left.columns, nearest.alias("__n"))
+    if tolerance_us is not None:
+        dist = F.abs(
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("__n.__rts"))
+        )
+        picked = picked.select(
+            *left.columns,
+            F.when(dist <= F.lit(tolerance_us), F.col("__n")).alias("__n"),
+        )
+    return picked.select(
+        *left.columns,
+        *[F.col(f"__n.{c}").alias(f"{c}_nearest") for c in right_cols],
+        F.col("__n.__rts").alias(f"{right_ts}_nearest"),
+    )
+
+
 def binned_range_join(
     left: DataFrame,
     right: DataFrame,

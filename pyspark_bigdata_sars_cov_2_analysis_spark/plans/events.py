@@ -316,6 +316,93 @@ def j06_asof_join(spark, sf_dir):
 
 
 @query(
+    "j13_asof_nearest",
+    # DuckDB spells nearest-either-direction as TWO native ASOF joins
+    # (>= backward, <= forward) + a CASE pick; Spark computes both
+    # candidates from ONE window sort. Tie (equidistant) → preceding,
+    # the merge_asof 'nearest' rule both sides implement.
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT p.user_id, p.purchase_id, p.ts,
+               v.view_id AS b_id, v.ts AS b_ts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+        SELECT p.user_id, p.purchase_id,
+               v.view_id AS f_id, v.ts AS f_ts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT b.user_id, b.purchase_id,
+           CASE WHEN b_id IS NULL THEN f_id
+                WHEN f_id IS NULL THEN b_id
+                WHEN epoch_us(f_ts) - epoch_us(b.ts)
+                     < epoch_us(b.ts) - epoch_us(b_ts) THEN f_id
+                ELSE b_id END AS nearest_view_id,
+           CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+                WHEN b_id IS NULL THEN
+                  CAST(epoch_us(b.ts) - epoch_us(f_ts) AS BIGINT)
+                WHEN f_id IS NULL THEN
+                  CAST(epoch_us(b.ts) - epoch_us(b_ts) AS BIGINT)
+                WHEN epoch_us(f_ts) - epoch_us(b.ts)
+                     < epoch_us(b.ts) - epoch_us(b_ts) THEN
+                  CAST(epoch_us(b.ts) - epoch_us(f_ts) AS BIGINT)
+                ELSE CAST(epoch_us(b.ts) - epoch_us(b_ts) AS BIGINT)
+           END AS signed_gap_us
+    FROM b JOIN f USING (user_id, purchase_id)
+    """,
+)
+def j13_asof_nearest(spark, sf_dir):
+    """As-of NEAREST join (r10) — j06's either-direction completion:
+    each purchase picks the same user's closest view by |Δt|, before OR
+    after, ties to the preceding one (pandas ``merge_asof
+    direction='nearest'``). Runs through
+    ``operators/joins.asof_join_nearest``: the same tagged-union single
+    keyed window sort as j06's backward form, read through two frames
+    (last-preceding + first-following struct) and a row-local distance
+    pick — one shuffle, zero fan-out, where the naive formulation
+    explodes each purchase against the user's whole view history. The
+    oracle needs TWO native DuckDB ASOF joins plus a CASE to say the
+    same thing. ``signed_gap_us`` is positive when the view precedes
+    the purchase — the sign IS the chosen direction, so it rides the
+    hash."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join_nearest(
+        p, v, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_id"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("view_id_nearest").alias("nearest_view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_nearest"))
+        .cast("bigint")
+        .alias("signed_gap_us"),
+    )
+
+
+@query(
     "j07_range_join_binned",
     oracle="""
     SELECT p.event_id AS purchase_id,

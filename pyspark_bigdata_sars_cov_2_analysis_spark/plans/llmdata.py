@@ -243,6 +243,127 @@ def d09_decontaminate(spark, sf_dir):
 
 
 @query(
+    "d23_contamination_report",
+    # two synthetic benchmark suites (doc_id % 13 ∈ {7, 11}); the report
+    # is per (train source × benchmark) — counts are pure integers, the
+    # rate rides the compat 4dp grid
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    sh5 AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ')
+                for i in generate_series(1, len(w) - 4)])) AS shingle
+      FROM toks WHERE len(w) >= 5
+    ),
+    ev AS (
+      SELECT DISTINCT CASE WHEN doc_id % 13 = 7 THEN 'bench_a'
+                           ELSE 'bench_b' END AS bench, shingle
+      FROM sh5 WHERE doc_id % 13 IN (7, 11)
+    ),
+    tr AS (
+      SELECT source, doc_id, shingle FROM sh5
+      WHERE doc_id % 13 NOT IN (7, 11)
+    ),
+    denom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+      FROM documents WHERE doc_id % 13 NOT IN (7, 11) GROUP BY source
+    ),
+    hits AS (
+      SELECT tr.source, ev.bench, tr.doc_id,
+             COUNT(*) AS n_doc_hits
+      FROM tr JOIN ev USING (shingle)
+      GROUP BY 1, 2, 3
+    ),
+    agg AS (
+      SELECT source, bench,
+             CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+             CAST(SUM(n_doc_hits) AS BIGINT) AS n_hit_shingles
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT d.source, a.bench, d.n_train_docs, a.n_contaminated,
+           a.n_hit_shingles,
+           {sql_round("a.n_contaminated * 1.0 / d.n_train_docs", 4)}
+             AS contamination_rate
+    FROM agg a JOIN denom d USING (source)
+    """,
+)
+def d23_contamination_report(spark, sf_dir):
+    """Decontamination AUDIT (r10) — d09 tells you WHICH training docs
+    collide with the eval set; this is the report you actually read
+    before a training run: per (train source × benchmark suite), how
+    many documents are contaminated, how many distinct 5-shingles leak,
+    and the contamination RATE against the source's training-doc count —
+    "source crawl_b leaks 4% of its docs into bench_a" is the sentence
+    that decides whether to drop a source or a benchmark. Two synthetic
+    suites (doc_id % 13 ∈ {7, 11}) stand in for benchmark datasets.
+
+    Scale shape: d09's asymmetric contract per suite — the eval side
+    collapses to a DISTINCT (bench, shingle) set (benchmark suites are
+    tiny next to a corpus; broadcastable), so each train shingle row
+    matches at most once per suite and stopword-dense shingles cannot
+    fan out. The shingle expansion carries (source, bench-role) from
+    the scan, so neither side joins back to the corpus for its labels
+    (the first cut paid two label join-backs and 5 corpus scans; this
+    shape pays the two d03-style deliberate shingle re-expansions plus
+    one 2-column denominator scan). The per-doc hit count reduces
+    before the per-source rollup; the denominator is a ≤|sources|-row
+    broadcast frame."""
+    d = table(spark, sf_dir, "documents")
+    bench = (
+        F.when(F.col("doc_id") % 13 == 7, F.lit("bench_a"))
+        .when(F.col("doc_id") % 13 == 11, F.lit("bench_b"))
+    )  # NULL = training doc
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import (
+        spread_compute,
+    )
+
+    base = spread_compute(d).select(
+        "doc_id",
+        "source",
+        bench.alias("bench"),
+        F.explode(
+            F.array_distinct(dedup.shingle_array(F.col("text"), 5))
+        ).alias("shingle"),
+    )
+    ev = (
+        base.where(F.col("bench").isNotNull())
+        .select("bench", "shingle")
+        .distinct()
+    )
+    tr = base.where(F.col("bench").isNull()).select(
+        "source", "doc_id", "shingle"
+    )
+    denom = (
+        d.where(~(F.col("doc_id") % 13).isin(7, 11))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_docs"))
+    )
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy("source", "bench", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_doc_hits"))
+    )
+    agg = hits.groupBy("source", "bench").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.sum("n_doc_hits").cast("bigint").alias("n_hit_shingles"),
+    )
+    return agg.join(F.broadcast(denom), "source").select(
+        "source",
+        "bench",
+        "n_train_docs",
+        "n_contaminated",
+        "n_hit_shingles",
+        pround(
+            F.col("n_contaminated") * F.lit(1.0) / F.col("n_train_docs"), 4
+        ).alias("contamination_rate"),
+    )
+
+
+@query(
     "d10_dedup_keep_best",
     # same quality expression as t02 (proven cross-engine there); argmax
     # per fingerprint = row_number over (rounded quality DESC, doc_id)

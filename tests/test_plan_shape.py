@@ -723,3 +723,16 @@ def test_o12_reservoir_group_limit_before_shuffle(spark):
     assert "POWER" not in plan.upper().replace("LOWER", ""), plan
     n_shuffle = plan.count("Exchange hashpartitioning")
     assert n_shuffle <= 1, plan
+
+
+def test_j13_nearest_single_shuffle_no_fanout(spark):
+    """j13's nearest-either-direction pick must come from ONE keyed
+    window sort over the tagged union (two frames, zero row fan-out) —
+    never an equi join exploding each purchase against its user's whole
+    view history. Two hash exchanges max: the view pre-aggregation and
+    the union's keyed sort."""
+    plan = _plan(QUERIES["j13_asof_nearest"](spark, SF_TEST), "simple")
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 2, plan

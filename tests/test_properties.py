@@ -295,6 +295,78 @@ def test_asof_join_semantics(spark):
     assert row["v_asof"] is None and row["rts_asof"] == ts(2), row
 
 
+def test_asof_join_nearest_matches_pandas_merge_asof(spark):
+    """r10: asof_join_nearest must agree with pandas merge_asof
+    direction='nearest' on a seeded random workload (the semantics it
+    names), modulo the tie rule — pandas takes the FORWARD row on
+    equidistant ties, this operator the PRECEDING (documented); odd
+    timestamps on one side keep the sweep tie-free so both agree, and
+    an explicit tie case pins our rule separately. Tolerance must null
+    out (never redirect) matches beyond the budget."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left_rows = [
+        (k, 2 * rng.randrange(0, 500) + 1, i)  # odd ts: never equal right
+        for i, k in enumerate(rng.choices([1, 2, 3], k=60))
+    ]
+    right_rows = [
+        (k, 2 * rng.randrange(0, 500), 100 + i)  # even ts
+        for i, k in enumerate(rng.choices([1, 2, 3, 4], k=40))
+    ]
+    # unique (k, ts) on the right: the operator's documented precondition
+    seen, rr = set(), []
+    for k, t, v in right_rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rr.append((k, t, v))
+    lf = spark.createDataFrame(
+        [(k, __import__("datetime").datetime.fromtimestamp(t, __import__("datetime").timezone.utc), x)
+         for k, t, x in left_rows],
+        "k bigint, lts timestamp, x bigint",
+    )
+    rf = spark.createDataFrame(
+        [(k, __import__("datetime").datetime.fromtimestamp(t, __import__("datetime").timezone.utc), v)
+         for k, t, v in rr],
+        "k bigint, rts timestamp, v bigint",
+    )
+    got = {
+        r["x"]: r["v_nearest"]
+        for r in joins.asof_join_nearest(
+            lf, rf, on="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["k", "t", "x"]).sort_values("t")
+    rp = pd.DataFrame(rr, columns=["k", "t", "v"]).sort_values("t")
+    want_df = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest")
+    want = {
+        int(r.x): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+    # explicit equidistant tie: preceding wins here (pandas would take
+    # the forward row — the one documented divergence)
+    import datetime as dt
+
+    T = lambda s: dt.datetime.fromtimestamp(s, dt.timezone.utc)  # noqa: E731
+    lf2 = spark.createDataFrame([(1, T(10), 1)], "k bigint, lts timestamp, x bigint")
+    rf2 = spark.createDataFrame(
+        [(1, T(5), 55), (1, T(15), 66)], "k bigint, rts timestamp, v bigint"
+    )
+    row = joins.asof_join_nearest(
+        lf2, rf2, on="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+    ).collect()[0]
+    assert row["v_nearest"] == 55, row
+    # tolerance nulls, never redirects
+    row = joins.asof_join_nearest(
+        lf2, rf2, on="k", left_ts="lts", right_ts="rts", right_cols=["v"],
+        tolerance_us=1_000_000,
+    ).collect()[0]
+    assert row["v_nearest"] is None, row
+
+
 def test_stratified_sample_deterministic_and_isolated(spark):
     """The hash gate must (a) be identical across runs and partitionings,
     (b) hit somewhere near the target rate, and (c) keep per-stratum
