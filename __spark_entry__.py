@@ -67,6 +67,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "o12_weighted_reservoir",
     "d23_contamination_report",
     "j13_asof_nearest",
+    "d24_minhash_error",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

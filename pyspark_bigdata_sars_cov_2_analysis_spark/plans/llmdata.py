@@ -243,6 +243,134 @@ def d09_decontaminate(spark, sf_dir):
 
 
 @query(
+    "d24_minhash_error",
+    # est = matching-component fraction of the two 12-hash signatures;
+    # exact = distinct-3-shingle Jaccard. Both sides deterministic
+    # (md5 family), so the ORACLE rebuilds the whole estimator and the
+    # estimate itself enters the hash — s05's "approximation evaluated,
+    # not asserted" rule applied to MinHash. LEFT join to the exact
+    # side: a hash-collision candidate pair sharing no shingle reads as
+    # exact 0, keeping the report total.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             {sql_round("(" + " + ".join(
+                 f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+                 for j in range(12)) + ") / 12.0", 4)} AS est_jaccard
+      FROM pairs p
+      JOIN mh a ON a.doc_id = p.id_a
+      JOIN mh b ON b.doc_id = p.id_b
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT i.id_a, i.id_b,
+             {sql_round('n_inter / (sa.n_sh + sb.n_sh - n_inter)', 4)}
+               AS exact_jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           COALESCE(x.exact_jaccard, 0.0) AS exact_jaccard,
+           {sql_round("abs(e.est_jaccard - COALESCE(x.exact_jaccard, 0.0))", 4)}
+             AS abs_err,
+           abs(e.est_jaccard - COALESCE(x.exact_jaccard, 0.0)) <= 0.35
+             AS within_bound
+    FROM est e LEFT JOIN exact x USING (id_a, id_b)
+    """,
+)
+def d24_minhash_error(spark, sf_dir):
+    """MinHash ACCURACY report (r10) — s05's "evaluate the
+    approximation, don't assert it" rule applied to the dedup
+    estimator: for every LSH candidate pair, the signature-agreement
+    estimate of Jaccard (matching components / 12) next to the EXACT
+    distinct-shingle Jaccard, the absolute error, and a
+    ``within_bound`` flag at 0.35 (≳2.4σ for 12 hashes at the s-curve
+    threshold). Every column is deterministic — the md5 min-hash family
+    is the same in both engines — so the estimate itself rides the
+    hash, not just the decision; the report is what tells you whether
+    12 hashes are enough BEFORE you re-shingle 100 TB with 64. A
+    candidate pair sharing no shingle (possible only via a band-level
+    hash collision) reads exact 0 through the LEFT join, keeping the
+    report total over candidates.
+
+    Scale shape: the signature frame is computed once and CACHED
+    (13 ints/doc, text-free — d18's barrier rule; it feeds the band
+    expansion and BOTH est join sides), candidate pairs come from the
+    one-shuffle bucket expansion, and the exact side is d03's
+    inverted-index join — never all-pairs."""
+    d = table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d, "doc_id", "text", 3, 12).cache()
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(sig, "doc_id", 12, 3), "doc_id"
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(12)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(12)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(12)
+    )
+    est = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b",
+        pround(matches / F.lit(12.0), 4).alias("est_jaccard"),
+    )
+    exact = dedup.jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.0)
+    out = est.join(
+        exact.select("id_a", "id_b", F.col("jaccard").alias("exact_raw")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    exact_j = F.coalesce(F.col("exact_raw"), F.lit(0.0))
+    return out.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact_j.alias("exact_jaccard"),
+        pround(F.abs(F.col("est_jaccard") - exact_j), 4).alias("abs_err"),
+        (F.abs(F.col("est_jaccard") - exact_j) <= 0.35).alias(
+            "within_bound"
+        ),
+    )
+
+
+@query(
     "d23_contamination_report",
     # two synthetic benchmark suites (doc_id % 13 ∈ {7, 11}); the report
     # is per (train source × benchmark) — counts are pure integers, the
