@@ -68,6 +68,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "d23_contamination_report",
     "j13_asof_nearest",
     "d24_minhash_error",
+    "f21_interval_arithmetic",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -512,6 +512,62 @@ def f11_date_funcs(spark, sf_dir):
 
 
 @query(
+    "f21_interval_arithmetic",
+    # both engines CLAMP month-end on year-month interval addition
+    # (Jan 31 + 1 month = Feb 29 in 2020) and agree bit-for-bit on
+    # day-interval addition, interval*int scaling, and date difference
+    # — probed before this oracle was written; the `clamped` flag makes
+    # the month-end rule itself part of the hashed contract
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey,
+           CAST(od + INTERVAL 3 MONTH AS DATE) AS due_3m,
+           CAST(od + INTERVAL 45 DAY AS DATE) AS ship_45d,
+           CAST(DATE '1998-12-31' - od AS BIGINT) AS days_open,
+           CAST(od + INTERVAL 1 DAY * CAST(o_orderkey % 5 AS INT)
+                AS DATE) AS staggered,
+           EXTRACT(DAY FROM od)
+             <> EXTRACT(DAY FROM od + INTERVAL 3 MONTH) AS clamped
+    FROM o
+    """,
+)
+def f21_interval_arithmetic(spark, sf_dir):
+    """F-family completion (r10) — ANSI INTERVAL types, the date/time
+    arithmetic surface f11's extraction functions don't touch:
+    year-month interval addition (with the month-end CLAMP rule — Jan
+    31 + 3 months lands on Apr 30, and the ``clamped`` flag hashes the
+    rule itself), day-time interval addition, interval × integer
+    scaling (per-row staggered offsets), and date difference in days.
+    All four are row-local codegen expressions — the SLA/due-date
+    arithmetic of any orders pipeline, executed at scan speed with no
+    UDF. Spark's ``date + day-interval`` yields a timestamp (ANSI),
+    cast back to DATE to match DuckDB's date-typed result."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        # the parquet column is a timestamp; DATE-typed arithmetic is
+        # the contract under test, so both engines cast up front
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    due = F.expr("od + INTERVAL '3' MONTH")
+    return o.select(
+        "o_orderkey",
+        due.cast("date").alias("due_3m"),
+        F.expr("od + INTERVAL '45' DAY").cast("date").alias("ship_45d"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("od"))
+        .cast("bigint")
+        .alias("days_open"),
+        F.expr("od + INTERVAL '1' DAY * CAST(o_orderkey % 5 AS INT)")
+        .cast("date")
+        .alias("staggered"),
+        (F.dayofmonth("od") != F.dayofmonth(due)).alias("clamped"),
+    )
+
+
+@query(
     "f12_json_extract",
     oracle=f"""
     SELECT event_type,
