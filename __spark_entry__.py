@@ -69,6 +69,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "j13_asof_nearest",
     "d24_minhash_error",
     "f21_interval_arithmetic",
+    "o13_snapshot_time_travel",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

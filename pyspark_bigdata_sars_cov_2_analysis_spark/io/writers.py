@@ -502,3 +502,195 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-versioned parquet tables (r10): MVCC manifests over plain parquet.
+# compact_parquet/merge_upsert document the same gap every time — the staged
+# SWAP is not atomic for CONCURRENT readers (a reader listing the directory
+# mid-rename sees a missing table). These functions close that gap the way
+# transactional table formats do, minus the lock service: data files are
+# immutable and write-once under data/v<N>-<uuid>/, a tiny JSON manifest
+# names the exact file set of each version, and publishing is one O_EXCL
+# create — readers resolve a manifest FIRST and then read only the files it
+# names, so they can never observe a half-published version, and old
+# versions stay readable (time travel) until vacuumed.
+# ---------------------------------------------------------------------------
+
+_SNAP_DIR = "_snapshots"
+
+
+def _local_path(p: str) -> str:
+    """file:-URI (any slash count: ``file:/x``, ``file:///x``) → local
+    filesystem path, normalized so string comparison works — Spark's
+    ``inputFiles()`` emits ``file:///`` while callers pass plain paths."""
+    import os as _os
+
+    return _os.path.normpath(p.removeprefix("file:"))
+
+
+def _snap_path(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(_local_path(path), _SNAP_DIR)
+
+
+def list_parquet_snapshots(path: str) -> list[dict]:
+    """All published snapshot manifests, oldest first. Listing cost is
+    one readdir + one tiny JSON read per version."""
+    import json as _json
+    import os as _os
+
+    d = _snap_path(path)
+    try:
+        names = sorted(
+            n for n in _os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        with open(_os.path.join(d, n)) as fh:
+            out.append(_json.load(fh))
+    return out
+
+
+def write_parquet_snapshot(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> int:
+    """Publish ``df`` as a new VERSION of the snapshot table at ``path``;
+    returns the version number. ``mode='overwrite'`` makes the new
+    version exactly ``df``; ``mode='append'`` makes it the previous
+    version's file set PLUS ``df``'s new files — an append never
+    rewrites a byte of existing data, it only publishes a longer file
+    list (the manifest-level append a transactional format calls a new
+    snapshot).
+
+    Protocol (crash-safe at every step): (1) write the data files to an
+    immutable uniquely-named dir ``data/v<N>-<uuid>/`` — a crash here
+    leaves an orphan dir no manifest references, invisible to every
+    reader, reclaimed by :func:`vacuum_parquet_snapshots`; (2)
+    count-verify the written files by reading them back; (3) publish
+    ``_snapshots/v<N>.json`` with O_EXCL — if a concurrent writer
+    claimed N first, re-publish as N+1 (the uuid in the data dir name
+    keeps the loser's files distinct; for ``append`` the retry re-reads
+    the NEW latest manifest so the lost race cannot drop the winner's
+    rows). Readers (:func:`read_parquet_snapshot`) never list the data
+    directory — they read exactly the manifest's file list, so a
+    half-written version is unobservable by construction. This is the
+    concurrent-reader-safe upgrade of the staged swap used by
+    compact_parquet/merge_upsert (which remain for path-layout tables
+    a plain ``spark.read.parquet(path)`` must keep working on)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    base = _local_path(path)
+    _os.makedirs(_snap_path(path), exist_ok=True)
+    snaps = list_parquet_snapshots(path)
+    version = (snaps[-1]["version"] + 1) if snaps else 1
+    data_dir = _os.path.join(
+        base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(
+        spark.read.parquet(data_dir).inputFiles()
+    )
+    n_new = spark.read.parquet(*new_files).count()
+    while True:
+        prev = list_parquet_snapshots(path)
+        version = (prev[-1]["version"] + 1) if prev else 1
+        if mode == "append" and prev:
+            files = sorted(set(prev[-1]["files"]) | set(new_files))
+            rows = prev[-1]["rows"] + n_new
+        else:
+            files, rows = new_files, n_new
+        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
+        try:
+            fd = _os.open(manifest, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race: recompute against the new latest
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump(
+                {"version": version, "files": files, "rows": rows,
+                 "mode": mode},
+                fh,
+            )
+        return version
+
+
+def read_parquet_snapshot(spark, path: str, version: int | None = None):
+    """Read a snapshot table AS OF ``version`` (default: latest). The
+    read plans over exactly the manifest's immutable file list — a
+    concurrent writer publishing version N+1 cannot perturb a running
+    version-N scan, and pinning ``version`` is time travel."""
+    snaps = list_parquet_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots published at {path}")
+    if version is None:
+        snap = snaps[-1]
+    else:
+        by_v = {s["version"]: s for s in snaps}
+        if version not in by_v:
+            raise ValueError(
+                f"snapshot v{version} not found at {path}; "
+                f"have {sorted(by_v)}"
+            )
+        snap = by_v[version]
+    return spark.read.parquet(*snap["files"])
+
+
+def vacuum_parquet_snapshots(path: str, keep: int = 1) -> dict:
+    """Delete data files referenced ONLY by snapshots older than the
+    newest ``keep`` (and drop those manifests) plus any orphan data dir
+    no manifest ever referenced (a crashed writer's leftovers). Readers
+    of the kept versions are unaffected — their files are shared
+    forward by construction of the append protocol. Returns what was
+    removed. Run it in the same maintenance cadence as compaction;
+    until then, time travel across the whole history stays available."""
+    import os as _os
+    import shutil as _shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    snaps = list_parquet_snapshots(path)
+    kept, dropped = snaps[-keep:], snaps[:-keep]
+    keep_files = {_local_path(f) for s in kept for f in s["files"]}
+    base = _local_path(path)
+    removed_files = []
+    for s in dropped:
+        for f in s["files"]:
+            local = _local_path(f)
+            if local not in keep_files and _os.path.exists(local):
+                _os.remove(local)
+                removed_files.append(f)
+        _os.remove(
+            _os.path.join(_snap_path(path), f"v{s['version']:08d}.json")
+        )
+    # orphan data dirs: referenced by NO manifest (crashed pre-publish
+    # writers); also prune now-empty version dirs
+    data_root = _os.path.join(base, "data")
+    referenced_dirs = {
+        _os.path.dirname(_local_path(f)) for s in snaps for f in s["files"]
+    }
+    removed_orphans = []
+    if _os.path.isdir(data_root):
+        for d in sorted(_os.listdir(data_root)):
+            full = _os.path.join(data_root, d)
+            if full not in referenced_dirs:
+                _shutil.rmtree(full, ignore_errors=True)
+                removed_orphans.append(d)
+            elif not any(
+                n.endswith(".parquet") for n in _os.listdir(full)
+            ):
+                _shutil.rmtree(full, ignore_errors=True)
+                removed_orphans.append(d)
+    return {
+        "dropped_versions": [s["version"] for s in dropped],
+        "removed_files": len(removed_files),
+        "removed_orphan_dirs": removed_orphans,
+    }

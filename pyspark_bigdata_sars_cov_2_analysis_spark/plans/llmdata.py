@@ -1264,6 +1264,69 @@ def o12_weighted_reservoir(spark, sf_dir):
     )
 
 
+@query(
+    "o13_snapshot_time_travel",
+    # v1 = the %3==0 slice, v2 = v1 plus an APPENDED %3==1 slice. The
+    # oracle recomputes both versions' aggregates from the source table
+    # — if time travel read the wrong file set (a torn publish, an
+    # append that rewrote v1, a reader seeing the newer version), either
+    # row's (n_docs, sum_id, sum_chars) flips and the hash fails.
+    oracle="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    """,
+)
+def o13_snapshot_time_travel(spark, sf_dir):
+    """Snapshot-versioned parquet TABLE, driver-attested (r10): publish
+    version 1 (a third of the corpus) and version 2 (a manifest-level
+    APPEND of another third — zero bytes of v1 rewritten), then read
+    BOTH versions back through their manifests and aggregate each. The
+    MVCC manifest protocol closes the one gap the staged-swap
+    maintenance ops document every time they run — a concurrent reader
+    observing a half-swapped table — because readers resolve an
+    immutable manifest first and scan exactly its file list; this query
+    makes the whole protocol (O_EXCL publish, append-by-reference, time
+    travel) hash-attestable against aggregates the oracle recomputes
+    from the source. Construction-time work in a per-call temp dir,
+    d19/d20's precedent."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        read_parquet_snapshot,
+        write_parquet_snapshot,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_o13_")
+    tbl = f"{tmp}/docs_tbl"
+    write_parquet_snapshot(d.where(F.col("doc_id") % 3 == 0), tbl)
+    write_parquet_snapshot(
+        d.where(F.col("doc_id") % 3 == 1), tbl, mode="append"
+    )
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            read_parquet_snapshot(spark, tbl, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_id"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 _MIX_W = (
     "CAST(CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 "
     "WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END AS DOUBLE)"
