@@ -557,7 +557,8 @@ def list_parquet_snapshots(path: str) -> list[dict]:
 
 
 def write_parquet_snapshot(
-    df: DataFrame, path: str, mode: str = "overwrite"
+    df: DataFrame, path: str, mode: str = "overwrite",
+    src_batch: int | None = None,
 ) -> int:
     """Publish ``df`` as a new VERSION of the snapshot table at ``path``;
     returns the version number. ``mode='overwrite'`` makes the new
@@ -581,7 +582,12 @@ def write_parquet_snapshot(
     half-written version is unobservable by construction. This is the
     concurrent-reader-safe upgrade of the staged swap used by
     compact_parquet/merge_upsert (which remain for path-layout tables
-    a plain ``spark.read.parquet(path)`` must keep working on)."""
+    a plain ``spark.read.parquet(path)`` must keep working on).
+
+    ``src_batch`` stamps the manifest with the PUBLISHING micro-batch's
+    id — :func:`streaming_snapshot_sink` uses it to make a replayed
+    foreachBatch invocation a no-op (the manifest IS the commit record,
+    so at-least-once delivery publishes exactly once)."""
     import json as _json
     import os as _os
     import uuid as _uuid
@@ -615,11 +621,11 @@ def write_parquet_snapshot(
         except FileExistsError:
             continue  # lost the race: recompute against the new latest
         with _os.fdopen(fd, "w") as fh:
-            _json.dump(
-                {"version": version, "files": files, "rows": rows,
-                 "mode": mode},
-                fh,
-            )
+            payload = {"version": version, "files": files, "rows": rows,
+                       "mode": mode}
+            if src_batch is not None:
+                payload["src_batch"] = int(src_batch)
+            _json.dump(payload, fh)
         return version
 
 
@@ -694,3 +700,49 @@ def vacuum_parquet_snapshots(path: str, keep: int = 1) -> dict:
         "removed_files": len(removed_files),
         "removed_orphan_dirs": removed_orphans,
     }
+
+
+def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
+    """One micro-batch of :func:`streaming_snapshot_sink`, REPLAY-SAFE:
+    publish the batch as a manifest-level append stamped with its batch
+    id — unless a manifest already carries that id, in which case the
+    invocation is a replay of a published batch and a NO-OP (returns
+    False). The manifest is the commit record: a crash after the data
+    write but before the publish leaves an orphan dir (invisible,
+    vacuumed later) and the replay publishes fresh files once; a crash
+    after the publish but before the stream checkpoint commit makes the
+    replay hit the id guard. At-least-once delivery, exactly-once
+    publish."""
+    published = {
+        s.get("src_batch") for s in list_parquet_snapshots(path)
+    }
+    if int(batch_id) in published:
+        return False
+    write_parquet_snapshot(
+        batch_df, path, mode="append", src_batch=int(batch_id)
+    )
+    return True
+
+
+def streaming_snapshot_sink(
+    stream_df: DataFrame, path: str, stream_checkpoint: str
+):
+    """Structured-Streaming sink onto a snapshot-versioned parquet table:
+    every micro-batch publishes ONE new table version (manifest-level
+    append — zero bytes rewritten), so downstream consumers get MVCC
+    reads, time travel across batch boundaries, and full isolation from
+    in-flight publishes, on a plain filesystem. Composes the r10 MVCC
+    table with the ingest-loop replay discipline: the streaming
+    checkpoint makes restarts re-process nothing, and
+    :func:`snapshot_publish_batch`'s manifest id guard makes a
+    mid-batch crash replay publish exactly once. Returns a
+    ``DataStreamWriter``; callers ``.start()`` it."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_publish_batch(batch_df, batch_id, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -144,3 +144,55 @@ def test_snapshot_vacuum_drops_old_unshared_keeps_shared(spark, tmp_path):
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, path2).collect()
     ) == list(range(15))
+
+
+def test_streaming_snapshot_sink_exactly_once_publish(spark, tmp_path):
+    """The streaming sink must publish ONE version per micro-batch
+    (manifest stamped with the batch id), re-process nothing on a
+    checkpointed restart, and treat a replayed (batch_df, batch_id) —
+    the foreachBatch mid-batch-crash shape — as a no-op."""
+    import time as _time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _df(spark, 0, 5).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)  # distinct modTimes -> deterministic file order
+    _df(spark, 5, 8).coalesce(1).write.mode("append").parquet(src)
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = W.streaming_snapshot_sink(
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl,
+            ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    drain()
+    snaps = W.list_parquet_snapshots(tbl)
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert [s["src_batch"] for s in snaps] == [0, 1]
+    got = sorted(r.id for r in W.read_parquet_snapshot(spark, tbl).collect())
+    assert got == list(range(8))
+    # time travel to the first batch's table state
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl, version=1).collect()
+    ) == list(range(5))
+
+    # restart over the same checkpoint: nothing re-processed
+    drain()
+    assert [s["version"] for s in W.list_parquet_snapshots(tbl)] == [1, 2]
+
+    # a replayed batch (same id) is a publish no-op even without the
+    # stream checkpoint's help
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 0, tbl) is False
+    assert [s["version"] for s in W.list_parquet_snapshots(tbl)] == [1, 2]
+    # a genuinely new batch id still publishes
+    assert W.snapshot_publish_batch(_df(spark, 8, 9), 7, tbl) is True
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(9))
