@@ -70,6 +70,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "d24_minhash_error",
     "f21_interval_arithmetic",
     "o13_snapshot_time_travel",
+    "g01_pagerank_fixedpoint",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -1601,3 +1601,135 @@ def sql11_sql_body_udf(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+def _pagerank_iter_sql(i: int, scale: int) -> str:
+    """One unrolled fixed-point PageRank iteration as two DuckDB CTEs."""
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT ep.dst AS node,
+             SUM(({prev}.rank_fp * ep.w) // ep.out_w) AS sc
+      FROM ep JOIN {prev} ON {prev}.node = ep.src GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT n.n_nationkey AS node,
+             CAST({15 * scale} // (100 * nn.n_nodes)
+                  + (85 * COALESCE(c{i}.sc, 0)) // 100 AS BIGINT) AS rank_fp
+      FROM nation n CROSS JOIN nn
+      LEFT JOIN c{i} ON c{i}.node = n.n_nationkey
+    )"""
+
+
+_PR_SCALE = 10**9
+
+
+@query(
+    "g01_pagerank_fixedpoint",
+    # FIXED-POINT integer PageRank: every quantity is a bigint and every
+    # division floors, so the three unrolled iterations are bit-exact in
+    # both engines — float summation order (non-associative, partition-
+    # dependent in Spark) never enters. The 16-bit-hash-gate discipline
+    # applied to an iterative algorithm.
+    oracle=f"""
+    WITH e AS (
+      SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+    ep AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow USING (src)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nation),
+    r0 AS (
+      SELECT n_nationkey AS node,
+             CAST({_PR_SCALE} // n_nodes AS BIGINT) AS rank_fp
+      FROM nation, nn
+    ),{",".join(_pagerank_iter_sql(i, _PR_SCALE) for i in (1, 2, 3))}
+    SELECT CAST(r3.node AS BIGINT) AS nationkey, n.n_name,
+           r3.rank_fp
+    FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+    """,
+)
+def g01_pagerank_fixedpoint(spark, sf_dir):
+    """Iterative graph algorithm as an unrolled DataFrame loop (r10) —
+    PageRank over the customer-nation → supplier-nation trade graph
+    (edge weight = lineitem count), 3 iterations, damping 0.85,
+    FIXED-POINT integer arithmetic throughout: ranks live in bigint
+    units of 1e-9, every division floors, so the result is bit-exact
+    across engines — float SUM order (non-associative and partition-
+    dependent) never enters, which is what lets an ITERATIVE
+    algorithm carry a full value-hash oracle where d07's float variant
+    could not. Dangling nodes leak their mass (documented variant; no
+    node in this graph is dangling at the shipped SFs, and the leak is
+    identical in both engines regardless).
+
+    Scale shape: the fact-scale work is ONE pass — the 4-table join
+    aggregates straight to the ≤|nations|² edge frame — and every
+    iteration joins/aggregates frames bounded by the node and edge
+    counts (tiny, auto-broadcast), so iteration cost is independent of
+    corpus size. On a billion-node graph the same plan holds with the
+    rank frame keyed and checkpointed per iteration (d07's
+    documented loop discipline); the unrolled 3 iterations keep this
+    registry entry a single stateless plan the driver can hash."""
+    SCALE = _PR_SCALE
+    nat = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # the edge and node frames are <=|nations|^2 and |nations| rows but
+    # feed every unrolled iteration — CACHED so the fact-scale 4-table
+    # join behind `edges` runs once, not once per iteration per consumer
+    # (uncached, the plan re-expanded it 3x: 33 scans; cached: 6)
+    ep = edges.join(outw, "src").cache()
+    # ONE cached node frame carries (node, name, n_nodes) — the node
+    # count rides every row so no iteration re-aggregates (or re-scans)
+    # the nation table; uncached, nn's 1-row aggregate re-expanded the
+    # nation scan once per unrolled level
+    nn = nat.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    nodes = (
+        nat.select(F.col("n_nationkey").alias("node"), "n_name")
+        .crossJoin(F.broadcast(nn))
+        .cache()
+    )
+    r = nodes.select(
+        "node", F.expr(f"{SCALE} DIV n_nodes").alias("rank_fp")
+    )
+    for _ in range(3):
+        contrib = (
+            ep.join(r.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_fp * w) DIV out_w").alias("cc"),
+            )
+            .groupBy("node")
+            .agg(F.sum("cc").alias("sc"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.expr(f"{15 * SCALE} DIV (100 * n_nodes)")
+                + F.expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100")
+            )
+            .cast("bigint")
+            .alias("rank_fp"),
+        )
+    return r.join(nodes.select("node", "n_name"), "node").select(
+        F.col("node").cast("bigint").alias("nationkey"),
+        "n_name",
+        "rank_fp",
+    )
