@@ -71,6 +71,8 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "f21_interval_arithmetic",
     "o13_snapshot_time_travel",
     "g01_pagerank_fixedpoint",
+    "t17_langid_confusion",
+    "a29_weighted_quantiles",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

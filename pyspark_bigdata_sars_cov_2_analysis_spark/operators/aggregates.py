@@ -95,3 +95,82 @@ def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     :mod:`windows` with an explicit ordering.
     """
     return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int, str]],
+    tiebreaks: list[str] | None = None,
+    n_range_parts: int = 64,
+) -> DataFrame:
+    """EXACT weighted quantiles per key group, at scale (r10).
+
+    The weighted q-quantile is the smallest ``value`` whose cumulative
+    weight (in value order) reaches ``q`` of the group's total — the
+    distribution summary a19/a20's SKETCHES approximate, computed
+    exactly. ``quantiles`` is ``[(num, den, alias), ...]`` (e.g.
+    ``(1, 2, "wp50")``): thresholds compare as pure INTEGER arithmetic
+    (``den·cumw ≥ num·totw`` with bigint weights), so the selection is
+    bit-exact across engines — no float boundary can flip a pick.
+
+    Scale shape — the naive form windows the whole group onto one
+    partition (dead at 100 TB); this is the two-phase distributed
+    prefix sum on RANGE partitions: ``repartitionByRange`` over
+    (keys, value, tiebreaks) gives pid order == value order, so
+    per-(key, pid) subtotals (a tiny frame) yield running offsets that
+    broadcast back, and the wide cumsum window runs per (key, pid) —
+    ``n_range_parts``-way parallel. Range boundaries are SAMPLED and
+    vary run to run, but correctness never depends on where they fall:
+    offset + local cum equals the global value-order cum for ANY split,
+    and ties across a boundary are ordered by the explicit
+    ``tiebreaks``. One range exchange + one tiny agg; the quantile pick
+    is a conditional ``min`` (min value whose cum crosses), never a
+    second scan.
+
+    Weights must be non-negative integers (cast upstream); zero-weight
+    rows can never be picked (their cum equals their predecessor's, and
+    min-crossing selects the first row that REACHES the threshold).
+    """
+    from pyspark.sql.window import Window
+
+    tiebreaks = tiebreaks or []
+    order_cols = [value_col, *tiebreaks]
+    parts = df.repartitionByRange(
+        n_range_parts, *[F.col(c) for c in [*keys, *order_cols]]
+    ).withColumn("__pid", F.spark_partition_id())
+    sub = parts.groupBy(*keys, "__pid").agg(
+        F.sum(weight_col).alias("__btot")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = sub.select(
+        *keys,
+        "__pid",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = (
+        Window.partitionBy(*keys, "__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = parts.join(F.broadcast(off), [*keys, "__pid"]).withColumn(
+        "__cum", F.col("__off") + F.sum(weight_col).over(w_loc)
+    )
+    tot = df.groupBy(*keys).agg(F.sum(weight_col).alias("__tot"))
+    cum = cum.join(F.broadcast(tot), keys)
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cum") * F.lit(den) >= F.col("__tot") * F.lit(num),
+                F.col(value_col),
+            )
+        ).alias(alias)
+        for num, den, alias in quantiles
+    ]
+    return cum.groupBy(*keys).agg(*picks)

@@ -1733,3 +1733,61 @@ def g01_pagerank_fixedpoint(spark, sf_dir):
         "n_name",
         "rank_fp",
     )
+
+
+@query(
+    "a29_weighted_quantiles",
+    # integer threshold arithmetic (den*cum >= num*tot over bigint
+    # weights) — no float boundary can flip a pick; the selected values
+    # are raw data passed through untouched, so they hash bit-identical
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v, l_orderkey,
+                           l_linenumber ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM w
+    )
+    SELECT flag AS l_returnflag,
+           MIN(CASE WHEN 4 * cum >= tot THEN v END) AS wp25,
+           MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wp50,
+           MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS wp75
+    FROM c GROUP BY flag
+    """,
+)
+def a29_weighted_quantiles(spark, sf_dir):
+    """EXACT weighted quantiles (r10) — the quantity-weighted price
+    distribution per return flag: the smallest price at which 25/50/75%
+    of shipped QUANTITY (not row count) has accumulated. a19/a20 cover
+    the sketch approximations; this is the exact ground truth computed
+    at scale via ``operators/aggregates.weighted_quantiles`` — the
+    two-phase RANGE-partitioned prefix sum (pid order == value order,
+    per-bucket offsets broadcast back), so no group ever collapses onto
+    one partition the way a naive per-group window would. Thresholds
+    compare in pure bigint arithmetic and the picked values are raw
+    data, so the whole result hashes bit-identically."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return weighted_quantiles(
+        li,
+        keys=["l_returnflag"],
+        value_col="l_extendedprice",
+        weight_col="wt",
+        quantiles=[(1, 4, "wp25"), (1, 2, "wp50"), (3, 4, "wp75")],
+        tiebreaks=["l_orderkey", "l_linenumber"],
+    )

@@ -742,3 +742,70 @@ def t16_quality_audit_frame(spark, sf_dir):
         "n_docs",
         pround(F.col("n_docs") / total, 4).alias("share"),
     )
+
+
+_T17_PRED = f"""
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END"""
+
+
+@query(
+    "t17_langid_confusion",
+    # t03's exact argmax fragments, rolled up against the labeled lang
+    # column — counts are integers, rates ride the compat 4dp grid
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_score_sql(T.LANG_MARKERS['de'])} AS s_de,
+             {_score_sql(T.LANG_MARKERS['en'])} AS s_en,
+             {_score_sql(T.LANG_MARKERS['es'])} AS s_es,
+             {_score_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+             {_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
+      FROM documents),
+    pred AS (
+      SELECT lang, {_T17_PRED} AS lang_pred FROM scored
+    ),
+    cm AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cm GROUP BY lang
+    )
+    SELECT cm.lang, cm.lang_pred, cm.n, tot.n_lang,
+           {sql_round("cm.n * 1.0 / tot.n_lang", 4)} AS share,
+           cm.lang = cm.lang_pred AS is_correct
+    FROM cm JOIN tot USING (lang)
+    """,
+)
+def t17_langid_confusion(spark, sf_dir):
+    """Language-ID QUALITY AUDIT (r10) — t03's classifier evaluated
+    against the corpus's labeled ``lang`` column as a confusion matrix:
+    per (true lang × predicted lang) counts and within-language shares,
+    with the diagonal flagged. This is the eval you run before trusting
+    the heuristic to route a 100 TB corpus into per-language pipelines
+    — "zh is 98% recalled but 4% of fr is misread as en" decides
+    whether the n-gram marker lists need another round. One scan, one
+    tiny (≤|langs|²) aggregate, the denominator joined back from the
+    post-agg frame (never a second corpus pass)."""
+    d = table(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", T.detect_language(F.col("text")).alias("lang_pred")
+    )
+    cm = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_lang"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        "n_lang",
+        pround(F.col("n") * F.lit(1.0) / F.col("n_lang"), 4).alias("share"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
