@@ -616,16 +616,27 @@ def write_parquet_snapshot(
         else:
             files, rows = new_files, n_new
         manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
+        # stage-then-LINK (review r10): O_EXCL-creating the final name
+        # and then writing into it leaves a torn window — a crash (or a
+        # concurrent reader) between create and write-completion
+        # publishes an empty/partial manifest that poisons every later
+        # read. The content is fully written to a uniquely-named tmp
+        # first; os.link atomically claims the version (EEXIST = lost
+        # race, recompute against the new latest) and readers can only
+        # ever open a complete manifest.
+        payload = {"version": version, "files": files, "rows": rows,
+                   "mode": mode}
+        if src_batch is not None:
+            payload["src_batch"] = int(src_batch)
+        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh)
         try:
-            fd = _os.open(manifest, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            _os.link(tmp, manifest)
         except FileExistsError:
             continue  # lost the race: recompute against the new latest
-        with _os.fdopen(fd, "w") as fh:
-            payload = {"version": version, "files": files, "rows": rows,
-                       "mode": mode}
-            if src_batch is not None:
-                payload["src_batch"] = int(src_batch)
-            _json.dump(payload, fh)
+        finally:
+            _os.remove(tmp)
         return version
 
 
@@ -650,16 +661,27 @@ def read_parquet_snapshot(spark, path: str, version: int | None = None):
     return spark.read.parquet(*snap["files"])
 
 
-def vacuum_parquet_snapshots(path: str, keep: int = 1) -> dict:
+def vacuum_parquet_snapshots(
+    path: str, keep: int = 1, orphan_grace_sec: int = 86_400
+) -> dict:
     """Delete data files referenced ONLY by snapshots older than the
     newest ``keep`` (and drop those manifests) plus any orphan data dir
     no manifest ever referenced (a crashed writer's leftovers). Readers
     of the kept versions are unaffected — their files are shared
     forward by construction of the append protocol. Returns what was
     removed. Run it in the same maintenance cadence as compaction;
-    until then, time travel across the whole history stays available."""
+    until then, time travel across the whole history stays available.
+
+    ``orphan_grace_sec`` (review r10): an unreferenced data dir is
+    indistinguishable from an IN-FLIGHT writer between its data write
+    and its manifest publish — deleting it would make that writer
+    publish a manifest naming vanished files. Dirs younger than the
+    grace window are therefore left alone (default 24h, far beyond any
+    write-to-publish gap); pass 0 only when no writer can be active
+    (tests, exclusive maintenance windows)."""
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     if keep < 1:
         raise ValueError("keep must be >= 1")
@@ -684,10 +706,13 @@ def vacuum_parquet_snapshots(path: str, keep: int = 1) -> dict:
         _os.path.dirname(_local_path(f)) for s in snaps for f in s["files"]
     }
     removed_orphans = []
+    now = _time.time()
     if _os.path.isdir(data_root):
         for d in sorted(_os.listdir(data_root)):
             full = _os.path.join(data_root, d)
             if full not in referenced_dirs:
+                if now - _os.path.getmtime(full) < orphan_grace_sec:
+                    continue  # possibly an in-flight writer's data
                 _shutil.rmtree(full, ignore_errors=True)
                 removed_orphans.append(d)
             elif not any(

@@ -279,15 +279,22 @@ def _mark_batch_committed(
     fingerprint: write a UNIQUELY-NAMED stage (pid+random suffix — never
     shared, so two writers racing the same uncommitted batch id can
     never interleave into one file and commit the OTHER writer's
-    fingerprint, the ADVICE r9 takeover hazard), then rename — a crash
+    fingerprint, the ADVICE r9 takeover hazard), then ``os.link`` it to
+    the final name — link REFUSES an existing destination (EEXIST), so
+    the FIRST publisher genuinely wins and a later racer's content is
+    discarded whole (review r10: the earlier ``os.rename`` silently
+    REPLACED the destination on POSIX — last-wins — letting a racing
+    second writer overwrite a committed fingerprint and flip the
+    ``== hwm`` verification's verdict for subsequent replays). A crash
     can leave a stale unique ``.tmp``, never a truncated marker, so an
     existing marker's content is trustworthy (empty = legacy
     pre-fingerprint marker, which the guard treats as unverifiable and
-    allows). Concurrency contract: markers assume at most one LOGICAL
-    writer per state path (the streaming engine serializes micro-
-    batches); the unique stage only makes a rogue second process
-    fail-safe — whichever rename lands first wins and the loser's
-    content is discarded whole, never spliced."""
+    allows); the stage is unlinked on every exit path, and stale tmps
+    from killed processes are ignored by the hwm reader and dropped by
+    checkpoint compaction's marker copy. Concurrency contract: markers
+    assume at most one LOGICAL writer per state path (the streaming
+    engine serializes micro-batches); the link protocol only makes a
+    rogue second process fail-safe."""
     import os as _os
     import uuid as _uuid
 
@@ -301,8 +308,10 @@ def _mark_batch_committed(
     with _os.fdopen(fd, "w") as fh:
         fh.write(fingerprint)
     try:
-        _os.rename(tmp, final)
-    except FileExistsError:  # pragma: no cover - Windows-only race shape
+        _os.link(tmp, final)
+    except FileExistsError:
+        pass  # a racer committed first: its content stands, ours drops
+    finally:
         _os.remove(tmp)
 
 
@@ -678,7 +687,10 @@ def _migrate_checkpoint_stamps(
     # its output partition (the exact hazard the markers exist to refuse)
     hwm_src = _hwm_dir(path)
     if _os.path.isdir(hwm_src):
-        _shutil.copytree(hwm_src, _hwm_dir(tmp))
+        _shutil.copytree(
+            hwm_src, _hwm_dir(tmp),
+            ignore=_shutil.ignore_patterns("*.tmp"),
+        )
     got = spark.read.parquet(tmp).count()
     if got != want:
         raise RuntimeError(
@@ -833,7 +845,12 @@ def _compact_checkpoint(spark, path: str, sidecar: str, part_cols_fn) -> dict:
     )
     hwm_src = _hwm_dir(path)
     if _os.path.isdir(hwm_src):
-        _shutil.copytree(hwm_src, _hwm_dir(tmp))
+        # stale .tmp stages from killed marker publishers are dead
+        # weight — carry only the committed markers forward
+        _shutil.copytree(
+            hwm_src, _hwm_dir(tmp),
+            ignore=_shutil.ignore_patterns("*.tmp"),
+        )
     staged = spark.read.parquet(tmp)
     got = staged.count()
     if got != want:

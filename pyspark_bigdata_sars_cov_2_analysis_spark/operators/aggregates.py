@@ -123,24 +123,39 @@ def weighted_quantiles(
     per-(key, pid) subtotals (a tiny frame) yield running offsets that
     broadcast back, and the wide cumsum window runs per (key, pid) —
     ``n_range_parts``-way parallel. Range boundaries are SAMPLED and
-    vary run to run, but correctness never depends on where they fall:
-    offset + local cum equals the global value-order cum for ANY split,
-    and ties across a boundary are ordered by the explicit
-    ``tiebreaks``. One range exchange + one tiny agg; the quantile pick
-    is a conditional ``min`` (min value whose cum crosses), never a
-    second scan.
+    vary run to run; correctness never depends on where they fall, BUT
+    it does depend on the subtotal side and the cumsum side seeing the
+    SAME boundaries — ``__pid`` is only meaningful relative to one
+    materialized exchange, so ``parts`` is CACHED (review r10: without
+    the cache, any plan where ReuseExchange fails to fire — e.g.
+    ``spark.sql.exchange.reuse=false`` — evaluates the range exchange
+    twice with independently sampled boundaries and silently misaligns
+    the offset join; measured wrong medians). The cache pins one
+    partitioner instance, which also survives executor-loss recompute
+    (boundaries live in the shuffle dependency, not the sample). The
+    group totals reuse the per-(key, pid) subtotal frame — never a
+    second pass over the input. One range exchange, two tiny aggs; the
+    quantile pick is a conditional ``min`` (min value whose cum
+    crosses), never a second scan.
 
     Weights must be non-negative integers (cast upstream); zero-weight
     rows can never be picked (their cum equals their predecessor's, and
     min-crossing selects the first row that REACHES the threshold).
+    Caller owns the cache lifetime (unpersist after collecting) for
+    long-lived sessions — the frame is the projected input columns
+    only.
     """
     from pyspark.sql.window import Window
 
     tiebreaks = tiebreaks or []
     order_cols = [value_col, *tiebreaks]
-    parts = df.repartitionByRange(
-        n_range_parts, *[F.col(c) for c in [*keys, *order_cols]]
-    ).withColumn("__pid", F.spark_partition_id())
+    parts = (
+        df.repartitionByRange(
+            n_range_parts, *[F.col(c) for c in [*keys, *order_cols]]
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
     sub = parts.groupBy(*keys, "__pid").agg(
         F.sum(weight_col).alias("__btot")
     )
@@ -149,10 +164,13 @@ def weighted_quantiles(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # offsets AND group totals from the one tiny subtotal frame
+    w_tot = Window.partitionBy(*keys)
     off = sub.select(
         *keys,
         "__pid",
         F.coalesce(F.sum("__btot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__btot").over(w_tot).alias("__tot"),
     )
     w_loc = (
         Window.partitionBy(*keys, "__pid")
@@ -162,8 +180,6 @@ def weighted_quantiles(
     cum = parts.join(F.broadcast(off), [*keys, "__pid"]).withColumn(
         "__cum", F.col("__off") + F.sum(weight_col).over(w_loc)
     )
-    tot = df.groupBy(*keys).agg(F.sum(weight_col).alias("__tot"))
-    cum = cum.join(F.broadcast(tot), keys)
     picks = [
         F.min(
             F.when(

@@ -276,7 +276,13 @@ def asof_join_nearest(
     d_back = ts_us - F.unix_micros(F.col("__b.__rts"))
     d_fwd = F.unix_micros(F.col("__f.__rts")) - ts_us
     nearest = (
-        F.when(F.col("__b").isNull(), F.col("__f"))
+        # a NULL left ts has no distance to anything — it must keep NULL
+        # match columns (the asof_join contract), not fall into the
+        # "__b is NULL so take __f" branch: NULLS FIRST ordering puts
+        # the row before every right row, making the key's EARLIEST
+        # right row its following candidate (review r10, reproduced)
+        F.when(F.col("__ts").isNull(), F.lit(None).cast(struct_type))
+        .when(F.col("__b").isNull(), F.col("__f"))
         .when(F.col("__f").isNull(), F.col("__b"))
         .when(d_fwd < d_back, F.col("__f"))
         .otherwise(F.col("__b"))  # tie → preceding

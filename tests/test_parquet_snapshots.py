@@ -87,7 +87,12 @@ def test_snapshot_crashed_writer_invisible_and_vacuumed(spark, tmp_path):
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, path).collect()
     ) == list(range(10))
-    stats = W.vacuum_parquet_snapshots(path, keep=1)
+    # within the grace window the dir is treated as a possibly
+    # IN-FLIGHT writer's data and left alone (review r10)
+    safe = W.vacuum_parquet_snapshots(path, keep=1)
+    assert "v00000099-deadbeef" not in safe["removed_orphan_dirs"]
+    assert os.path.exists(orphan)
+    stats = W.vacuum_parquet_snapshots(path, keep=1, orphan_grace_sec=0)
     assert "v00000099-deadbeef" in stats["removed_orphan_dirs"]
     assert not os.path.exists(orphan)
     assert sorted(
@@ -196,3 +201,21 @@ def test_streaming_snapshot_sink_exactly_once_publish(spark, tmp_path):
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
     ) == list(range(9))
+
+
+def test_snapshot_stale_manifest_tmp_is_invisible(spark, tmp_path):
+    """Review r10: manifests publish via stage-then-link, so a crashed
+    publisher leaves only a uniquely-named .tmp — which every reader
+    and lister must ignore (the old O_EXCL-then-write path could leave
+    an EMPTY v<N>.json that poisoned the whole table)."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), path)
+    snapdir = os.path.join(path, W._SNAP_DIR)
+    with open(os.path.join(snapdir, "v00000002.json.123.dead.tmp"), "w"):
+        pass  # a crashed publisher's torn stage (empty)
+    assert [s["version"] for s in W.list_parquet_snapshots(path)] == [1]
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(5))
+    # and the next publish proceeds normally past the stale tmp
+    assert W.write_parquet_snapshot(_df(spark, 5, 7), path, "append") == 2

@@ -365,6 +365,16 @@ def test_asof_join_nearest_matches_pandas_merge_asof(spark):
         tolerance_us=1_000_000,
     ).collect()[0]
     assert row["v_nearest"] is None, row
+    # NULL left ts keeps NULL match columns (review r10: NULLS FIRST
+    # ordering made it grab the key's earliest right row as a
+    # "following" candidate before the explicit guard)
+    lf3 = spark.createDataFrame(
+        [(1, None, 9)], "k bigint, lts timestamp, x bigint"
+    )
+    row = joins.asof_join_nearest(
+        lf3, rf2, on="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+    ).collect()[0]
+    assert row["v_nearest"] is None and row["rts_nearest"] is None, row
 
 
 def test_stratified_sample_deterministic_and_isolated(spark):
@@ -2045,3 +2055,53 @@ def test_asof_join_twins_agree_on_random_corpora(spark):
         ra = sorted(map(tuple, a.collect()), key=str)
         rb = sorted(map(tuple, b.collect()), key=str)
         assert ra == rb, (trial, ra[:5], rb[:5])
+
+
+def test_weighted_quantiles_survive_unshared_exchanges(spark):
+    """Review r10: __pid is only meaningful relative to ONE materialized
+    range exchange. With exchange reuse disabled — a stand-in for any
+    plan where ReuseExchange fails to fire — the uncached form sampled
+    two independent boundary sets and silently misaligned the offset
+    join (measured wrong medians). The cached form must agree with a
+    brute-force single-partition computation regardless."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    old = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        rows = [
+            ("a" if i % 3 else "b", float((i * 37) % 1000), (i % 7) + 1)
+            for i in range(5000)
+        ]
+        df = spark.createDataFrame(rows, "k string, v double, wt bigint")
+        got = {
+            r.k: (r.wp25, r.wp50, r.wp75)
+            for r in weighted_quantiles(
+                df, ["k"], "v", "wt",
+                [(1, 4, "wp25"), (1, 2, "wp50"), (3, 4, "wp75")],
+                n_range_parts=16,
+            ).collect()
+        }
+        # brute force: python cumulative weights in value order
+        import collections
+
+        by_k = collections.defaultdict(list)
+        for k, v, wt in rows:
+            by_k[k].append((v, wt))
+        for k, pairs in by_k.items():
+            pairs.sort()
+            tot = sum(w for _, w in pairs)
+            want = []
+            for num, den in ((1, 4), (1, 2), (3, 4)):
+                cum = 0
+                for v, w in pairs:
+                    cum += w
+                    if cum * den >= tot * num:
+                        want.append(v)
+                        break
+            assert got[k] == tuple(want), (k, got[k], want)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+        spark.catalog.clearCache()
