@@ -73,6 +73,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "g01_pagerank_fixedpoint",
     "t17_langid_confusion",
     "a29_weighted_quantiles",
+    "e15_snapshot_sink_stream",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -1327,6 +1327,80 @@ def o13_snapshot_time_travel(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
+@query(
+    "e15_snapshot_sink_stream",
+    # batch b consumes source file b (modTime-ordered): version 1 = the
+    # %3==0 slice, version 2 = slices 0+1. The oracle recomputes both
+    # table states from the source; the version→src_batch binding rides
+    # the hashed rows.
+    oracle="""
+    SELECT 1 AS version, CAST(0 AS BIGINT) AS src_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 2 AS version, CAST(1 AS BIGINT) AS src_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    """,
+)
+def e15_snapshot_sink_stream(spark, sf_dir):
+    """The STREAMING snapshot sink end-to-end under the driver gate
+    (r10) — o13 attests the MVCC table; this attests the loop that
+    feeds it: two source files drain through an availableNow stream
+    whose every micro-batch publishes ONE table version
+    (``io.writers.streaming_snapshot_sink``), then both versions are
+    read back BY VERSION with their manifest ``src_batch`` stamps and
+    aggregated. The version→batch binding and both historical table
+    states enter the hash, so a sink that double-published a replayed
+    batch, skipped one, or tore a manifest flips the result. Scratch
+    dirs + construction-time drain per d19/d20's precedent."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        list_parquet_snapshots,
+        read_parquet_snapshot,
+        streaming_snapshot_sink,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_e15_")
+    src, tbl, ckpt = f"{tmp}/src", f"{tmp}/tbl", f"{tmp}/ckpt"
+    _os.makedirs(src)
+    d.where(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.2)  # distinct modTimes → deterministic batch order
+    d.where(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = streaming_snapshot_sink(
+        spark.readStream.schema("doc_id bigint, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl,
+        ckpt,
+    ).start()
+    q.awaitTermination(300)
+    snaps = {s["version"]: s for s in list_parquet_snapshots(tbl)}
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            read_parquet_snapshot(spark, tbl, version=v).agg(
+                F.lit(v).alias("version"),
+                F.lit(int(snaps[v]["src_batch"]))
+                .cast("bigint")
+                .alias("src_batch"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_id"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 _MIX_W = (
     "CAST(CASE lang WHEN 'de' THEN 0.5 WHEN 'en' THEN 1.0 "
     "WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 2.0 ELSE 0.0 END AS DOUBLE)"
