@@ -95,6 +95,17 @@ EXTRAS_SHELF = [
     "d21_curation_funnel",           # 2.1s — late-r9 funnel report; the
     #   most expensive of the eight late-r9 registrations (the other
     #   seven measured 0.3-0.9s and stay untracked)
+    # r10 registrations ≥ ~1.4s by the same measured-sweep rule (the
+    # other eight measured 0.2-1.3s and stay untracked):
+    "d22_compacted_ingest",          # 14.0s — ingest loop + two state
+    #   compactions (d19/d20's construction-time-work class)
+    "t17_langid_confusion",          # 3.0s — full-corpus lang-ID rollup
+    "d24_minhash_error",             # 1.9s — est-vs-exact over all
+    #   candidate pairs (threshold-0 exact side is the bulk)
+    "e15_snapshot_sink_stream",      # 1.7s — streaming drain + 2 reads
+    "o11_budgeted_mixture",          # 1.6s — two-phase token prefix sum
+    "a29_weighted_quantiles",        # 1.4s — range-bucketed exact
+    #   weighted quantiles over lineitem
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
