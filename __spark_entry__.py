@@ -74,6 +74,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "t17_langid_confusion",
     "a29_weighted_quantiles",
     "e15_snapshot_sink_stream",
+    "d25_cluster_size_audit",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

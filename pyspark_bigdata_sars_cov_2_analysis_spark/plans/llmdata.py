@@ -169,6 +169,88 @@ def d07_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "d25_cluster_size_audit",
+    # d07's recursive-closure oracle verbatim, aggregated twice: per
+    # cluster -> size, per size -> histogram. removable = (size-1) per
+    # cluster: the docs a keep-one-per-cluster pass would drop.
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)] AS s
+      FROM toks WHERE len(w) >= 3
+    ),
+    mh AS (
+      SELECT doc_id,
+             {", ".join(f"{sql} AS mh_{j}" for j, sql in _MH_SQL.items())}
+      FROM shl
+    ),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e
+        ON r.dst = e.src AND e.dst <> r.src
+    ),
+    lab AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    cs AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+      FROM lab GROUP BY cluster_id
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM cs GROUP BY size
+    """,
+)
+def d25_cluster_size_audit(spark, sf_dir):
+    """Dedup CLUSTER-SIZE audit (r10) — d07's components aggregated into
+    the histogram you read before running keep-one-per-cluster: how many
+    near-dup clusters exist at each size, how many documents they hold,
+    and how many a dedup pass would remove (``size−1`` per cluster).
+    "80% of removable mass sits in 2-doc clusters" vs "one 500-doc
+    boilerplate cluster dominates" are different pipeline problems —
+    this is the report that distinguishes them. Two tiny aggregations
+    over d07's (id, label) frame; all the heavy lifting (signatures,
+    buckets, label propagation) is the already-adjudicated d07
+    machinery, so the audit adds one cluster-keyed and one size-keyed
+    shuffle over cluster-count-sized frames."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=12, band_rows=3
+    )
+    labels = dedup.dup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+@query(
     "d11_incremental_dedup",
     # the incoming "batch" is the deterministic doc_id % 5 = 0 slice; the
     # oracle bands ALL docs once and keeps only cross-side bucket pairs
