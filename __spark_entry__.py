@@ -75,6 +75,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "a29_weighted_quantiles",
     "e15_snapshot_sink_stream",
     "d25_cluster_size_audit",
+    "ml05_calibration_bins",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

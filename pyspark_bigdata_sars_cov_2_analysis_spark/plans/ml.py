@@ -282,3 +282,75 @@ def ml04_kfold_assignment(spark, sf_dir):
         .groupBy("fold", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ml05_calibration_bins",
+    # score and label are both deterministic rational arithmetic (no
+    # exp/sigmoid — libm last-ulp differences would flip bin edges), so
+    # the whole reliability table hashes exactly; rates ride the compat
+    # 4dp grid
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id,
+             least(greatest(value / 200.0, 0.0), 1.0) AS score,
+             (value + CAST(CAST('0x' || substr(md5('cal|' ||
+                CAST(event_id AS VARCHAR)), 1, 4) AS UBIGINT) AS BIGINT)
+              % 120 > 160) AS label
+      FROM events
+    ),
+    b AS (
+      SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score,
+             CASE WHEN label THEN 1 ELSE 0 END AS y
+      FROM s
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round("AVG(score)", 4)} AS mean_score,
+           {sql_round("AVG(y)", 4)} AS pos_rate,
+           {sql_round("ABS(AVG(score) - AVG(y))", 4)} AS calib_gap
+    FROM b GROUP BY bin
+    """,
+)
+def ml05_calibration_bins(spark, sf_dir):
+    """M-family completion (r10) — the CALIBRATION / reliability table:
+    decile-binned mean predicted score vs observed positive rate with
+    the per-bin gap, the eval that says whether a model's 0.8 means
+    80%. Here the score is a deterministic rational squash of the
+    event value and the label a hash-noised threshold on the same
+    signal — the PATTERN under attestation is the binning/rollup
+    (row-local bin id, one tiny aggregate), which plugs any real
+    model's score column in unchanged. Determinism discipline: no
+    sigmoid/exp (libm last-ulp differences across engines could flip a
+    bin edge) — the squash is one division and two clamps, the noise
+    one md5 prefix, so every bin count and rate hashes exactly."""
+    e = table(spark, sf_dir, "events")
+    score = F.least(
+        F.greatest(F.col("value") / F.lit(200.0), F.lit(0.0)), F.lit(1.0)
+    )
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cal|"), F.col("event_id").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 120
+    )
+    label = (F.col("value") + noise) > F.lit(160.0)
+    b = e.select(
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin"),
+        score.alias("score"),
+        F.when(label, 1).otherwise(0).alias("y"),
+    )
+    return b.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(F.avg("score"), 4).alias("mean_score"),
+        pround(F.avg("y"), 4).alias("pos_rate"),
+        pround(F.abs(F.avg("score") - F.avg("y")), 4).alias("calib_gap"),
+    )
