@@ -57,8 +57,12 @@ _PRIORITY_FIRST = [
 # committed — per the standing overflow rule they queue BEHIND the
 # window (local parity covers them until then) instead of displacing a
 # committed stale name. They are never-attested, so the ROUND-11 window
-# must lead with them (move them into _PRIORITY_FIRST when rotating),
-# then the 36-name r11 head marked in _STALE_QUEUE below.
+# must lead with them (move them into _PRIORITY_FIRST when rotating).
+# Round-11 arithmetic with the 17 names below: 17 + the FIRST 33 of the
+# 36-name r11 head marked in _STALE_QUEUE = 50 exactly; the remaining
+# 3 r7-stale names (q11, q2, u05... whatever falls past the cut in the
+# committed order) lead the r12 head, followed by the stalest
+# r8-attested names in their CORRECTNESS_r08 order.
 _NEXT_WINDOW_FIRST: list[str] = [
     "o11_budgeted_mixture",
     "j12_runtime_filter",
