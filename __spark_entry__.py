@@ -80,6 +80,7 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "e15_snapshot_sink_stream",
     "d25_cluster_size_audit",
     "ml05_calibration_bins",
+    "e16_scd2_stream_enrichment",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -106,6 +106,10 @@ EXTRAS_SHELF = [
     "o11_budgeted_mixture",          # 1.6s — two-phase token prefix sum
     "a29_weighted_quantiles",        # 1.4s — range-bucketed exact
     #   weighted quantiles over lineitem
+    "d25_cluster_size_audit",        # 5.2s — d07's label propagation +
+    #   the size-histogram rollup
+    "e16_scd2_stream_enrichment",    # 3.5s — streaming drain through
+    #   the native parquet file sink + SCD2 interval join
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the

@@ -747,3 +747,112 @@ def e14_view_purchase_full_outer(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     return view_purchase_attribution_outer(e, how="full_outer").drop("v_ts")
+
+
+@query(
+    "e16_scd2_stream_enrichment",
+    # j09's oracle verbatim: the streaming drain through the native
+    # parquet file sink must reproduce the batch temporal join exactly
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, d, event_type AS attr FROM (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    marked AS (
+      SELECT user_id, d, attr, LAG(attr) OVER w AS prev_attr
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
+    changes AS (
+      SELECT user_id, d, attr FROM marked
+      WHERE prev_attr IS NULL OR attr <> prev_attr),
+    dim AS (
+      SELECT user_id, attr, d AS valid_from,
+             LEAD(d - INTERVAL 1 DAY) OVER
+               (PARTITION BY user_id ORDER BY d) AS valid_to
+      FROM changes)
+    SELECT dim.attr AS regime_attr, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN dim
+      ON e.user_id = dim.user_id
+     AND CAST(e.ts AS DATE) >= dim.valid_from
+     AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) <= dim.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def e16_scd2_stream_enrichment(spark, sf_dir):
+    """Streaming SCD2 enrichment through the NATIVE parquet file sink
+    (r10) — two surfaces in one attestation: (1) a micro-batch stream
+    joined to a TEMPORAL dimension (w08's validity intervals) with the
+    equi-key + interval predicate, so every streamed fact picks up the
+    attribute valid AT ITS EVENT TIME — j09's semantics under
+    streaming execution (stream-static joins re-plan the static side
+    per micro-batch, the shape that keeps dimension refreshes visible
+    mid-stream); (2) Spark's built-in ``format('parquet')`` STREAMING
+    sink, whose ``_spark_metadata`` commit log is the engine's own
+    exactly-once file protocol — the read-back lists committed files
+    from the log, not the directory, so torn batch output is
+    unobservable (the native counterpart of the jsonl sink's manifest
+    protocol and the snapshot tables' MVCC manifests). The drained,
+    enriched rows re-aggregate to j09's exact batch answer — the
+    streaming==batch equivalence hashed under the driver gate.
+    Construction-time drain in a scratch dir, d19/d20's precedent."""
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.extended import (
+        w08_scd2_intervals,
+    )
+
+    e = table(spark, sf_dir, "events")
+    dim = w08_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("dim_user"),
+        F.col("attr").alias("regime_attr"),
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_e16_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    _os.makedirs(src)
+    cols = e.select("event_id", "user_id", "event_type", "ts")
+    cols.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(0.2)
+    cols.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    d = F.to_date("ts")
+    enriched = stream.join(
+        dim,
+        (F.col("user_id") == F.col("dim_user"))
+        & (d >= F.col("vf"))
+        & (F.col("vt").isNull() | (d <= F.col("vt"))),
+    ).select("event_id", "event_type", "regime_attr")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the batch read of `out` honors _spark_metadata: only files the
+    # sink's commit log published are listed
+    return (
+        spark.read.schema(
+            "event_id bigint, event_type string, regime_attr string"
+        )
+        .parquet(out)
+        .groupBy("regime_attr", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
