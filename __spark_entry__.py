@@ -58,11 +58,11 @@ _PRIORITY_FIRST = [
 # window (local parity covers them until then) instead of displacing a
 # committed stale name. They are never-attested, so the ROUND-11 window
 # must lead with them (move them into _PRIORITY_FIRST when rotating).
-# Round-11 arithmetic with the 17 names below: 17 + the FIRST 33 of the
+# Round-11 arithmetic with the 19 names below: 19 + the FIRST 31 of the
 # 36-name r11 head marked in _STALE_QUEUE = 50 exactly; the remaining
-# 3 r7-stale names (q11, q2, u05... whatever falls past the cut in the
-# committed order) lead the r12 head, followed by the stalest
-# r8-attested names in their CORRECTNESS_r08 order.
+# 5 r7-stale names falling past the cut in the committed order lead the
+# r12 head, followed by the stalest r8-attested names in their
+# CORRECTNESS_r08 order.
 _NEXT_WINDOW_FIRST: list[str] = [
     "o11_budgeted_mixture",
     "j12_runtime_filter",
@@ -81,6 +81,8 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "d25_cluster_size_audit",
     "ml05_calibration_bins",
     "e16_scd2_stream_enrichment",
+    "sql12_unpivot_clause",
+    "sql13_named_parameters",
 ]
 _STALE_QUEUE = [
     # the committed r10 head: last attested round 6 (stalest in the

@@ -1791,3 +1791,78 @@ def a29_weighted_quantiles(spark, sf_dir):
         quantiles=[(1, 4, "wp25"), (1, 2, "wp50"), (3, 4, "wp75")],
         tiebreaks=["l_orderkey", "l_linenumber"],
     )
+
+
+@query(
+    "sql12_unpivot_clause",
+    # a21's oracle shape via DuckDB's own UNPIVOT form — parser-path
+    # attestation of the SQL clause over the same melt semantics
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, metric,
+           {sql_round("val", 2)} AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey % 100 = 0)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+)
+def sql12_unpivot_clause(spark, sf_dir):
+    """SQL-surface completion (r10) — the ``UNPIVOT`` SQL clause
+    (sql07's PIVOT counterpart): a21 attests ``DataFrame.unpivot``;
+    this is the parser path a SQL-first user migrates with. Catalyst
+    plans the clause into the same Expand node — each row fans to one
+    row per value column, row-local, no shuffle, no UDF — so the melt
+    costs exactly what the DataFrame form pays (sql05/sql07's
+    parser≡API framing)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sql12"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, metric,
+               floor(val * 100 + 0.5) / 100 AS val
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax
+          FROM lineitem_sql12 WHERE l_orderkey % 100 = 0
+        ) UNPIVOT (val FOR metric IN (
+          l_quantity, l_extendedprice, l_discount, l_tax))
+        """
+    )
+
+
+@query(
+    "sql13_named_parameters",
+    # the oracle inlines the bound values — parameter binding is by
+    # definition equivalent to literal substitution, which is the
+    # contract under attestation
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_round("AVG(o_totalprice)", 2)} AS avg_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql13_named_parameters(spark, sf_dir):
+    """SQL-surface completion (r10) — NAMED PARAMETER MARKERS
+    (``spark.sql(sql, args={...})``, Spark 3.4+): the injection-safe
+    parameterized-query API a SQL-first service layer migrates onto —
+    values bind as typed literals at parse time (never string
+    interpolation), so the plan is identical to the inlined form:
+    pushdown-eligible filters, constant folding, the lot. The oracle
+    inlines the same values, which IS the binding contract."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sql13")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               floor(AVG(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+        FROM orders_sql13
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "F"},
+    )
