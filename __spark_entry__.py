@@ -32,38 +32,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-10 window (VERDICT r9 Next-round #1): the 8 queries registered
-# LATE in round 9 (never driver-attested — the standing
-# never-attested-first principle) come first, then the committed
-# 28-name r6-stale r10 head in its agreed order, then the stalest
-# r7-attested names in their CORRECTNESS_r07 order. 8 + 28 + 14 = 50
-# exactly; the remaining 36 r7 names past the cut are the committed
-# round-11 head. `ml01_classifier_bench` (last attested r5) stays out
-# of the rotation by design — it is the rows-only query, so a window
-# slot buys no hash attestation (VERDICT r9 window plan). The cut point
-# is COMPUTED in _ordered_names (pinned by
+# Round-11 window (VERDICT r10 Next-round #1): the 19 queries
+# registered DURING round 10 (never driver-attested — the standing
+# never-attested-first principle) come first, in the order committed in
+# VERDICT r9/r10; then the FIRST 31 of the 36-name r7-stale r11 head in
+# its agreed order. 19 + 31 = 50 exactly; the 5 r7-stale names past the
+# cut lead the committed round-12 head, followed by the stalest
+# r8-attested names in their CORRECTNESS_r08 order (45 of 50 fit the
+# r12 window; the last 5 spill to r13). `ml01_classifier_bench` (last
+# attested r5) stays out of the rotation by design — it is the
+# rows-only query, so a window slot buys no hash attestation. The cut
+# point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # registered late in round 9, never driver-attested — attestation
-    # required; order as committed in VERDICT r9 #1
-    "a27_approx_top_k_mergeable", "u15_python_udtf",
-    "j11_lateral_join_api", "a28_listagg_within_group",
-    "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
-    "d21_curation_funnel",
-]
-
-# Queries registered DURING round 10, after the window above was
-# committed — per the standing overflow rule they queue BEHIND the
-# window (local parity covers them until then) instead of displacing a
-# committed stale name. They are never-attested, so the ROUND-11 window
-# must lead with them (move them into _PRIORITY_FIRST when rotating).
-# Round-11 arithmetic with the 19 names below: 19 + the FIRST 31 of the
-# 36-name r11 head marked in _STALE_QUEUE = 50 exactly; the remaining
-# 5 r7-stale names falling past the cut in the committed order lead the
-# r12 head, followed by the stalest r8-attested names in their
-# CORRECTNESS_r08 order.
-_NEXT_WINDOW_FIRST: list[str] = [
+    # registered during round 10, never driver-attested — attestation
+    # required; order as committed in VERDICT r10 #1
     "o11_budgeted_mixture",
     "j12_runtime_filter",
     "sql11_sql_body_udf",
@@ -84,30 +68,19 @@ _NEXT_WINDOW_FIRST: list[str] = [
     "sql12_unpivot_clause",
     "sql13_named_parameters",
 ]
+
+# Queries registered DURING round 11, after the window above was
+# committed — per the standing overflow rule they queue BEHIND the
+# window (local parity covers them until then) instead of displacing a
+# committed stale name. They are never-attested, so the ROUND-12 window
+# must lead with them (move them into _PRIORITY_FIRST when rotating),
+# ahead of the 5 spilled r7 names and the r8-stale queue below.
+_NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the committed r10 head: last attested round 6 (stalest in the
-    # rotation), exact order agreed in VERDICT r8 #1 / r9 #1
-    "p16_null_profile",
-    "a01_grouped_sum", "a03_count_share", "a04_max_avg",
-    "a05_group_count", "a08_ordered_collect", "e02_sessionize",
-    "e06_view_purchase_attribution", "j06_asof_join",
-    "j07_range_join_binned", "o05_stratified_sample",
-    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
-    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
-    "f11_date_funcs", "f12_json_extract", "t01_token_count",
-    "t02_quality_score", "t03_language_id", "t04_fingerprint",
-    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
-    "t06_top_bigrams",
-    # last attested round 7, in their CORRECTNESS_r07 order; the first
-    # WINDOW − 8 − 28 = 14 fill the round-10 window, the remaining 36
-    # past the cut are the committed round-11 head
-    "u08_arrow_batch_transform", "a20_kll_mergeable_quantiles",
-    "a19_approx_percentile_rankcheck", "d14_chunk_dedup_keep_first",
-    "a21_unpivot_melt", "ml03_regression_metrics", "u09_arrow_scalar_udf",
-    "sql05_lateral_view_tokens", "e10_view_purchase_outer",
-    "w07_time_range_frame", "f16_array_lambda", "u10_except_all",
-    "u11_intersect_all", "o07_zorder_cells",
-    # ---- round-11 head starts here (36 names) ----
+    # the committed r11 head: last attested round 7 (stalest in the
+    # rotation), exact order agreed in VERDICT r9 #1 / r10 #1; the
+    # first WINDOW − 19 = 31 fill the round-11 window, the remaining 5
+    # past the cut lead the committed round-12 head
     "j08_full_outer", "u12_union_schema_evolution",
     "a22_countmin_heavy_hitters", "o08_quality_weighted_sample",
     "ml04_kfold_assignment", "p17_summary_stats", "a23_corr_covar",
@@ -120,9 +93,33 @@ _STALE_QUEUE = [
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
     "q18_large_volume", "q19_discounted_revenue",
     "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
-    "q20_potential_promotion", "q21_waiting_supplier",
+    "q20_potential_promotion",
+    # ---- round-12 head starts here: the 5 r7-stale names past the
+    # r11 cut, then the 50 r8-attested names in their CORRECTNESS_r08
+    # order (45 fit the r12 window; the last 5 spill to r13) ----
+    "q21_waiting_supplier",
     "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
     "u06_batch_inference",
+    # last attested round 8, in their CORRECTNESS_r08 order
+    "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
+    "e12_retention_cohorts", "p18_skew_profile",
+    "o09_cluster_balanced_sample", "w08_scd2_intervals", "s05_ann_recall",
+    "sql06_relational_division", "u14_pandas_udaf", "m06_resize_nn",
+    "t14_langid_margin", "d16_containment_neardup", "m07_audio_decimate",
+    "sql07_pivot_clause", "p19_snapshot_drift",
+    "w09_running_distinct_users", "e13_session_conversion",
+    "j09_temporal_scd2_join", "p20_join_cardinality_preflight",
+    "sql08_registered_udf", "e14_view_purchase_full_outer",
+    "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping",
+    "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url",
+    "t15_sentence_stats", "d18_curation_pipeline",
+    "j10_range_lookup_broadcast", "e01_tumbling_window",
+    "e03_dedup_latest_state", "e04_sliding_window", "e05_user_totals",
+    "e07_segment_window", "e08_gapfill_daily", "a10_rollup", "a11_cube",
+    "a12_grouping_sets", "a13_pivot", "a14_count_distinct",
+    "w04_lag_lead_rank", "w05_moving_frame", "f06_posexplode_roundtrip",
+    "sql01_subquery", "f13_null_handling", "o04_deterministic_sample",
+    "a16_percentiles", "sql02_file_scan",
 ]
 
 # the driver's attestation window

@@ -98,19 +98,19 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 8, (
+    assert len(entry._PRIORITY_FIRST) == 19, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r9 #1 + the standing never-attested-first principle: the
-    # round-10 window is the 8 late-r9 registrations, then the committed
-    # 28-name r6-stale head, then the 14 stalest r7 names. Derive
-    # attestation state from the CORRECTNESS files so the pin tracks the
-    # actual record: BEFORE the round-10 file lands, the head must be
-    # exactly the never-attested set; AFTER it lands, the check degrades
-    # to "no registered query is ever left unattested outside the
-    # window" — still the invariant that matters, without failing the
-    # first pytest of the next round before the window is rotated.
+    # VERDICT r10 #1 + the standing never-attested-first principle: the
+    # round-11 window is the 19 late-r10 registrations, then the first
+    # 31 of the committed 36-name r7-stale head. Derive attestation
+    # state from the CORRECTNESS files so the pin tracks the actual
+    # record: BEFORE the round-11 file lands, the head must be exactly
+    # the never-attested set; AFTER it lands, the check degrades to "no
+    # registered query is ever left unattested outside the window" —
+    # still the invariant that matters, without failing the first
+    # pytest of the next round before the window is rotated.
     attested = set()
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(rec) as fh:
@@ -127,7 +127,7 @@ def test_attestation_window_arithmetic():
         f"committed next-window head: "
         f"{[n for n in never if n not in allowed]}"
     )
-    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r10.json")):
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
         want_never = set(entry._PRIORITY_FIRST) | set(
             entry._NEXT_WINDOW_FIRST
         )
@@ -136,20 +136,25 @@ def test_attestation_window_arithmetic():
             f"missing={sorted(set(never) - want_never)} "
             f"extra={sorted(want_never - set(never))}"
         )
-    # the committed r10-head order survives inside the window: the 28
-    # r6-stale names come straight after the never-attested head, then
-    # the r7-stale names in their CORRECTNESS_r07 order
-    assert entry._STALE_QUEUE[0] == "p16_null_profile"
-    assert entry._STALE_QUEUE[27] == "t06_top_bigrams"
-    assert entry._STALE_QUEUE[28] == "u08_arrow_batch_transform"
+    # the committed r11-head order survives inside the window: the 36
+    # r7-stale names come straight after the never-attested head (in
+    # their agreed VERDICT r9/r10 order), then the r8-stale names in
+    # their CORRECTNESS_r08 order
+    assert entry._STALE_QUEUE[0] == "j08_full_outer"
+    assert entry._STALE_QUEUE[35] == "u06_batch_inference"
+    assert entry._STALE_QUEUE[36] == "u13_grouped_arrow"
     # `ml01_classifier_bench` (rows-only, last attested r5) stays OUT of
     # the rotation by design — a window slot buys no hash attestation
     assert "ml01_classifier_bench" not in (
         entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
     )
-    # VERDICT r9 #1: the round-11 head is a complete forward plan — the
-    # 36 r7-stale names past the cut
-    r11_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r11_head) == 36
-    assert r11_head[0] == "j08_full_outer"
-    assert r11_head[-1] == "u06_batch_inference"
+    # VERDICT r10 #1: the round-12 head is a complete forward plan —
+    # the 5 r7-stale names past the r11 cut, then the 50 r8-stale names
+    # in their CORRECTNESS_r08 order (45 fit a clean 50-slot r12
+    # window; the last 5 spill to r13)
+    r12_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r12_head) == 5 + 50
+    assert r12_head[0] == "q21_waiting_supplier"
+    assert r12_head[4] == "u06_batch_inference"
+    assert r12_head[5] == "u13_grouped_arrow"
+    assert r12_head[-1] == "sql02_file_scan"
