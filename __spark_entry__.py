@@ -75,7 +75,9 @@ _PRIORITY_FIRST = [
 # committed stale name. They are never-attested, so the ROUND-12 window
 # must lead with them (move them into _PRIORITY_FIRST when rotating),
 # ahead of the 5 spilled r7 names and the r8-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = []
+_NEXT_WINDOW_FIRST: list[str] = [
+    "o14_snapshot_lifecycle",
+]
 _STALE_QUEUE = [
     # the committed r11 head: last attested round 7 (stalest in the
     # rotation), exact order agreed in VERDICT r9 #1 / r10 #1; the

@@ -606,11 +606,30 @@ def write_parquet_snapshot(
     new_files = sorted(
         spark.read.parquet(data_dir).inputFiles()
     )
-    n_new = spark.read.parquet(*new_files).count()
+    written = spark.read.parquet(*new_files)
+    n_new = written.count()
+    # the schema the files actually carry (post-write, what readers see)
+    new_schema = [list(p) for p in written.dtypes]
     while True:
         prev = list_parquet_snapshots(path)
         version = (prev[-1]["version"] + 1) if prev else 1
         if mode == "append" and prev:
+            # schema-drift guard (ADVICE r10): an append whose columns
+            # don't match the table would otherwise publish a manifest
+            # whose multi-footer read silently takes one footer's schema
+            # and drops/misses columns. The table's schema is recorded in
+            # every manifest; pre-manifest-schema tables derive it from
+            # the previous version's files once.
+            prev_schema = prev[-1].get("schema") or [
+                list(p)
+                for p in spark.read.parquet(*prev[-1]["files"]).dtypes
+            ]
+            if new_schema != prev_schema:
+                raise ValueError(
+                    f"append schema drift at {path}: table has "
+                    f"{prev_schema}, append brings {new_schema}; "
+                    "overwrite (or align the DataFrame) instead"
+                )
             files = sorted(set(prev[-1]["files"]) | set(new_files))
             rows = prev[-1]["rows"] + n_new
         else:
@@ -625,7 +644,7 @@ def write_parquet_snapshot(
         # race, recompute against the new latest) and readers can only
         # ever open a complete manifest.
         payload = {"version": version, "files": files, "rows": rows,
-                   "mode": mode}
+                   "mode": mode, "schema": new_schema}
         if src_batch is not None:
             payload["src_batch"] = int(src_batch)
         tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
@@ -689,6 +708,17 @@ def vacuum_parquet_snapshots(
     kept, dropped = snaps[-keep:], snaps[:-keep]
     keep_files = {_local_path(f) for s in kept for f in s["files"]}
     base = _local_path(path)
+    # manifests FIRST, then data (ADVICE r10): deleting a dropped
+    # version's files before its manifest leaves, across a crash, a
+    # LISTED manifest referencing vanished files — list/read of that
+    # version errors until vacuum re-runs. Dropping every doomed
+    # manifest first keeps the invariant that every listed manifest is
+    # readable at all times; a crash between the two phases merely
+    # leaves unreferenced files for the next vacuum's orphan sweep.
+    for s in dropped:
+        _os.remove(
+            _os.path.join(_snap_path(path), f"v{s['version']:08d}.json")
+        )
     removed_files = []
     for s in dropped:
         for f in s["files"]:
@@ -696,9 +726,6 @@ def vacuum_parquet_snapshots(
             if local not in keep_files and _os.path.exists(local):
                 _os.remove(local)
                 removed_files.append(f)
-        _os.remove(
-            _os.path.join(_snap_path(path), f"v{s['version']:08d}.json")
-        )
     # orphan data dirs: referenced by NO manifest (crashed pre-publish
     # writers); also prune now-empty version dirs
     data_root = _os.path.join(base, "data")
@@ -727,21 +754,53 @@ def vacuum_parquet_snapshots(
     }
 
 
+def _latest_src_batch(path: str) -> int | None:
+    """Highest stream-batch id any manifest carries, reading manifests
+    NEWEST-first and stopping at the first stamped one — O(1 + untagged
+    suffix) tiny JSON reads instead of O(versions) (ADVICE r10: the old
+    full-set rebuild made a long-lived sink quadratic over the stream's
+    lifetime). Valid because batch ids are published in monotonically
+    increasing order within a sink's append chain."""
+    import json as _json
+    import os as _os
+
+    d = _snap_path(path)
+    try:
+        names = sorted(
+            (n for n in _os.listdir(d)
+             if n.startswith("v") and n.endswith(".json")),
+            reverse=True,
+        )
+    except FileNotFoundError:
+        return None
+    for n in names:
+        with open(_os.path.join(d, n)) as fh:
+            src = _json.load(fh).get("src_batch")
+        if src is not None:
+            return int(src)
+    return None
+
+
 def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
     """One micro-batch of :func:`streaming_snapshot_sink`, REPLAY-SAFE:
     publish the batch as a manifest-level append stamped with its batch
-    id — unless a manifest already carries that id, in which case the
-    invocation is a replay of a published batch and a NO-OP (returns
-    False). The manifest is the commit record: a crash after the data
-    write but before the publish leaves an orphan dir (invisible,
-    vacuumed later) and the replay publishes fresh files once; a crash
-    after the publish but before the stream checkpoint commit makes the
-    replay hit the id guard. At-least-once delivery, exactly-once
-    publish."""
-    published = {
-        s.get("src_batch") for s in list_parquet_snapshots(path)
-    }
-    if int(batch_id) in published:
+    id — unless a newer-or-equal id is already published, in which case
+    the invocation is a replay of a published batch and a NO-OP
+    (returns False). The manifest is the commit record: a crash after
+    the data write but before the publish leaves an orphan dir
+    (invisible, vacuumed later) and the replay publishes fresh files
+    once; a crash after the publish but before the stream checkpoint
+    commit makes the replay hit the id guard. At-least-once delivery,
+    exactly-once publish.
+
+    The guard is a monotone HIGH-WATER compare, not set membership:
+    Structured Streaming only ever replays the last uncommitted batch,
+    and ids within one logical stream are strictly increasing, so
+    ``batch_id <= latest published id`` ⇔ replay. (One logical stream
+    per table — the same contract the old set-based guard assumed, now
+    at O(1) manifest reads per batch instead of O(versions).)"""
+    hwm = _latest_src_batch(path)
+    if hwm is not None and int(batch_id) <= hwm:
         return False
     write_parquet_snapshot(
         batch_df, path, mode="append", src_batch=int(batch_id)
@@ -771,3 +830,107 @@ def streaming_snapshot_sink(
         .option("checkpointLocation", stream_checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def compact_parquet_snapshot(
+    spark, path: str, target_files: int = 1, max_retries: int = 5
+) -> dict:
+    """Rewrite the LATEST snapshot version's file set as ``target_files``
+    files and publish the result as a NEW version — the small-files
+    maintenance op for MVCC tables (VERDICT r10 #3: ``compact_parquet``
+    is staged-swap and would break snapshot isolation if pointed at a
+    snapshot table's data dir; a streaming sink appending one tiny file
+    set per micro-batch accumulates exactly like the checkpoint buckets
+    d22 closed). Zero semantic change: the new manifest names the
+    compacted files, every OLD version keeps its own manifest and files
+    untouched (still time-travelable until vacuumed), and readers are
+    isolated throughout because the manifest IS the atomicity — no
+    staged swap, no window where the table is missing.
+
+    Race protocol (the write_parquet_snapshot pattern): the compacted
+    data is written to a fresh immutable dir, count-verified against
+    the base manifest's row count, then published with one O_EXCL
+    manifest link. Losing the link race means the table ADVANCED during
+    the rewrite — publishing the stale compaction anyway would silently
+    drop the winner's rows — so the attempt is abandoned (its data dir
+    becomes an invisible orphan for vacuum) and the compaction re-reads
+    the new latest and retries, up to ``max_retries``. Already-compact
+    tables (``<= target_files`` files) are a no-op.
+
+    Returns ``{"compacted", "version", "from_version", "files_before",
+    "files_after", "rows", "retries"}``."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    base = _local_path(path)
+    retries = 0
+    while True:
+        snaps = list_parquet_snapshots(path)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots published at {path}")
+        src = snaps[-1]
+        if len(src["files"]) <= target_files:
+            return {
+                "compacted": False, "version": src["version"],
+                "from_version": src["version"],
+                "files_before": len(src["files"]),
+                "files_after": len(src["files"]),
+                "rows": src["rows"], "retries": retries,
+            }
+        version = src["version"] + 1
+        data_dir = _os.path.join(
+            base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
+        )
+        (
+            spark.read.parquet(*src["files"])
+            .repartition(target_files)
+            .write.mode("error")
+            .parquet(data_dir)
+        )
+        compacted = spark.read.parquet(data_dir)
+        new_files = sorted(compacted.inputFiles())
+        rows = spark.read.parquet(*new_files).count()
+        if rows != src["rows"]:
+            _shutil.rmtree(data_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction count-verify failed at {path}: base "
+                f"v{src['version']} has {src['rows']} rows, rewrite "
+                f"read back {rows}"
+            )
+        payload = {
+            "version": version, "files": new_files, "rows": rows,
+            "mode": "compact", "schema": [list(p) for p in compacted.dtypes],
+            "compacted_from": src["version"],
+        }
+        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
+        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh)
+        try:
+            _os.link(tmp, manifest)
+        except FileExistsError:
+            # the table advanced mid-rewrite; this compaction no longer
+            # reflects the latest version — abandon and recompact
+            retries += 1
+            if retries > max_retries:
+                _os.remove(tmp)
+                raise RuntimeError(
+                    f"snapshot compaction at {path} lost the publish "
+                    f"race {retries} times; table is advancing faster "
+                    "than the rewrite"
+                )
+            continue
+        finally:
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
+        return {
+            "compacted": True, "version": version,
+            "from_version": src["version"],
+            "files_before": len(src["files"]),
+            "files_after": len(new_files),
+            "rows": rows, "retries": retries,
+        }

@@ -799,7 +799,6 @@ def e16_scd2_stream_enrichment(spark, sf_dir):
     Construction-time drain in a scratch dir, d19/d20's precedent."""
     import os as _os
     import tempfile
-    import time as _time
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.plans.extended import (
         w08_scd2_intervals,
@@ -819,10 +818,18 @@ def e16_scd2_stream_enrichment(spark, sf_dir):
     cols.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-    _time.sleep(0.2)
+    # explicit mtimes, not a sleep (ADVICE r10): FileStreamSource orders
+    # files by modTime, and on a 1s-granularity filesystem a sleep-based
+    # gap can tie, making the hashed version↔batch binding
+    # nondeterministic
+    first = set(_os.listdir(src))
+    for n in first:
+        _os.utime(_os.path.join(src, n), (1_700_000_000, 1_700_000_000))
     cols.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(src)
+    for n in set(_os.listdir(src)) - first:
+        _os.utime(_os.path.join(src, n), (1_700_000_100, 1_700_000_100))
     stream = (
         spark.readStream.schema(
             "event_id bigint, user_id bigint, event_type string, "

@@ -1410,6 +1410,115 @@ def o13_snapshot_time_travel(spark, sf_dir):
 
 
 @query(
+    "o14_snapshot_lifecycle",
+    # The FULL MVCC maintenance lifecycle under the hash gate (VERDICT
+    # r10 #3/#4): three appended versions (1 file each, coalesce(1)) →
+    # manifest-aware compaction (v4, 3 files → 1, zero semantic change)
+    # → vacuum keep=2 (drops v1/v2 manifests but removes ZERO files —
+    # append shares every file forward into v3) → vacuum keep=1 (drops
+    # v3, reclaiming exactly its 3 now-unshared files; the compacted v4
+    # file survives). Every metric is a deterministic constant or an
+    # aggregate the oracle recomputes from the source, so a compaction
+    # that lost rows, a vacuum that deleted a shared file (latest read
+    # breaks), or a dropped version still readable (refused_reads
+    # flips) all fail the hash.
+    oracle="""
+    SELECT 'latest_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+    UNION ALL
+    SELECT 'latest_sum_id', CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+    UNION ALL SELECT 'latest_version', 4
+    UNION ALL SELECT 'latest_files', 1
+    UNION ALL SELECT 'precompact_files', 3
+    UNION ALL SELECT 'compact_from_version', 3
+    UNION ALL SELECT 'vacuum_keep2_dropped_versions', 2
+    UNION ALL SELECT 'vacuum_keep2_removed_files', 0
+    UNION ALL SELECT 'vacuum_keep1_dropped_versions', 1
+    UNION ALL SELECT 'vacuum_keep1_removed_files', 3
+    UNION ALL SELECT 'versions_remaining', 1
+    UNION ALL SELECT 'refused_reads', 3
+    """,
+)
+def o14_snapshot_lifecycle(spark, sf_dir):
+    """Compaction + vacuum on a snapshot table, driver-attested (r11) —
+    o13 attests publish/append/time-travel; this attests the two
+    MAINTENANCE ops that complete the MVCC lifecycle.
+    ``compact_parquet_snapshot`` publishes a NEW version whose manifest
+    names the rewritten files (the manifest IS the atomicity — no
+    staged swap, readers isolated throughout, count-verified against
+    the base manifest); ``vacuum_parquet_snapshots`` drops manifests
+    FIRST and files second (every listed manifest stays readable across
+    a crash), removes nothing shared forward by an append chain, and
+    reclaims exactly the unshared files of dropped versions. The final
+    table state, both vacuums' removal counts, the file counts before/
+    after compaction, and the dropped versions' read refusals all ride
+    the hash. Construction-time work in a per-call temp dir, the
+    o13/d19 precedent."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        compact_parquet_snapshot,
+        list_parquet_snapshots,
+        read_parquet_snapshot,
+        vacuum_parquet_snapshots,
+        write_parquet_snapshot,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_o14_")
+    tbl = f"{tmp}/docs_tbl"
+    for m in (0, 1, 2):  # three 1-file versions: v3 carries 3 files
+        write_parquet_snapshot(
+            d.where(F.col("doc_id") % 4 == m).coalesce(1),
+            tbl,
+            mode="append" if m else "overwrite",
+        )
+    pre_files = len(list_parquet_snapshots(tbl)[-1]["files"])
+    comp = compact_parquet_snapshot(spark, tbl, target_files=1)
+    v2 = vacuum_parquet_snapshots(tbl, keep=2, orphan_grace_sec=0)
+    v1 = vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    refused = 0
+    for v in (1, 2, 3):
+        try:
+            read_parquet_snapshot(spark, tbl, version=v)
+        except ValueError:
+            refused += 1
+    remaining = list_parquet_snapshots(tbl)
+    consts = [
+        ("latest_version", remaining[-1]["version"]),
+        ("latest_files", len(remaining[-1]["files"])),
+        ("precompact_files", pre_files),
+        ("compact_from_version", comp["from_version"]),
+        ("vacuum_keep2_dropped_versions", len(v2["dropped_versions"])),
+        ("vacuum_keep2_removed_files", v2["removed_files"]),
+        ("vacuum_keep1_dropped_versions", len(v1["dropped_versions"])),
+        ("vacuum_keep1_removed_files", v1["removed_files"]),
+        ("versions_remaining", len(remaining)),
+        ("refused_reads", refused),
+    ]
+    latest = read_parquet_snapshot(spark, tbl).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("s"),
+    )
+    def _kv(k, v):
+        return F.struct(
+            F.lit(k).alias("metric"), v.cast("bigint").alias("value")
+        )
+
+    audit = latest.select(
+        F.explode(
+            F.array(
+                _kv("latest_docs", F.col("n")),
+                _kv("latest_sum_id", F.col("s")),
+                *[_kv(k, F.lit(int(n))) for k, n in consts],
+            )
+        ).alias("kv")
+    )
+    return audit.select("kv.metric", "kv.value")
+
+
+@query(
     "e15_snapshot_sink_stream",
     # batch b consumes source file b (modTime-ordered): version 1 = the
     # %3==0 slice, version 2 = slices 0+1. The oracle recomputes both
@@ -1440,7 +1549,6 @@ def e15_snapshot_sink_stream(spark, sf_dir):
     dirs + construction-time drain per d19/d20's precedent."""
     import os as _os
     import tempfile
-    import time as _time
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
         list_parquet_snapshots,
@@ -1455,10 +1563,16 @@ def e15_snapshot_sink_stream(spark, sf_dir):
     d.where(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(src)
-    _time.sleep(0.2)  # distinct modTimes → deterministic batch order
+    # explicit mtimes, not a sleep (ADVICE r10): FileStreamSource orders
+    # files by modTime; a sleep can tie on a 1s-granularity filesystem
+    first = set(_os.listdir(src))
+    for n in first:
+        _os.utime(_os.path.join(src, n), (1_700_000_000, 1_700_000_000))
     d.where(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(src)
+    for n in set(_os.listdir(src)) - first:
+        _os.utime(_os.path.join(src, n), (1_700_000_100, 1_700_000_100))
     q = streaming_snapshot_sink(
         spark.readStream.schema("doc_id bigint, lang string")
         .option("maxFilesPerTrigger", 1)

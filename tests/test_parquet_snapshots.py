@@ -156,13 +156,17 @@ def test_streaming_snapshot_sink_exactly_once_publish(spark, tmp_path):
     (manifest stamped with the batch id), re-process nothing on a
     checkpointed restart, and treat a replayed (batch_df, batch_id) —
     the foreachBatch mid-batch-crash shape — as a no-op."""
-    import time as _time
-
     src = str(tmp_path / "src")
     os.makedirs(src)
     _df(spark, 0, 5).coalesce(1).write.mode("append").parquet(src)
-    _time.sleep(0.2)  # distinct modTimes -> deterministic file order
+    # explicit mtimes, not a sleep: deterministic file order even on a
+    # 1s-mtime-granularity filesystem (ADVICE r10)
+    first = set(os.listdir(src))
+    for n in first:
+        os.utime(os.path.join(src, n), (1_700_000_000, 1_700_000_000))
     _df(spark, 5, 8).coalesce(1).write.mode("append").parquet(src)
+    for n in set(os.listdir(src)) - first:
+        os.utime(os.path.join(src, n), (1_700_000_100, 1_700_000_100))
 
     tbl = str(tmp_path / "tbl")
     ckpt = str(tmp_path / "ckpt")
@@ -219,3 +223,194 @@ def test_snapshot_stale_manifest_tmp_is_invisible(spark, tmp_path):
     ) == list(range(5))
     # and the next publish proceeds normally past the stale tmp
     assert W.write_parquet_snapshot(_df(spark, 5, 7), path, "append") == 2
+
+
+def test_snapshot_append_schema_drift_raises(spark, tmp_path):
+    """ADVICE r10: a schema-drifting append used to publish a manifest
+    whose multi-footer read silently took one footer's schema. The
+    table schema now rides every manifest and appends must match it."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), path)
+    assert W.list_parquet_snapshots(path)[-1]["schema"] == [
+        ["id", "bigint"], ["v", "bigint"]
+    ]
+    drifted = spark.range(5, 8).selectExpr("id", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError, match="schema drift"):
+        W.write_parquet_snapshot(drifted, path, mode="append")
+    extra_col = spark.range(5, 8).selectExpr("id", "id*2 AS v", "1 AS extra")
+    with pytest.raises(ValueError, match="schema drift"):
+        W.write_parquet_snapshot(extra_col, path, mode="append")
+    # table unchanged; overwrite (an explicit new schema) still allowed
+    assert [s["version"] for s in W.list_parquet_snapshots(path)] == [1]
+    assert W.write_parquet_snapshot(drifted, path, mode="overwrite") == 2
+
+
+def test_snapshot_append_schema_guard_pre_schema_manifest(spark, tmp_path):
+    """Tables published before manifests carried `schema` derive it from
+    the previous version's files — the guard still fires."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), path)
+    snapdir = os.path.join(path, W._SNAP_DIR)
+    mf = os.path.join(snapdir, "v00000001.json")
+    with open(mf) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    os.remove(mf)
+    with open(mf, "w") as fh:
+        json.dump(m, fh)
+    drifted = spark.range(5, 8).selectExpr("CAST(id AS STRING) AS id")
+    with pytest.raises(ValueError, match="schema drift"):
+        W.write_parquet_snapshot(drifted, path, mode="append")
+    assert W.write_parquet_snapshot(_df(spark, 5, 8), path, "append") == 2
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(8))
+
+
+def test_vacuum_crash_between_phases_leaves_readable_listing(spark, tmp_path):
+    """ADVICE r10: vacuum drops manifests FIRST, files second, so every
+    listed manifest is readable at all times. Simulate the crash state
+    (dropped manifests gone, their files still on disk): the table
+    lists/reads fine and the next vacuum's orphan sweep reclaims the
+    leftovers."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), path)      # v1 (overwrite)
+    W.write_parquet_snapshot(_df(spark, 100, 104), path)  # v2 (overwrite)
+    W.write_parquet_snapshot(_df(spark, 200, 203), path)  # v3 (overwrite)
+    snaps = W.list_parquet_snapshots(path)
+    v1_files = [f.removeprefix("file:") for f in snaps[0]["files"]]
+    # crash state: phase 1 (manifest removal) done, phase 2 not started
+    os.remove(os.path.join(path, W._SNAP_DIR, "v00000001.json"))
+    assert all(os.path.exists(f) for f in v1_files)
+    # every listed manifest is readable
+    for s in W.list_parquet_snapshots(path):
+        W.read_parquet_snapshot(spark, path, version=s["version"]).count()
+    # re-run vacuum: v1's now-unreferenced data dir is orphan-swept
+    out = W.vacuum_parquet_snapshots(path, keep=2, orphan_grace_sec=0)
+    assert not any(os.path.exists(f) for f in v1_files)
+    assert [s["version"] for s in W.list_parquet_snapshots(path)] == [2, 3]
+    assert out["removed_orphan_dirs"]
+
+
+def test_publish_batch_hwm_skips_full_history_scan(spark, tmp_path):
+    """ADVICE r10: the replay guard is a monotone high-water compare
+    found by scanning manifests NEWEST-first — untagged (non-stream)
+    versions in between don't break it, and a long history isn't
+    re-read per batch."""
+    path = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 3), 0, path) is True
+    assert W.snapshot_publish_batch(_df(spark, 3, 5), 1, path) is True
+    # an untagged maintenance publish lands on top
+    W.write_parquet_snapshot(_df(spark, 0, 5), path, mode="overwrite")
+    assert W._latest_src_batch(path) == 1
+    # replays of already-published ids are no-ops even behind the
+    # untagged suffix
+    assert W.snapshot_publish_batch(_df(spark, 3, 5), 1, path) is False
+    assert W.snapshot_publish_batch(_df(spark, 0, 3), 0, path) is False
+    assert W.snapshot_publish_batch(_df(spark, 5, 7), 2, path) is True
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(7))
+
+
+def test_compact_snapshot_semantics_and_time_travel(spark, tmp_path):
+    """VERDICT r10 #3: manifest-aware compaction — a NEW version whose
+    manifest names the compacted files; data identical, file count
+    drops to target, old versions untouched and time-travelable."""
+    path = str(tmp_path / "tbl")
+    for lo, hi in [(0, 5), (5, 9), (9, 12)]:  # 3 appended versions
+        W.write_parquet_snapshot(
+            _df(spark, lo, hi).repartition(2), path, mode="append"
+        )
+    before = W.list_parquet_snapshots(path)[-1]
+    assert len(before["files"]) >= 6
+    out = W.compact_parquet_snapshot(spark, path, target_files=1)
+    assert out["compacted"] is True
+    assert out["from_version"] == 3 and out["version"] == 4
+    assert out["files_after"] == 1 and out["rows"] == 12
+    snap = W.list_parquet_snapshots(path)[-1]
+    assert snap["mode"] == "compact" and snap["compacted_from"] == 3
+    assert len(snap["files"]) == 1
+    got = sorted(
+        (r.id, r.v)
+        for r in W.read_parquet_snapshot(spark, path).collect()
+    )
+    assert got == [(i, 2 * i) for i in range(12)]
+    # pre-compact versions untouched: same file lists, same data
+    assert W.list_parquet_snapshots(path)[2]["files"] == before["files"]
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path, version=2).collect()
+    ) == list(range(9))
+    # idempotent: already at target -> no-op, no new version
+    out2 = W.compact_parquet_snapshot(spark, path, target_files=1)
+    assert out2["compacted"] is False and out2["version"] == 4
+    assert [s["version"] for s in W.list_parquet_snapshots(path)] == [
+        1, 2, 3, 4
+    ]
+    # vacuum keep=1 reclaims the pre-compact files, keeps the compacted
+    W.vacuum_parquet_snapshots(path, keep=1, orphan_grace_sec=0)
+    assert [s["version"] for s in W.list_parquet_snapshots(path)] == [4]
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(12))
+
+
+def test_compact_snapshot_lost_race_recompacts_new_latest(spark, tmp_path, monkeypatch):
+    """A writer publishing mid-rewrite means the compaction no longer
+    reflects the latest version — publishing it anyway would DROP the
+    winner's rows. The lost O_EXCL race must abandon the attempt and
+    recompact the new latest."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 6).repartition(3), path)
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and dst.endswith(".json"):
+            state["raced"] = True
+            # a concurrent append claims the version first (uses
+            # os.link itself — re-entrant through this wrapper)
+            W.write_parquet_snapshot(
+                _df(spark, 100, 103), path, mode="append"
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    out = W.compact_parquet_snapshot(spark, path, target_files=1)
+    assert state["raced"] and out["retries"] == 1
+    # the compacted latest contains the RACING writer's rows
+    assert out["rows"] == 9 and out["files_after"] == 1
+    got = sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    )
+    assert got == list(range(6)) + [100, 101, 102]
+    # the abandoned first-attempt dir is an invisible orphan -> vacuumed
+    monkeypatch.undo()
+    n_versions = len(W.list_parquet_snapshots(path))
+    out_v = W.vacuum_parquet_snapshots(
+        path, keep=n_versions, orphan_grace_sec=0
+    )
+    assert out_v["removed_orphan_dirs"]
+
+
+def test_compact_snapshot_crash_before_publish_invisible(spark, tmp_path, monkeypatch):
+    """A compaction that dies after the data rewrite but before the
+    manifest link changes nothing: readers see the old latest, and the
+    half-born dir is vacuumable."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 6).repartition(3), path)
+
+    def crashing_link(src, dst):
+        raise OSError("simulated crash at publish")
+
+    monkeypatch.setattr(os, "link", crashing_link)
+    with pytest.raises(OSError, match="simulated crash"):
+        W.compact_parquet_snapshot(spark, path, target_files=1)
+    monkeypatch.undo()
+    snaps = W.list_parquet_snapshots(path)
+    assert [s["version"] for s in snaps] == [1]
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(6))
+    out_v = W.vacuum_parquet_snapshots(path, keep=1, orphan_grace_sec=0)
+    assert out_v["removed_orphan_dirs"]
