@@ -19,6 +19,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     query,
     sql_round,
     table,
+    tracked_cache,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.text import _QUALITY_EXPR
 
@@ -413,7 +414,7 @@ def d24_minhash_error(spark, sf_dir):
     one-shuffle bucket expansion, and the exact side is d03's
     inverted-index join — never all-pairs."""
     d = table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(d, "doc_id", "text", 3, 12).cache()
+    sig = tracked_cache(dedup.minhash_signatures(d, "doc_id", "text", 3, 12))
     pairs = dedup.lsh_candidate_pairs(
         dedup.lsh_bands(sig, "doc_id", 12, 3), "doc_id"
     )
@@ -1921,7 +1922,7 @@ def s05_ann_recall(spark, sf_dir):
     brute-force over the full corpus is the cost being avoided). The
     final join is on (query, neighbor) pairs — k×probes rows, trivially
     small."""
-    e = table(spark, sf_dir, "embeddings").cache()
+    e = tracked_cache(table(spark, sf_dir, "embeddings"))
     exact = similarity.brute_force_topk(e, "vec_id", "embedding", _PROBES, k=5)
     ann = similarity.bucketed_topk(e, "vec_id", "embedding", _PROBES, k=5, m=8)
     hits = exact.select("query_id", "neighbor_id").join(
@@ -2093,14 +2094,13 @@ def _curation_scored(d, scorer: str):
     threshold into the projection would re-inline the interpreted n-gram
     chain per reference (the measured d18-profile trap).
 
-    Cache lifetime (ADVICE r9): each CALL caches a fresh frame with no
-    unpersist hook, and both d18 and d21 route through here — a
-    long-lived session invoking both pins two score frames in executor
-    storage until ``spark.catalog.clearCache()``. Acceptable for the
-    bench/attestation harnesses (they clear between runs, and the frame
-    is text-free — 5 scalars/doc); a resident service embedding these
-    plans should own the lifetime: build once, pass the frame down,
-    unpersist at request end."""
+    Cache lifetime (ADVICE r9, closed r11): each CALL caches a fresh
+    frame, registered with the plan-cache registry — a resident service
+    embedding these plans releases them at request end via
+    ``registry.release_plan_caches()`` (the caller-owned unpersist seam
+    VERDICT r10 #5b asked for); the bench/attestation harnesses keep
+    clearing the whole session cache between runs, which is equivalent
+    for them."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround as _pr,
     )
@@ -2121,15 +2121,17 @@ def _curation_scored(d, scorer: str):
     ]
     if scorer == "agg":
         rep = repetition_ratio_agg(d, "doc_id", "text", 3)
-        return (
+        return tracked_cache(
             d.select(*base_cols)
             .join(rep, "doc_id")
             .withColumnRenamed("rep_ratio", "rep")
-            .cache()
         )
-    return d.select(
-        *base_cols, _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep")
-    ).cache()
+    return tracked_cache(
+        d.select(
+            *base_cols,
+            _pr(repetition_ratio(F.col("text"), 3), 4).alias("rep"),
+        )
+    )
 
 
 def _curation_gate():
@@ -2744,10 +2746,10 @@ def o11_budgeted_mixture(spark, sf_dir):
     # text-free per-doc frame (lang, id, tok, 8-hex hash, bucket) feeds
     # THREE consumers (subtotals, the cumsum join, and — via subtotals —
     # the plan frame); cached per d18's barrier rule so the corpus text
-    # is scanned and tokenized ONCE, not re-expanded per consumer. Like
-    # _curation_scored, the cache has no unpersist hook — bench harnesses
-    # clearCache between runs (ADVICE r9 adjudication).
-    t = (
+    # is scanned and tokenized ONCE, not re-expanded per consumer.
+    # Registered with the plan-cache registry (VERDICT r10 #5b): callers
+    # release via registry.release_plan_caches().
+    t = tracked_cache(
         d.select(
             "lang",
             "doc_id",
@@ -2759,9 +2761,7 @@ def o11_budgeted_mixture(spark, sf_dir):
                 1,
                 8,
             ).alias("h"),
-        )
-        .withColumn("bk", F.substring(F.col("h"), 1, 2))
-        .cache()
+        ).withColumn("bk", F.substring(F.col("h"), 1, 2))
     )
     sub = t.groupBy("lang", "bk").agg(F.sum("tok").alias("btok"))
     # per-source totals re-aggregate the ≤|langs|·256-row subtotal frame

@@ -45,6 +45,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Caller-owned lifetime for the plan-level caches (ADVICE r9 / VERDICT
+# r10 #5b): several queries cache small text-free frames that MULTIPLE
+# consumers read (the curation score frame, o11's tokenized mixture
+# frame, d24's signature frame, s05's embeddings) — correct for the
+# bench/attestation harnesses, which clearCache() between runs, but a
+# resident service embedding these plans needs a narrower release than
+# nuking the whole session cache. Every such cache registers here;
+# ``release_plan_caches()`` unpersists exactly them and nothing else.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + registration for :func:`release_plan_caches`."""
+    df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_plan_caches() -> int:
+    """Unpersist every frame the plan layer cached via
+    :func:`tracked_cache`; returns how many were released. Safe to call
+    at any time — consumers re-materialize lazily if re-run."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to pin
+    return n
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (TESTDATA.md).
 

@@ -765,3 +765,28 @@ def test_g01_pagerank_iterations_are_broadcast_tiny(spark):
     # ranks stays within 2% below SCALE and never exceeds it
     total = sum(got.values())
     assert 0.98 * 10**9 <= total <= 10**9, total
+
+
+def test_release_plan_caches_unpersists_tracked_frames(spark):
+    """VERDICT r10 #5b: the plan-level caches (_curation_scored, o11's
+    mixture frame, d24's signatures, s05's embeddings) register with
+    the plan-cache registry so a resident service can release exactly
+    them — the caller-owned unpersist seam — without nuking unrelated
+    session caches."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import llmdata, registry
+
+    registry.release_plan_caches()  # drain anything earlier tests pinned
+    d = registry.table(spark, SF_TEST, "documents")
+    scored = llmdata._curation_scored(d, "local")
+    scored.count()  # materialize the cache
+    assert scored.storageLevel.useMemory
+    # an UNTRACKED cache must survive the release
+    other = spark.range(10).cache()
+    other.count()
+    released = registry.release_plan_caches()
+    assert released >= 1
+    assert not scored.storageLevel.useMemory
+    assert other.storageLevel.useMemory
+    other.unpersist()
+    # idempotent: nothing tracked after a release
+    assert registry.release_plan_caches() == 0
