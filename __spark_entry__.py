@@ -77,6 +77,7 @@ _PRIORITY_FIRST = [
 # ahead of the 5 spilled r7 names and the r8-stale queue below.
 _NEXT_WINDOW_FIRST: list[str] = [
     "o14_snapshot_lifecycle",
+    "e17_statestore_keys",
 ]
 _STALE_QUEUE = [
     # the committed r11 head: last attested round 7 (stalest in the

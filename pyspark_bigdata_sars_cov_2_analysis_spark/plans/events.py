@@ -863,3 +863,64 @@ def e16_scd2_stream_enrichment(spark, sf_dir):
         .groupBy("regime_attr", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "e17_statestore_keys",
+    # every distinct user must appear as exactly ONE state key, and the
+    # checkpoint's metadata must name exactly one dedupe operator. A
+    # dedup whose state dropped a key (row count), kept duplicates
+    # (n_state), or whose checkpoint lost the operator (n_dedupe_ops)
+    # all flip the hash.
+    oracle="""
+    SELECT user_id, CAST(1 AS BIGINT) AS n_state,
+           CAST(1 AS BIGINT) AS n_dedupe_ops
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def e17_statestore_keys(spark, sf_dir):
+    """Spark 4's ``statestore`` / ``state-metadata`` READERS under the
+    driver gate (r11, VERDICT r10 stretch) — the "what is my streaming
+    state right now" diagnostic a 100 TB deployment runs before state
+    grows unbounded, previously test-only. An availableNow
+    ``dropDuplicates(user_id)`` drain builds keyed dedup state in a
+    scratch checkpoint; the statestore reader then exposes the state
+    KEYS as a DataFrame, which must be exactly the batch-distinct user
+    ids (one state row each), and the state-metadata reader must list
+    exactly one dedupe operator for the checkpoint. Both readers'
+    output rides the hash against an oracle recomputed from the source
+    table. Construction-time drain in a per-call temp dir, the
+    d19/e15 precedent; the state frame is keys-only (never event
+    payloads), so the read side is tiny regardless of corpus scale."""
+    import os as _os
+    import tempfile
+
+    e = table(spark, sf_dir, "events").select("user_id")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_e17_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    _os.makedirs(src)
+    e.coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("user_id bigint")
+        .parquet(src)
+        .dropDuplicates(["user_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    keys = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(F.col("key.user_id").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_state"))
+    )
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .where(F.lower(F.col("operatorName")).contains("dedupe"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dedupe_ops"))
+    )
+    return keys.crossJoin(F.broadcast(meta))
