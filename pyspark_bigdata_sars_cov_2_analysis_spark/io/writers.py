@@ -809,7 +809,8 @@ def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> boo
 
 
 def streaming_snapshot_sink(
-    stream_df: DataFrame, path: str, stream_checkpoint: str
+    stream_df: DataFrame, path: str, stream_checkpoint: str,
+    compact_every: int | None = None,
 ):
     """Structured-Streaming sink onto a snapshot-versioned parquet table:
     every micro-batch publishes ONE new table version (manifest-level
@@ -820,10 +821,32 @@ def streaming_snapshot_sink(
     checkpoint makes restarts re-process nothing, and
     :func:`snapshot_publish_batch`'s manifest id guard makes a
     mid-batch crash replay publish exactly once. Returns a
-    ``DataStreamWriter``; callers ``.start()`` it."""
+    ``DataStreamWriter``; callers ``.start()`` it.
+
+    ``compact_every=N`` folds :func:`compact_parquet_snapshot` into the
+    drain (r11 — d22's ``compact_every`` discipline ported to the MVCC
+    layer): after every Nth PUBLISHED batch the latest version's file
+    set is rewritten as one file and published as a new ``compact``
+    version, so a long-lived stream appending one tiny file set per
+    micro-batch never degrades readers — without this, file count
+    grows linearly with batches exactly like the pre-d22 checkpoint
+    buckets. Semantics untouched: compaction versions are additive,
+    every pre-compact version stays time-travelable until vacuumed,
+    and a replayed batch (publish no-op) never triggers a compaction.
+    Compaction runs between batches of the ONE serialized foreachBatch
+    writer, so the lost-publish-race retry inside
+    compact_parquet_snapshot is a safety net, not an expected path."""
+
+    state = {"published": 0}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_publish_batch(batch_df, batch_id, path)
+        if not snapshot_publish_batch(batch_df, batch_id, path):
+            return
+        state["published"] += 1
+        if compact_every and state["published"] % compact_every == 0:
+            compact_parquet_snapshot(
+                batch_df.sparkSession, path, target_files=1
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_process)

@@ -414,3 +414,55 @@ def test_compact_snapshot_crash_before_publish_invisible(spark, tmp_path, monkey
     ) == list(range(6))
     out_v = W.vacuum_parquet_snapshots(path, keep=1, orphan_grace_sec=0)
     assert out_v["removed_orphan_dirs"]
+
+
+def test_streaming_sink_compact_every_bounds_file_count(spark, tmp_path):
+    """compact_every=N folds manifest-aware compaction into the drain:
+    after every Nth published batch the latest version is rewritten to
+    one file — a long stream's table never accumulates per-batch file
+    sets — while every pre-compact version stays time-travelable and a
+    checkpointed restart publishes (and compacts) nothing."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate([(0, 3), (3, 5), (5, 9), (9, 10)]):
+        _df(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+        stamp = 1_700_000_000 + 100 * i
+        for n in os.listdir(src):
+            p = os.path.join(src, n)
+            if os.path.getmtime(p) > stamp:
+                os.utime(p, (stamp, stamp))
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = W.streaming_snapshot_sink(
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl,
+            ckpt,
+            compact_every=2,
+        ).start()
+        q.awaitTermination(120)
+
+    drain()
+    snaps = W.list_parquet_snapshots(tbl)
+    # b0, b1, compact, b2, b3, compact
+    assert [s["mode"] for s in snaps] == [
+        "append", "append", "compact", "append", "append", "compact"
+    ]
+    assert [s.get("src_batch") for s in snaps] == [0, 1, None, 2, 3, None]
+    assert len(snaps[-1]["files"]) == 1
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(10))
+    # the compacted mid-state equals batches 0+1; its pre-compact twin
+    # (v2) carries 2 files and identical rows
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl, version=3).collect()
+    ) == list(range(5))
+    assert len(snaps[1]["files"]) == 2
+    # restart over the same checkpoint: no publishes, no compactions
+    drain()
+    assert len(W.list_parquet_snapshots(tbl)) == 6
