@@ -466,3 +466,20 @@ def test_streaming_sink_compact_every_bounds_file_count(spark, tmp_path):
     # restart over the same checkpoint: no publishes, no compactions
     drain()
     assert len(W.list_parquet_snapshots(tbl)) == 6
+
+
+def test_staged_swap_ops_refuse_snapshot_tables(spark, tmp_path):
+    """compact_parquet / merge_upsert_parquet are staged-swap ops; on a
+    snapshot table's directory they would rewrite data dirs that
+    published manifests reference by exact path, breaking every
+    version's isolation. They must refuse (VERDICT r10 residual)."""
+    path = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="snapshot-versioned"):
+        W.compact_parquet(spark, path, 1)
+    with pytest.raises(ValueError, match="snapshot-versioned"):
+        W.merge_upsert_parquet(spark, path, _df(spark, 0, 2), ["id"])
+    # table untouched
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, path).collect()
+    ) == list(range(5))
