@@ -110,6 +110,15 @@ EXTRAS_SHELF = [
     #   the size-histogram rollup
     "e16_scd2_stream_enrichment",    # 3.5s — streaming drain through
     #   the native parquet file sink + SCD2 interval join
+    # VERDICT r10 #7 asked whether d25/e16 (suspected frozen on a
+    # ≥2x-slow canary host) should be rebased: measured r11 on a clean
+    # 0.96x-canary host they run 0.99x / 0.86x of their freeze — the
+    # frozen values are tight, not inflated; DECISION: keep them.
+    # r11 registrations by the same measured-sweep rule:
+    "o14_snapshot_lifecycle",        # 2.4s — 3 publishes + compaction +
+    #   two vacuums (o13/d22's construction-time-work class)
+    "e17_statestore_keys",           # 1.6s — dedup drain + statestore/
+    #   state-metadata reads
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
