@@ -32,78 +32,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-11 window (VERDICT r10 Next-round #1): the 19 queries
-# registered DURING round 10 (never driver-attested — the standing
-# never-attested-first principle) come first, in the order committed in
-# VERDICT r9/r10; then the FIRST 31 of the 36-name r7-stale r11 head in
-# its agreed order. 19 + 31 = 50 exactly; the 5 r7-stale names past the
-# cut lead the committed round-12 head, followed by the stalest
-# r8-attested names in their CORRECTNESS_r08 order (45 of 50 fit the
-# r12 window; the last 5 spill to r13). `ml01_classifier_bench` (last
-# attested r5) stays out of the rotation by design — it is the
-# rows-only query, so a window slot buys no hash attestation. The cut
-# point is COMPUTED in _ordered_names (pinned by
+# Round-12 window (VERDICT r11 Next-round #1, serving the plan
+# committed in VERDICT r10 #1): the 2 queries registered DURING round
+# 11 (never driver-attested — the standing never-attested-first
+# principle) come first; then the 5 r7-stale names spilled past the
+# r11 cut; then the FIRST 43 of the 50 r8-attested names in their
+# CORRECTNESS_r08 order. 2 + 5 + 43 = 50 exactly; the 7 r8 names past
+# the cut lead the committed round-13 head, followed by the r9-stale
+# names in their CORRECTNESS_r09 order (43 of 50 fit the r13 window;
+# the last 7 spill to r14). `ml01_classifier_bench` (last attested r5)
+# stays out of the rotation by design — it is the rows-only query, so
+# a window slot buys no hash attestation. The cut point is COMPUTED in
+# _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # registered during round 10, never driver-attested — attestation
-    # required; order as committed in VERDICT r10 #1
-    "o11_budgeted_mixture",
-    "j12_runtime_filter",
-    "sql11_sql_body_udf",
-    "d22_compacted_ingest",
-    "o12_weighted_reservoir",
-    "d23_contamination_report",
-    "j13_asof_nearest",
-    "d24_minhash_error",
-    "f21_interval_arithmetic",
-    "o13_snapshot_time_travel",
-    "g01_pagerank_fixedpoint",
-    "t17_langid_confusion",
-    "a29_weighted_quantiles",
-    "e15_snapshot_sink_stream",
-    "d25_cluster_size_audit",
-    "ml05_calibration_bins",
-    "e16_scd2_stream_enrichment",
-    "sql12_unpivot_clause",
-    "sql13_named_parameters",
-]
-
-# Queries registered DURING round 11, after the window above was
-# committed — per the standing overflow rule they queue BEHIND the
-# window (local parity covers them until then) instead of displacing a
-# committed stale name. They are never-attested, so the ROUND-12 window
-# must lead with them (move them into _PRIORITY_FIRST when rotating),
-# ahead of the 5 spilled r7 names and the r8-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = [
+    # registered during round 11, never driver-attested — attestation
+    # required; order as committed in VERDICT r11 #1
     "o14_snapshot_lifecycle",
     "e17_statestore_keys",
 ]
+
+# Queries registered DURING round 12, after the window above was
+# committed — per the standing overflow rule they queue BEHIND the
+# window (local parity covers them until then) instead of displacing a
+# committed stale name. They are never-attested, so the ROUND-13 window
+# must lead with them (move them into _PRIORITY_FIRST when rotating),
+# ahead of the r8/r9-stale queue below.
+_NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the committed r11 head: last attested round 7 (stalest in the
-    # rotation), exact order agreed in VERDICT r9 #1 / r10 #1; the
-    # first WINDOW − 19 = 31 fill the round-11 window, the remaining 5
-    # past the cut lead the committed round-12 head
-    "j08_full_outer", "u12_union_schema_evolution",
-    "a22_countmin_heavy_hitters", "o08_quality_weighted_sample",
-    "ml04_kfold_assignment", "p17_summary_stats", "a23_corr_covar",
-    "f17_fuzzy_recode", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q10_returned_items", "j01_left_join", "j02_semi_join",
-    "j03_anti_join", "j05_salted_join_equiv", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
-    "q18_large_volume", "q19_discounted_revenue",
-    "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
-    # ---- round-12 head starts here: the 5 r7-stale names past the
-    # r11 cut, then the 50 r8-attested names in their CORRECTNESS_r08
-    # order (45 fit the r12 window; the last 5 spill to r13) ----
+    # the 5 r7-stale names spilled past the r11 cut (stalest in the
+    # rotation), exact order agreed in VERDICT r9 #1 / r10 #1 / r11 #1
     "q21_waiting_supplier",
     "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
     "u06_batch_inference",
-    # last attested round 8, in their CORRECTNESS_r08 order
+    # last attested round 8, in their CORRECTNESS_r08 order; the first
+    # WINDOW − 2 − 5 = 43 fill the round-12 window (cut after
+    # w04_lag_lead_rank), the remaining 7 lead the committed round-13
+    # head
     "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
     "e12_retention_cohorts", "p18_skew_profile",
     "o09_cluster_balanced_sample", "w08_scd2_intervals", "s05_ann_recall",
@@ -120,9 +86,34 @@ _STALE_QUEUE = [
     "e03_dedup_latest_state", "e04_sliding_window", "e05_user_totals",
     "e07_segment_window", "e08_gapfill_daily", "a10_rollup", "a11_cube",
     "a12_grouping_sets", "a13_pivot", "a14_count_distinct",
-    "w04_lag_lead_rank", "w05_moving_frame", "f06_posexplode_roundtrip",
+    "w04_lag_lead_rank",
+    # ---- round-13 head starts here: the 7 r8-stale names past the
+    # r12 cut, then the 50 r9-attested names in their CORRECTNESS_r09
+    # order (43 fit the r13 window; the last 7 spill to r14) ----
+    "w05_moving_frame", "f06_posexplode_roundtrip",
     "sql01_subquery", "f13_null_handling", "o04_deterministic_sample",
     "a16_percentiles", "sql02_file_scan",
+    # last attested round 9, in their CORRECTNESS_r09 order
+    "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
+    "d20_band_ingest_incremental", "w06_distribution_ranks",
+    "a18_theta_sketch_setops", "t09_tfidf_top_terms", "t11_chunk_text",
+    "t12_quality_gate", "d01_exact_dedup", "d02_minhash_lsh",
+    "d07_dup_clusters", "d11_incremental_dedup", "d09_decontaminate",
+    "d10_dedup_keep_best", "d03_ngram_jaccard", "d04_simhash",
+    "d06_simhash_neardup", "s01_cosine_topk", "s02_bucketed_topk",
+    "d05_embedding_neardup", "m01_binary_stats", "m02_image_decode_stats",
+    "t10_sequence_packing", "m05_audio_frame_energy", "a09_distinct",
+    "w01_latest_per_group", "w02_running_sum", "f14_variant_json",
+    "j04_latest_via_join_equiv", "u07_mlp_inference",
+    "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
+    "o06_temperature_mixture", "t13_token_surprisal",
+    "sql03_recursive_calendar", "sql04_lateral_topn",
+    "e09_session_window_native", "f15_map_functions",
+    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
+    "ml02_confusion_matrix", "m03_frame_sample", "m04_real_bmp_roundtrip",
+    "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
+    "p05_derived_cast", "p09_recode", "p11_filter_isin",
+    "p12_compound_predicate",
 ]
 
 # the driver's attestation window

@@ -98,19 +98,19 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 19, (
+    assert len(entry._PRIORITY_FIRST) == 2, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r10 #1 + the standing never-attested-first principle: the
-    # round-11 window is the 19 late-r10 registrations, then the first
-    # 31 of the committed 36-name r7-stale head. Derive attestation
-    # state from the CORRECTNESS files so the pin tracks the actual
-    # record: BEFORE the round-11 file lands, the head must be exactly
-    # the never-attested set; AFTER it lands, the check degrades to "no
-    # registered query is ever left unattested outside the window" —
-    # still the invariant that matters, without failing the first
-    # pytest of the next round before the window is rotated.
+    # VERDICT r11 #1 + the standing never-attested-first principle: the
+    # round-12 window is the 2 late-r11 registrations, then the 5
+    # spilled r7-stale names, then the first 43 r8-stale names. Derive
+    # attestation state from the CORRECTNESS files so the pin tracks
+    # the actual record: BEFORE the round-12 file lands, the head must
+    # be exactly the never-attested set; AFTER it lands, the check
+    # degrades to "no registered query is ever left unattested outside
+    # the window" — still the invariant that matters, without failing
+    # the first pytest of the next round before the window is rotated.
     attested = set()
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(rec) as fh:
@@ -127,7 +127,7 @@ def test_attestation_window_arithmetic():
         f"committed next-window head: "
         f"{[n for n in never if n not in allowed]}"
     )
-    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
         want_never = set(entry._PRIORITY_FIRST) | set(
             entry._NEXT_WINDOW_FIRST
         )
@@ -136,25 +136,39 @@ def test_attestation_window_arithmetic():
             f"missing={sorted(set(never) - want_never)} "
             f"extra={sorted(want_never - set(never))}"
         )
-    # the committed r11-head order survives inside the window: the 36
-    # r7-stale names come straight after the never-attested head (in
-    # their agreed VERDICT r9/r10 order), then the r8-stale names in
-    # their CORRECTNESS_r08 order
-    assert entry._STALE_QUEUE[0] == "j08_full_outer"
-    assert entry._STALE_QUEUE[35] == "u06_batch_inference"
-    assert entry._STALE_QUEUE[36] == "u13_grouped_arrow"
+    # the committed r12-head order survives inside the window: the 5
+    # spilled r7-stale names come straight after the never-attested
+    # head (in their agreed VERDICT r9/r10/r11 order), then the
+    # r8-stale names in their CORRECTNESS_r08 order
+    assert entry._STALE_QUEUE[0] == "q21_waiting_supplier"
+    assert entry._STALE_QUEUE[4] == "u06_batch_inference"
+    assert entry._STALE_QUEUE[5] == "u13_grouped_arrow"
     # `ml01_classifier_bench` (rows-only, last attested r5) stays OUT of
     # the rotation by design — a window slot buys no hash attestation
     assert "ml01_classifier_bench" not in (
         entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
     )
-    # VERDICT r10 #1: the round-12 head is a complete forward plan —
-    # the 5 r7-stale names past the r11 cut, then the 50 r8-stale names
-    # in their CORRECTNESS_r08 order (45 fit a clean 50-slot r12
-    # window; the last 5 spill to r13)
-    r12_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r12_head) == 5 + 50
-    assert r12_head[0] == "q21_waiting_supplier"
-    assert r12_head[4] == "u06_batch_inference"
-    assert r12_head[5] == "u13_grouped_arrow"
-    assert r12_head[-1] == "sql02_file_scan"
+    # VERDICT r11 #1: the round-13 head is a complete forward plan —
+    # the 7 r8-stale names past the r12 cut (ending w04_lag_lead_rank),
+    # then the 50 r9-stale names in their CORRECTNESS_r09 order (43 fit
+    # a clean 50-slot r13 window; the last 7 spill to r14)
+    window_tail = entry._STALE_QUEUE[: entry.WINDOW - len(entry._PRIORITY_FIRST)]
+    assert window_tail[-1] == "w04_lag_lead_rank"
+    r13_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r13_head) == 7 + 50
+    assert r13_head[0] == "w05_moving_frame"
+    assert r13_head[6] == "sql02_file_scan"
+    assert r13_head[7] == "t16_quality_audit_frame"
+    assert r13_head[-1] == "p12_compound_predicate"
+    # the r13 continuation must be EXACTLY the names whose latest
+    # attestation is round 9, in their CORRECTNESS_r09 order
+    with open(os.path.join(REPO, "CORRECTNESS_r09.json")) as fh:
+        r09_order = list(json.load(fh).keys())
+    latest = {}
+    for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(rec)[len("CORRECTNESS_r"):-len(".json")])
+        with open(rec) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), rnd)
+    r9_stale = [n for n in r09_order if latest.get(n) == 9]
+    assert r13_head[7:] == r9_stale, "r13 continuation drifted from record"
