@@ -577,7 +577,7 @@ def list_parquet_snapshots(path: str) -> list[dict]:
 
 def write_parquet_snapshot(
     df: DataFrame, path: str, mode: str = "overwrite",
-    src_batch: int | None = None,
+    src_batch: int | None = None, allow_schema_evolution: bool = False,
 ) -> int:
     """Publish ``df`` as a new VERSION of the snapshot table at ``path``;
     returns the version number. ``mode='overwrite'`` makes the new
@@ -606,7 +606,18 @@ def write_parquet_snapshot(
     ``src_batch`` stamps the manifest with the PUBLISHING micro-batch's
     id — :func:`streaming_snapshot_sink` uses it to make a replayed
     foreachBatch invocation a no-op (the manifest IS the commit record,
-    so at-least-once delivery publishes exactly once)."""
+    so at-least-once delivery publishes exactly once).
+
+    ``allow_schema_evolution=True`` (VERDICT r11 #7 — the u12 unionByName
+    discipline applied to the MVCC layer) lets an append ADD or OMIT
+    columns instead of refusing: the new manifest records the WIDENED
+    schema (table columns in their order, then the append's new columns)
+    and is flagged ``evolved``, and :func:`read_parquet_snapshot` reads
+    such versions with parquet schema-merge, padding nulls for files
+    that predate a column — zero bytes rewritten, old versions still
+    read with their OWN recorded schema. Same-name columns must keep
+    their dtype; a type conflict always refuses. Drift-refusal stays the
+    default so accidental producer drift cannot silently widen a table."""
     import json as _json
     import os as _os
     import uuid as _uuid
@@ -629,6 +640,12 @@ def write_parquet_snapshot(
     n_new = written.count()
     # the schema the files actually carry (post-write, what readers see)
     new_schema = [list(p) for p in written.dtypes]
+    # legacy-schema derivation cache (ADVICE r11): pre-manifest-schema
+    # tables derive prev_schema from the previous version's footers —
+    # once per PREVIOUS VERSION, not once per publish-race retry
+    # iteration (the retry loop may spin while the table advances, and
+    # each spin was re-reading every footer).
+    legacy_schema: tuple[int, list] | None = None
     while True:
         prev = list_parquet_snapshots(path)
         version = (prev[-1]["version"] + 1) if prev else 1
@@ -636,22 +653,74 @@ def write_parquet_snapshot(
             # schema-drift guard (ADVICE r10): an append whose columns
             # don't match the table would otherwise publish a manifest
             # whose multi-footer read silently takes one footer's schema
-            # and drops/misses columns. The table's schema is recorded in
-            # every manifest; pre-manifest-schema tables derive it from
-            # the previous version's files once.
-            prev_schema = prev[-1].get("schema") or [
-                list(p)
-                for p in spark.read.parquet(*prev[-1]["files"]).dtypes
-            ]
+            # and drops/misses columns. The compare is deliberately
+            # ORDER-SENSITIVE: the manifest records one column order and
+            # a multi-footer scan's output order follows the sampled
+            # footer, so a reordered append would make the table's read
+            # schema nondeterministic even though per-name values are
+            # fine. The table's schema is recorded in every manifest;
+            # pre-manifest-schema tables derive it from the previous
+            # version's files once per base version.
+            prev_schema = prev[-1].get("schema")
+            if prev_schema is None:
+                if legacy_schema is None or legacy_schema[0] != prev[-1]["version"]:
+                    legacy_schema = (
+                        prev[-1]["version"],
+                        [
+                            list(p)
+                            for p in spark.read.parquet(
+                                *prev[-1]["files"]
+                            ).dtypes
+                        ],
+                    )
+                prev_schema = legacy_schema[1]
+            # once a version mixes file schemas it stays merge-read until
+            # a compaction re-materializes uniform files
+            evolved = bool(prev[-1].get("evolved"))
+            manifest_schema = prev_schema
             if new_schema != prev_schema:
-                raise ValueError(
-                    f"append schema drift at {path}: table has "
-                    f"{prev_schema}, append brings {new_schema}; "
-                    "overwrite (or align the DataFrame) instead"
+                prev_types = {c: t for c, t in prev_schema}
+                new_types = {c: t for c, t in new_schema}
+                conflicts = sorted(
+                    c
+                    for c in prev_types.keys() & new_types.keys()
+                    if prev_types[c] != new_types[c]
                 )
+                if allow_schema_evolution and not conflicts:
+                    manifest_schema = prev_schema + [
+                        p for p in new_schema if p[0] not in prev_types
+                    ]
+                    evolved = True
+                elif conflicts:
+                    raise ValueError(
+                        f"append schema drift at {path}: columns "
+                        f"{conflicts} change dtype (table has "
+                        f"{prev_schema}, append brings {new_schema}); "
+                        "a type conflict cannot be merge-read — "
+                        "overwrite (or align the DataFrame) instead"
+                    )
+                else:
+                    same_set = sorted(map(tuple, new_schema)) == sorted(
+                        map(tuple, prev_schema)
+                    )
+                    raise ValueError(
+                        f"append schema drift at {path}: table has "
+                        f"{prev_schema}, append brings {new_schema}; "
+                        + (
+                            "columns match but ORDER differs — appends "
+                            "must keep the table's column order (select "
+                            "the columns in manifest order)"
+                            if same_set
+                            else "overwrite, align the DataFrame, or "
+                            "pass allow_schema_evolution=True to widen "
+                            "the table"
+                        )
+                    )
             files = sorted(set(prev[-1]["files"]) | set(new_files))
             rows = prev[-1]["rows"] + n_new
         else:
+            evolved = False
+            manifest_schema = new_schema
             files, rows = new_files, n_new
         manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
         # stage-then-LINK (review r10): O_EXCL-creating the final name
@@ -663,9 +732,21 @@ def write_parquet_snapshot(
         # race, recompute against the new latest) and readers can only
         # ever open a complete manifest.
         payload = {"version": version, "files": files, "rows": rows,
-                   "mode": mode, "schema": new_schema}
+                   "mode": mode, "schema": manifest_schema}
+        if evolved:
+            payload["evolved"] = True
         if src_batch is not None:
             payload["src_batch"] = int(src_batch)
+        elif mode == "append" and prev and prev[-1].get("src_batch") is not None:
+            # carry the stream high-water forward through UNSTAMPED
+            # appends (ADVICE r11): without this, a manual append on a
+            # stream-fed table makes the latest manifest untagged, and a
+            # vacuum that keeps only tagless versions would erase the
+            # replay guard's high-water — a restarted stream would then
+            # re-publish its last batch as duplicate rows. Inductively,
+            # every post-fix append chain keeps the effective high-water
+            # in its LATEST manifest, so the guard stays O(1).
+            payload["src_batch"] = int(prev[-1]["src_batch"])
         tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             _json.dump(payload, fh)
@@ -682,7 +763,11 @@ def read_parquet_snapshot(spark, path: str, version: int | None = None):
     """Read a snapshot table AS OF ``version`` (default: latest). The
     read plans over exactly the manifest's immutable file list — a
     concurrent writer publishing version N+1 cannot perturb a running
-    version-N scan, and pinning ``version`` is time travel."""
+    version-N scan, and pinning ``version`` is time travel. Versions
+    flagged ``evolved`` (schema-evolution appends) are read with parquet
+    schema-merge and projected to the manifest's recorded column order —
+    files that predate a column pad it with nulls; every version reads
+    with its OWN recorded schema."""
     snaps = list_parquet_snapshots(path)
     if not snaps:
         raise FileNotFoundError(f"no snapshots published at {path}")
@@ -696,6 +781,18 @@ def read_parquet_snapshot(spark, path: str, version: int | None = None):
                 f"have {sorted(by_v)}"
             )
         snap = by_v[version]
+    return _read_snapshot_files(spark, snap)
+
+
+def _read_snapshot_files(spark, snap: dict) -> DataFrame:
+    """Plan a scan over one manifest's immutable file list, honoring the
+    ``evolved`` flag (merge-read + manifest-order projection)."""
+    if snap.get("evolved"):
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*snap["files"])
+            .select(*[c for c, _t in snap["schema"]])
+        )
     return spark.read.parquet(*snap["files"])
 
 
@@ -827,9 +924,38 @@ def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> boo
     return True
 
 
+def _appends_since_last_compact(path: str) -> int:
+    """Number of manifests published AFTER the newest ``compact``
+    version (all of them if the table was never compacted) — the
+    DURABLE compaction-cadence counter for :func:`streaming_snapshot_sink`.
+    Reads manifests newest-first and stops at the first compact one, so
+    the cost is O(appends since last compact) tiny JSON reads — bounded
+    by the sink's ``compact_every`` between compactions, never
+    O(versions) over the stream's lifetime."""
+    import json as _json
+    import os as _os
+
+    d = _snap_path(path)
+    try:
+        names = sorted(
+            (n for n in _os.listdir(d)
+             if n.startswith("v") and n.endswith(".json")),
+            reverse=True,
+        )
+    except FileNotFoundError:
+        return 0
+    since = 0
+    for n in names:
+        with open(_os.path.join(d, n)) as fh:
+            if _json.load(fh).get("mode") == "compact":
+                break
+        since += 1
+    return since
+
+
 def streaming_snapshot_sink(
     stream_df: DataFrame, path: str, stream_checkpoint: str,
-    compact_every: int | None = None,
+    compact_every: int | None = None, target_files: int = 1,
 ):
     """Structured-Streaming sink onto a snapshot-versioned parquet table:
     every micro-batch publishes ONE new table version (manifest-level
@@ -845,26 +971,29 @@ def streaming_snapshot_sink(
     ``compact_every=N`` folds :func:`compact_parquet_snapshot` into the
     drain (r11 — d22's ``compact_every`` discipline ported to the MVCC
     layer): after every Nth PUBLISHED batch the latest version's file
-    set is rewritten as one file and published as a new ``compact``
-    version, so a long-lived stream appending one tiny file set per
-    micro-batch never degrades readers — without this, file count
-    grows linearly with batches exactly like the pre-d22 checkpoint
-    buckets. Semantics untouched: compaction versions are additive,
-    every pre-compact version stays time-travelable until vacuumed,
-    and a replayed batch (publish no-op) never triggers a compaction.
-    Compaction runs between batches of the ONE serialized foreachBatch
-    writer, so the lost-publish-race retry inside
-    compact_parquet_snapshot is a safety net, not an expected path."""
+    set is rewritten as ``target_files`` files and published as a new
+    ``compact`` version, so a long-lived stream appending one tiny file
+    set per micro-batch never degrades readers — without this, file
+    count grows linearly with batches exactly like the pre-d22
+    checkpoint buckets. Semantics untouched: compaction versions are
+    additive, every pre-compact version stays time-travelable until
+    vacuumed, and a replayed batch (publish no-op) never triggers a
+    compaction. Compaction runs between batches of the ONE serialized
+    foreachBatch writer, so the lost-publish-race retry inside
+    compact_parquet_snapshot is a safety net, not an expected path.
 
-    state = {"published": 0}
+    The cadence is DURABLE (ADVICE r11 / VERDICT r11 #5): it counts
+    published manifests since the table's last ``compact`` version, not
+    a per-process counter, so a stream stopped and restarted mid-cadence
+    still compacts on the Nth GLOBAL publish — a sink restarted every
+    N−1 batches compacts exactly as often as one that never restarts."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not snapshot_publish_batch(batch_df, batch_id, path):
             return
-        state["published"] += 1
-        if compact_every and state["published"] % compact_every == 0:
+        if compact_every and _appends_since_last_compact(path) >= compact_every:
             compact_parquet_snapshot(
-                batch_df.sparkSession, path, target_files=1
+                batch_df.sparkSession, path, target_files=target_files
             )
 
     return (
@@ -927,8 +1056,11 @@ def compact_parquet_snapshot(
         data_dir = _os.path.join(
             base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
         )
+        # evolved-aware read: compacting a schema-evolved version
+        # materializes the widened schema into uniform files (nulls
+        # filled), so the compact version no longer needs merge-reads
         (
-            spark.read.parquet(*src["files"])
+            _read_snapshot_files(spark, src)
             .repartition(target_files)
             .write.mode("error")
             .parquet(data_dir)
@@ -948,6 +1080,18 @@ def compact_parquet_snapshot(
             "mode": "compact", "schema": [list(p) for p in compacted.dtypes],
             "compacted_from": src["version"],
         }
+        # carry the stream high-water into the compact manifest (ADVICE
+        # r11 medium): a vacuum (e.g. keep=1 in a maintenance window)
+        # can leave a compact version as the ONLY manifest — without the
+        # stamp, _latest_src_batch would return None and a crashed
+        # stream's restart would re-publish its last batch as duplicate
+        # rows, breaking the exactly-once-publish contract. Scanning via
+        # _latest_src_batch (not just src.get) also repairs legacy
+        # pre-carry-forward chains whose latest manifest is untagged;
+        # this in turn keeps _latest_src_batch O(1) on compacted tables.
+        hwm = _latest_src_batch(path)
+        if hwm is not None:
+            payload["src_batch"] = int(hwm)
         manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
         tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:

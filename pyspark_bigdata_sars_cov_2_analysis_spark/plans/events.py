@@ -852,7 +852,7 @@ def e16_scd2_stream_enrichment(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
     # the batch read of `out` honors _spark_metadata: only files the
     # sink's commit log published are listed
     return (
@@ -909,7 +909,7 @@ def e17_statestore_keys(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
     keys = (
         spark.read.format("statestore")
         .load(ckpt)

@@ -1581,7 +1581,7 @@ def e15_snapshot_sink_stream(spark, sf_dir):
         tbl,
         ckpt,
     ).start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "availableNow drain timed out"
     snaps = {s["version"]: s for s in list_parquet_snapshots(tbl)}
     outs = []
     for v in (1, 2):

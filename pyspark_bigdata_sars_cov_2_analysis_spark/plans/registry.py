@@ -53,23 +53,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # resident service embedding these plans needs a narrower release than
 # nuking the whole session cache. Every such cache registers here;
 # ``release_plan_caches()`` unpersists exactly them and nothing else.
+#
+# Concurrency contract (ADVICE r11): the list is guarded by a lock so
+# concurrent requests can't corrupt it, but release is still
+# WHOLE-REGISTRY — a release issued while another request is mid-action
+# unpersists that request's caches too (harmless for correctness, the
+# frames re-materialize lazily, but it wastes their work). A resident
+# service should therefore serialize release points: call
+# release_plan_caches() only at request boundaries when no other plan
+# is executing (the "never mid-action" note in SKILL.md).
+import threading as _threading
+
 _TRACKED_CACHES: list[DataFrame] = []
+_TRACKED_LOCK = _threading.Lock()
 
 
 def tracked_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + registration for :func:`release_plan_caches`."""
     df.cache()
-    _TRACKED_CACHES.append(df)
+    with _TRACKED_LOCK:
+        _TRACKED_CACHES.append(df)
     return df
 
 
 def release_plan_caches() -> int:
     """Unpersist every frame the plan layer cached via
     :func:`tracked_cache`; returns how many were released. Safe to call
-    at any time — consumers re-materialize lazily if re-run."""
+    at any time — consumers re-materialize lazily if re-run. See the
+    concurrency contract above: call at request boundaries, never while
+    another request's plan is mid-action."""
+    with _TRACKED_LOCK:
+        drained = list(_TRACKED_CACHES)
+        _TRACKED_CACHES.clear()
     n = 0
-    while _TRACKED_CACHES:
-        df = _TRACKED_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

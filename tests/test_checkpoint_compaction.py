@@ -305,7 +305,7 @@ def test_streaming_ingest_with_compact_every_matches_plain(
             spark, src, "doc_id long, text string",
             band_path, out, str(base / "ckpt"), compact_every=every,
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
         admitted[variant] = sorted(
             r.doc_id for r in spark.read.parquet(out).collect()
         )

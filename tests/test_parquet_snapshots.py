@@ -179,7 +179,7 @@ def test_streaming_snapshot_sink_exactly_once_publish(spark, tmp_path):
             tbl,
             ckpt,
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     drain()
     snaps = W.list_parquet_snapshots(tbl)
@@ -444,7 +444,7 @@ def test_streaming_sink_compact_every_bounds_file_count(spark, tmp_path):
             ckpt,
             compact_every=2,
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     drain()
     snaps = W.list_parquet_snapshots(tbl)
@@ -452,7 +452,10 @@ def test_streaming_sink_compact_every_bounds_file_count(spark, tmp_path):
     assert [s["mode"] for s in snaps] == [
         "append", "append", "compact", "append", "append", "compact"
     ]
-    assert [s.get("src_batch") for s in snaps] == [0, 1, None, 2, 3, None]
+    # compact manifests CARRY the stream high-water forward (ADVICE
+    # r11 medium): a vacuum that leaves a compact version as the only
+    # manifest must not erase the replay guard
+    assert [s.get("src_batch") for s in snaps] == [0, 1, 1, 2, 3, 3]
     assert len(snaps[-1]["files"]) == 1
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
@@ -483,3 +486,262 @@ def test_staged_swap_ops_refuse_snapshot_tables(spark, tmp_path):
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, path).collect()
     ) == list(range(5))
+
+
+def _stamped_files(src, batches):
+    """Write one parquet file per batch into ``src`` with explicit,
+    strictly increasing mtimes so maxFilesPerTrigger=1 yields one
+    deterministic micro-batch per file (the ADVICE-r10 no-sleep
+    discipline)."""
+    spark = batches[0].sparkSession
+    for i, df in enumerate(batches):
+        df.coalesce(1).write.mode("append").parquet(src)
+        stamp = 1_700_000_000 + 100 * i
+        for n in os.listdir(src):
+            p = os.path.join(src, n)
+            if os.path.getmtime(p) > stamp:
+                os.utime(p, (stamp, stamp))
+
+
+def test_vacuum_to_compact_only_keeps_replay_guard(spark, tmp_path):
+    """ADVICE r11 (medium): a maintenance window running compact +
+    vacuum(keep=1) leaves the compact version as the ONLY manifest. The
+    compact manifest must carry the stream's src_batch high-water so a
+    crashed stream's restart replay is still a publish no-op — without
+    the carry, the replay re-publishes its last batch as duplicate
+    rows."""
+    tbl = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 0, tbl) is True
+    assert W.snapshot_publish_batch(_df(spark, 5, 8), 1, tbl) is True
+    res = W.compact_parquet_snapshot(spark, tbl, target_files=1)
+    assert res["compacted"] is True
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    snaps = W.list_parquet_snapshots(tbl)
+    assert len(snaps) == 1 and snaps[0]["mode"] == "compact"
+    assert snaps[0]["src_batch"] == 1
+    # the mid-batch-crash replay of batch 1 must be a no-op
+    assert W.snapshot_publish_batch(_df(spark, 5, 8), 1, tbl) is False
+    assert len(W.list_parquet_snapshots(tbl)) == 1
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(8))
+    # a genuinely new batch still publishes
+    assert W.snapshot_publish_batch(_df(spark, 8, 9), 2, tbl) is True
+
+
+def test_unstamped_append_carries_high_water_forward(spark, tmp_path):
+    """An out-of-band manual append on a stream-fed table publishes an
+    UNSTAMPED manifest; the high-water must be inherited from the
+    previous version so vacuum(keep=1) cannot erase the replay guard
+    (the inductive half of the ADVICE r11 fix)."""
+    tbl = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 3, tbl) is True
+    W.write_parquet_snapshot(_df(spark, 5, 7), tbl, mode="append")
+    snaps = W.list_parquet_snapshots(tbl)
+    assert snaps[-1].get("src_batch") == 3  # inherited, not dropped
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 3, tbl) is False
+    # overwrite RESETS the lineage: a fresh stream may reuse ids
+    W.write_parquet_snapshot(_df(spark, 100, 102), tbl, mode="overwrite")
+    assert W.list_parquet_snapshots(tbl)[-1].get("src_batch") is None
+
+
+def test_compact_every_cadence_survives_restart(spark, tmp_path):
+    """VERDICT r11 #5: the compaction cadence is derived from durable
+    manifest state, not a per-process counter. A stream stopped after 2
+    batches and restarted (a FRESH sink instance over the same
+    checkpoint) must still compact on the 3rd GLOBAL publish — the old
+    in-memory counter would have seen only 1 post-restart batch and
+    never fired."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stamped_files(src, [_df(spark, 0, 3), _df(spark, 3, 5)])
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(**kw):
+        q = W.streaming_snapshot_sink(
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl,
+            ckpt,
+            compact_every=3,
+            **kw,
+        ).start()
+        assert q.awaitTermination(120), "stream drain timed out"
+
+    drain()
+    assert [s["mode"] for s in W.list_parquet_snapshots(tbl)] == [
+        "append", "append"
+    ]
+    # stop/restart: a third file arrives, a NEW sink instance drains it
+    df3 = _df(spark, 5, 9)
+    df3.coalesce(1).write.mode("append").parquet(src)
+    for n in os.listdir(src):
+        p = os.path.join(src, n)
+        if os.path.getmtime(p) > 1_700_000_300:
+            os.utime(p, (1_700_000_300, 1_700_000_300))
+    drain(target_files=2)
+    snaps = W.list_parquet_snapshots(tbl)
+    # the 3rd global publish triggered exactly ONE compaction
+    assert [s["mode"] for s in snaps] == [
+        "append", "append", "append", "compact"
+    ]
+    # target_files plumbs through the sink to the compactor
+    assert 1 <= len(snaps[-1]["files"]) <= 2
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(9))
+    # replay-only restart: no publish, no compaction
+    drain()
+    assert len(W.list_parquet_snapshots(tbl)) == 4
+
+
+def test_snapshot_append_column_reorder_refused_with_message(spark, tmp_path):
+    """Same column set in a different order is refused like any drift —
+    a multi-footer scan's output order follows the sampled footer, so
+    accepting it would make the table's read schema nondeterministic —
+    but the error must SAY it is an order problem (ADVICE r11)."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    reordered = _df(spark, 5, 8).select("v", "id")
+    with pytest.raises(ValueError, match="ORDER differs"):
+        W.write_parquet_snapshot(reordered, tbl, mode="append")
+    # aligned append still works
+    W.write_parquet_snapshot(
+        reordered.select("id", "v"), tbl, mode="append"
+    )
+    assert W.list_parquet_snapshots(tbl)[-1]["rows"] == 8
+
+
+def test_two_writer_append_contention(spark, tmp_path):
+    """VERDICT r11 stretch #8: two concurrent appenders racing the same
+    table. The O_EXCL manifest claim serializes them — every append must
+    eventually publish, no version number is lost or doubly claimed, no
+    row is dropped, and a subsequent vacuum strands nothing."""
+    import threading
+
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl)
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def appender(lo_base):
+        try:
+            barrier.wait(timeout=60)
+            for k in range(3):
+                lo = lo_base + 10 * k
+                W.write_parquet_snapshot(
+                    _df(spark, lo, lo + 10), tbl, mode="append"
+                )
+        except Exception as exc:  # pragma: no cover - failure surface
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(base,))
+        for base in (100, 1000)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    snaps = W.list_parquet_snapshots(tbl)
+    versions = [s["version"] for s in snaps]
+    assert versions == list(range(1, 8)), versions  # 1 base + 6 appends
+    assert snaps[-1]["rows"] == 70
+    want = (
+        list(range(10))
+        + list(range(100, 130))
+        + list(range(1000, 1030))
+    )
+    got = sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    )
+    assert got == want
+    # every intermediate version is a superset chain: rows monotone
+    assert [s["rows"] for s in snaps] == sorted(s["rows"] for s in snaps)
+    # vacuum afterwards strands nothing: latest still fully readable,
+    # and no listed manifest references a removed file
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == want
+
+
+def test_snapshot_schema_evolution_append(spark, tmp_path):
+    """VERDICT r11 #7: an opt-in append may WIDEN the table — the new
+    manifest records the widened schema and is merge-read (old files pad
+    nulls), old versions still read with their own schema, drift-refusal
+    stays the default, and a compaction re-materializes uniform files."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)  # (id, v)
+    wide = spark.range(3, 5).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    )
+    # default stays strict
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        W.write_parquet_snapshot(wide, tbl, mode="append")
+    v2 = W.write_parquet_snapshot(
+        wide, tbl, mode="append", allow_schema_evolution=True
+    )
+    assert v2 == 2
+    snaps = W.list_parquet_snapshots(tbl)
+    assert snaps[-1]["schema"] == [
+        ["id", "bigint"], ["v", "bigint"], ["w", "bigint"]
+    ]
+    assert snaps[-1]["evolved"] is True
+    latest = W.read_parquet_snapshot(spark, tbl)
+    assert latest.columns == ["id", "v", "w"]
+    rows = {r.id: (r.v, r.w) for r in latest.collect()}
+    assert rows == {
+        0: (0, None), 1: (2, None), 2: (4, None),
+        3: (6, 30), 4: (8, 40),
+    }
+    # v1 reads with its OWN recorded schema
+    v1_df = W.read_parquet_snapshot(spark, tbl, version=1)
+    assert v1_df.columns == ["id", "v"]
+    # an append that OMITS a column is the symmetric evolution case
+    with pytest.raises(ValueError, match="schema drift"):
+        W.write_parquet_snapshot(_df(spark, 5, 7), tbl, mode="append")
+    W.write_parquet_snapshot(
+        _df(spark, 5, 7), tbl, mode="append", allow_schema_evolution=True
+    )
+    snap3 = W.list_parquet_snapshots(tbl)[-1]
+    assert snap3["schema"][-1] == ["w", "bigint"]  # widened order kept
+    assert snap3["evolved"] is True
+    got = {r.id: r.w for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40,
+                   5: None, 6: None}
+    # a TYPE conflict refuses even with evolution on
+    clash = spark.range(7, 8).selectExpr(
+        "id", "CAST(id AS STRING) AS v", "id AS w"
+    )
+    with pytest.raises(ValueError, match="change dtype"):
+        W.write_parquet_snapshot(
+            clash, tbl, mode="append", allow_schema_evolution=True
+        )
+    # compaction materializes the widened schema into uniform files;
+    # the compact version drops the evolved flag and reads identically
+    res = W.compact_parquet_snapshot(spark, tbl, target_files=1)
+    assert res["compacted"] is True
+    snap_c = W.list_parquet_snapshots(tbl)[-1]
+    assert snap_c.get("evolved") is None
+    assert snap_c["schema"] == [
+        ["id", "bigint"], ["v", "bigint"], ["w", "bigint"]
+    ]
+    got_c = {
+        r.id: r.w for r in W.read_parquet_snapshot(spark, tbl).collect()
+    }
+    assert got_c == got
+    # post-compact, a widened-schema append passes the STRICT guard
+    W.write_parquet_snapshot(
+        spark.range(10, 11).selectExpr(
+            "id", "id * 2 AS v", "id * 10 AS w"
+        ),
+        tbl,
+        mode="append",
+    )
+    assert W.list_parquet_snapshots(tbl)[-1]["rows"] == 8

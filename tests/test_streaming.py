@@ -38,7 +38,7 @@ def _run_stream(spark, stream_df, name: str, mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     return spark.table(name)
 
 
@@ -206,7 +206,7 @@ def test_available_now_incremental_lifecycle(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
 
     # multiple micro-batches actually ran (one per file)
@@ -271,7 +271,7 @@ def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     run_once()
     first = spark.read.parquet(out).count()
@@ -387,7 +387,7 @@ def test_streaming_neardup_ingest_band_checkpoint(spark, tmp_path):
             spark, src, "doc_id long, text string",
             band_path, out, ckpt,
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     run_once()
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
@@ -623,7 +623,7 @@ def test_streaming_cdc_merge_upsert(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
 
     got = {r.id: (r.v, r.gen) for r in spark.read.parquet(target).collect()}
     assert got == {
@@ -666,7 +666,7 @@ def test_watermark_drops_late_data_accounted(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     dropped = sum(
         s.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress
@@ -1029,7 +1029,7 @@ def test_streaming_chunk_dedup_ingest(spark, tmp_path):
             spark, src, "doc_id long, text string",
             chunk_path, out, ckpt,
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream drain timed out"
 
     run_once()
     got = {
@@ -1641,7 +1641,7 @@ def test_statestore_reader_exposes_dedup_state(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     state_keys = {
         r.user_id
         for r in spark.read.format("statestore")

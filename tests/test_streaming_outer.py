@@ -37,7 +37,7 @@ def test_outer_attribution_matches_batch_with_watermark_cutoff(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     watermarks = [
         p["eventTime"]["watermark"]
         for p in q.recentProgress
@@ -103,7 +103,7 @@ def test_full_outer_attribution_matches_batch_with_watermark_cutoff(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream drain timed out"
     watermarks = [
         p["eventTime"]["watermark"]
         for p in q.recentProgress
