@@ -59,7 +59,9 @@ _PRIORITY_FIRST = [
 # committed stale name. They are never-attested, so the ROUND-13 window
 # must lead with them (move them into _PRIORITY_FIRST when rotating),
 # ahead of the r8/r9-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = []
+_NEXT_WINDOW_FIRST: list[str] = [
+    "o15_schema_evolution",
+]
 _STALE_QUEUE = [
     # the 5 r7-stale names spilled past the r11 cut (stalest in the
     # rotation), exact order agreed in VERDICT r9 #1 / r10 #1 / r11 #1

@@ -1520,6 +1520,129 @@ def o14_snapshot_lifecycle(spark, sf_dir):
 
 
 @query(
+    "o15_schema_evolution",
+    # Schema evolution on the MVCC table (VERDICT r11 #7), every
+    # semantic under the hash: v1 is the narrow (%5==0, doc_id+n_chars)
+    # slice; v2 APPENDS the %5==1 slice WIDENED with lang under
+    # allow_schema_evolution=True (manifest records the widened schema,
+    # flagged evolved); the merge-read pads lang=NULL for exactly the
+    # v1-era rows (lang_null_docs); a post-evolution narrow append
+    # WITHOUT the flag must refuse (drift stays the default); compaction
+    # materializes the widened schema into ONE uniform file whose
+    # manifest drops the evolved flag yet reads identically. The oracle
+    # recomputes every aggregate from the source, so wrong null padding,
+    # a dropped column, an un-refused drift, or a compaction that
+    # changed values all flip the hash.
+    oracle="""
+    SELECT 'v1_cols' AS metric, CAST(2 AS BIGINT) AS value
+    UNION ALL SELECT 'evolved_flag_v2', 1
+    UNION ALL SELECT 'latest_docs',
+        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 IN (0, 1))
+    UNION ALL SELECT 'latest_sum_id',
+        (SELECT SUM(doc_id) FROM documents WHERE doc_id % 5 IN (0, 1))
+    UNION ALL SELECT 'lang_null_docs',
+        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
+    UNION ALL SELECT 'sum_chars',
+        (SELECT SUM(n_chars) FROM documents WHERE doc_id % 5 IN (0, 1))
+    UNION ALL SELECT 'drift_refused', 1
+    UNION ALL SELECT 'compact_files', 1
+    UNION ALL SELECT 'compact_evolved_flag', 0
+    UNION ALL SELECT 'postcompact_docs',
+        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 IN (0, 1))
+    UNION ALL SELECT 'postcompact_lang_null',
+        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
+    """,
+)
+def o15_schema_evolution(spark, sf_dir):
+    """Opt-in schema evolution on a snapshot table, driver-attested
+    (r12) — the u12 unionByName discipline applied to the MVCC layer.
+    o13/o14 attest publish/append/time-travel/compaction/vacuum; this
+    attests a long-lived table legitimately GAINING a column with zero
+    bytes rewritten: the widened manifest, the merge-read's null
+    padding (old files pad the new column, per-version schemas stay
+    intact), the drift-refusal default surviving the feature, and a
+    compaction that re-materializes uniform files and sheds the
+    merge-read. Construction-time work in a per-call temp dir, the
+    o13/o14 precedent."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        compact_parquet_snapshot,
+        list_parquet_snapshots,
+        read_parquet_snapshot,
+        write_parquet_snapshot,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    narrow = d.select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_o15_")
+    tbl = f"{tmp}/docs_tbl"
+    write_parquet_snapshot(narrow.where(F.col("doc_id") % 5 == 0), tbl)
+    write_parquet_snapshot(
+        d.select("doc_id", "n_chars", "lang").where(
+            F.col("doc_id") % 5 == 1
+        ),
+        tbl,
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    v1_cols = len(read_parquet_snapshot(spark, tbl, version=1).columns)
+    evolved_v2 = int(bool(list_parquet_snapshots(tbl)[-1].get("evolved")))
+    drift_refused = 0
+    try:
+        write_parquet_snapshot(
+            narrow.where(F.col("doc_id") % 5 == 2).limit(1),
+            tbl,
+            mode="append",
+        )
+    except ValueError:
+        drift_refused = 1
+    latest = read_parquet_snapshot(spark, tbl, version=2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("s"),
+        F.count(F.when(F.col("lang").isNull(), 1))
+        .cast("bigint")
+        .alias("ln"),
+        F.sum("n_chars").cast("bigint").alias("c"),
+    )
+    comp = compact_parquet_snapshot(spark, tbl, target_files=1)
+    snap_c = list_parquet_snapshots(tbl)[-1]
+    post = read_parquet_snapshot(spark, tbl, version=comp["version"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("pn"),
+        F.count(F.when(F.col("lang").isNull(), 1))
+        .cast("bigint")
+        .alias("pln"),
+    )
+    consts = [
+        ("v1_cols", v1_cols),
+        ("evolved_flag_v2", evolved_v2),
+        ("drift_refused", drift_refused),
+        ("compact_files", len(snap_c["files"])),
+        ("compact_evolved_flag", int(bool(snap_c.get("evolved")))),
+    ]
+
+    def _kv(k, v):
+        return F.struct(
+            F.lit(k).alias("metric"), v.cast("bigint").alias("value")
+        )
+
+    audit = latest.crossJoin(post).select(
+        F.explode(
+            F.array(
+                _kv("latest_docs", F.col("n")),
+                _kv("latest_sum_id", F.col("s")),
+                _kv("lang_null_docs", F.col("ln")),
+                _kv("sum_chars", F.col("c")),
+                _kv("postcompact_docs", F.col("pn")),
+                _kv("postcompact_lang_null", F.col("pln")),
+                *[_kv(k, F.lit(int(n))) for k, n in consts],
+            )
+        ).alias("kv")
+    )
+    return audit.select("kv.metric", "kv.value")
+
+
+@query(
     "e15_snapshot_sink_stream",
     # batch b consumes source file b (modTime-ordered): version 1 = the
     # %3==0 slice, version 2 = slices 0+1. The oracle recomputes both
