@@ -119,6 +119,10 @@ EXTRAS_SHELF = [
     #   two vacuums (o13/d22's construction-time-work class)
     "e17_statestore_keys",           # 1.6s — dedup drain + statestore/
     #   state-metadata reads
+    # r12 registration by the same rule:
+    "o15_schema_evolution",          # 3.5s — narrow publish + widened
+    #   evolution append + refused drift attempt + compaction + three
+    #   version reads (o13/o14's construction-time-work class)
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the
