@@ -556,7 +556,12 @@ def _snap_path(path: str) -> str:
 
 def list_parquet_snapshots(path: str) -> list[dict]:
     """All published snapshot manifests, oldest first. Listing cost is
-    one readdir + one tiny JSON read per version."""
+    one readdir + one tiny JSON read per version — the full-history API
+    (vacuum, audits, this module's tests). Single-version consumers
+    (publish, read, compact) use :func:`_latest_manifest` /
+    :func:`_load_manifest` instead, which read ONE manifest regardless
+    of history length, so a long-lived table's per-batch cost never
+    grows with its version count."""
     import json as _json
     import os as _os
 
@@ -573,6 +578,48 @@ def list_parquet_snapshots(path: str) -> list[dict]:
         with open(_os.path.join(d, n)) as fh:
             out.append(_json.load(fh))
     return out
+
+
+def _manifest_versions(path: str) -> list[int]:
+    """Published version numbers, ascending — one readdir, no JSON
+    reads (the zero-padded ``v%08d.json`` names sort numerically)."""
+    import os as _os
+
+    try:
+        names = _os.listdir(_snap_path(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _load_manifest(path: str, version: int) -> dict | None:
+    """One published manifest by version — O(1) tiny JSON read."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(
+            _os.path.join(_snap_path(path), f"v{version:08d}.json")
+        ) as fh:
+            return _json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _latest_manifest(path: str) -> dict | None:
+    """The newest published manifest, or None on an empty table — one
+    readdir + ONE JSON read, never O(versions). A publish racing the
+    lookup can only ADD a newer manifest; the O_EXCL link in the writers
+    turns a stale answer into a lost-race retry, so this is safe
+    anywhere the full history isn't needed."""
+    versions = _manifest_versions(path)
+    if not versions:
+        return None
+    return _load_manifest(path, versions[-1])
 
 
 def write_parquet_snapshot(
@@ -627,8 +674,8 @@ def write_parquet_snapshot(
     spark = df.sparkSession
     base = _local_path(path)
     _os.makedirs(_snap_path(path), exist_ok=True)
-    snaps = list_parquet_snapshots(path)
-    version = (snaps[-1]["version"] + 1) if snaps else 1
+    last = _latest_manifest(path)
+    version = (last["version"] + 1) if last else 1
     data_dir = _os.path.join(
         base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
     )
@@ -647,8 +694,11 @@ def write_parquet_snapshot(
     # each spin was re-reading every footer).
     legacy_schema: tuple[int, list] | None = None
     while True:
-        prev = list_parquet_snapshots(path)
-        version = (prev[-1]["version"] + 1) if prev else 1
+        # only the LATEST manifest matters for a publish — one JSON read
+        # per attempt, never O(versions) (a long-lived sink's per-batch
+        # cost must not grow with the table's history)
+        prev = _latest_manifest(path)
+        version = (prev["version"] + 1) if prev else 1
         if mode == "append" and prev:
             # schema-drift guard (ADVICE r10): an append whose columns
             # don't match the table would otherwise publish a manifest
@@ -661,22 +711,22 @@ def write_parquet_snapshot(
             # fine. The table's schema is recorded in every manifest;
             # pre-manifest-schema tables derive it from the previous
             # version's files once per base version.
-            prev_schema = prev[-1].get("schema")
+            prev_schema = prev.get("schema")
             if prev_schema is None:
-                if legacy_schema is None or legacy_schema[0] != prev[-1]["version"]:
+                if legacy_schema is None or legacy_schema[0] != prev["version"]:
                     legacy_schema = (
-                        prev[-1]["version"],
+                        prev["version"],
                         [
                             list(p)
                             for p in spark.read.parquet(
-                                *prev[-1]["files"]
+                                *prev["files"]
                             ).dtypes
                         ],
                     )
                 prev_schema = legacy_schema[1]
             # once a version mixes file schemas it stays merge-read until
             # a compaction re-materializes uniform files
-            evolved = bool(prev[-1].get("evolved"))
+            evolved = bool(prev.get("evolved"))
             manifest_schema = prev_schema
             if new_schema != prev_schema:
                 prev_types = {c: t for c, t in prev_schema}
@@ -716,8 +766,8 @@ def write_parquet_snapshot(
                             "the table"
                         )
                     )
-            files = sorted(set(prev[-1]["files"]) | set(new_files))
-            rows = prev[-1]["rows"] + n_new
+            files = sorted(set(prev["files"]) | set(new_files))
+            rows = prev["rows"] + n_new
         else:
             evolved = False
             manifest_schema = new_schema
@@ -737,7 +787,7 @@ def write_parquet_snapshot(
             payload["evolved"] = True
         if src_batch is not None:
             payload["src_batch"] = int(src_batch)
-        elif mode == "append" and prev and prev[-1].get("src_batch") is not None:
+        elif mode == "append" and prev and prev.get("src_batch") is not None:
             # carry the stream high-water forward through UNSTAMPED
             # appends (ADVICE r11): without this, a manual append on a
             # stream-fed table makes the latest manifest untagged, and a
@@ -746,7 +796,7 @@ def write_parquet_snapshot(
             # re-publish its last batch as duplicate rows. Inductively,
             # every post-fix append chain keeps the effective high-water
             # in its LATEST manifest, so the guard stays O(1).
-            payload["src_batch"] = int(prev[-1]["src_batch"])
+            payload["src_batch"] = int(prev["src_batch"])
         tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             _json.dump(payload, fh)
@@ -768,19 +818,24 @@ def read_parquet_snapshot(spark, path: str, version: int | None = None):
     schema-merge and projected to the manifest's recorded column order —
     files that predate a column pad it with nulls; every version reads
     with its OWN recorded schema."""
-    snaps = list_parquet_snapshots(path)
-    if not snaps:
-        raise FileNotFoundError(f"no snapshots published at {path}")
+    # O(1) manifest reads regardless of history length: latest via one
+    # readdir + one JSON read, pinned versions via a direct name lookup
+    # (the versions listing for the error message is readdir-only)
     if version is None:
-        snap = snaps[-1]
+        snap = _latest_manifest(path)
+        if snap is None:
+            raise FileNotFoundError(f"no snapshots published at {path}")
     else:
-        by_v = {s["version"]: s for s in snaps}
-        if version not in by_v:
+        snap = _load_manifest(path, version)
+        if snap is None:
+            have = _manifest_versions(path)
+            if not have:
+                raise FileNotFoundError(
+                    f"no snapshots published at {path}"
+                )
             raise ValueError(
-                f"snapshot v{version} not found at {path}; "
-                f"have {sorted(by_v)}"
+                f"snapshot v{version} not found at {path}; have {have}"
             )
-        snap = by_v[version]
     return _read_snapshot_files(spark, snap)
 
 
@@ -1040,10 +1095,9 @@ def compact_parquet_snapshot(
     base = _local_path(path)
     retries = 0
     while True:
-        snaps = list_parquet_snapshots(path)
-        if not snaps:
+        src = _latest_manifest(path)  # one JSON read per attempt
+        if src is None:
             raise FileNotFoundError(f"no snapshots published at {path}")
-        src = snaps[-1]
         if len(src["files"]) <= target_files:
             return {
                 "compacted": False, "version": src["version"],

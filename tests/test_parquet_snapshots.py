@@ -745,3 +745,35 @@ def test_snapshot_schema_evolution_append(spark, tmp_path):
         mode="append",
     )
     assert W.list_parquet_snapshots(tbl)[-1]["rows"] == 8
+
+
+def test_publish_and_read_cost_independent_of_history(spark, tmp_path, monkeypatch):
+    """A long-lived table's per-publish and per-read manifest cost must
+    not grow with its version count (r12): publish/read/compact resolve
+    the ONE manifest they need via _load_manifest, never a full-history
+    JSON sweep. Pin it by counting manifest loads on a 12-version table."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 2), tbl)
+    for k in range(11):
+        W.write_parquet_snapshot(
+            _df(spark, 2 + k, 3 + k), tbl, mode="append"
+        )
+    assert len(W.list_parquet_snapshots(tbl)) == 12
+
+    calls = {"n": 0}
+    real = W._load_manifest
+
+    def counting(path, version):
+        calls["n"] += 1
+        return real(path, version)
+
+    monkeypatch.setattr(W, "_load_manifest", counting)
+    calls["n"] = 0
+    W.write_parquet_snapshot(_df(spark, 50, 51), tbl, mode="append")
+    assert calls["n"] <= 4, f"publish read {calls['n']} manifests"
+    calls["n"] = 0
+    W.read_parquet_snapshot(spark, tbl)
+    assert calls["n"] <= 2, f"latest read loaded {calls['n']} manifests"
+    calls["n"] = 0
+    W.read_parquet_snapshot(spark, tbl, version=3)
+    assert calls["n"] == 1, f"pinned read loaded {calls['n']} manifests"
