@@ -777,3 +777,25 @@ def test_publish_and_read_cost_independent_of_history(spark, tmp_path, monkeypat
     calls["n"] = 0
     W.read_parquet_snapshot(spark, tbl, version=3)
     assert calls["n"] == 1, f"pinned read loaded {calls['n']} manifests"
+
+
+def test_vacuum_keeps_evolved_table_merge_readable(spark, tmp_path):
+    """Vacuum × schema evolution interplay: an evolved latest version
+    references BOTH narrow v1-era files and widened files; vacuum(keep=1)
+    must keep every shared-forward file (narrow ones included) so the
+    merge-read still pads nulls correctly afterwards."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    W.write_parquet_snapshot(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v", "id * 10 AS w"),
+        tbl,
+        mode="append",
+        allow_schema_evolution=True,
+    )
+    stats = W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert stats["dropped_versions"] == [1]
+    assert stats["removed_files"] == 0  # v1's files shared forward
+    latest = W.read_parquet_snapshot(spark, tbl)
+    assert latest.columns == ["id", "v", "w"]
+    got = {r.id: r.w for r in latest.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40}
