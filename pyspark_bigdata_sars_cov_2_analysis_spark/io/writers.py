@@ -952,7 +952,10 @@ def _latest_src_batch(path: str) -> int | None:
     return None
 
 
-def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> bool:
+def snapshot_publish_batch(
+    batch_df: DataFrame, batch_id: int, path: str,
+    allow_schema_evolution: bool = False,
+) -> bool:
     """One micro-batch of :func:`streaming_snapshot_sink`, REPLAY-SAFE:
     publish the batch as a manifest-level append stamped with its batch
     id — unless a newer-or-equal id is already published, in which case
@@ -969,12 +972,18 @@ def snapshot_publish_batch(batch_df: DataFrame, batch_id: int, path: str) -> boo
     and ids within one logical stream are strictly increasing, so
     ``batch_id <= latest published id`` ⇔ replay. (One logical stream
     per table — the same contract the old set-based guard assumed, now
-    at O(1) manifest reads per batch instead of O(versions).)"""
+    at O(1) manifest reads per batch instead of O(versions).)
+
+    ``allow_schema_evolution`` passes through to the append: within one
+    streaming query the schema is fixed, so this matters across
+    RESTARTS — a stream restarted after an upstream schema upgrade can
+    widen its old table instead of refusing (r12)."""
     hwm = _latest_src_batch(path)
     if hwm is not None and int(batch_id) <= hwm:
         return False
     write_parquet_snapshot(
-        batch_df, path, mode="append", src_batch=int(batch_id)
+        batch_df, path, mode="append", src_batch=int(batch_id),
+        allow_schema_evolution=allow_schema_evolution,
     )
     return True
 
@@ -1011,6 +1020,7 @@ def _appends_since_last_compact(path: str) -> int:
 def streaming_snapshot_sink(
     stream_df: DataFrame, path: str, stream_checkpoint: str,
     compact_every: int | None = None, target_files: int = 1,
+    allow_schema_evolution: bool = False,
 ):
     """Structured-Streaming sink onto a snapshot-versioned parquet table:
     every micro-batch publishes ONE new table version (manifest-level
@@ -1041,10 +1051,18 @@ def streaming_snapshot_sink(
     published manifests since the table's last ``compact`` version, not
     a per-process counter, so a stream stopped and restarted mid-cadence
     still compacts on the Nth GLOBAL publish — a sink restarted every
-    N−1 batches compacts exactly as often as one that never restarts."""
+    N−1 batches compacts exactly as often as one that never restarts.
+
+    ``allow_schema_evolution`` lets a sink RESTARTED after an upstream
+    schema upgrade widen its table (merge-read with nulls padded for
+    pre-upgrade versions) instead of refusing every batch; within one
+    query the schema is fixed, so the default stays strict."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if not snapshot_publish_batch(batch_df, batch_id, path):
+        if not snapshot_publish_batch(
+            batch_df, batch_id, path,
+            allow_schema_evolution=allow_schema_evolution,
+        ):
             return
         if compact_every and _appends_since_last_compact(path) >= compact_every:
             compact_parquet_snapshot(

@@ -799,3 +799,66 @@ def test_vacuum_keeps_evolved_table_merge_readable(spark, tmp_path):
     assert latest.columns == ["id", "v", "w"]
     got = {r.id: r.w for r in latest.collect()}
     assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+
+
+def test_sink_restart_with_widened_schema_evolves(spark, tmp_path):
+    """A stream restarted after an upstream schema upgrade: the first
+    query drains a narrow (id, v) file; the SAME checkpoint is then
+    restarted with a widened (id, v, w) source schema over a newly
+    arrived wide file. With the strict default the restarted batch
+    refuses (schema drift) and the table is untouched; with
+    allow_schema_evolution=True the restart widens the table and old
+    versions pad w with nulls."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _df(spark, 0, 4).coalesce(1).write.mode("append").parquet(src)
+    for n in os.listdir(src):
+        os.utime(os.path.join(src, n), (1_700_000_000, 1_700_000_000))
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def drain(schema, **kw):
+        q = W.streaming_snapshot_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl,
+            ckpt,
+            **kw,
+        ).start()
+        try:
+            assert q.awaitTermination(120), "stream drain timed out"
+        except StreamingQueryException as exc:
+            return exc
+        return None
+
+    assert drain("id long, v long") is None
+    assert W.list_parquet_snapshots(tbl)[-1]["rows"] == 4
+
+    # upstream upgrade: a WIDE file arrives; the stream restarts with
+    # the widened schema over the same checkpoint (same logical stream)
+    spark.range(4, 6).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    ).coalesce(1).write.mode("append").parquet(src)
+    for n in os.listdir(src):
+        p = os.path.join(src, n)
+        if os.path.getmtime(p) > 1_700_000_100:
+            os.utime(p, (1_700_000_100, 1_700_000_100))
+
+    # strict default: the widened batch refuses, table untouched
+    exc = drain("id long, v long, w long")
+    assert exc is not None and "schema drift" in str(exc)
+    assert W.list_parquet_snapshots(tbl)[-1]["rows"] == 4
+
+    # opt-in evolution: the same restart widens the table (the failed
+    # strict batch was never committed, so it replays here)
+    assert drain(
+        "id long, v long, w long", allow_schema_evolution=True
+    ) is None
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["rows"] == 6 and snap["evolved"] is True
+    got = {r.id: r.w for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: 40, 5: 50}
