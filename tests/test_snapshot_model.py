@@ -1,0 +1,160 @@
+"""Model-based property test for the snapshot-versioned table (r12).
+
+The MVCC layer's unit tests pin individual scenarios; this drives RANDOM
+operation sequences — overwrite, same-schema append, schema-evolution
+append (both widening and narrowing directions), refused drift,
+compaction, vacuum — against a driver-side in-memory model of what every
+surviving version must contain, column by column, null padding included.
+Any divergence between the manifest protocol and the model (a lost row,
+a wrong schema after evolution, a vacuum that dropped a shared file, a
+compaction that changed semantics) fails with the generating sequence as
+the reproducer.
+
+Kept deliberately small (each write is a real Spark job): ~10 examples
+of ≤5 operations, two rows per write.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.io import writers as W
+
+NARROW = ["id", "v"]
+WIDE = ["id", "v", "w"]
+
+# (op, param): overwrite/append/evolve carry the schema to write with
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.sampled_from(["narrow", "wide"])),
+        st.tuples(st.just("append_same"), st.none()),
+        st.tuples(st.just("append_evolve"), st.none()),
+        st.tuples(st.just("append_drift"), st.none()),
+        st.tuples(st.just("compact"), st.integers(min_value=1, max_value=2)),
+        st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=2)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _write_df(spark, ids, cols):
+    rows = [
+        tuple(
+            {"id": i, "v": i * 2, "w": i * 10}[c] for c in cols
+        )
+        for i in ids
+    ]
+    schema = ", ".join(f"{c} long" for c in cols)
+    return spark.createDataFrame(rows, schema=schema).coalesce(1)
+
+
+def _expected_rows(model_version):
+    """id -> {col: value-or-None} under the version's schema."""
+    cols = model_version["schema"]
+    out = {}
+    for i, row_cols in model_version["rows"].items():
+        full = {"id": i, "v": i * 2, "w": i * 10}
+        out[i] = {
+            c: (full[c] if c in row_cols else None) for c in cols
+        }
+    return out
+
+
+def _check_version(spark, tbl, model_version, version):
+    df = W.read_parquet_snapshot(spark, tbl, version=version)
+    assert df.columns == model_version["schema"], (
+        f"v{version} schema {df.columns} != {model_version['schema']}"
+    )
+    got = {
+        r["id"]: {c: r[c] for c in model_version["schema"]}
+        for r in df.collect()
+    }
+    assert got == _expected_rows(model_version), f"v{version} data diverged"
+
+
+@given(_OPS)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
+    tbl = str(tmp_path_factory.mktemp("snap_model") / "tbl")
+    # model: versions[version] = {"schema": [cols...],
+    #   "rows": {id: set(cols the id's FILE physically carries)}}
+    versions: dict[int, dict] = {}
+    next_id = 0
+
+    def fresh_ids():
+        nonlocal next_id
+        ids = [next_id, next_id + 1]
+        next_id += 2
+        return ids
+
+    def latest():
+        return versions[max(versions)] if versions else None
+
+    for op, param in ops:
+        cur = latest()
+        if op == "overwrite":
+            cols = NARROW if param == "narrow" else WIDE
+            ids = fresh_ids()
+            v = W.write_parquet_snapshot(_write_df(spark, ids, cols), tbl)
+            versions[v] = {
+                "schema": list(cols),
+                "rows": {i: set(cols) for i in ids},
+            }
+        elif op in ("append_same", "append_evolve", "append_drift"):
+            if cur is None:
+                continue  # appends need a table; skip op
+            if op == "append_same":
+                cols = cur["schema"]
+            else:
+                cols = NARROW if cur["schema"] == WIDE else WIDE
+            ids = fresh_ids()
+            df = _write_df(spark, ids, cols)
+            if op == "append_drift" and cols != cur["schema"]:
+                try:
+                    W.write_parquet_snapshot(df, tbl, mode="append")
+                    raise AssertionError("drift append must refuse")
+                except ValueError:
+                    pass  # refused; table and model unchanged
+                continue
+            v = W.write_parquet_snapshot(
+                df, tbl, mode="append",
+                allow_schema_evolution=(op == "append_evolve"),
+            )
+            widened = cur["schema"] + [
+                c for c in cols if c not in cur["schema"]
+            ]
+            versions[v] = {
+                "schema": widened,
+                "rows": {
+                    **cur["rows"],
+                    **{i: set(cols) for i in ids},
+                },
+            }
+        elif op == "compact":
+            if cur is None:
+                continue
+            res = W.compact_parquet_snapshot(spark, tbl, target_files=param)
+            if res["compacted"]:
+                # semantics-free: same schema, and every row's file now
+                # physically carries the full schema (nulls materialized)
+                versions[res["version"]] = {
+                    "schema": list(cur["schema"]),
+                    "rows": {
+                        i: set(cur["schema"]) for i in cur["rows"]
+                    },
+                }
+        elif op == "vacuum":
+            if cur is None:
+                continue
+            W.vacuum_parquet_snapshots(tbl, keep=param, orphan_grace_sec=0)
+            for v in sorted(versions)[:-param]:
+                del versions[v]
+        if versions:
+            newest = max(versions)
+            _check_version(spark, tbl, versions[newest], newest)
+
+    # every SURVIVING historical version still reads per the model
+    for v in sorted(versions):
+        _check_version(spark, tbl, versions[v], v)
