@@ -41,6 +41,7 @@ def write_json_single_file(
        ``tests/test_io_and_ops.py::test_write_json_audit_metrics``, which
        runs in an isolated interpreter for exactly this reason.
     """
+    _refuse_snapshot_table(path, "write_json_single_file")
     if audit_metrics:
         from pyspark.sql import Observation
 
@@ -59,6 +60,7 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
+    _refuse_snapshot_table(path, "write_parquet")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -77,6 +79,7 @@ def overwrite_partitions(
     date partitions of a 100 TB table; the per-write option scopes the
     overwrite to the partitions being written, so re-running a failed
     backfill converges instead of compounding."""
+    _refuse_snapshot_table(path, "overwrite_partitions")
     (
         df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -125,6 +128,7 @@ def write_range_sorted(
     key distribution, so skew self-balances). Verified by a test that
     reads the written footers and asserts the per-file ranges are
     pairwise disjoint."""
+    _refuse_snapshot_table(path, "write_range_sorted")
     parts = df.repartitionByRange(n_partitions, F.col(sort_col)) if (
         n_partitions
     ) else df.repartitionByRange(F.col(sort_col))
@@ -155,6 +159,8 @@ def write_zorder(
     from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
         zorder_value,
     )
+
+    _refuse_snapshot_table(path, "write_zorder")
 
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -300,7 +306,12 @@ def _refuse_snapshot_table(path: str, op: str) -> None:
     renames data dirs that published manifests reference by exact file
     path, silently breaking every version's read isolation and time
     travel. Snapshot tables have their own manifest-aware ops
-    (:func:`compact_parquet_snapshot`, :func:`vacuum_parquet_snapshots`)."""
+    (:func:`compact_parquet_snapshot`, :func:`vacuum_parquet_snapshots`).
+    r12 extends the guard to every generic overwrite-capable sink in
+    this module: ``df.write.mode('overwrite')`` pointed at a snapshot
+    table's ROOT would delete the ``_snapshots/`` manifests and every
+    data dir wholesale — the one mistake the manifest protocol cannot
+    survive. Use :func:`write_parquet_snapshot` on these tables."""
     import os as _os
 
     if _os.path.isdir(_snap_path(path)):
@@ -425,6 +436,7 @@ def write_parquet_sized(
     task reads only its leading row group(s) and the probe stays
     ~sample_rows of IO regardless of frame size. Returns the
     records-per-file cap used; no extra shuffle."""
+    _refuse_snapshot_table(path, "write_parquet_sized")
     import glob as _glob
     import os as _os
     import shutil
@@ -505,6 +517,7 @@ def write_csv(
     for interchange edges only — at 100 TB it has no column pruning, no
     predicate pushdown, and no footer stats, so anything queried again
     belongs in parquet."""
+    _refuse_snapshot_table(path, "write_csv")
     writer = df.write.mode(mode).option("header", str(header).lower())
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -517,6 +530,7 @@ def write_orc(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
+    _refuse_snapshot_table(path, "write_orc")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -482,6 +482,21 @@ def test_staged_swap_ops_refuse_snapshot_tables(spark, tmp_path):
         W.compact_parquet(spark, path, 1)
     with pytest.raises(ValueError, match="snapshot-versioned"):
         W.merge_upsert_parquet(spark, path, _df(spark, 0, 2), ["id"])
+    # r12: the generic overwrite-capable sinks refuse too — an
+    # overwrite pointed at the table ROOT would delete the manifests
+    # and every data dir wholesale
+    df = _df(spark, 0, 2)
+    for op in (
+        lambda: W.write_parquet(df, path),
+        lambda: W.overwrite_partitions(df, path, ["id"]),
+        lambda: W.write_range_sorted(df, path, "id"),
+        lambda: W.write_zorder(df, path, ["id", "v"]),
+        lambda: W.write_parquet_sized(df, path),
+        lambda: W.write_csv(df, path),
+        lambda: W.write_orc(df, path),
+    ):
+        with pytest.raises(ValueError, match="snapshot-versioned"):
+            op()
     # table untouched
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, path).collect()
