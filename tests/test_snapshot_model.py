@@ -33,9 +33,11 @@ _OPS = st.lists(
         st.tuples(st.just("append_drift"), st.none()),
         st.tuples(st.just("compact"), st.integers(min_value=1, max_value=2)),
         st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=2)),
+        st.tuples(st.just("publish_new"), st.none()),
+        st.tuples(st.just("publish_replay"), st.none()),
     ),
     min_size=1,
-    max_size=5,
+    max_size=6,
 )
 
 
@@ -79,9 +81,19 @@ def _check_version(spark, tbl, model_version, version):
 def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     tbl = str(tmp_path_factory.mktemp("snap_model") / "tbl")
     # model: versions[version] = {"schema": [cols...],
-    #   "rows": {id: set(cols the id's FILE physically carries)}}
+    #   "rows": {id: set(cols the id's FILE physically carries)},
+    #   "src": stream-batch stamp (int) or None} — src mirrors the
+    # manifest rules: stamped on publish_batch, inherited through
+    # unstamped appends, reset by overwrite, carried (as the effective
+    # high-water) into compact manifests
     versions: dict[int, dict] = {}
     next_id = 0
+
+    def effective_hwm():
+        for v in sorted(versions, reverse=True):
+            if versions[v]["src"] is not None:
+                return versions[v]["src"]
+        return None
 
     def fresh_ids():
         nonlocal next_id
@@ -101,6 +113,7 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             versions[v] = {
                 "schema": list(cols),
                 "rows": {i: set(cols) for i in ids},
+                "src": None,
             }
         elif op in ("append_same", "append_evolve", "append_drift"):
             if cur is None:
@@ -131,6 +144,7 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                     **cur["rows"],
                     **{i: set(cols) for i in ids},
                 },
+                "src": cur["src"],  # unstamped appends inherit
             }
         elif op == "compact":
             if cur is None:
@@ -138,13 +152,49 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             res = W.compact_parquet_snapshot(spark, tbl, target_files=param)
             if res["compacted"]:
                 # semantics-free: same schema, and every row's file now
-                # physically carries the full schema (nulls materialized)
+                # physically carries the full schema (nulls materialized);
+                # the compact manifest carries the effective high-water
                 versions[res["version"]] = {
                     "schema": list(cur["schema"]),
                     "rows": {
                         i: set(cur["schema"]) for i in cur["rows"]
                     },
+                    "src": effective_hwm(),
                 }
+        elif op in ("publish_new", "publish_replay"):
+            hwm = effective_hwm()
+            if op == "publish_replay":
+                if hwm is None:
+                    continue  # nothing published yet; skip op
+                assert (
+                    W.snapshot_publish_batch(
+                        _write_df(
+                            spark,
+                            fresh_ids(),
+                            cur["schema"] if cur else NARROW,
+                        ),
+                        hwm,
+                        tbl,
+                    )
+                    is False
+                ), "replayed batch id must be a publish no-op"
+                continue  # table and model unchanged
+            cols = cur["schema"] if cur else NARROW
+            ids = fresh_ids()
+            bid = (hwm if hwm is not None else -1) + 1
+            assert (
+                W.snapshot_publish_batch(_write_df(spark, ids, cols), bid, tbl)
+                is True
+            )
+            v = max(versions) + 1 if versions else 1
+            versions[v] = {
+                "schema": list(cols),
+                "rows": {
+                    **(cur["rows"] if cur else {}),
+                    **{i: set(cols) for i in ids},
+                },
+                "src": bid,
+            }
         elif op == "vacuum":
             if cur is None:
                 continue
@@ -154,6 +204,9 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         if versions:
             newest = max(versions)
             _check_version(spark, tbl, versions[newest], newest)
+            assert W._latest_src_batch(tbl) == effective_hwm(), (
+                "replay-guard high-water diverged from the model"
+            )
 
     # every SURVIVING historical version still reads per the model
     for v in sorted(versions):
