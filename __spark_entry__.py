@@ -32,70 +32,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-12 window (VERDICT r11 Next-round #1, serving the plan
-# committed in VERDICT r10 #1): the 2 queries registered DURING round
-# 11 (never driver-attested — the standing never-attested-first
-# principle) come first; then the 5 r7-stale names spilled past the
-# r11 cut; then the FIRST 43 of the 50 r8-attested names in their
-# CORRECTNESS_r08 order. 2 + 5 + 43 = 50 exactly; the 7 r8 names past
-# the cut lead the committed round-13 head, followed by the r9-stale
-# names in their CORRECTNESS_r09 order (43 of 50 fit the r13 window;
-# the last 7 spill to r14). `ml01_classifier_bench` (last attested r5)
-# stays out of the rotation by design — it is the rows-only query, so
-# a window slot buys no hash attestation. The cut point is COMPUTED in
-# _ordered_names (pinned by
+# Round-13 window (VERDICT r12 Next-round #1, serving the plan
+# committed in VERDICT r11 #1): the 1 query registered DURING round 12
+# (never driver-attested — the standing never-attested-first
+# principle) comes first; then the 7 r8-stale names spilled past the
+# r12 cut; then the FIRST 42 of the 50 r9-attested names in their
+# CORRECTNESS_r09 order. 1 + 7 + 42 = 50 exactly; the 8 r9 names past
+# the cut lead the committed round-14 head, followed by the r10-stale
+# names in their CORRECTNESS_r10 order (42 of 50 fit a clean r14
+# window; the last 8 spill to r15). `ml01_classifier_bench` (last
+# attested r5) stays out of the rotation by design — it is the
+# rows-only query, so a window slot buys no hash attestation. The cut
+# point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # registered during round 11, never driver-attested — attestation
-    # required; order as committed in VERDICT r11 #1
-    "o14_snapshot_lifecycle",
-    "e17_statestore_keys",
-]
-
-# Queries registered DURING round 12, after the window above was
-# committed — per the standing overflow rule they queue BEHIND the
-# window (local parity covers them until then) instead of displacing a
-# committed stale name. They are never-attested, so the ROUND-13 window
-# must lead with them (move them into _PRIORITY_FIRST when rotating),
-# ahead of the r8/r9-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = [
+    # registered during round 12, never driver-attested — attestation
+    # required; order as committed in VERDICT r11 #7 / r12 #1
     "o15_schema_evolution",
 ]
+
+# Queries registered DURING round 13, after the window above was
+# committed — per the standing overflow rule they queue BEHIND the
+# window (local parity covers them until then) instead of displacing a
+# committed stale name. They are never-attested, so the ROUND-14 window
+# must lead with them (move them into _PRIORITY_FIRST when rotating),
+# ahead of the r9/r10-stale queue below.
+_NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the 5 r7-stale names spilled past the r11 cut (stalest in the
-    # rotation), exact order agreed in VERDICT r9 #1 / r10 #1 / r11 #1
-    "q21_waiting_supplier",
-    "q11_important_stock", "q2_min_cost_supplier", "u05_grouped_forecast",
-    "u06_batch_inference",
-    # last attested round 8, in their CORRECTNESS_r08 order; the first
-    # WINDOW − 2 − 5 = 43 fill the round-12 window (cut after
-    # w04_lag_lead_rank), the remaining 7 lead the committed round-13
-    # head
-    "u13_grouped_arrow", "a24_zscore_anomaly", "e11_funnel_conversion",
-    "e12_retention_cohorts", "p18_skew_profile",
-    "o09_cluster_balanced_sample", "w08_scd2_intervals", "s05_ann_recall",
-    "sql06_relational_division", "u14_pandas_udaf", "m06_resize_nn",
-    "t14_langid_margin", "d16_containment_neardup", "m07_audio_decimate",
-    "sql07_pivot_clause", "p19_snapshot_drift",
-    "w09_running_distinct_users", "e13_session_conversion",
-    "j09_temporal_scd2_join", "p20_join_cardinality_preflight",
-    "sql08_registered_udf", "e14_view_purchase_full_outer",
-    "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping",
-    "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url",
-    "t15_sentence_stats", "d18_curation_pipeline",
-    "j10_range_lookup_broadcast", "e01_tumbling_window",
-    "e03_dedup_latest_state", "e04_sliding_window", "e05_user_totals",
-    "e07_segment_window", "e08_gapfill_daily", "a10_rollup", "a11_cube",
-    "a12_grouping_sets", "a13_pivot", "a14_count_distinct",
-    "w04_lag_lead_rank",
-    # ---- round-13 head starts here: the 7 r8-stale names past the
-    # r12 cut, then the 50 r9-attested names in their CORRECTNESS_r09
-    # order (43 fit the r13 window; the last 7 spill to r14) ----
+    # the 7 r8-stale names spilled past the r12 cut (stalest in the
+    # rotation), exact order agreed in VERDICT r11 #1 / r12 #1
     "w05_moving_frame", "f06_posexplode_roundtrip",
     "sql01_subquery", "f13_null_handling", "o04_deterministic_sample",
     "a16_percentiles", "sql02_file_scan",
-    # last attested round 9, in their CORRECTNESS_r09 order
+    # last attested round 9, in their CORRECTNESS_r09 order; the first
+    # WINDOW − 1 − 7 = 42 fill the round-13 window (cut after
+    # m03_frame_sample), the remaining 8 lead the committed round-14
+    # head
     "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
     "d20_band_ingest_incremental", "w06_distribution_ranks",
     "a18_theta_sketch_setops", "t09_tfidf_top_terms", "t11_chunk_text",
@@ -112,10 +85,36 @@ _STALE_QUEUE = [
     "sql03_recursive_calendar", "sql04_lateral_topn",
     "e09_session_window_native", "f15_map_functions",
     "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
-    "ml02_confusion_matrix", "m03_frame_sample", "m04_real_bmp_roundtrip",
+    "ml02_confusion_matrix", "m03_frame_sample",
+    # ---- round-14 head starts here: the 8 r9-stale names past the
+    # r13 cut, then the 50 r10-attested names in their CORRECTNESS_r10
+    # order (42 fit a clean 50-slot r14 window; the last 8 spill to
+    # r15) ----
+    "m04_real_bmp_roundtrip",
     "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
     "p05_derived_cast", "p09_recode", "p11_filter_isin",
     "p12_compound_predicate",
+    # last attested round 10, in their CORRECTNESS_r10 order
+    "a27_approx_top_k_mergeable", "u15_python_udtf",
+    "j11_lateral_join_api", "a28_listagg_within_group",
+    "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
+    "d21_curation_funnel", "p16_null_profile", "a01_grouped_sum",
+    "a03_count_share", "a04_max_avg", "a05_group_count",
+    "a08_ordered_collect", "e02_sessionize",
+    "e06_view_purchase_attribution", "j06_asof_join",
+    "j07_range_join_binned", "o05_stratified_sample",
+    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
+    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
+    "f11_date_funcs", "f12_json_extract", "t01_token_count",
+    "t02_quality_score", "t03_language_id", "t04_fingerprint",
+    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
+    "t06_top_bigrams", "u08_arrow_batch_transform",
+    "a20_kll_mergeable_quantiles", "a19_approx_percentile_rankcheck",
+    "d14_chunk_dedup_keep_first", "a21_unpivot_melt",
+    "ml03_regression_metrics", "u09_arrow_scalar_udf",
+    "sql05_lateral_view_tokens", "e10_view_purchase_outer",
+    "w07_time_range_frame", "f16_array_lambda", "u10_except_all",
+    "u11_intersect_all", "o07_zorder_cells",
 ]
 
 # the driver's attestation window

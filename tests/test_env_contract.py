@@ -98,15 +98,15 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 2, (
+    assert len(entry._PRIORITY_FIRST) == 1, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r11 #1 + the standing never-attested-first principle: the
-    # round-12 window is the 2 late-r11 registrations, then the 5
-    # spilled r7-stale names, then the first 43 r8-stale names. Derive
+    # VERDICT r12 #1 + the standing never-attested-first principle: the
+    # round-13 window is the 1 late-r12 registration, then the 7
+    # spilled r8-stale names, then the first 42 r9-stale names. Derive
     # attestation state from the CORRECTNESS files so the pin tracks
-    # the actual record: BEFORE the round-12 file lands, the head must
+    # the actual record: BEFORE the round-13 file lands, the head must
     # be exactly the never-attested set; AFTER it lands, the check
     # degrades to "no registered query is ever left unattested outside
     # the window" — still the invariant that matters, without failing
@@ -127,7 +127,7 @@ def test_attestation_window_arithmetic():
         f"committed next-window head: "
         f"{[n for n in never if n not in allowed]}"
     )
-    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
+    if not os.path.exists(os.path.join(REPO, "CORRECTNESS_r13.json")):
         want_never = set(entry._PRIORITY_FIRST) | set(
             entry._NEXT_WINDOW_FIRST
         )
@@ -136,39 +136,50 @@ def test_attestation_window_arithmetic():
             f"missing={sorted(set(never) - want_never)} "
             f"extra={sorted(want_never - set(never))}"
         )
-    # the committed r12-head order survives inside the window: the 5
-    # spilled r7-stale names come straight after the never-attested
-    # head (in their agreed VERDICT r9/r10/r11 order), then the
-    # r8-stale names in their CORRECTNESS_r08 order
-    assert entry._STALE_QUEUE[0] == "q21_waiting_supplier"
-    assert entry._STALE_QUEUE[4] == "u06_batch_inference"
-    assert entry._STALE_QUEUE[5] == "u13_grouped_arrow"
+    # the committed r13-head order survives inside the window: the 7
+    # spilled r8-stale names come straight after the never-attested
+    # head (in their agreed VERDICT r11/r12 order), then the r9-stale
+    # names in their CORRECTNESS_r09 order
+    assert entry._STALE_QUEUE[0] == "w05_moving_frame"
+    assert entry._STALE_QUEUE[6] == "sql02_file_scan"
+    assert entry._STALE_QUEUE[7] == "t16_quality_audit_frame"
     # `ml01_classifier_bench` (rows-only, last attested r5) stays OUT of
     # the rotation by design — a window slot buys no hash attestation
     assert "ml01_classifier_bench" not in (
         entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
     )
-    # VERDICT r11 #1: the round-13 head is a complete forward plan —
-    # the 7 r8-stale names past the r12 cut (ending w04_lag_lead_rank),
-    # then the 50 r9-stale names in their CORRECTNESS_r09 order (43 fit
-    # a clean 50-slot r13 window; the last 7 spill to r14)
-    window_tail = entry._STALE_QUEUE[: entry.WINDOW - len(entry._PRIORITY_FIRST)]
-    assert window_tail[-1] == "w04_lag_lead_rank"
-    r13_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r13_head) == 7 + 50
-    assert r13_head[0] == "w05_moving_frame"
-    assert r13_head[6] == "sql02_file_scan"
-    assert r13_head[7] == "t16_quality_audit_frame"
-    assert r13_head[-1] == "p12_compound_predicate"
-    # the r13 continuation must be EXACTLY the names whose latest
-    # attestation is round 9, in their CORRECTNESS_r09 order
-    with open(os.path.join(REPO, "CORRECTNESS_r09.json")) as fh:
-        r09_order = list(json.load(fh).keys())
+    # build latest-attestation map once for the window + continuation
+    # record checks below
     latest = {}
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(rec)[len("CORRECTNESS_r"):-len(".json")])
         with open(rec) as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
+    # the r13 window tail must be exactly the 7 r8-stale spill + the
+    # FIRST 42 names whose latest attestation is round 9, in their
+    # CORRECTNESS_r09 order (cut after m03_frame_sample)
+    with open(os.path.join(REPO, "CORRECTNESS_r09.json")) as fh:
+        r09_order = list(json.load(fh).keys())
     r9_stale = [n for n in r09_order if latest.get(n) == 9]
-    assert r13_head[7:] == r9_stale, "r13 continuation drifted from record"
+    window_tail = entry._STALE_QUEUE[: entry.WINDOW - len(entry._PRIORITY_FIRST)]
+    assert window_tail[-1] == "m03_frame_sample"
+    assert window_tail[7:] == r9_stale[:42], (
+        "r13 window tail drifted from the CORRECTNESS_r09 record"
+    )
+    # VERDICT r12 #1: the round-14 head is a complete forward plan —
+    # the 8 r9-stale names past the r13 cut (ending
+    # p12_compound_predicate), then the 50 r10-stale names in their
+    # CORRECTNESS_r10 order (42 fit a clean 50-slot r14 window; the
+    # last 8 spill to r15)
+    r14_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r14_head) == 8 + 50
+    assert r14_head[:8] == r9_stale[42:]
+    assert r14_head[8] == "a27_approx_top_k_mergeable"
+    assert r14_head[-1] == "o07_zorder_cells"
+    # the r14 continuation must be EXACTLY the names whose latest
+    # attestation is round 10, in their CORRECTNESS_r10 order
+    with open(os.path.join(REPO, "CORRECTNESS_r10.json")) as fh:
+        r10_order = list(json.load(fh).keys())
+    r10_stale = [n for n in r10_order if latest.get(n) == 10]
+    assert r14_head[8:] == r10_stale, "r14 continuation drifted from record"
