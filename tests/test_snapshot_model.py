@@ -2,9 +2,10 @@
 
 The MVCC layer's unit tests pin individual scenarios; this drives RANDOM
 operation sequences — overwrite, same-schema append, schema-evolution
-append (both widening and narrowing directions), refused drift,
-compaction, vacuum — against a driver-side in-memory model of what every
-surviving version must contain, column by column, null padding included.
+append (both widening and narrowing directions), refused drift, refused
+type conflict, compaction, vacuum — against a driver-side in-memory
+model of what every surviving version must contain, column by column,
+null padding included.
 Any divergence between the manifest protocol and the model (a lost row,
 a wrong schema after evolution, a vacuum that dropped a shared file, a
 compaction that changed semantics) fails with the generating sequence as
@@ -16,7 +17,7 @@ of ≤5 operations, two rows per write.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.io import writers as W
@@ -31,6 +32,7 @@ _OPS = st.lists(
         st.tuples(st.just("append_same"), st.none()),
         st.tuples(st.just("append_evolve"), st.none()),
         st.tuples(st.just("append_drift"), st.none()),
+        st.tuples(st.just("append_type_conflict"), st.none()),
         st.tuples(st.just("compact"), st.integers(min_value=1, max_value=2)),
         st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=2)),
         st.tuples(st.just("publish_new"), st.none()),
@@ -77,15 +79,27 @@ def _check_version(spark, tbl, model_version, version):
 
 
 @given(_OPS)
+# r13 regression: compaction of an evolved table materializes NULLS for
+# pre-evolution rows — the r12 model expected real values here
+@example([("overwrite", "narrow"), ("append_evolve", None), ("compact", 1)])
+# r13 decision pin: an overwrite is a lineage BARRIER — the publish
+# after it restarts at batch id 0 and must not be swallowed
+@example([("publish_new", None), ("overwrite", "narrow"), ("publish_new", None)])
 @settings(max_examples=10, deadline=None)
 def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     tbl = str(tmp_path_factory.mktemp("snap_model") / "tbl")
     # model: versions[version] = {"schema": [cols...],
-    #   "rows": {id: set(cols the id's FILE physically carries)},
-    #   "src": stream-batch stamp (int) or None} — src mirrors the
-    # manifest rules: stamped on publish_batch, inherited through
-    # unstamped appends, reset by overwrite, carried (as the effective
-    # high-water) into compact manifests
+    #   "rows": {id: set(cols whose VALUE is present for the id — a
+    #            column the row predates stays null forever, through
+    #            merge-reads AND compaction rewrites)},
+    #   "src": stream-batch stamp (int) or None,
+    #   "mode": overwrite|append|compact} — src mirrors the manifest
+    # rules: stamped on publish_batch, inherited through unstamped
+    # appends, carried (as the effective high-water) into compact
+    # manifests. The effective high-water scans newest-first and an
+    # UNSTAMPED OVERWRITE is a lineage BARRIER (VERDICT r12 advisory,
+    # decided here): an overwrite is a table reset after which a fresh
+    # stream may reuse batch ids — older stamps must not swallow them.
     versions: dict[int, dict] = {}
     next_id = 0
 
@@ -93,6 +107,8 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         for v in sorted(versions, reverse=True):
             if versions[v]["src"] is not None:
                 return versions[v]["src"]
+            if versions[v]["mode"] == "overwrite":
+                return None  # lineage barrier
         return None
 
     def fresh_ids():
@@ -114,7 +130,28 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 "schema": list(cols),
                 "rows": {i: set(cols) for i in ids},
                 "src": None,
+                "mode": "overwrite",
             }
+        elif op == "append_type_conflict":
+            if cur is None:
+                continue  # appends need a table; skip op
+            # same column names, but v arrives as a string — a type
+            # conflict must refuse with OR WITHOUT evolution enabled,
+            # leaving table and model untouched
+            rows = [(str(i), f"x{i}") for i in fresh_ids()]
+            bad = spark.createDataFrame(
+                rows, schema="id string, v string"
+            ).coalesce(1)
+            for evolve in (False, True):
+                try:
+                    W.write_parquet_snapshot(
+                        bad, tbl, mode="append",
+                        allow_schema_evolution=evolve,
+                    )
+                    raise AssertionError("type-conflict append must refuse")
+                except ValueError:
+                    pass
+            continue
         elif op in ("append_same", "append_evolve", "append_drift"):
             if cur is None:
                 continue  # appends need a table; skip op
@@ -145,21 +182,31 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                     **{i: set(cols) for i in ids},
                 },
                 "src": cur["src"],  # unstamped appends inherit
+                "mode": "append",
             }
         elif op == "compact":
             if cur is None:
                 continue
             res = W.compact_parquet_snapshot(spark, tbl, target_files=param)
             if res["compacted"]:
-                # semantics-free: same schema, and every row's file now
-                # physically carries the full schema (nulls materialized);
-                # the compact manifest carries the effective high-water
+                # semantics-free: same schema, same per-row VALUES — a
+                # row written before an evolution keeps its null padding
+                # (the rewrite materializes the nulls into uniform
+                # files, it never invents values; the r12 model wrongly
+                # claimed full values here and hypothesis caught it once
+                # the op mix could reach evolve→compact). The compact
+                # manifest carries the effective high-water and SHEDS
+                # the evolved flag (uniform files need no merge-read).
+                assert not (
+                    W._load_manifest(tbl, res["version"]) or {}
+                ).get("evolved"), "compaction must shed the evolved flag"
                 versions[res["version"]] = {
                     "schema": list(cur["schema"]),
                     "rows": {
-                        i: set(cur["schema"]) for i in cur["rows"]
+                        i: set(cols) for i, cols in cur["rows"].items()
                     },
                     "src": effective_hwm(),
+                    "mode": "compact",
                 }
         elif op in ("publish_new", "publish_replay"):
             hwm = effective_hwm()
@@ -194,6 +241,7 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                     **{i: set(cols) for i in ids},
                 },
                 "src": bid,
+                "mode": "append",
             }
         elif op == "vacuum":
             if cur is None:
