@@ -1125,6 +1125,15 @@ def snapshot_publish_batch(
     per table — the same contract the old set-based guard assumed, now
     at O(1) manifest reads per batch instead of O(versions).)
 
+    An unstamped manual OVERWRITE resets the stream contract (r13,
+    VERDICT r12 advisory — decided): it is a lineage barrier in the
+    high-water scan, so after an overwrite a FRESH stream (new
+    checkpoint, ids restarting at 0) may feed the table and none of its
+    batches are swallowed by the pre-reset stamp. The OLD stream's
+    checkpoint must be cleared together with the overwrite — restarting
+    it against the reset table would replay with the old id sequence,
+    which the reset guard by design no longer excludes.
+
     ``allow_schema_evolution`` passes through to the append: within one
     streaming query the schema is fixed, so this matters across
     RESTARTS — a stream restarted after an upstream schema upgrade can
