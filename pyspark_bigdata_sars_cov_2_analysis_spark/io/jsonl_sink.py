@@ -39,11 +39,21 @@ SNAPSHOT_PREFIX = "_manifest-"
 
 
 def _next_version(path: str) -> int:
+    """Next snapshot number — exactly the ``_manifest-NNNNN.json`` names
+    this module publishes; stray files sharing the prefix (a hand-dropped
+    ``_manifest-notes.json``) are ignored instead of raising ValueError
+    and bricking every commit (the writers.py stray-manifest fix, ADVICE
+    r12, applied to this sink's version listing too)."""
     import glob as _glob
+    import re as _re
 
     versions = [
-        int(os.path.basename(f)[len(SNAPSHOT_PREFIX):].split(".")[0])
+        int(m.group(1))
         for f in _glob.glob(os.path.join(path, f"{SNAPSHOT_PREFIX}*.json"))
+        if (m := _re.fullmatch(
+            _re.escape(SNAPSHOT_PREFIX) + r"(\d{5,})\.json",
+            os.path.basename(f),
+        ))
     ]
     return (max(versions) + 1) if versions else 1
 

@@ -101,3 +101,28 @@ def test_snapshot_versions_time_travel(spark, tmp_path):
     assert m1["version"] == 1 and m1["rows"] == 5
     assert sorted(r.id for r in v1.collect()) == [0, 1, 2, 3, 4]
     assert not set(m1["parts"]) & set(m_latest["parts"])
+
+
+def test_snapshot_versions_ignore_stray_manifest_names(spark, tmp_path):
+    """ADVICE r12 (writers.py stray-manifest class, applied here too): a
+    stray file sharing the snapshot prefix must not brick the sink's
+    version computation — only _manifest-NNNNN.json names count."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+        read_jsonl_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "versioned")
+    spark.range(0, 3).selectExpr("id").write.format("jsonl_dir").option(
+        "path", out
+    ).mode("append").save()
+    for stray in ("_manifest-notes.json", "_manifest-00001.json.bak"):
+        with open(os.path.join(out, stray), "w") as fh:
+            fh.write("not a manifest")
+    spark.range(3, 5).selectExpr("id").write.format("jsonl_dir").option(
+        "path", out
+    ).mode("append").save()
+    latest, m = read_jsonl_manifest(spark, out)
+    assert m["version"] == 2 and m["rows"] == 2
+    assert sorted(r.id for r in latest.collect()) == [3, 4]
