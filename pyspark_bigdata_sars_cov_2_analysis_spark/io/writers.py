@@ -1360,3 +1360,198 @@ def compact_parquet_snapshot(
             "files_after": len(new_files),
             "rows": rows, "retries": retries,
         }
+
+
+def _rmw_publish_snapshot(
+    spark, path: str, compute, mode: str, max_retries: int = 5
+) -> dict:
+    """Optimistic read-modify-write publish shared by the snapshot DML
+    ops (:func:`merge_upsert_snapshot`, :func:`delete_from_snapshot`) —
+    the conflict-detection loop transactional formats run under their
+    commit service, on a plain filesystem (r13; the compaction race
+    protocol generalized to arbitrary content rewrites):
+
+    1. read the LATEST manifest (the optimistic "read version");
+    2. ``compute(src_manifest, base_df)`` builds the replacement frame
+       and returns ``(result_df, expected_rows, info)`` — expected_rows
+       is the semantic count-verify, info the op's stats;
+    3. write the result to a fresh immutable data dir, read it back and
+       count-verify;
+    4. publish ``v(base+1)`` with one O_EXCL link. Losing the link race
+       means the table ADVANCED between the read and the publish —
+       committing the stale rewrite would silently drop the winner's
+       rows (the lost-update anomaly), so the attempt is abandoned
+       whole (its dir becomes an invisible orphan for vacuum) and the
+       op re-reads and re-computes against the new latest, up to
+       ``max_retries``.
+
+    The published manifest is stamped with the table's effective stream
+    high-water (same rule as compaction: DML is maintenance ON the
+    stream's lineage, not a reset — a crashed stream's replay after a
+    mid-stream merge must still be a publish no-op), and the rewrite
+    materializes uniform files, so an evolved base sheds the flag
+    exactly like compaction does."""
+    import json as _json
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    base = _local_path(path)
+    retries = 0
+    legacy_hwm: tuple[int, int | None] | None = None
+    while True:
+        src = _latest_manifest(path)
+        if src is None:
+            raise FileNotFoundError(f"no snapshots published at {path}")
+        result_df, expected_rows, info = compute(
+            src, _read_snapshot_files(spark, src)
+        )
+        version = src["version"] + 1
+        data_dir = _os.path.join(
+            base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
+        )
+        result_df.write.mode("error").parquet(data_dir)
+        written = spark.read.parquet(data_dir)
+        new_files = sorted(written.inputFiles())
+        rows = spark.read.parquet(*new_files).count()
+        if rows != expected_rows:
+            import shutil as _shutil
+
+            _shutil.rmtree(data_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"{mode} count-verify failed at {path}: expected "
+                f"{expected_rows} rows from base v{src['version']}, "
+                f"rewrite read back {rows}"
+            )
+        payload = {
+            "version": version, "files": new_files, "rows": rows,
+            "mode": mode, "schema": [list(p) for p in written.dtypes],
+            "replaced_from": src["version"],
+            "published_utc": _time.time(),
+        }
+        hwm = src.get("src_batch")
+        if hwm is None:
+            if legacy_hwm is None or legacy_hwm[0] != src["version"]:
+                legacy_hwm = (src["version"], _latest_src_batch(path))
+            hwm = legacy_hwm[1]
+        if hwm is not None:
+            payload["src_batch"] = int(hwm)
+        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
+        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh)
+        try:
+            _os.link(tmp, manifest)
+        except FileExistsError:
+            # conflict: the table advanced mid-rewrite — abandon whole
+            # (committing would drop the winner's rows) and recompute
+            retries += 1
+            if retries > max_retries:
+                _os.remove(tmp)
+                raise RuntimeError(
+                    f"snapshot {mode} at {path} lost the publish race "
+                    f"{retries} times; table is advancing faster than "
+                    "the rewrite"
+                )
+            continue
+        finally:
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
+        return {
+            "version": version, "from_version": src["version"],
+            "rows": rows, "retries": retries, **info,
+        }
+
+
+def merge_upsert_snapshot(
+    spark, path: str, updates: DataFrame, key_cols: list[str],
+    max_retries: int = 5,
+) -> dict:
+    """MERGE INTO for a snapshot-versioned table: rows in ``updates``
+    REPLACE every target row sharing their key, new keys INSERT, and
+    the result publishes as ONE new version — so concurrent readers
+    keep full snapshot isolation (they're pinned to their manifest's
+    file list), every pre-merge state stays time-travelable, and a
+    conflicting concurrent publish is DETECTED rather than lost (the
+    optimistic O_EXCL protocol of :func:`_rmw_publish_snapshot`). This
+    is the DML half the staged-swap :func:`merge_upsert_parquet`
+    deliberately refuses on snapshot tables.
+
+    ``updates`` must be key-unique (refused otherwise — duplicate keys
+    would make the result order-dependent) and must carry exactly the
+    table's manifest columns with their manifest dtypes, in ANY order
+    (the rewrite selects manifest order; unlike appends, no file ever
+    mixes schemas here, so column order is free). On an evolved base
+    the rewrite materializes uniform files and the new version sheds
+    the merge-read flag, exactly like compaction. Returns key-true
+    stats: ``updated`` + ``inserted`` == update row count even when the
+    target holds duplicate keys (a matched key replaces ALL its target
+    rows)."""
+    dup = (
+        updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"updates contain {dup} duplicate key(s) on {key_cols}; "
+            "resolve (e.g. keep-latest) before merging"
+        )
+    n_updates = updates.count()
+    upd_types = {c: t for c, t in updates.dtypes}
+
+    def compute(src, target):
+        cols = [c for c, _t in src["schema"]]
+        tbl_types = {c: t for c, t in src["schema"]}
+        if upd_types != tbl_types:
+            raise ValueError(
+                f"merge schema mismatch at {path}: table has "
+                f"{src['schema']}, updates bring "
+                f"{sorted(upd_types.items())}; updates must carry "
+                "exactly the table's columns and dtypes"
+            )
+        aligned = updates.select(*cols)
+        # one aggregate job: how many target ROWS and distinct KEYS the
+        # updates match (broadcast — updates is the small side by
+        # construction of an upsert)
+        matched = (
+            target.join(F.broadcast(aligned.select(*key_cols)), key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(*key_cols).alias("keys"),
+            )
+            .collect()[0]
+        )
+        merged = target.join(
+            F.broadcast(aligned), key_cols, "left_anti"
+        ).unionByName(aligned).select(*cols)
+        expected = src["rows"] - matched["rows"] + n_updates
+        return merged, expected, {
+            "updated": matched["keys"],
+            "inserted": n_updates - matched["keys"],
+        }
+
+    return _rmw_publish_snapshot(
+        spark, path, compute, "merge", max_retries=max_retries
+    )
+
+
+def delete_from_snapshot(
+    spark, path: str, predicate, max_retries: int = 5
+) -> dict:
+    """DELETE FROM a snapshot-versioned table: rows where ``predicate``
+    (a Column or SQL string) evaluates TRUE are removed in ONE new
+    published version — SQL three-valued semantics, so NULL-predicate
+    rows are KEPT, matching ``DELETE FROM t WHERE p``. Same isolation,
+    time-travel, high-water and conflict-detection guarantees as
+    :func:`merge_upsert_snapshot`. Returns ``deleted`` alongside the
+    publish stats."""
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    def compute(src, target):
+        n_del = target.where(cond).count()
+        kept = target.where(~F.coalesce(cond, F.lit(False)))
+        cols = [c for c, _t in src["schema"]]
+        return kept.select(*cols), src["rows"] - n_del, {"deleted": n_del}
+
+    return _rmw_publish_snapshot(
+        spark, path, compute, "delete", max_retries=max_retries
+    )

@@ -1082,3 +1082,171 @@ def test_evolution_refuses_case_collisions_and_reorders(spark, tmp_path):
         assert df.count() == 6
     finally:
         spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_merge_upsert_snapshot_basic(spark, tmp_path):
+    """r13 DML: MERGE INTO on the MVCC table — matched keys replaced,
+    new keys inserted, one new version, pre-merge state time-travelable,
+    key-true stats, manifest stamped with replaced_from."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    updates = spark.createDataFrame(
+        [(2, 999), (3, 888), (10, 777)], "id long, v long"
+    )
+    res = W.merge_upsert_snapshot(spark, tbl, updates, ["id"])
+    assert res["updated"] == 2 and res["inserted"] == 1
+    assert res["version"] == 2 and res["from_version"] == 1
+    assert res["rows"] == 6 and res["retries"] == 0
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0: 0, 1: 2, 2: 999, 3: 888, 4: 8, 10: 777}
+    # pre-merge state untouched and readable
+    old = {
+        r.id: r.v
+        for r in W.read_parquet_snapshot(spark, tbl, version=1).collect()
+    }
+    assert old == {i: 2 * i for i in range(5)}
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "merge" and snap["replaced_from"] == 1
+    # updates column ORDER is free (the rewrite selects manifest order)
+    res2 = W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(555, 0)], "v long, id long"),
+        ["id"],
+    )
+    assert res2["updated"] == 1 and res2["inserted"] == 0
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got[0] == 555 and len(got) == 6
+
+
+def test_merge_upsert_snapshot_refusals(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    with pytest.raises(ValueError, match="duplicate key"):
+        W.merge_upsert_snapshot(
+            spark, tbl,
+            spark.createDataFrame([(1, 9), (1, 8)], "id long, v long"),
+            ["id"],
+        )
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        W.merge_upsert_snapshot(
+            spark, tbl,
+            spark.createDataFrame([(1, "x")], "id long, v string"),
+            ["id"],
+        )
+    with pytest.raises(ValueError, match="merge schema mismatch"):
+        W.merge_upsert_snapshot(
+            spark, tbl,
+            spark.createDataFrame([(1,)], "id long"),
+            ["id"],
+        )
+    # table untouched by every refusal
+    assert len(W.list_parquet_snapshots(tbl)) == 1
+
+
+def test_delete_from_snapshot_semantics(spark, tmp_path):
+    """DELETE removes rows where the predicate is TRUE; NULL-predicate
+    rows are KEPT (SQL three-valued semantics)."""
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 30), (3, 40)], "id long, v long"
+    )
+    W.write_parquet_snapshot(df, tbl)
+    res = W.delete_from_snapshot(spark, tbl, "v > 20")
+    assert res["deleted"] == 2 and res["rows"] == 2
+    got = {r.id for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0, 1}  # the NULL row survives
+    # Column predicate form + delete-all
+    from pyspark.sql import functions as F
+
+    res2 = W.delete_from_snapshot(
+        spark, tbl, F.col("id") >= 0
+    )
+    assert res2["deleted"] == 2 and res2["rows"] == 0
+    assert W.read_parquet_snapshot(spark, tbl).count() == 0
+    # every prior state remains time-travelable
+    assert W.read_parquet_snapshot(spark, tbl, version=1).count() == 4
+    assert W.read_parquet_snapshot(spark, tbl, version=2).count() == 2
+
+
+def test_snapshot_dml_lost_race_recomputes(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer publishing between the merge's
+    base read and its manifest link is a CONFLICT — publishing the
+    stale rewrite would drop the winner's rows (lost update). The merge
+    must abandon, re-read the new latest and re-merge."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 4), tbl)
+    real_link = os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and dst.endswith(".json"):
+            state["raced"] = True
+            W.write_parquet_snapshot(
+                _df(spark, 100, 102), tbl, mode="append"
+            )
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    res = W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(1, 777)], "id long, v long"),
+        ["id"],
+    )
+    assert state["raced"] and res["retries"] == 1
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    # the racing append's rows SURVIVED the merge
+    assert got == {0: 0, 1: 777, 2: 4, 3: 6, 100: 200, 101: 202}
+    monkeypatch.undo()
+    # the abandoned first attempt is an invisible orphan
+    out = W.vacuum_parquet_snapshots(
+        tbl, keep=len(W.list_parquet_snapshots(tbl)), orphan_grace_sec=0
+    )
+    assert out["removed_orphan_dirs"]
+
+
+def test_snapshot_dml_preserves_stream_high_water(spark, tmp_path):
+    """DML is maintenance ON the stream's lineage, not a reset: a merge
+    or delete mid-stream stamps the new manifest with the effective
+    high-water, so a crashed stream's replay is still a publish no-op —
+    even after vacuum(keep=1) leaves the DML version as the only
+    manifest."""
+    tbl = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 7, tbl) is True
+    res = W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(0, 111)], "id long, v long"),
+        ["id"],
+    )
+    assert W.list_parquet_snapshots(tbl)[-1]["src_batch"] == 7
+    W.delete_from_snapshot(spark, tbl, "id = 4")
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert W._latest_src_batch(tbl) == 7
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 7, tbl) is False
+    assert W.snapshot_publish_batch(_df(spark, 5, 6), 8, tbl) is True
+    assert res["version"] == 2
+
+
+def test_merge_on_evolved_base_sheds_flag_and_fills(spark, tmp_path):
+    """Merging onto an evolved table: the rewrite materializes uniform
+    files (flag shed, like compaction); an UPDATED old-narrow row gains
+    real values for the evolved column while untouched narrow rows keep
+    their nulls."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    W.write_parquet_snapshot(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v", "id * 10 AS w"),
+        tbl, mode="append", allow_schema_evolution=True,
+    )
+    res = W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(0, 1, 2), (9, 8, 7)], "id long, v long, w long"),
+        ["id"],
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert not snap.get("evolved"), "merge rewrite must shed the flag"
+    got = {r.id: (r.v, r.w) for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got[0] == (1, 2)            # updated row: w filled
+    assert got[1] == (2, None)         # untouched narrow row: null kept
+    assert got[9] == (8, 7)            # inserted
+    assert got[3] == (6, 30)

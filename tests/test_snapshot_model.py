@@ -3,9 +3,10 @@
 The MVCC layer's unit tests pin individual scenarios; this drives RANDOM
 operation sequences — overwrite, same-schema append, schema-evolution
 append (both widening and narrowing directions), refused drift, refused
-type conflict, compaction, vacuum, vacuum-under-writer-contention —
-against a driver-side in-memory model of what every surviving version
-must contain, column by column, null padding included.
+type conflict, compaction, vacuum, vacuum-under-writer-contention,
+merge-upsert and predicate delete (the r13 DML ops) — against a
+driver-side in-memory model of what every surviving version must
+contain, column by column, null padding included.
 Any divergence between the manifest protocol and the model (a lost row,
 a wrong schema after evolution, a vacuum that dropped a shared file, a
 compaction that changed semantics) fails with the generating sequence as
@@ -40,6 +41,8 @@ _OPS = st.lists(
         ),
         st.tuples(st.just("publish_new"), st.none()),
         st.tuples(st.just("publish_replay"), st.none()),
+        st.tuples(st.just("merge"), st.none()),
+        st.tuples(st.just("delete_even"), st.none()),
     ),
     min_size=1,
     max_size=6,
@@ -245,6 +248,51 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 },
                 "src": bid,
                 "mode": "append",
+            }
+        elif op == "merge":
+            # r13 DML: upsert over up to 2 existing ids + 2 fresh ones.
+            # Updated/inserted rows are rewritten with the FULL current
+            # schema (an old narrow row gains real values for evolved
+            # columns); untouched rows keep their null pattern; the
+            # manifest is stamped with the effective high-water and the
+            # evolved flag is shed (uniform rewrite).
+            if cur is None:
+                continue
+            cols = cur["schema"]
+            existing = sorted(cur["rows"])[:2]
+            new_ids = fresh_ids()
+            res = W.merge_upsert_snapshot(
+                spark, tbl, _write_df(spark, existing + new_ids, cols), ["id"]
+            )
+            assert res["updated"] == len(existing)
+            assert res["inserted"] == len(new_ids)
+            assert not (
+                W._load_manifest(tbl, res["version"]) or {}
+            ).get("evolved"), "DML rewrite must shed the evolved flag"
+            versions[res["version"]] = {
+                "schema": list(cols),
+                "rows": {
+                    **cur["rows"],
+                    **{i: set(cols) for i in existing + new_ids},
+                },
+                "src": effective_hwm(),
+                "mode": "merge",
+            }
+        elif op == "delete_even":
+            # r13 DML: DELETE WHERE id % 2 = 0 — survivors keep their
+            # null pattern; the count must match the model's even ids
+            if cur is None:
+                continue
+            evens = [i for i in cur["rows"] if i % 2 == 0]
+            res = W.delete_from_snapshot(spark, tbl, "id % 2 = 0")
+            assert res["deleted"] == len(evens)
+            versions[res["version"]] = {
+                "schema": list(cur["schema"]),
+                "rows": {
+                    i: set(c) for i, c in cur["rows"].items() if i % 2
+                },
+                "src": effective_hwm(),
+                "mode": "delete",
             }
         elif op == "vacuum":
             if cur is None:
