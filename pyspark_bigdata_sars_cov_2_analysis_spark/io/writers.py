@@ -302,6 +302,18 @@ def recover_staged_swap(path: str) -> dict:
     return {"action": action}
 
 
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint a frame only when its KNOWN row count is provably
+    small (r13 scale review): a typical upsert's updates side is tiny and
+    the hint spares the target a shuffle, but at 100 TB an upsert can be
+    a giant backfill — forcing the broadcast there OOMs the driver and
+    every executor. Beyond the threshold the join is left to Catalyst/
+    AQE, which will still broadcast if the runtime size allows and
+    shuffle-join otherwise. 1M rows is conservative for the sub-10MB
+    broadcast sweet spot at typical key widths."""
+    return F.broadcast(df) if n_rows <= 1_000_000 else df
+
+
 def _refuse_snapshot_table(path: str, op: str) -> None:
     """Staged-swap maintenance must never touch a snapshot-versioned
     table's directory (VERDICT r10 residual #3): the swap rewrites/
@@ -349,8 +361,9 @@ def merge_upsert_parquet(
     every incremental pipeline eventually needs (late-arriving
     corrections, dimension refreshes) and plain parquet has no answer
     for. Semantics: ``target LEFT ANTI updates ∪ updates`` (one anti
-    join on the keys — updates is usually the small side and broadcasts,
-    so the target never shuffles), staged to a sibling dir,
+    join on the keys — a provably-small updates side is broadcast-hinted
+    so the target never shuffles; a giant backfill is left to AQE
+    instead of force-broadcast, r13 scale review), staged to a sibling dir,
     count-verified (rows_out == rows_target − matched_rows +
     rows_updates), then swapped in via the marker-protected
     :func:`_swap_in` shared with :func:`compact_parquet` (crash mid-swap
@@ -390,7 +403,9 @@ def merge_upsert_parquet(
     # (ADVICE r7)
     hit_stats = (
         target.join(
-            F.broadcast(updates.select(*key_cols)), key_cols, "left_semi"
+            _maybe_broadcast(updates.select(*key_cols), n_updates),
+            key_cols,
+            "left_semi",
         )
         .agg(
             F.count(F.lit(1)).alias("r"),
@@ -400,7 +415,9 @@ def merge_upsert_parquet(
     )
     matched_rows, matched_keys = hit_stats.r, hit_stats.k
     merged = target.join(
-        F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
+        _maybe_broadcast(updates.select(*key_cols), n_updates),
+        key_cols,
+        "left_anti",
     ).unionByName(updates)
     tmp = path.rstrip("/") + tmp_suffix
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1510,10 +1527,13 @@ def merge_upsert_snapshot(
             )
         aligned = updates.select(*cols)
         # one aggregate job: how many target ROWS and distinct KEYS the
-        # updates match (broadcast — updates is the small side by
-        # construction of an upsert)
+        # updates match (broadcast-hinted only while provably small —
+        # a giant backfill upsert must not force-broadcast)
         matched = (
-            target.join(F.broadcast(aligned.select(*key_cols)), key_cols)
+            target.join(
+                _maybe_broadcast(aligned.select(*key_cols), n_updates),
+                key_cols,
+            )
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.countDistinct(*key_cols).alias("keys"),
@@ -1521,7 +1541,9 @@ def merge_upsert_snapshot(
             .collect()[0]
         )
         merged = target.join(
-            F.broadcast(aligned), key_cols, "left_anti"
+            _maybe_broadcast(aligned.select(*key_cols), n_updates),
+            key_cols,
+            "left_anti",
         ).unionByName(aligned).select(*cols)
         expected = src["rows"] - matched["rows"] + n_updates
         return merged, expected, {
