@@ -1577,3 +1577,88 @@ def delete_from_snapshot(
     return _rmw_publish_snapshot(
         spark, path, compute, "delete", max_retries=max_retries
     )
+
+
+def restore_snapshot(
+    spark, path: str, version: int, max_retries: int = 5
+) -> dict:
+    """RESTORE the table to a past version by publishing that version's
+    FILE LIST as a new latest — zero bytes copied, pure manifest op
+    (r13; the instant rollback of a bad merge/delete/append that
+    transactional formats call RESTORE TABLE ... VERSION AS OF). The
+    restored-to version's files are shared forward, so vacuum keeps
+    them for as long as the restore manifest lives; the rolled-back
+    versions stay time-travelable until vacuumed like any other. An
+    ``evolved`` source version keeps its flag (its files still mix
+    schemas — a later compaction sheds it); the new manifest is stamped
+    with the table's effective stream high-water (rollback of CONTENT,
+    not of the replay guard — a restored table must not re-publish
+    already-published batches). A lost publish race simply re-links at
+    the next number: restore is an explicit rollback intent, not a
+    read-modify-write, so there is no lost-update anomaly to detect —
+    the restore wins by design, and the racing publish stays
+    time-travelable."""
+    import json as _json
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    src = _load_manifest(path, version)
+    if src is None:
+        have = _manifest_versions(path)
+        if not have:
+            raise FileNotFoundError(f"no snapshots published at {path}")
+        raise ValueError(
+            f"snapshot v{version} not found at {path}; have {have}"
+        )
+    retries = 0
+    legacy_hwm: int | None = None
+    scanned = False
+    while True:
+        latest = _latest_manifest(path)
+        new_version = latest["version"] + 1
+        payload = {
+            "version": new_version,
+            "files": src["files"],
+            "rows": src["rows"],
+            "mode": "restore",
+            "restored_from": version,
+            "published_utc": _time.time(),
+        }
+        if src.get("schema") is not None:
+            payload["schema"] = src["schema"]
+        if src.get("evolved"):
+            payload["evolved"] = True
+        hwm = latest.get("src_batch")
+        if hwm is None:
+            if not scanned:
+                legacy_hwm, scanned = _latest_src_batch(path), True
+            hwm = legacy_hwm
+        if hwm is not None:
+            payload["src_batch"] = int(hwm)
+        manifest = _os.path.join(
+            _snap_path(path), f"v{new_version:08d}.json"
+        )
+        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(payload, fh)
+        try:
+            _os.link(tmp, manifest)
+        except FileExistsError:
+            retries += 1
+            if retries > max_retries:
+                _os.remove(tmp)
+                raise RuntimeError(
+                    f"snapshot restore at {path} lost the publish race "
+                    f"{retries} times"
+                )
+            continue
+        finally:
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
+        return {
+            "version": new_version,
+            "restored_from": version,
+            "rows": src["rows"],
+            "retries": retries,
+        }

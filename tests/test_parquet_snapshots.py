@@ -1250,3 +1250,66 @@ def test_merge_on_evolved_base_sheds_flag_and_fills(spark, tmp_path):
     assert got[1] == (2, None)         # untouched narrow row: null kept
     assert got[9] == (8, 7)            # inserted
     assert got[3] == (6, 30)
+
+
+def test_restore_snapshot_rollback(spark, tmp_path):
+    """r13: RESTORE publishes a past version's file list as the new
+    latest — zero data copied, the rolled-back state stays
+    time-travelable, shared-forward files survive vacuum, and the
+    stream high-water is NOT rolled back with the content."""
+    tbl = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 5), 0, tbl) is True   # v1
+    assert W.snapshot_publish_batch(_df(spark, 5, 8), 1, tbl) is True   # v2
+    # a bad merge to roll back
+    W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(0, -1), (1, -1)], "id long, v long"),
+        ["id"],
+    )                                                                    # v3
+    res = W.restore_snapshot(spark, tbl, 2)
+    assert res["version"] == 4 and res["restored_from"] == 2
+    assert res["rows"] == 8 and res["retries"] == 0
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {i: 2 * i for i in range(8)}  # the merge is undone
+    # zero data copied: v4 names exactly v2's files
+    snaps = {s["version"]: s for s in W.list_parquet_snapshots(tbl)}
+    assert snaps[4]["files"] == snaps[2]["files"]
+    assert snaps[4]["mode"] == "restore"
+    # the bad merge stays time-travelable until vacuumed
+    assert {
+        r.id: r.v
+        for r in W.read_parquet_snapshot(spark, tbl, version=3).collect()
+    }[0] == -1
+    # content rolled back, replay guard NOT: batch 1 is still published
+    assert snaps[4]["src_batch"] == 1
+    assert W.snapshot_publish_batch(_df(spark, 5, 8), 1, tbl) is False
+    # vacuum keeps the restore's shared-forward files
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == list(range(8))
+    with pytest.raises(ValueError, match="v99 not found"):
+        W.restore_snapshot(spark, tbl, 99)
+
+
+def test_restore_evolved_version_keeps_merge_read(spark, tmp_path):
+    """Restoring an evolved version carries its flag: the files still
+    mix schemas, so the restored latest keeps merge-reading with null
+    padding until a compaction sheds it."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)                      # v1
+    W.write_parquet_snapshot(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v", "id * 10 AS w"),
+        tbl, mode="append", allow_schema_evolution=True,
+    )                                                                    # v2 evolved
+    W.delete_from_snapshot(spark, tbl, "id >= 0")                        # v3 empty
+    res = W.restore_snapshot(spark, tbl, 2)
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["evolved"] is True and res["rows"] == 5
+    df = W.read_parquet_snapshot(spark, tbl)
+    assert df.columns == ["id", "v", "w"]
+    got = {r.id: r.w for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+    out = W.compact_parquet_snapshot(spark, tbl, target_files=1)
+    assert out["compacted"] is True
+    assert not W.list_parquet_snapshots(tbl)[-1].get("evolved")

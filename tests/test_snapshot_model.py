@@ -4,7 +4,8 @@ The MVCC layer's unit tests pin individual scenarios; this drives RANDOM
 operation sequences — overwrite, same-schema append, schema-evolution
 append (both widening and narrowing directions), refused drift, refused
 type conflict, compaction, vacuum, vacuum-under-writer-contention,
-merge-upsert and predicate delete (the r13 DML ops) — against a
+merge-upsert, predicate delete and zero-copy restore (the r13 DML/
+rollback ops) — against a
 driver-side in-memory model of what every surviving version must
 contain, column by column, null padding included.
 Any divergence between the manifest protocol and the model (a lost row,
@@ -43,6 +44,7 @@ _OPS = st.lists(
         st.tuples(st.just("publish_replay"), st.none()),
         st.tuples(st.just("merge"), st.none()),
         st.tuples(st.just("delete_even"), st.none()),
+        st.tuples(st.just("restore_oldest"), st.none()),
     ),
     min_size=1,
     max_size=6,
@@ -293,6 +295,21 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 },
                 "src": effective_hwm(),
                 "mode": "delete",
+            }
+        elif op == "restore_oldest":
+            # r13: roll content back to the oldest surviving version —
+            # the new latest must read EXACTLY like it (schema, values,
+            # null padding), while the replay high-water is NOT rolled
+            # back (content rollback, not guard rollback)
+            if cur is None:
+                continue
+            oldest = min(versions)
+            res = W.restore_snapshot(spark, tbl, oldest)
+            versions[res["version"]] = {
+                "schema": list(versions[oldest]["schema"]),
+                "rows": dict(versions[oldest]["rows"]),
+                "src": effective_hwm(),
+                "mode": "restore",
             }
         elif op == "vacuum":
             if cur is None:
