@@ -1612,8 +1612,11 @@ def restore_snapshot(
             f"snapshot v{version} not found at {path}; have {have}"
         )
     retries = 0
-    legacy_hwm: int | None = None
-    scanned = False
+    # keyed by the observed latest version (the compact discipline): a
+    # lost race means a NEW latest — an unstamped overwrite landing
+    # there is a barrier, and a stale pre-race scan result would stamp
+    # a wrong high-water onto the restore manifest
+    legacy_hwm: tuple[int, int | None] | None = None
     while True:
         latest = _latest_manifest(path)
         new_version = latest["version"] + 1
@@ -1631,9 +1634,9 @@ def restore_snapshot(
             payload["evolved"] = True
         hwm = latest.get("src_batch")
         if hwm is None:
-            if not scanned:
-                legacy_hwm, scanned = _latest_src_batch(path), True
-            hwm = legacy_hwm
+            if legacy_hwm is None or legacy_hwm[0] != latest["version"]:
+                legacy_hwm = (latest["version"], _latest_src_batch(path))
+            hwm = legacy_hwm[1]
         if hwm is not None:
             payload["src_batch"] = int(hwm)
         manifest = _os.path.join(
