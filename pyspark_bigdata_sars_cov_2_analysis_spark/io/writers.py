@@ -600,16 +600,22 @@ def _snap_path(path: str) -> str:
     return _os.path.join(_local_path(path), _SNAP_DIR)
 
 
-# exactly the names write_parquet_snapshot publishes (``v%08d.json``).
+# exactly the names write_parquet_snapshot publishes (``v%08d.json``;
+# ``%08d`` grows past 8 digits rather than truncating, so accept 8+ —
+# a table at version 100,000,000 must not have its newest manifests
+# silently become invisible, which would serve stale reads and livelock
+# the publish loop on permanent link collisions).
 # ADVICE r12: the old startswith/endswith filter fed ANY stray v*.json in
 # _snapshots/ (a hand-dropped "version.json" note, an editor backup) into
 # int()/json.load, bricking every publish/read/compact on the table.
-_MANIFEST_RE = re.compile(r"v\d{8}\.json")
+_MANIFEST_RE = re.compile(r"v(\d{8,})\.json")
 
 
 def _manifest_names(path: str, reverse: bool = False) -> list[str]:
-    """Published manifest file names, sorted (the zero-padded names sort
-    numerically) — one readdir, non-manifest strays ignored."""
+    """Published manifest file names in NUMERIC version order — one
+    readdir, non-manifest strays ignored. Sorted by the parsed number,
+    not lexically: zero-padding makes the two agree up to v99,999,999,
+    but a 9-digit name sorts lexically BEFORE the 8-digit ones."""
     import os as _os
 
     try:
@@ -617,7 +623,9 @@ def _manifest_names(path: str, reverse: bool = False) -> list[str]:
     except FileNotFoundError:
         return []
     return sorted(
-        (n for n in names if _MANIFEST_RE.fullmatch(n)), reverse=reverse
+        (n for n in names if _MANIFEST_RE.fullmatch(n)),
+        key=lambda n: int(n[1:-5]),
+        reverse=reverse,
     )
 
 
@@ -715,7 +723,6 @@ def write_parquet_snapshot(
     read with their OWN recorded schema. Same-name columns must keep
     their dtype; a type conflict always refuses. Drift-refusal stays the
     default so accidental producer drift cannot silently widen a table."""
-    import json as _json
     import os as _os
     import time as _time
     import uuid as _uuid
@@ -857,15 +864,6 @@ def write_parquet_snapshot(
             evolved = False
             manifest_schema = new_schema
             files, rows = new_files, n_new
-        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
-        # stage-then-LINK (review r10): O_EXCL-creating the final name
-        # and then writing into it leaves a torn window — a crash (or a
-        # concurrent reader) between create and write-completion
-        # publishes an empty/partial manifest that poisons every later
-        # read. The content is fully written to a uniquely-named tmp
-        # first; os.link atomically claims the version (EEXIST = lost
-        # race, recompute against the new latest) and readers can only
-        # ever open a complete manifest.
         payload = {"version": version, "files": files, "rows": rows,
                    "mode": mode, "schema": manifest_schema,
                    "published_utc": _time.time()}
@@ -895,15 +893,8 @@ def write_parquet_snapshot(
             # overwrite, which the one-logical-stream-per-table
             # contract already excludes.
             payload["src_batch"] = int(prev["src_batch"])
-        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(payload, fh)
-        try:
-            _os.link(tmp, manifest)
-        except FileExistsError:
+        if not _link_manifest(path, version, payload):
             continue  # lost the race: recompute against the new latest
-        finally:
-            _os.remove(tmp)
         return version
 
 
@@ -939,8 +930,14 @@ def _version_as_of(path: str, as_of_epoch: float) -> int | None:
     while lo <= hi:
         mid = (lo + hi) // 2
         m = _load_manifest(path, versions[mid])
-        ts = float(m.get("published_utc", 0.0)) if m else 0.0
-        if ts <= as_of_epoch:
+        if m is None:
+            # vacuumed mid-search: vacuum only drops the OLDEST
+            # versions, so steer right like a very old timestamp — but
+            # never RECORD the vanished version as the answer, or the
+            # read would fail on a request a surviving version serves
+            lo = mid + 1
+            continue
+        if float(m.get("published_utc", 0.0)) <= as_of_epoch:
             found = versions[mid]
             lo = mid + 1
         else:
@@ -1120,6 +1117,49 @@ def _latest_src_batch(path: str) -> int | None:
     return None
 
 
+def _effective_hwm(path: str, base: dict, cache: dict) -> int | None:
+    """Effective stream high-water for a publish derived from ``base``
+    (the observed latest/source manifest): the base's own stamp when
+    present — one dict lookup, the common case on every
+    post-carry-forward chain — else one barrier-aware newest-first scan
+    per DISTINCT base version, memoized in ``cache`` across a publish
+    retry loop (the ADVICE r12 discipline: never O(versions) per
+    attempt; shared by compact/DML/restore since r13's review pass
+    found the idiom triplicated)."""
+    hwm = base.get("src_batch")
+    if hwm is not None:
+        return int(hwm)
+    v = base["version"]
+    if v not in cache:
+        cache[v] = _latest_src_batch(path)
+    return cache[v]
+
+
+def _link_manifest(path: str, version: int, payload: dict) -> bool:
+    """Stage-then-LINK one manifest (review r10: O_EXCL-creating the
+    final name and writing into it leaves a torn window — the content
+    is fully written to a uniquely-named tmp first, os.link atomically
+    claims the version, and readers can only ever open a complete
+    manifest). Returns True when this writer claimed the version,
+    False on a lost race — the caller recomputes against the new
+    latest. The tmp is always removed."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
+    tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+    try:
+        _os.link(tmp, manifest)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        _os.remove(tmp)
+
+
 def snapshot_publish_batch(
     batch_df: DataFrame, batch_id: int, path: str,
     allow_schema_evolution: bool = False,
@@ -1276,7 +1316,6 @@ def compact_parquet_snapshot(
 
     Returns ``{"compacted", "version", "from_version", "files_before",
     "files_after", "rows", "retries"}``."""
-    import json as _json
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -1286,9 +1325,7 @@ def compact_parquet_snapshot(
         raise ValueError("target_files must be >= 1")
     base = _local_path(path)
     retries = 0
-    # legacy-hwm cache (ADVICE r12): valid per base version, computed at
-    # most once per version the retry loop observes — never per attempt
-    legacy_hwm: tuple[int, int | None] | None = None
+    hwm_cache: dict = {}  # per base version, shared across retries
     while True:
         src = _latest_manifest(path)  # one JSON read per attempt
         if src is None:
@@ -1335,41 +1372,22 @@ def compact_parquet_snapshot(
         # can leave a compact version as the ONLY manifest — without the
         # stamp, _latest_src_batch would return None and a crashed
         # stream's restart would re-publish its last batch as duplicate
-        # rows, breaking the exactly-once-publish contract. The base
-        # manifest answers directly on every post-carry-forward chain
-        # (ADVICE r12: the old unconditional _latest_src_batch scan was
-        # O(versions) per ATTEMPT on pure manual-append lineages); the
-        # full newest-first scan runs only for a legacy untagged latest,
-        # at most once per base version — and its repair then keeps
-        # _latest_src_batch O(1) on the compacted table.
-        hwm = src.get("src_batch")
-        if hwm is None:
-            if legacy_hwm is None or legacy_hwm[0] != src["version"]:
-                legacy_hwm = (src["version"], _latest_src_batch(path))
-            hwm = legacy_hwm[1]
+        # rows, breaking the exactly-once-publish contract; the repair
+        # in turn keeps _latest_src_batch O(1) on the compacted table.
+        hwm = _effective_hwm(path, src, hwm_cache)
         if hwm is not None:
             payload["src_batch"] = int(hwm)
-        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
-        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(payload, fh)
-        try:
-            _os.link(tmp, manifest)
-        except FileExistsError:
+        if not _link_manifest(path, version, payload):
             # the table advanced mid-rewrite; this compaction no longer
             # reflects the latest version — abandon and recompact
             retries += 1
             if retries > max_retries:
-                _os.remove(tmp)
                 raise RuntimeError(
                     f"snapshot compaction at {path} lost the publish "
                     f"race {retries} times; table is advancing faster "
                     "than the rewrite"
                 )
             continue
-        finally:
-            if _os.path.exists(tmp):
-                _os.remove(tmp)
         return {
             "compacted": True, "version": version,
             "from_version": src["version"],
@@ -1408,14 +1426,14 @@ def _rmw_publish_snapshot(
     mid-stream merge must still be a publish no-op), and the rewrite
     materializes uniform files, so an evolved base sheds the flag
     exactly like compaction does."""
-    import json as _json
     import os as _os
+    import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
     base = _local_path(path)
     retries = 0
-    legacy_hwm: tuple[int, int | None] | None = None
+    hwm_cache: dict = {}  # per base version, shared across retries
     while True:
         src = _latest_manifest(path)
         if src is None:
@@ -1432,8 +1450,6 @@ def _rmw_publish_snapshot(
         new_files = sorted(written.inputFiles())
         rows = spark.read.parquet(*new_files).count()
         if rows != expected_rows:
-            import shutil as _shutil
-
             _shutil.rmtree(data_dir, ignore_errors=True)
             raise RuntimeError(
                 f"{mode} count-verify failed at {path}: expected "
@@ -1446,34 +1462,20 @@ def _rmw_publish_snapshot(
             "replaced_from": src["version"],
             "published_utc": _time.time(),
         }
-        hwm = src.get("src_batch")
-        if hwm is None:
-            if legacy_hwm is None or legacy_hwm[0] != src["version"]:
-                legacy_hwm = (src["version"], _latest_src_batch(path))
-            hwm = legacy_hwm[1]
+        hwm = _effective_hwm(path, src, hwm_cache)
         if hwm is not None:
             payload["src_batch"] = int(hwm)
-        manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
-        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(payload, fh)
-        try:
-            _os.link(tmp, manifest)
-        except FileExistsError:
+        if not _link_manifest(path, version, payload):
             # conflict: the table advanced mid-rewrite — abandon whole
             # (committing would drop the winner's rows) and recompute
             retries += 1
             if retries > max_retries:
-                _os.remove(tmp)
                 raise RuntimeError(
                     f"snapshot {mode} at {path} lost the publish race "
                     f"{retries} times; table is advancing faster than "
                     "the rewrite"
                 )
             continue
-        finally:
-            if _os.path.exists(tmp):
-                _os.remove(tmp)
         return {
             "version": version, "from_version": src["version"],
             "rows": rows, "retries": retries, **info,
@@ -1504,24 +1506,41 @@ def merge_upsert_snapshot(
     stats: ``updated`` + ``inserted`` == update row count even when the
     target holds duplicate keys (a matched key replaces ALL its target
     rows)."""
-    dup = (
-        updates.groupBy(*key_cols).count().where(F.col("count") > 1).count()
+    # one scan for both preflights (r13 review): total row count and
+    # the max per-key multiplicity come out of a single grouped
+    # aggregate instead of two full passes over updates. NULL keys
+    # group together and are refused like any duplicate — a multi-row
+    # NULL-key upsert is almost always a data bug, and refusing keeps
+    # parity with merge_upsert_parquet.
+    pre = (
+        updates.groupBy(*key_cols)
+        .count()
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("n"),
+            F.coalesce(F.max("count"), F.lit(0)).alias("mx"),
+        )
+        .collect()[0]
     )
-    if dup:
+    if pre["mx"] > 1:
         raise ValueError(
-            f"updates contain {dup} duplicate key(s) on {key_cols}; "
+            f"updates contain duplicate key(s) on {key_cols}; "
             "resolve (e.g. keep-latest) before merging"
         )
-    n_updates = updates.count()
+    n_updates = pre["n"]
     upd_types = {c: t for c, t in updates.dtypes}
 
     def compute(src, target):
-        cols = [c for c, _t in src["schema"]]
-        tbl_types = {c: t for c, t in src["schema"]}
+        # legacy pre-manifest-schema tables (r13 review): derive the
+        # schema from the pinned read frame's dtypes — the same
+        # footer-derived answer the append path computes for them —
+        # instead of KeyError'ing on the missing field
+        tbl_schema = src.get("schema") or [list(p) for p in target.dtypes]
+        cols = [c for c, _t in tbl_schema]
+        tbl_types = {c: t for c, t in tbl_schema}
         if upd_types != tbl_types:
             raise ValueError(
                 f"merge schema mismatch at {path}: table has "
-                f"{src['schema']}, updates bring "
+                f"{tbl_schema}, updates bring "
                 f"{sorted(upd_types.items())}; updates must carry "
                 "exactly the table's columns and dtypes"
             )
@@ -1571,7 +1590,8 @@ def delete_from_snapshot(
     def compute(src, target):
         n_del = target.where(cond).count()
         kept = target.where(~F.coalesce(cond, F.lit(False)))
-        cols = [c for c, _t in src["schema"]]
+        tbl_schema = src.get("schema") or [list(p) for p in target.dtypes]
+        cols = [c for c, _t in tbl_schema]
         return kept.select(*cols), src["rows"] - n_del, {"deleted": n_del}
 
     return _rmw_publish_snapshot(
@@ -1598,10 +1618,7 @@ def restore_snapshot(
     read-modify-write, so there is no lost-update anomaly to detect —
     the restore wins by design, and the racing publish stays
     time-travelable."""
-    import json as _json
-    import os as _os
     import time as _time
-    import uuid as _uuid
 
     src = _load_manifest(path, version)
     if src is None:
@@ -1611,12 +1628,30 @@ def restore_snapshot(
         raise ValueError(
             f"snapshot v{version} not found at {path}; have {have}"
         )
+    # read-back verification (r13 review): restore is the one publish
+    # that names files it did not just write — a vacuum concurrently
+    # dropping the source version could have deleted them, and linking
+    # an unreadable latest would break the module's every-listed-
+    # manifest-readable invariant. One count job against the pinned
+    # list (evolved-aware) refuses cleanly instead. A narrow
+    # verify-to-link window remains — restore versions inside the
+    # vacuum keep horizon, or serialize restore with vacuum, to close
+    # it; vacuum cannot touch the files once the restore manifest is
+    # linked (shared forward).
+    readback = _read_snapshot_files(spark, src).count()
+    if readback != src["rows"]:
+        raise RuntimeError(
+            f"restore verification failed at {path}: v{version}'s "
+            f"manifest records {src['rows']} rows but its files read "
+            f"back {readback} — the version was likely vacuumed "
+            "mid-restore"
+        )
     retries = 0
-    # keyed by the observed latest version (the compact discipline): a
-    # lost race means a NEW latest — an unstamped overwrite landing
+    # hwm keyed by the observed latest version (the compact discipline):
+    # a lost race means a NEW latest — an unstamped overwrite landing
     # there is a barrier, and a stale pre-race scan result would stamp
     # a wrong high-water onto the restore manifest
-    legacy_hwm: tuple[int, int | None] | None = None
+    hwm_cache: dict = {}
     while True:
         latest = _latest_manifest(path)
         new_version = latest["version"] + 1
@@ -1632,33 +1667,17 @@ def restore_snapshot(
             payload["schema"] = src["schema"]
         if src.get("evolved"):
             payload["evolved"] = True
-        hwm = latest.get("src_batch")
-        if hwm is None:
-            if legacy_hwm is None or legacy_hwm[0] != latest["version"]:
-                legacy_hwm = (latest["version"], _latest_src_batch(path))
-            hwm = legacy_hwm[1]
+        hwm = _effective_hwm(path, latest, hwm_cache)
         if hwm is not None:
             payload["src_batch"] = int(hwm)
-        manifest = _os.path.join(
-            _snap_path(path), f"v{new_version:08d}.json"
-        )
-        tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            _json.dump(payload, fh)
-        try:
-            _os.link(tmp, manifest)
-        except FileExistsError:
+        if not _link_manifest(path, new_version, payload):
             retries += 1
             if retries > max_retries:
-                _os.remove(tmp)
                 raise RuntimeError(
                     f"snapshot restore at {path} lost the publish race "
                     f"{retries} times"
                 )
             continue
-        finally:
-            if _os.path.exists(tmp):
-                _os.remove(tmp)
         return {
             "version": new_version,
             "restored_from": version,
