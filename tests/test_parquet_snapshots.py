@@ -1313,3 +1313,68 @@ def test_restore_evolved_version_keeps_merge_read(spark, tmp_path):
     out = W.compact_parquet_snapshot(spark, tbl, target_files=1)
     assert out["compacted"] is True
     assert not W.list_parquet_snapshots(tbl)[-1].get("evolved")
+
+
+def test_dml_on_legacy_preschema_manifest(spark, tmp_path):
+    """r13 review: a legacy manifest with no recorded schema (pre-r11
+    tables) must not KeyError the DML ops — the schema falls back to
+    the pinned read frame's dtypes."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 4), tbl)
+    mpath = os.path.join(tbl, "_snapshots", "v00000001.json")
+    with open(mpath) as fh:
+        legacy = json.load(fh)
+    del legacy["schema"]
+    with open(mpath, "w") as fh:
+        json.dump(legacy, fh)
+    res = W.merge_upsert_snapshot(
+        spark, tbl,
+        spark.createDataFrame([(0, 99), (9, 77)], "id long, v long"),
+        ["id"],
+    )
+    assert res["updated"] == 1 and res["inserted"] == 1
+    res2 = W.delete_from_snapshot(spark, tbl, "id = 1")
+    assert res2["deleted"] == 1
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0: 99, 2: 4, 3: 6, 9: 77}
+
+
+def test_manifest_names_sort_numerically_past_8_digits(tmp_path):
+    """r13 review: v100000000.json (9 digits) sorts lexically BEFORE the
+    8-digit names — listings must sort by the parsed number or the
+    newest manifests go invisible at version 1e8."""
+    tbl = str(tmp_path / "tbl")
+    snap = os.path.join(tbl, "_snapshots")
+    os.makedirs(snap)
+    for name, v in (
+        ("v00000001.json", 1),
+        ("v99999999.json", 99_999_999),
+        ("v100000000.json", 100_000_000),
+    ):
+        with open(os.path.join(snap, name), "w") as fh:
+            json.dump({"version": v, "files": [], "rows": 0,
+                       "mode": "overwrite", "schema": []}, fh)
+    assert W._manifest_versions(tbl) == [1, 99_999_999, 100_000_000]
+    assert W._manifest_names(tbl, reverse=True)[0] == "v100000000.json"
+    assert W._latest_manifest(tbl)["version"] == 100_000_000
+
+
+def test_restore_refuses_vacuumed_source_files(spark, tmp_path):
+    """r13 review: restore names files it did not just write — if a
+    concurrent vacuum already deleted them, the pre-link read-back must
+    refuse instead of publishing an unreadable latest."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)            # v1
+    W.write_parquet_snapshot(_df(spark, 10, 12), tbl)          # v2 overwrite
+    # simulate the vacuum's file-deletion phase hitting v1 mid-restore:
+    # the manifest survives (we loaded it) but its files are gone
+    v1 = W._load_manifest(tbl, 1)
+    for f in v1["files"]:
+        os.remove(f.removeprefix("file:"))
+    with pytest.raises(Exception):
+        W.restore_snapshot(spark, tbl, 1)
+    # no manifest was published; the table still reads as v2
+    assert [s["version"] for s in W.list_parquet_snapshots(tbl)] == [1, 2]
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
+    ) == [10, 11]
