@@ -1,0 +1,364 @@
+"""Manifest-level data skipping + change data feed (r13).
+
+Pins: per-file min/max stats collected from parquet footers at publish
+time, inheritance through appends (the streaming-sink path), pruned
+``where=`` reads that drop files BEFORE the scan is planned while the
+real predicate keeps the result exact, range-clustered compaction
+restoring prunability on interleaved tables, stats carry-through on
+DML/restore — and ``snapshot_changes``: O(new-data) append fast path,
+multiset diff on rewrites, zero rows for compaction, refusals on
+vacuumed history and type-changing ranges.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.io import writers as W
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_stats_recorded_and_pruned_read(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl, stats_columns=["id"])
+    # appends INHERIT the table's stats columns — nothing re-declared,
+    # which is exactly how the streaming sink's batches stay covered
+    for lo in (10, 20, 30):
+        W.write_parquet_snapshot(
+            _df(spark, lo, lo + 10), tbl, mode="append"
+        )
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["stats_columns"] == ["id"]
+    assert len(snap["files"]) == 4
+    assert set(snap["stats"]) == set(snap["files"])
+    ranges = sorted(s["id"] for s in snap["stats"].values())
+    assert ranges == [[0, 9], [10, 19], [20, 29], [30, 39]]
+
+    pruned = W.read_parquet_snapshot(spark, tbl, where={"id": (12, 18)})
+    assert len(pruned.inputFiles()) == 1
+    assert _ids(pruned) == list(range(12, 19))  # inclusive both sides
+
+    eq = W.read_parquet_snapshot(spark, tbl, where={"id": 35})
+    assert len(eq.inputFiles()) == 1 and _ids(eq) == [35]
+
+    spanning = W.read_parquet_snapshot(spark, tbl, where={"id": (18, 22)})
+    assert len(spanning.inputFiles()) == 2
+    assert _ids(spanning) == list(range(18, 23))
+
+    # open-ended ranges prune one side
+    tail = W.read_parquet_snapshot(spark, tbl, where={"id": (30, None)})
+    assert len(tail.inputFiles()) == 1 and _ids(tail) == list(range(30, 40))
+    head = W.read_parquet_snapshot(spark, tbl, where={"id": (None, 5)})
+    assert len(head.inputFiles()) == 1 and _ids(head) == list(range(6))
+
+    # a range outside every file is exactly empty, schema intact
+    none = W.read_parquet_snapshot(spark, tbl, where={"id": (100, 200)})
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+    # unpruned read still sees everything
+    assert len(W.read_parquet_snapshot(spark, tbl).inputFiles()) == 4
+
+    with pytest.raises(ValueError, match="not in the snapshot schema"):
+        W.read_parquet_snapshot(spark, tbl, where={"nope": 1})
+    with pytest.raises(ValueError, match="unbounded on both sides"):
+        W.read_parquet_snapshot(spark, tbl, where={"id": (None, None)})
+    with pytest.raises(ValueError, match="NULL never equals"):
+        W.read_parquet_snapshot(spark, tbl, where={"id": None})
+    with pytest.raises(ValueError, match="not in the written schema"):
+        W.write_parquet_snapshot(_df(spark, 0, 1), tbl, stats_columns=["zz"])
+
+
+def test_where_is_exact_without_stats(spark, tmp_path):
+    """Stats are an optimization, never the correctness mechanism: a
+    table that never declared stats_columns filters exactly and keeps
+    every file."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl)
+    W.write_parquet_snapshot(_df(spark, 10, 20), tbl, mode="append")
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert "stats" not in snap and "stats_columns" not in snap
+    got = W.read_parquet_snapshot(spark, tbl, where={"id": (5, 14)})
+    assert len(got.inputFiles()) == 2  # nothing to prune with
+    assert _ids(got) == list(range(5, 15))
+
+
+def test_date_stats_prune(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        df = spark.range(lo, lo + 10).selectExpr(
+            "id", "date_add(date'2020-01-01', cast(id AS int)) AS d"
+        ).coalesce(1)
+        W.write_parquet_snapshot(
+            df, tbl,
+            mode="append" if lo else "overwrite",
+            stats_columns=["d"] if not lo else None,
+        )
+    pruned = W.read_parquet_snapshot(
+        spark, tbl,
+        where={"d": (datetime.date(2020, 1, 13), datetime.date(2020, 1, 17))},
+    )
+    assert len(pruned.inputFiles()) == 1
+    assert _ids(pruned) == list(range(12, 17))
+
+
+def test_clustered_compaction_restores_pruning(spark, tmp_path):
+    """A streaming-shaped table (every file spans the full key range)
+    prunes nothing; OPTIMIZE-style clustered compaction makes the files
+    range-disjoint and the same read prunes to one file."""
+    tbl = str(tmp_path / "tbl")
+    for i in range(4):  # interleaved: file i holds ids i, i+4, i+8, ...
+        df = spark.createDataFrame(
+            [(j, j * 2) for j in range(i, 40, 4)], schema="id long, v long"
+        ).coalesce(1)
+        W.write_parquet_snapshot(
+            df, tbl,
+            mode="append" if i else "overwrite",
+            stats_columns=["id"] if not i else None,
+        )
+    before = W.read_parquet_snapshot(spark, tbl, where={"id": (0, 3)})
+    assert len(before.inputFiles()) == 4  # every range overlaps
+    assert _ids(before) == [0, 1, 2, 3]
+
+    res = W.compact_parquet_snapshot(
+        spark, tbl, target_files=4, cluster_by=["id"]
+    )
+    # files_before == target_files, yet cluster_by forces the rewrite
+    assert res["compacted"] is True and res["rows"] == 40
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "compact" and snap["stats_columns"] == ["id"]
+    # clustered files carry DISJOINT ranges
+    spans = sorted(s["id"] for s in snap["stats"].values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+    after = W.read_parquet_snapshot(spark, tbl, where={"id": (0, 3)})
+    assert len(after.inputFiles()) < 4
+    assert _ids(after) == [0, 1, 2, 3]
+
+    with pytest.raises(ValueError, match="not in the snapshot schema"):
+        W.compact_parquet_snapshot(spark, tbl, cluster_by=["zz"])
+
+
+def test_evolved_table_stats_and_pruned_merge_read(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(
+        _df(spark, 0, 10), tbl, stats_columns=["id"]
+    )
+    wide = spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    ).coalesce(1)
+    W.write_parquet_snapshot(
+        wide, tbl, mode="append", allow_schema_evolution=True,
+        stats_columns=["id", "w"],
+    )
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["evolved"] and snap["stats_columns"] == ["id", "w"]
+    # pruning on the EVOLVED column: the pre-evolution file has no w
+    # stats, so it is conservatively kept — the real filter drops its
+    # null-w rows and the answer stays exact
+    got = W.read_parquet_snapshot(spark, tbl, where={"w": (100, 120)})
+    assert _ids(got) == [10, 11, 12]
+    # pruning to ONLY the pre-evolution file: no surviving file carries
+    # w at all — the merge-read pads it with typed nulls
+    old = W.read_parquet_snapshot(spark, tbl, where={"id": (0, 5)})
+    assert len(old.inputFiles()) == 1
+    assert old.columns == ["id", "v", "w"]
+    assert all(r.w is None for r in old.collect())
+    assert _ids(old) == list(range(6))
+
+
+def test_dml_and_restore_carry_stats(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl, stats_columns=["id"])
+    v1_stats = W.list_parquet_snapshots(tbl)[-1]["stats"]
+
+    upd = spark.createDataFrame(
+        [(3, 999), (50, 100)], schema="id long, v long"
+    )
+    W.merge_upsert_snapshot(spark, tbl, upd, ["id"])
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "merge" and snap["stats_columns"] == ["id"]
+    assert set(snap["stats"]) == set(snap["files"])
+    pruned = W.read_parquet_snapshot(spark, tbl, where={"id": 50})
+    assert [(r.id, r.v) for r in pruned.collect()] == [(50, 100)]
+
+    W.delete_from_snapshot(spark, tbl, "id >= 5 and id <= 49")
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "delete" and snap["stats_columns"] == ["id"]
+
+    res = W.restore_snapshot(spark, tbl, 1)
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "restore"
+    assert snap["stats_columns"] == ["id"] and snap["stats"] == v1_stats
+    assert _ids(W.read_parquet_snapshot(spark, tbl, where={"id": (8, 9)})) \
+        == [8, 9]
+
+
+def test_streaming_sink_stats_and_clustered_compaction(spark, tmp_path):
+    """The full streaming story: the sink's first batch declares the
+    skip columns, later batches inherit them, and the folded compaction
+    re-clusters — so a where= read of the grown table stays pruned."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _df(spark, 0, 5).write.mode("append").parquet(src)
+    first = set(os.listdir(src))
+    for n in first:
+        os.utime(os.path.join(src, n), (1_700_000_000, 1_700_000_000))
+    _df(spark, 5, 10).write.mode("append").parquet(src)
+    for n in set(os.listdir(src)) - first:
+        os.utime(os.path.join(src, n), (1_700_000_100, 1_700_000_100))
+
+    tbl = str(tmp_path / "tbl")
+    q = W.streaming_snapshot_sink(
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl,
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+        target_files=2,
+        stats_columns=["id"],
+        cluster_by=["id"],
+    ).start()
+    assert q.awaitTermination(120), "stream drain timed out"
+
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "compact" and snap["stats_columns"] == ["id"]
+    spans = sorted(s["id"] for s in snap["stats"].values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+    pruned = W.read_parquet_snapshot(spark, tbl, where={"id": (0, 2)})
+    assert len(pruned.inputFiles()) < len(snap["files"]) or \
+        len(snap["files"]) == 1
+    assert _ids(pruned) == [0, 1, 2]
+    assert _ids(W.read_parquet_snapshot(spark, tbl)) == list(range(10))
+
+
+# --------------------------------------------------------------------------
+# snapshot_changes — the change data feed
+# --------------------------------------------------------------------------
+
+
+def _changes(spark, tbl, lo, hi=None):
+    return W.snapshot_changes(spark, tbl, lo, hi)
+
+
+def test_change_feed_append_fast_path(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl)
+    W.write_parquet_snapshot(_df(spark, 10, 15), tbl, mode="append")
+    W.write_parquet_snapshot(_df(spark, 15, 20), tbl, mode="append")
+    feed = _changes(spark, tbl, 1)
+    rows = feed.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert {r.id: r._commit_version for r in rows} == {
+        **{i: 2 for i in range(10, 15)},
+        **{i: 3 for i in range(15, 20)},
+    }
+    # O(new data): the feed's plan never touches v1's files
+    v1_files = set(W.list_parquet_snapshots(tbl)[0]["files"])
+    assert not (set(feed.inputFiles()) & v1_files)
+
+    # from == to ⇒ empty, schema intact
+    empty = _changes(spark, tbl, 3)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+
+
+def test_change_feed_rewrites_and_compact(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)  # v1: ids 0-4
+    upd = spark.createDataFrame(
+        [(1, 999), (10, 20)], schema="id long, v long"
+    )
+    W.merge_upsert_snapshot(spark, tbl, upd, ["id"])  # v2
+    W.compact_parquet_snapshot(spark, tbl, target_files=1)  # v3
+    W.delete_from_snapshot(spark, tbl, "id % 2 = 0")  # v4: drops 0,2,4,10
+
+    feed = _changes(spark, tbl, 1).collect()
+    by_version: dict[int, list] = {}
+    for r in feed:
+        by_version.setdefault(r._commit_version, []).append(
+            (r._change_type, r.id, r.v)
+        )
+    # v2: the update is a delete+insert pair, the new key an insert
+    assert sorted(by_version[2]) == [
+        ("delete", 1, 2), ("insert", 1, 999), ("insert", 10, 20)
+    ]
+    # v3 (compact) contributes nothing
+    assert 3 not in by_version
+    # v4: pure deletes
+    assert sorted(by_version[4]) == [
+        ("delete", 0, 0), ("delete", 2, 4), ("delete", 4, 8),
+        ("delete", 10, 20),
+    ]
+    # a consumer at v1 applying the feed lands exactly on v4
+    assert _ids(W.read_parquet_snapshot(spark, tbl)) == [1, 3]
+
+
+def test_change_feed_restore_and_evolution(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)  # v1
+    wide = spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    ).coalesce(1)
+    W.write_parquet_snapshot(
+        wide, tbl, mode="append", allow_schema_evolution=True
+    )  # v2 (evolved)
+    W.restore_snapshot(spark, tbl, 1)  # v3: roll back the append
+
+    feed = _changes(spark, tbl, 1)
+    assert feed.columns == ["id", "v", "w", "_change_type", "_commit_version"]
+    rows = feed.collect()
+    v2 = sorted(
+        (r.id, r.w) for r in rows if r._commit_version == 2
+    )
+    assert v2 == [(3, 30), (4, 40), (5, 50)]  # evolved inserts carry w
+    v3 = sorted(
+        (r._change_type, r.id, r.w) for r in rows if r._commit_version == 3
+    )
+    # the restore deletes exactly what the append inserted
+    assert v3 == [("delete", 3, 30), ("delete", 4, 40), ("delete", 5, 50)]
+
+
+def test_change_feed_refusals(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    W.write_parquet_snapshot(_df(spark, 3, 6), tbl, mode="append")
+    with pytest.raises(ValueError, match="from_version 3 > to_version 2"):
+        W.snapshot_changes(spark, tbl, 3, 2)
+    with pytest.raises(ValueError, match="beyond the latest"):
+        W.snapshot_changes(spark, tbl, 1, 7)
+
+    # vacuumed history: the diff base is gone — refuse by name
+    W.write_parquet_snapshot(_df(spark, 0, 2), tbl)  # v3 overwrite
+    W.vacuum_parquet_snapshots(tbl, keep=1, orphan_grace_sec=0)
+    with pytest.raises(ValueError, match="v2 not found"):
+        W.snapshot_changes(spark, tbl, 2)
+
+    # a type-changing overwrite splits the feed
+    tbl2 = str(tmp_path / "tbl2")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl2)
+    W.write_parquet_snapshot(
+        spark.createDataFrame([("a", 1)], schema="id string, v long"), tbl2
+    )
+    with pytest.raises(ValueError, match="changes dtype"):
+        W.snapshot_changes(spark, tbl2, 1)
+
+    # reserved metadata names can't be table columns in a feed
+    tbl3 = str(tmp_path / "tbl3")
+    W.write_parquet_snapshot(
+        spark.createDataFrame([(1, "x")], schema="id long, _change_type string"),
+        tbl3,
+    )
+    with pytest.raises(ValueError, match="collides"):
+        W.snapshot_changes(spark, tbl3, 1)
