@@ -7,7 +7,11 @@ type conflict, compaction, vacuum, vacuum-under-writer-contention,
 merge-upsert, predicate delete and zero-copy restore (the r13 DML/
 rollback ops) — against a
 driver-side in-memory model of what every surviving version must
-contain, column by column, null padding included.
+contain, column by column, null padding included. Overwrites declare
+data-skipping stats (r13), so every surviving version is also read
+through a pruned ``where=`` range and must equal the model's filtered
+rows — whatever mix of stats-carrying, inherited-stats and stats-less
+files the sequence left behind.
 Any divergence between the manifest protocol and the model (a lost row,
 a wrong schema after evolution, a vacuum that dropped a shared file, a
 compaction that changed semantics) fails with the generating sequence as
@@ -74,7 +78,7 @@ def _expected_rows(model_version):
     return out
 
 
-def _check_version(spark, tbl, model_version, version):
+def _check_version(spark, tbl, model_version, version, pruned=False):
     df = W.read_parquet_snapshot(spark, tbl, version=version)
     assert df.columns == model_version["schema"], (
         f"v{version} schema {df.columns} != {model_version['schema']}"
@@ -84,6 +88,31 @@ def _check_version(spark, tbl, model_version, version):
         for r in df.collect()
     }
     assert got == _expected_rows(model_version), f"v{version} data diverged"
+    if pruned:
+        # r13 data-skipping invariant: a where= read must equal the
+        # model filtered to the range, whatever mix of stats-carrying
+        # and stats-less files the op sequence left behind (stats are
+        # enabled on overwrites only, so appends/DML exercise both the
+        # inherit path and the no-stats conservative path)
+        ids = sorted(model_version["rows"])
+        if not ids:
+            return
+        lo, hi = ids[0], ids[len(ids) // 2]
+        sub = W.read_parquet_snapshot(
+            spark, tbl, version=version, where={"id": (lo, hi)}
+        )
+        got_sub = {
+            r["id"]: {c: r[c] for c in model_version["schema"]}
+            for r in sub.collect()
+        }
+        want = {
+            i: row
+            for i, row in _expected_rows(model_version).items()
+            if lo <= i <= hi
+        }
+        assert got_sub == want, (
+            f"v{version} pruned read diverged on id∈[{lo},{hi}]"
+        )
 
 
 @given(_OPS)
@@ -133,7 +162,13 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         if op == "overwrite":
             cols = NARROW if param == "narrow" else WIDE
             ids = fresh_ids()
-            v = W.write_parquet_snapshot(_write_df(spark, ids, cols), tbl)
+            # stats on overwrites only: later appends must INHERIT the
+            # stats columns, DML/compact must recompute them, and ops on
+            # stats-less lineages must stay conservative — the pruned
+            # read in _check_version pins all of it
+            v = W.write_parquet_snapshot(
+                _write_df(spark, ids, cols), tbl, stats_columns=["id"]
+            )
             versions[v] = {
                 "schema": list(cols),
                 "rows": {i: set(cols) for i in ids},
@@ -355,6 +390,8 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 "replay-guard high-water diverged from the model"
             )
 
-    # every SURVIVING historical version still reads per the model
+    # every SURVIVING historical version still reads per the model —
+    # including through a data-skipping where= read (pruned only here,
+    # not per-op: one extra read per surviving version, not per op)
     for v in sorted(versions):
-        _check_version(spark, tbl, versions[v], v)
+        _check_version(spark, tbl, versions[v], v, pruned=True)
