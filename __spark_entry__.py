@@ -37,10 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (never driver-attested — the standing never-attested-first
 # principle) comes first; then the 7 r8-stale names spilled past the
 # r12 cut; then the FIRST 42 of the 50 r9-attested names in their
-# CORRECTNESS_r09 order. 1 + 7 + 42 = 50 exactly; the 8 r9 names past
-# the cut lead the committed round-14 head, followed by the r10-stale
-# names in their CORRECTNESS_r10 order (42 of 50 fit a clean r14
-# window; the last 8 spill to r15). `ml01_classifier_bench` (last
+# CORRECTNESS_r09 order. 1 + 7 + 42 = 50 exactly; the committed
+# round-14 head is the round-13 registration in _NEXT_WINDOW_FIRST
+# (never-attested first — the standing overflow rule), then the 8 r9
+# names past the cut, then the r10-stale names in their CORRECTNESS_r10
+# order (1 + 8 + 41 = 50; the last 9 r10 names spill to r15).
+# `ml01_classifier_bench` (last
 # attested r5) stays out of the rotation by design — it is the
 # rows-only query, so a window slot buys no hash attestation. The cut
 # point is COMPUTED in _ordered_names (pinned by
@@ -58,7 +60,11 @@ _PRIORITY_FIRST = [
 # committed stale name. They are never-attested, so the ROUND-14 window
 # must lead with them (move them into _PRIORITY_FIRST when rotating),
 # ahead of the r9/r10-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = []
+_NEXT_WINDOW_FIRST: list[str] = [
+    # r13 registration: data skipping + clustered compaction + change
+    # data feed on the MVCC table (verified at sf0.1 like o15 was)
+    "o16_data_skipping",
+]
 _STALE_QUEUE = [
     # the 7 r8-stale names spilled past the r12 cut (stalest in the
     # rotation), exact order agreed in VERDICT r11 #1 / r12 #1
@@ -86,9 +92,10 @@ _STALE_QUEUE = [
     "e09_session_window_native", "f15_map_functions",
     "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
     "ml02_confusion_matrix", "m03_frame_sample",
-    # ---- round-14 head starts here: the 8 r9-stale names past the
-    # r13 cut, then the 50 r10-attested names in their CORRECTNESS_r10
-    # order (42 fit a clean 50-slot r14 window; the last 8 spill to
+    # ---- round-14 head continues here (after the never-attested r13
+    # registration in _NEXT_WINDOW_FIRST): the 8 r9-stale names past
+    # the r13 cut, then the 50 r10-attested names in their
+    # CORRECTNESS_r10 order (1 + 8 + 41 = 50; the last 9 spill to
     # r15) ----
     "m04_real_bmp_roundtrip",
     "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",

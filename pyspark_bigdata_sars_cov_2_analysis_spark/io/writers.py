@@ -2098,8 +2098,11 @@ def snapshot_changes(
                     "type-changing version"
                 )
 
-    def _aligned(df: DataFrame, schema: list) -> DataFrame:
-        have = {c for c, _t in schema}
+    def _aligned(df: DataFrame) -> DataFrame:
+        # pad from the frame's OWN columns, not the manifest schema: an
+        # evolution append may OMIT table columns, so its new files
+        # (the fast path's read) carry fewer columns than the manifest
+        have = set(df.columns)
         return df.select(
             *[
                 (
@@ -2124,13 +2127,11 @@ def snapshot_changes(
             if not new_files:
                 continue
             # one append's files are uniform (one write job) — plain read
-            ins = _aligned(spark.read.parquet(*new_files), m["schema"])
+            ins = _aligned(spark.read.parquet(*new_files))
             parts.append(_tagged(ins, "insert", v))
             continue
-        cur_df = _aligned(_read_snapshot_files(spark, m), m["schema"])
-        prev_df = _aligned(
-            _read_snapshot_files(spark, prev), prev["schema"]
-        )
+        cur_df = _aligned(_read_snapshot_files(spark, m))
+        prev_df = _aligned(_read_snapshot_files(spark, prev))
         parts.append(_tagged(cur_df.exceptAll(prev_df), "insert", v))
         parts.append(_tagged(prev_df.exceptAll(cur_df), "delete", v))
 

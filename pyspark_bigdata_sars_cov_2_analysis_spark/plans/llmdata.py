@@ -1643,6 +1643,191 @@ def o15_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "o16_data_skipping",
+    # Manifest-level data skipping + clustered compaction + change data
+    # feed (r13), every semantic under the hash. The table is documents
+    # (doc_id, n_chars) split into four contiguous doc_id-range files
+    # (q = n // 4): v1 overwrite [0,q) declaring stats_columns=[doc_id],
+    # v2-v4 appends INHERITING the stats. A where= read of
+    # [q//2, q//2+q] must prune to exactly 2 of the 4 files
+    # (pruned_files) while returning exactly the range's rows
+    # (pruned_docs/pruned_sum_id — the oracle recomputes from source, so
+    # a wrong bound, an off-by-one at an inclusive edge, or a pruned-away
+    # matching file all flip the hash). Clustered compaction
+    # (target_files=2, cluster_by=doc_id) must produce range-DISJOINT
+    # files (compact_disjoint, from the recomputed manifest stats) that
+    # prune a [_, q//2] read to ONE file. The feed: v2-v4 are inserts
+    # (doc_id >= q), the compact version contributes nothing, and a
+    # doc_id % 7 = 3 DELETE arrives as delete rows; the append-only
+    # sub-feed's plan must never touch v1's files
+    # (feed_append_scan_isolated — the O(new data) fast path).
+    oracle="""
+    WITH p AS (SELECT COUNT(*) AS n, COUNT(*) // 4 AS q FROM documents)
+    SELECT 'total_files' AS metric, CAST(4 AS BIGINT) AS value
+    UNION ALL SELECT 'stats_cover', 1
+    UNION ALL SELECT 'pruned_files', 2
+    UNION ALL SELECT 'pruned_docs',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents, p
+         WHERE doc_id BETWEEN p.q // 2 AND p.q // 2 + p.q)
+    UNION ALL SELECT 'pruned_sum_id',
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, p
+         WHERE doc_id BETWEEN p.q // 2 AND p.q // 2 + p.q)
+    UNION ALL SELECT 'compact_files', 2
+    UNION ALL SELECT 'compact_disjoint', 1
+    UNION ALL SELECT 'postcompact_pruned_files', 1
+    UNION ALL SELECT 'postcompact_docs',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents, p
+         WHERE doc_id <= p.q // 2)
+    UNION ALL SELECT 'postcompact_sum_id',
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, p
+         WHERE doc_id <= p.q // 2)
+    UNION ALL SELECT 'feed_inserts',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents, p
+         WHERE doc_id >= p.q)
+    UNION ALL SELECT 'feed_insert_sum',
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, p
+         WHERE doc_id >= p.q)
+    UNION ALL SELECT 'feed_deletes',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 7 = 3)
+    UNION ALL SELECT 'feed_delete_sum',
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+         WHERE doc_id % 7 = 3)
+    UNION ALL SELECT 'feed_versions', 4
+    UNION ALL SELECT 'feed_append_scan_isolated', 1
+    UNION ALL SELECT 'latest_docs',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 7 <> 3)
+    """,
+)
+def o16_data_skipping(spark, sf_dir):
+    """Data skipping, clustered compaction and the change data feed on
+    the MVCC table, driver-attested (r13) — o13/o14/o15 attest the
+    version/maintenance/evolution lifecycle; this attests the SCALE
+    reads: per-file min/max stats recorded at publish (footer-derived,
+    inherited through appends), a ``where=`` read that plans over only
+    the files whose range can match, OPTIMIZE-style clustered compaction
+    making files range-disjoint so skipping survives maintenance, and
+    ``snapshot_changes`` serving row-level inserts/deletes whose
+    append-only fast path provably never touches pre-existing files.
+    Construction-time work in a per-call temp dir, the o13/o14/o15
+    precedent; file-count metrics are driver-side manifest/plan
+    metadata (never data collects)."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        compact_parquet_snapshot,
+        delete_from_snapshot,
+        list_parquet_snapshots,
+        read_parquet_snapshot,
+        snapshot_changes,
+        write_parquet_snapshot,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = d.count()  # 1-row bounds sidecar (the o11/p20 precedent)
+    q = n // 4
+    lo, hi = q // 2, q // 2 + q
+    tmp = tempfile.mkdtemp(prefix="spark_graft_o16_")
+    tbl = f"{tmp}/docs_tbl"
+    write_parquet_snapshot(
+        d.where(F.col("doc_id") < q).coalesce(1), tbl,
+        stats_columns=["doc_id"],
+    )
+    for b_lo, b_hi in ((q, 2 * q), (2 * q, 3 * q), (3 * q, None)):
+        cond = F.col("doc_id") >= b_lo
+        if b_hi is not None:
+            cond = cond & (F.col("doc_id") < b_hi)
+        # no stats_columns: appends must INHERIT the table's
+        write_parquet_snapshot(
+            d.where(cond).coalesce(1), tbl, mode="append"
+        )
+    snap4 = list_parquet_snapshots(tbl)[-1]
+    v1_files = set(list_parquet_snapshots(tbl)[0]["files"])
+    stats_cover = int(
+        snap4.get("stats_columns") == ["doc_id"]
+        and set(snap4.get("stats", {})) == set(snap4["files"])
+    )
+    pruned = read_parquet_snapshot(spark, tbl, where={"doc_id": (lo, hi)})
+    pruned_files = len(pruned.inputFiles())
+    pruned_agg = pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pd"),
+        F.sum("doc_id").cast("bigint").alias("ps"),
+    )
+    comp = compact_parquet_snapshot(
+        spark, tbl, target_files=2, cluster_by=["doc_id"]
+    )
+    snap_c = list_parquet_snapshots(tbl)[-1]
+    spans = sorted(s["doc_id"] for s in snap_c["stats"].values())
+    disjoint = int(
+        all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
+    )
+    post = read_parquet_snapshot(
+        spark, tbl, version=comp["version"], where={"doc_id": (None, lo)}
+    )
+    post_files = len(post.inputFiles())
+    post_agg = post.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cd"),
+        F.sum("doc_id").cast("bigint").alias("cs"),
+    )
+    delete_from_snapshot(spark, tbl, "doc_id % 7 = 3")
+    # the append-only sub-feed (v1→v4) must plan over ONLY the files
+    # v2-v4 added — inputFiles is driver-side plan metadata, no job
+    append_feed = snapshot_changes(spark, tbl, 1, 4)
+    isolated = int(not (set(append_feed.inputFiles()) & v1_files))
+    feed = snapshot_changes(spark, tbl, 1)
+    ins = F.col("_change_type") == "insert"
+    feed_agg = feed.agg(
+        F.count(F.when(ins, 1)).cast("bigint").alias("fi"),
+        F.sum(F.when(ins, F.col("doc_id"))).cast("bigint").alias("fis"),
+        F.count(F.when(~ins, 1)).cast("bigint").alias("fd"),
+        F.sum(F.when(~ins, F.col("doc_id"))).cast("bigint").alias("fds"),
+        F.countDistinct("_commit_version").cast("bigint").alias("fv"),
+    )
+    latest_agg = read_parquet_snapshot(spark, tbl).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ld")
+    )
+    consts = [
+        ("total_files", len(snap4["files"])),
+        ("stats_cover", stats_cover),
+        ("pruned_files", pruned_files),
+        ("compact_files", len(snap_c["files"])),
+        ("compact_disjoint", disjoint),
+        ("postcompact_pruned_files", post_files),
+        ("feed_append_scan_isolated", isolated),
+    ]
+
+    def _kv(k, v):
+        return F.struct(
+            F.lit(k).alias("metric"), v.cast("bigint").alias("value")
+        )
+
+    audit = (
+        pruned_agg.crossJoin(post_agg)
+        .crossJoin(feed_agg)
+        .crossJoin(latest_agg)
+        .select(
+            F.explode(
+                F.array(
+                    _kv("pruned_docs", F.col("pd")),
+                    _kv("pruned_sum_id", F.col("ps")),
+                    _kv("postcompact_docs", F.col("cd")),
+                    _kv("postcompact_sum_id", F.col("cs")),
+                    _kv("feed_inserts", F.col("fi")),
+                    _kv("feed_insert_sum", F.col("fis")),
+                    _kv("feed_deletes", F.col("fd")),
+                    _kv("feed_delete_sum", F.col("fds")),
+                    _kv("feed_versions", F.col("fv")),
+                    _kv("latest_docs", F.col("ld")),
+                    *[_kv(k, F.lit(int(v))) for k, v in consts],
+                )
+            ).alias("kv")
+        )
+    )
+    return audit.select("kv.metric", "kv.value")
+
+
+@query(
     "e15_snapshot_sink_stream",
     # batch b consumes source file b (modTime-ordered): version 1 = the
     # %3==0 slice, version 2 = slices 0+1. The oracle recomputes both

@@ -330,6 +330,23 @@ def test_change_feed_restore_and_evolution(spark, tmp_path):
     assert v3 == [("delete", 3, 30), ("delete", 4, 40), ("delete", 5, 50)]
 
 
+def test_change_feed_omitting_evolution_append(spark, tmp_path):
+    """The OMIT direction of schema evolution through the feed: the
+    append's new files carry FEWER columns than the widened manifest —
+    the fast path must pad from the files' own columns, not assume the
+    manifest schema exists in them."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)  # v1: id, v
+    only_id = spark.range(3, 6).select("id").coalesce(1)
+    W.write_parquet_snapshot(
+        only_id, tbl, mode="append", allow_schema_evolution=True
+    )  # v2: manifest still (id, v); new files carry only id
+    rows = sorted(
+        (r.id, r.v) for r in _changes(spark, tbl, 1).collect()
+    )
+    assert rows == [(3, None), (4, None), (5, None)]
+
+
 def test_change_feed_refusals(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
