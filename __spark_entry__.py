@@ -38,10 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # principle) comes first; then the 7 r8-stale names spilled past the
 # r12 cut; then the FIRST 42 of the 50 r9-attested names in their
 # CORRECTNESS_r09 order. 1 + 7 + 42 = 50 exactly; the committed
-# round-14 head is the round-13 registration in _NEXT_WINDOW_FIRST
+# round-14 head is the two round-13 registrations in _NEXT_WINDOW_FIRST
 # (never-attested first — the standing overflow rule), then the 8 r9
 # names past the cut, then the r10-stale names in their CORRECTNESS_r10
-# order (1 + 8 + 41 = 50; the last 9 r10 names spill to r15).
+# order (2 + 8 + 40 = 50; the last 10 r10 names spill to r15).
 # `ml01_classifier_bench` (last
 # attested r5) stays out of the rotation by design — it is the
 # rows-only query, so a window slot buys no hash attestation. The cut
@@ -61,9 +61,11 @@ _PRIORITY_FIRST = [
 # must lead with them (move them into _PRIORITY_FIRST when rotating),
 # ahead of the r9/r10-stale queue below.
 _NEXT_WINDOW_FIRST: list[str] = [
-    # r13 registration: data skipping + clustered compaction + change
-    # data feed on the MVCC table (verified at sf0.1 like o15 was)
+    # r13 registrations (verified at sf0.1 like o15 was): data skipping
+    # + clustered compaction + change data feed on the MVCC table, and
+    # the snapshot-table STREAMING SOURCE (e15's read-side twin)
     "o16_data_skipping",
+    "e18_snapshot_stream_source",
 ]
 _STALE_QUEUE = [
     # the 7 r8-stale names spilled past the r12 cut (stalest in the
@@ -92,10 +94,10 @@ _STALE_QUEUE = [
     "e09_session_window_native", "f15_map_functions",
     "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
     "ml02_confusion_matrix", "m03_frame_sample",
-    # ---- round-14 head continues here (after the never-attested r13
-    # registration in _NEXT_WINDOW_FIRST): the 8 r9-stale names past
-    # the r13 cut, then the 50 r10-attested names in their
-    # CORRECTNESS_r10 order (1 + 8 + 41 = 50; the last 9 spill to
+    # ---- round-14 head continues here (after the two never-attested
+    # r13 registrations in _NEXT_WINDOW_FIRST): the 8 r9-stale names
+    # past the r13 cut, then the 50 r10-attested names in their
+    # CORRECTNESS_r10 order (2 + 8 + 40 = 50; the last 10 spill to
     # r15) ----
     "m04_real_bmp_roundtrip",
     "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",

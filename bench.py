@@ -123,10 +123,13 @@ EXTRAS_SHELF = [
     "o15_schema_evolution",          # 3.5s — narrow publish + widened
     #   evolution append + refused drift attempt + compaction + three
     #   version reads (o13/o14's construction-time-work class)
-    # r13 registration by the same rule:
+    # r13 registrations by the same rule:
     "o16_data_skipping",             # 3.3s — 4 range-sliced publishes +
     #   clustered compaction + DML delete + pruned reads + change-feed
     #   diff (o13/o14/o15's construction-time-work class)
+    "e18_snapshot_stream_source",    # ~7s — 4 publishes + compaction +
+    #   THREE checkpointed availableNow drains through the
+    #   snapshot_stream source (e15's read-side twin, same class)
 ]
 
 # Frozen baseline (BASELINE_BENCH.json): regression gate, frozen under the

@@ -1828,6 +1828,114 @@ def o16_data_skipping(spark, sf_dir):
 
 
 @query(
+    "e18_snapshot_stream_source",
+    # The snapshot table as a streaming SOURCE (r13,
+    # io/snapshot_source.py — the read-side twin of e15's sink): three
+    # checkpointed availableNow drains tail the table's version log into
+    # a parquet sink. Drain 1 consumes v1 (overwrite = initial content,
+    # %4==0) + v2 (append, %4==1); drain 2 consumes v3 (append, %4==2)
+    # + v4 (compact — must contribute NOTHING, and the next diff must be
+    # against the compacted file set); drain 3 consumes v5 (append,
+    # %4==3). The per-drain cumulative counts are oracle-recomputed from
+    # source, so a source that re-emitted a consumed version (broken
+    # exactly-once), emitted compacted rows (double count), or dropped
+    # an append flips the hash; the final output multiset rides the
+    # Spark aggregate.
+    oracle="""
+    SELECT 'after_drain1' AS metric,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id % 4 IN (0, 1)) AS value
+    UNION ALL SELECT 'after_drain2',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 4 IN (0, 1, 2))
+    UNION ALL SELECT 'stream_schema_cols', 2
+    UNION ALL SELECT 'total_rows',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+    UNION ALL SELECT 'total_sum_id',
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents)
+    """,
+)
+def e18_snapshot_stream_source(spark, sf_dir):
+    """The snapshot table as a streaming SOURCE, driver-attested (r13)
+    — e15 attests the loop that FEEDS a snapshot table; this attests
+    the loop that TAILS one: a Python DataSourceStreamReader whose
+    offsets are version numbers, whose partitions are the files each
+    version added (manifest set-difference, no data scan), and whose
+    exactly-once story is manifest/file immutability. Three drains over
+    one checkpoint prove initial-content + incremental consumption,
+    replay-free restarts, and that a content-identical compaction
+    contributes nothing while the append AFTER it diffs against the
+    compacted file set. Construction-time drains in a per-call temp
+    dir, the e15/d19/d20 precedent."""
+    import tempfile
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.snapshot_source import (
+        register_snapshot_stream,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
+        compact_parquet_snapshot,
+        write_parquet_snapshot,
+    )
+
+    register_snapshot_stream(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_e18_")
+    tbl, out, ckpt = f"{tmp}/tbl", f"{tmp}/out", f"{tmp}/ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .load(tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "snapshot_stream drain timed out"
+        return spark.read.parquet(out).count()
+
+    write_parquet_snapshot(d.where(F.col("doc_id") % 4 == 0), tbl)
+    write_parquet_snapshot(
+        d.where(F.col("doc_id") % 4 == 1), tbl, mode="append"
+    )
+    after_d1 = drain()  # v1 initial content + v2 append
+    write_parquet_snapshot(
+        d.where(F.col("doc_id") % 4 == 2), tbl, mode="append"
+    )
+    compact_parquet_snapshot(spark, tbl, target_files=1)
+    after_d2 = drain()  # v3 only: the compaction must add nothing
+    write_parquet_snapshot(
+        d.where(F.col("doc_id") % 4 == 3), tbl, mode="append"
+    )
+    drain()  # v5, diffed against the COMPACTED file set
+    final = spark.read.parquet(out)
+    n_cols = len(final.columns)
+    agg = final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("s"),
+    )
+
+    def _kv(k, v):
+        return F.struct(
+            F.lit(k).alias("metric"), v.cast("bigint").alias("value")
+        )
+
+    audit = agg.select(
+        F.explode(
+            F.array(
+                _kv("total_rows", F.col("n")),
+                _kv("total_sum_id", F.col("s")),
+                _kv("after_drain1", F.lit(int(after_d1))),
+                _kv("after_drain2", F.lit(int(after_d2))),
+                _kv("stream_schema_cols", F.lit(int(n_cols))),
+            )
+        ).alias("kv")
+    )
+    return audit.select("kv.metric", "kv.value")
+
+
+@query(
     "e15_snapshot_sink_stream",
     # batch b consumes source file b (modTime-ordered): version 1 = the
     # %3==0 slice, version 2 = slices 0+1. The oracle recomputes both
