@@ -61,7 +61,9 @@ from pyspark.sql.datasource import (
 from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
     _latest_manifest,
     _load_manifest,
+    _local_path,
     _manifest_versions,
+    _schema_ddl,
 )
 
 # Spark DDL type → pyarrow type for null-padding columns a pre-evolution
@@ -114,10 +116,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "slowest consumer"
                 )
             mode = m.get("mode")
-            if mode == "compact":
+            if v == 1:
+                # the table's first version IS the initial content,
+                # whatever published it — an overwrite-created table OR
+                # the streaming sink, whose FIRST batch also publishes
+                # mode='append' (there is no v0 to diff against)
+                new_files = sorted(m["files"])
+            elif mode == "compact":
                 prev_files = set(m["files"])
                 continue  # content-identical by protocol
-            if mode == "append":
+            elif mode == "append":
                 if prev_files is None:
                     base = _load_manifest(self.path, v - 1)
                     if base is None:
@@ -128,8 +136,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         )
                     prev_files = set(base["files"])
                 new_files = sorted(set(m["files"]) - prev_files)
-            elif v == 1:
-                new_files = sorted(m["files"])  # the table's first content
             elif self.ignore_changes:
                 prev_files = set(m["files"])
                 continue
@@ -148,8 +154,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        local = partition.value.removeprefix("file:")
-        tbl = pq.read_table(local)
+        tbl = pq.read_table(_local_path(partition.value))
         have = set(tbl.column_names)
         missing = [c for c in self.columns if c not in have]
         if not missing:
@@ -204,7 +209,7 @@ class SnapshotStreamDataSource(DataSource):
         return schema
 
     def schema(self) -> str:
-        return ", ".join(f"`{c}` {t}" for c, t in self._manifest_schema())
+        return _schema_ddl(self._manifest_schema())
 
     def streamReader(self, schema) -> SnapshotStreamReader:
         manifest_schema = self._manifest_schema()

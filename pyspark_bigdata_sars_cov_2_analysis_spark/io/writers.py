@@ -680,15 +680,40 @@ def _latest_manifest(path: str) -> dict | None:
     return _load_manifest(path, versions[-1])
 
 
+def _schema_ddl(schema: list) -> str:
+    """Manifest schema pairs → a Spark DDL string (shared by the empty-
+    pruned-read frame, the change feed and the streaming source — one
+    place to fix quoting, review r13)."""
+    return ", ".join(f"`{c}` {t}" for c, t in schema)
+
+
+def _pad_to_schema(df: DataFrame, schema: list) -> DataFrame:
+    """Project ``df`` to the schema's columns in order, padding columns
+    the frame lacks with typed nulls — the evolution null-padding rule,
+    shared by the evolved merge-read and the change feed (review r13)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            (F.col(c) if c in have else F.lit(None).cast(t)).alias(c)
+            for c, t in schema
+        ]
+    )
+
+
 def _stats_scalar(v):
     """Parquet footer stat (or a prune-predicate bound) → a
     JSON-storable scalar whose PYTHON ordering matches the column's SQL
     ordering, or None when the type can't be ordered portably (the file
     then simply records no stats for the column — pruning stays
-    conservative). Dates/timestamps serialize as ISO-8601, which orders
-    lexicographically; tz-aware timestamps normalize to UTC-naive first
-    (mixed-offset ISO strings do NOT order lexicographically). Booleans
-    are excluded — a two-value domain never prunes anything."""
+    conservative). Dates and NAIVE datetimes serialize as ISO-8601,
+    which orders lexicographically. TZ-AWARE datetimes return None —
+    Spark's default parquet timestamps are UTC-adjusted (tz-aware
+    footer stats) while the read-side filter resolves a naive literal
+    in the SESSION timezone, so comparing the two could prune a file
+    whose rows the real predicate matches (review r13: the one way
+    stats could have become load-bearing); TIMESTAMP_NTZ columns (naive
+    stats vs naive bounds) still prune. Booleans are excluded — a
+    two-value domain never prunes anything."""
     import datetime as _dt
 
     if isinstance(v, bool):
@@ -702,7 +727,7 @@ def _stats_scalar(v):
             return None
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return None  # session-tz vs UTC ambiguity — never prune
         return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -1057,20 +1082,34 @@ def write_parquet_snapshot(
                    "mode": mode, "schema": manifest_schema,
                    "published_utc": _time.time()}
         if eff_stats_cols:
+            if stats_columns is not None and mode == "append":
+                # validate EXPLICIT append stats columns against the
+                # post-merge table schema (review r13: skipping this let
+                # a typo'd name commit as the table's inherited stats
+                # set, silently disabling skipping forever); a table
+                # column the batch lacks remains legal (evolution)
+                unknown = set(stats_columns) - {
+                    c for c, _t in manifest_schema
+                }
+                if unknown:
+                    raise ValueError(
+                        f"stats_columns {sorted(unknown)} not in the "
+                        f"table schema {[c for c, _t in manifest_schema]}"
+                    )
             key = tuple(eff_stats_cols)
             if key not in stats_cache:
                 stats_cache[key] = _collect_file_stats(
                     new_files, eff_stats_cols
                 )
-            carried = (
-                {
+            if mode == "append" and prev:
+                file_set = set(files)  # hoisted: O(F), not O(F^2)
+                carried = {
                     f: s
                     for f, s in (prev.get("stats") or {}).items()
-                    if f in set(files)
+                    if f in file_set
                 }
-                if mode == "append" and prev
-                else {}
-            )
+            else:
+                carried = {}
             payload["stats_columns"] = list(eff_stats_cols)
             payload["stats"] = {**carried, **stats_cache[key]}
         if evolved:
@@ -1253,25 +1292,17 @@ def _read_snapshot_files(
             if schema is not None:
                 # every file pruned: an empty frame IS the exact answer
                 # (stats are true bounds), with the manifest's schema
-                ddl = ", ".join(f"`{c}` {t}" for c, t in schema)
-                return spark.createDataFrame([], schema=ddl)
+                return spark.createDataFrame([], schema=_schema_ddl(schema))
             files = snap["files"]  # legacy manifest: no schema ⇒ no
             # stats either, so this is unreachable — kept as a safe
             # full-scan fallback
     if snap.get("evolved"):
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
         # a PRUNED subset may retain no file carrying some evolved
-        # column — pad it with typed nulls exactly like the files that
-        # predate it would have (the unpruned read hits the plain-name
-        # branch of this select)
-        have = set(df.columns)
-        df = df.select(
-            *[
-                (
-                    F.col(c) if c in have else F.lit(None).cast(t)
-                ).alias(c)
-                for c, t in snap["schema"]
-            ]
+        # column — the padding helper fills it with typed nulls exactly
+        # like the files that predate it would have
+        df = _pad_to_schema(
+            spark.read.option("mergeSchema", "true").parquet(*files),
+            snap["schema"],
         )
     else:
         df = spark.read.parquet(*files)
@@ -2044,7 +2075,12 @@ def snapshot_changes(
     otherwise), and refuses a range across which a column changed DTYPE
     (one frame can't carry both). Schema changes by WIDENING are fine —
     pre-evolution rows pad nulls exactly like the table reads they came
-    from."""
+    from. ``from_version=0`` is "from the table's beginning": the first
+    version's full content arrives as ``insert`` rows at
+    ``_commit_version`` 1 (whatever mode published it — an
+    overwrite-created table or a streaming sink whose first batch is an
+    append), so a consumer starting from nothing gets the whole history
+    in one feed."""
     latest = _latest_manifest(path)
     if latest is None:
         raise FileNotFoundError(f"no snapshots published at {path}")
@@ -2055,18 +2091,26 @@ def snapshot_changes(
             f"to_version {to_version} is beyond the latest published "
             f"version {latest['version']} at {path}"
         )
+    if from_version < 0:
+        raise ValueError(f"from_version must be >= 0, got {from_version}")
+    if to_version < 1:
+        raise ValueError(
+            f"to_version must be >= 1 (v{to_version} precedes every "
+            "publish)"
+        )
     if from_version > to_version:
         raise ValueError(
             f"from_version {from_version} > to_version {to_version}"
         )
+    first_needed = max(from_version, 1)  # v0 never exists: 0 = beginning
     manifests: dict[int, dict] = {}
-    for v in range(from_version, to_version + 1):
+    for v in range(first_needed, to_version + 1):
         m = _load_manifest(path, v)
         if m is None:
             raise ValueError(
                 f"snapshot v{v} not found at {path} (vacuumed or never "
                 "published) — the change feed needs every version in "
-                f"[{from_version}, {to_version}]"
+                f"[{first_needed}, {to_version}]"
             )
         manifests[v] = m
 
@@ -2074,7 +2118,7 @@ def snapshot_changes(
     # dtype conflicts refused (a feed can't carry two types in one col)
     out_cols: list[tuple[str, str]] = []
     seen: dict[str, str] = {}
-    for v in range(from_version, to_version + 1):
+    for v in range(first_needed, to_version + 1):
         schema = manifests[v].get("schema")
         if schema is None:  # legacy pre-schema manifest: footers answer
             schema = [
@@ -2098,28 +2142,27 @@ def snapshot_changes(
                     "type-changing version"
                 )
 
-    def _aligned(df: DataFrame) -> DataFrame:
-        # pad from the frame's OWN columns, not the manifest schema: an
-        # evolution append may OMIT table columns, so its new files
-        # (the fast path's read) carry fewer columns than the manifest
-        have = set(df.columns)
-        return df.select(
-            *[
-                (
-                    F.col(c) if c in have else F.lit(None).cast(t)
-                ).alias(c)
-                for c, t in out_cols
-            ]
-        )
-
     def _tagged(df: DataFrame, change: str, v: int) -> DataFrame:
         return df.withColumn(
             "_change_type", F.lit(change)
         ).withColumn("_commit_version", F.lit(v).cast("bigint"))
 
+    # alignment pads from each frame's OWN columns (an evolution append
+    # may OMIT table columns, so its new files carry fewer columns than
+    # the manifest) — the shared evolution null-padding helper
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
-        m, prev = manifests[v], manifests[v - 1]
+        m = manifests[v]
+        if v == 1:
+            # from_version=0: the table's first version IS the initial
+            # content, whatever mode published it (overwrite-created
+            # table or a sink's first append batch — there is no v0)
+            ins = _pad_to_schema(
+                spark.read.parquet(*sorted(m["files"])), out_cols
+            )
+            parts.append(_tagged(ins, "insert", v))
+            continue
+        prev = manifests[v - 1]
         if m.get("mode") == "compact":
             continue  # content-identical reorganization by protocol
         if m.get("mode") == "append":
@@ -2127,18 +2170,21 @@ def snapshot_changes(
             if not new_files:
                 continue
             # one append's files are uniform (one write job) — plain read
-            ins = _aligned(spark.read.parquet(*new_files))
+            ins = _pad_to_schema(spark.read.parquet(*new_files), out_cols)
             parts.append(_tagged(ins, "insert", v))
             continue
-        cur_df = _aligned(_read_snapshot_files(spark, m))
-        prev_df = _aligned(_read_snapshot_files(spark, prev))
+        cur_df = _pad_to_schema(_read_snapshot_files(spark, m), out_cols)
+        prev_df = _pad_to_schema(
+            _read_snapshot_files(spark, prev), out_cols
+        )
         parts.append(_tagged(cur_df.exceptAll(prev_df), "insert", v))
         parts.append(_tagged(prev_df.exceptAll(cur_df), "delete", v))
 
     if not parts:
-        ddl = ", ".join(
-            f"`{c}` {t}" for c, t in out_cols
-        ) + ", `_change_type` string, `_commit_version` bigint"
+        ddl = (
+            _schema_ddl(out_cols)
+            + ", `_change_type` string, `_commit_version` bigint"
+        )
         return spark.createDataFrame([], schema=ddl)
     out = parts[0]
     for p in parts[1:]:

@@ -78,6 +78,53 @@ def test_stats_recorded_and_pruned_read(spark, tmp_path):
         W.write_parquet_snapshot(_df(spark, 0, 1), tbl, stats_columns=["zz"])
 
 
+def test_append_stats_columns_typo_refuses(spark, tmp_path):
+    """Review r13: an explicit stats_columns typo on an APPEND used to
+    commit silently as the table's inherited stats set — skipping then
+    never pruned and never errored."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl, stats_columns=["id"])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        W.write_parquet_snapshot(
+            _df(spark, 5, 10), tbl, mode="append", stats_columns=["idd"]
+        )
+    # the refused attempt changed nothing
+    assert W.list_parquet_snapshots(tbl)[-1]["stats_columns"] == ["id"]
+
+
+def test_timestamp_stats_never_prune_wrongly(spark, tmp_path):
+    """Review r13: Spark's default parquet timestamps are UTC-adjusted
+    (tz-aware footer stats) while the read filter resolves a naive bound
+    in the SESSION timezone — comparing them could prune a matching
+    file. Such columns record NO stats (conservative), and the where=
+    read stays exact via the real predicate."""
+    import datetime
+
+    tbl = str(tmp_path / "tbl")
+    for lo in (0, 10):
+        df = spark.range(lo, lo + 10).selectExpr(
+            "id",
+            "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,"
+            "cast(id AS int),0,0) AS ts",
+        ).coalesce(1)
+        W.write_parquet_snapshot(
+            df, tbl,
+            mode="append" if lo else "overwrite",
+            stats_columns=["ts", "id"] if not lo else None,
+        )
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    # id stats recorded; tz-ambiguous ts stats deliberately absent
+    for entry in snap["stats"].values():
+        assert "id" in entry and "ts" not in entry
+    got = W.read_parquet_snapshot(
+        spark, tbl,
+        where={"ts": (datetime.datetime(2020, 1, 1, 12, 0),
+                      datetime.datetime(2020, 1, 1, 15, 0))},
+    )
+    assert len(got.inputFiles()) == 2  # nothing pruned on ts
+    assert _ids(got) == [12, 13, 14, 15]
+
+
 def test_where_is_exact_without_stats(spark, tmp_path):
     """Stats are an optimization, never the correctness mechanism: a
     table that never declared stats_columns filters exactly and keeps
@@ -250,6 +297,26 @@ def test_streaming_sink_stats_and_clustered_compaction(spark, tmp_path):
 
 def _changes(spark, tbl, lo, hi=None):
     return W.snapshot_changes(spark, tbl, lo, hi)
+
+
+def test_change_feed_from_the_beginning(spark, tmp_path):
+    """Review r13: from_version=0 serves the whole history — v1's full
+    content as inserts at commit version 1, whatever mode published it
+    (incl. a streaming sink's first batch, which is an APPEND with no
+    v0 to diff against)."""
+    tbl = str(tmp_path / "tbl")
+    assert W.snapshot_publish_batch(_df(spark, 0, 4), 0, tbl) is True
+    assert W.snapshot_publish_batch(_df(spark, 4, 6), 1, tbl) is True
+    rows = W.snapshot_changes(spark, tbl, 0).collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert {r.id: r._commit_version for r in rows} == {
+        **{i: 1 for i in range(4)},
+        **{i: 2 for i in range(4, 6)},
+    }
+    with pytest.raises(ValueError, match="from_version must be >= 0"):
+        W.snapshot_changes(spark, tbl, -1)
+    with pytest.raises(ValueError, match="to_version must be >= 1"):
+        W.snapshot_changes(spark, tbl, 0, 0)
 
 
 def test_change_feed_append_fast_path(spark, tmp_path):

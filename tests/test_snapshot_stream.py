@@ -65,6 +65,22 @@ def test_stream_initial_then_incremental(spark, tmp_path):
     assert _out_ids(spark, out) == list(range(12))
 
 
+def test_stream_reads_sink_created_table(spark, tmp_path):
+    """Review r13 (critical): the streaming sink's FIRST batch publishes
+    v1 with mode='append' — the source must treat any v1 as initial
+    content instead of diffing against a nonexistent v0, or the
+    advertised sink→source loop fails on every sink-created table."""
+    register_snapshot_stream(spark)
+    tbl, out, ckpt = (
+        str(tmp_path / "tbl"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert W.snapshot_publish_batch(_df(spark, 0, 4), 0, tbl) is True
+    assert W.snapshot_publish_batch(_df(spark, 4, 7), 1, tbl) is True
+    assert W.list_parquet_snapshots(tbl)[0]["mode"] == "append"
+    _drain(spark, tbl, out, ckpt)
+    assert _out_ids(spark, out) == list(range(7))
+
+
 def test_stream_refuses_rewrites_unless_ignored(spark, tmp_path):
     register_snapshot_stream(spark)
     tbl, out, ckpt = (
