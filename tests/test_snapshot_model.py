@@ -395,3 +395,29 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     # not per-op: one extra read per surviving version, not per op)
     for v in sorted(versions):
         _check_version(spark, tbl, versions[v], v, pruned=True)
+
+    # r13 change-feed invariant (only while the FULL history survives —
+    # vacuum drops manifests the feed needs): folding the feed from the
+    # beginning (add inserts, remove deletes, version order irrelevant
+    # because the fold is a multiset sum) must reconstruct the latest
+    # version's exact row multiset under whatever op mix ran —
+    # append/evolve/compact/merge/delete/restore in any interleaving.
+    if versions and min(versions) == 1:
+        from collections import Counter
+
+        feed = W.snapshot_changes(spark, tbl, 0)
+        cols = [
+            c for c in feed.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        folded: Counter = Counter()
+        for r in feed.collect():
+            key = tuple(r[c] for c in cols)
+            folded[key] += 1 if r["_change_type"] == "insert" else -1
+        folded = +folded  # drop zero-count keys
+        latest_model = versions[max(versions)]
+        expected = Counter(
+            tuple(row.get(c) for c in cols)
+            for row in _expected_rows(latest_model).values()
+        )
+        assert folded == expected, "change feed does not fold to latest"
