@@ -2044,7 +2044,8 @@ def restore_snapshot(
 
 
 def snapshot_changes(
-    spark, path: str, from_version: int, to_version: int | None = None
+    spark, path: str, from_version: int, to_version: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED between two versions of a snapshot
     table (r13 — the ``table_changes`` of transactional formats):
@@ -2080,7 +2081,17 @@ def snapshot_changes(
     ``_commit_version`` 1 (whatever mode published it — an
     overwrite-created table or a streaming sink whose first batch is an
     append), so a consumer starting from nothing gets the whole history
-    in one feed."""
+    in one feed.
+
+    ``where`` (the ``read_parquet_snapshot`` prune mapping: col →
+    scalar or inclusive ``(lo, hi)``) restricts the feed to MATCHING
+    rows and prunes with the manifests' data-skipping stats — "give me
+    yesterday's changes for this key range" reads only the files whose
+    recorded range can match, on both the append fast path and both
+    sides of every rewrite diff. Sound because a per-row predicate
+    commutes with the multiset diff (filter-then-diff ==
+    diff-then-filter), and versions predating a ``where`` column
+    contribute nothing (their value is NULL, which no range matches)."""
     latest = _latest_manifest(path)
     if latest is None:
         raise FileNotFoundError(f"no snapshots published at {path}")
@@ -2147,6 +2158,52 @@ def snapshot_changes(
             "_change_type", F.lit(change)
         ).withColumn("_commit_version", F.lit(v).cast("bigint"))
 
+    if where:
+        unknown = set(where) - {c for c, _t in out_cols}
+        if unknown:
+            raise ValueError(
+                f"where columns {sorted(unknown)} not in the feed schema "
+                f"{[c for c, _t in out_cols]}"
+            )
+    bounds = _prune_bounds(where) if where else None
+    cond = _where_condition(bounds) if bounds else None
+
+    def _new_rows(m: dict, files: list) -> DataFrame | None:
+        """An append's (or v1's) added files → padded, where-filtered
+        insert rows; stats-pruned to the files whose recorded range can
+        match (missing stats keep the file), None when nothing can."""
+        if bounds:
+            stats = m.get("stats") or {}
+            files = [
+                f
+                for f in files
+                if all(
+                    _file_may_match(stats.get(f), c, slo, shi)
+                    for c, (slo, shi, _lo, _hi) in bounds.items()
+                )
+            ]
+            if not files:
+                return None
+        # one version's files are uniform (one write job) — plain read
+        df = _pad_to_schema(spark.read.parquet(*files), out_cols)
+        return df.where(cond) if cond is not None else df
+
+    def _side(m: dict) -> DataFrame:
+        """One side of a rewrite diff: the version's (stats-pruned,
+        where-filtered) content padded to the feed schema. The version-
+        local where keeps only columns the version's schema has; the
+        full predicate re-applies post-pad, so a version predating a
+        where column contributes nothing (NULL matches no range)."""
+        sub = (
+            {c: s for c, s in where.items() if c in {n for n, _t in m["schema"]}}
+            if where
+            else None
+        )
+        df = _pad_to_schema(
+            _read_snapshot_files(spark, m, where=sub or None), out_cols
+        )
+        return df.where(cond) if cond is not None else df
+
     # alignment pads from each frame's OWN columns (an evolution append
     # may OMIT table columns, so its new files carry fewer columns than
     # the manifest) — the shared evolution null-padding helper
@@ -2157,10 +2214,9 @@ def snapshot_changes(
             # from_version=0: the table's first version IS the initial
             # content, whatever mode published it (overwrite-created
             # table or a sink's first append batch — there is no v0)
-            ins = _pad_to_schema(
-                spark.read.parquet(*sorted(m["files"])), out_cols
-            )
-            parts.append(_tagged(ins, "insert", v))
+            ins = _new_rows(m, sorted(m["files"]))
+            if ins is not None:
+                parts.append(_tagged(ins, "insert", v))
             continue
         prev = manifests[v - 1]
         if m.get("mode") == "compact":
@@ -2169,14 +2225,11 @@ def snapshot_changes(
             new_files = sorted(set(m["files"]) - set(prev["files"]))
             if not new_files:
                 continue
-            # one append's files are uniform (one write job) — plain read
-            ins = _pad_to_schema(spark.read.parquet(*new_files), out_cols)
-            parts.append(_tagged(ins, "insert", v))
+            ins = _new_rows(m, new_files)
+            if ins is not None:
+                parts.append(_tagged(ins, "insert", v))
             continue
-        cur_df = _pad_to_schema(_read_snapshot_files(spark, m), out_cols)
-        prev_df = _pad_to_schema(
-            _read_snapshot_files(spark, prev), out_cols
-        )
+        cur_df, prev_df = _side(m), _side(prev)
         parts.append(_tagged(cur_df.exceptAll(prev_df), "insert", v))
         parts.append(_tagged(prev_df.exceptAll(cur_df), "delete", v))
 

@@ -414,6 +414,62 @@ def test_change_feed_omitting_evolution_append(spark, tmp_path):
     assert rows == [(3, None), (4, None), (5, None)]
 
 
+def test_change_feed_where_prunes_and_filters(spark, tmp_path):
+    """where= on the feed: the append fast path reads ONLY files whose
+    stats can match; rewrite diffs filter both sides (sound: a per-row
+    predicate commutes with the multiset diff); versions predating a
+    where column contribute nothing."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 10), tbl, stats_columns=["id"])
+    W.write_parquet_snapshot(_df(spark, 10, 20), tbl, mode="append")
+    W.write_parquet_snapshot(_df(spark, 20, 30), tbl, mode="append")
+
+    feed = W.snapshot_changes(spark, tbl, 1, where={"id": (12, 14)})
+    assert sorted(r.id for r in feed.collect()) == [12, 13, 14]
+    # stats-pruned: only the [10,20) append's file is ever read
+    v3 = W.list_parquet_snapshots(tbl)[-1]
+    matching = {
+        f for f, s in v3["stats"].items() if s["id"] == [10, 19]
+    }
+    assert set(feed.inputFiles()) == matching
+
+    # across a rewrite: only matching delete rows survive the filter
+    W.delete_from_snapshot(spark, tbl, "id % 2 = 0")  # v4
+    rows = W.snapshot_changes(
+        spark, tbl, 3, where={"id": (4, 7)}
+    ).collect()
+    assert sorted((r._change_type, r.id) for r in rows) == [
+        ("delete", 4), ("delete", 6)
+    ]
+
+    with pytest.raises(ValueError, match="not in the feed schema"):
+        W.snapshot_changes(spark, tbl, 1, where={"zz": 1})
+
+
+def test_change_feed_where_on_evolved_column(spark, tmp_path):
+    """A where on a column added by evolution: versions predating it
+    contribute nothing (NULL matches no range), the evolution version's
+    inserts filter normally."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)  # v1: id, v
+    wide = spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    ).coalesce(1)
+    W.write_parquet_snapshot(
+        wide, tbl, mode="append", allow_schema_evolution=True
+    )  # v2
+    W.write_parquet_snapshot(_df(spark, 10, 12), tbl)  # v3: narrow OVERWRITE
+    feed = W.snapshot_changes(spark, tbl, 0, where={"w": (60, 80)})
+    rows = sorted((r._change_type, r.id, r._commit_version)
+                  for r in feed.collect())
+    # v1 rows have no w (nothing), v2 inserts filter to w∈[60,80],
+    # v3's overwrite diff deletes exactly those same matching rows
+    assert rows == [
+        ("delete", 6, 3), ("delete", 7, 3), ("delete", 8, 3),
+        ("insert", 6, 2), ("insert", 7, 2), ("insert", 8, 2),
+    ]
+
+
 def test_change_feed_refusals(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
