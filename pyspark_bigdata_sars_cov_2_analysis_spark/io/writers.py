@@ -137,6 +137,45 @@ def write_range_sorted(
     parts.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)
 
 
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 12):
+    """Min/max-scaled Morton code Column for ``df`` over ``cols`` (one
+    1-row stats aggregate), or None when the frame is empty — shared by
+    :func:`write_zorder` and the snapshot compaction's zorder strategy.
+    Per-column NULL guards (ADVICE r7): an all-NULL dimension is a
+    constant span (coordinate 0 for every row) instead of a TypeError at
+    ``hi - lo``; row-level NULLs in a live dimension coalesce to the grid
+    minimum so they cluster together at the cell origin rather than
+    landing on arbitrary files."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
+        zorder_value,
+    )
+
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    if stats["__n"] == 0:
+        return None
+    grid = float((1 << bits) - 1)
+    scaled = []
+    for c in cols:
+        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+        if lo is None:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        span = (hi - lo) or 1.0
+        coord = F.coalesce(F.col(c).cast("double"), F.lit(lo))
+        scaled.append(
+            F.least(
+                F.floor((coord - F.lit(lo)) / F.lit(span) * grid)
+                .cast("bigint"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    return zorder_value(scaled, bits=bits)
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -158,43 +197,14 @@ def write_zorder(
     pays; verified by a footer-stats test that z-ordered files bound BOTH
     dimensions while an x-sorted control leaves the second unbounded.
     """
-    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
-        zorder_value,
-    )
-
     _refuse_snapshot_table(path, "write_zorder")
 
-    stats = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
-    ).first()
-    if stats["__n"] == 0:
+    zcol = _zorder_column(df, cols, bits=bits)
+    if zcol is None:
         # empty input: nothing to cluster; write the empty frame as-is
         df.write.mode(mode).parquet(path)
         return
-    grid = float((1 << bits) - 1)
-    scaled = []
-    for c in cols:
-        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
-        # per-column NULL guards (ADVICE r7): an all-NULL dimension is a
-        # constant span (coordinate 0 for every row) instead of a
-        # TypeError at `hi - lo`; row-level NULLs in a live dimension
-        # coalesce to the grid minimum so they cluster together at the
-        # cell origin rather than landing on arbitrary files
-        if lo is None:
-            scaled.append(F.lit(0).cast("bigint"))
-            continue
-        span = (hi - lo) or 1.0
-        coord = F.coalesce(F.col(c).cast("double"), F.lit(lo))
-        scaled.append(
-            F.least(
-                F.floor((coord - F.lit(lo)) / F.lit(span) * grid)
-                .cast("bigint"),
-                F.lit((1 << bits) - 1),
-            )
-        )
-    z = df.withColumn("__z", zorder_value(scaled, bits=bits))
+    z = df.withColumn("__z", zcol)
     parts = (
         z.repartitionByRange(n_partitions, F.col("__z"))
         if n_partitions
@@ -1533,6 +1543,7 @@ def streaming_snapshot_sink(
     allow_schema_evolution: bool = False,
     stats_columns: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    cluster_strategy: str = "range",
 ):
     """Structured-Streaming sink onto a snapshot-versioned parquet table:
     every micro-batch publishes ONE new table version (manifest-level
@@ -1588,7 +1599,7 @@ def streaming_snapshot_sink(
         if compact_every and _published_since_last_compact(path) >= compact_every:
             compact_parquet_snapshot(
                 batch_df.sparkSession, path, target_files=target_files,
-                cluster_by=cluster_by,
+                cluster_by=cluster_by, cluster_strategy=cluster_strategy,
             )
 
     return (
@@ -1600,7 +1611,7 @@ def streaming_snapshot_sink(
 
 def compact_parquet_snapshot(
     spark, path: str, target_files: int = 1, max_retries: int = 5,
-    cluster_by: list[str] | None = None,
+    cluster_by: list[str] | None = None, cluster_strategy: str = "range",
 ) -> dict:
     """Rewrite the LATEST snapshot version's file set as ``target_files``
     files and publish the result as a NEW version — the small-files
@@ -1637,6 +1648,16 @@ def compact_parquet_snapshot(
     compacted footers for the table's recorded stats columns (or for
     ``cluster_by`` itself on a table that never declared any).
 
+    ``cluster_strategy="zorder"`` (needs ≥2 ``cluster_by`` columns)
+    interleaves the columns' bits into a Morton code and range-clusters
+    on THAT (the OPTIMIZE ZORDER BY analog, reusing
+    :func:`~..operators.sorts.zorder_value`): a lexicographic range sort
+    bounds only its LEADING column per file — the second column spans
+    its full range in every file and never prunes — while z-cells bound
+    every interleaved dimension at once, so ``where=`` reads prune on
+    ANY of them from one layout. Costs one extra 1-row min/max
+    aggregate over the base version (the quantization grid).
+
     Returns ``{"compacted", "version", "from_version", "files_before",
     "files_after", "rows", "retries"}``."""
     import os as _os
@@ -1646,6 +1667,17 @@ def compact_parquet_snapshot(
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
+    if cluster_strategy not in ("range", "zorder"):
+        raise ValueError(
+            f"cluster_strategy must be range|zorder, got {cluster_strategy!r}"
+        )
+    if cluster_strategy == "zorder" and (
+        not cluster_by or len(cluster_by) < 2
+    ):
+        raise ValueError(
+            "cluster_strategy='zorder' needs at least two cluster_by "
+            "columns (one dimension is just a range sort)"
+        )
     base = _local_path(path)
     retries = 0
     hwm_cache: dict = {}  # per base version, shared across retries
@@ -1676,7 +1708,19 @@ def compact_parquet_snapshot(
         # materializes the widened schema into uniform files (nulls
         # filled), so the compact version no longer needs merge-reads
         reader = _read_snapshot_files(spark, src)
-        if cluster_by:
+        if cluster_by and cluster_strategy == "zorder":
+            zcol = _zorder_column(reader, cluster_by)
+            if zcol is None:  # empty table: nothing to cluster
+                rewritten = reader.repartition(target_files)
+            else:
+                # z-cells bound EVERY interleaved dimension per file
+                rewritten = (
+                    reader.withColumn("__z", zcol)
+                    .repartitionByRange(target_files, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+        elif cluster_by:
             # disjoint per-file ranges: range-partition THEN sort within,
             # so footer min/max per file are tight and non-overlapping
             rewritten = reader.repartitionByRange(

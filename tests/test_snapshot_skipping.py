@@ -195,6 +195,42 @@ def test_clustered_compaction_restores_pruning(spark, tmp_path):
         W.compact_parquet_snapshot(spark, tbl, cluster_by=["zz"])
 
 
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """cluster_strategy='zorder': a lexicographic range clustering
+    bounds only its LEADING column per file (the second spans its full
+    range everywhere and never prunes); Morton cells bound both, so
+    where= reads prune on either dimension from one layout."""
+    tbl = str(tmp_path / "tbl")
+    rows = [(i, (i * 7) % 40) for i in range(40)]  # decorrelated dims
+    df = spark.createDataFrame(rows, schema="id long, g long").coalesce(1)
+    W.write_parquet_snapshot(df, tbl, stats_columns=["id", "g"])
+
+    with pytest.raises(ValueError, match="at least two cluster_by"):
+        W.compact_parquet_snapshot(
+            spark, tbl, target_files=4, cluster_by=["id"],
+            cluster_strategy="zorder",
+        )
+    with pytest.raises(ValueError, match="range|zorder"):
+        W.compact_parquet_snapshot(
+            spark, tbl, target_files=4, cluster_by=["id", "g"],
+            cluster_strategy="hilbert",
+        )
+
+    res = W.compact_parquet_snapshot(
+        spark, tbl, target_files=4, cluster_by=["id", "g"],
+        cluster_strategy="zorder",
+    )
+    assert res["compacted"] is True and res["rows"] == 40
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    n_files = len(snap["files"])
+    assert n_files > 1
+    for dim, spec in (("id", (0, 8)), ("g", (0, 8))):
+        pruned = W.read_parquet_snapshot(spark, tbl, where={dim: spec})
+        assert len(pruned.inputFiles()) < n_files, f"no pruning on {dim}"
+        want = sorted(i for i, g in rows if (i if dim == "id" else g) <= 8)
+        assert _ids(pruned) == want
+
+
 def test_evolved_table_stats_and_pruned_merge_read(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     W.write_parquet_snapshot(
