@@ -1995,6 +1995,82 @@ def delete_from_snapshot(
     )
 
 
+def update_snapshot(
+    spark, path: str, set: dict, predicate=None, max_retries: int = 5,
+) -> dict:
+    """UPDATE on a snapshot-versioned table — the third DML verb beside
+    :func:`merge_upsert_snapshot` and :func:`delete_from_snapshot`:
+    rows where ``predicate`` (Column or SQL string; None = every row)
+    evaluates TRUE get each ``set`` column replaced by its expression
+    (Column or SQL string, evaluated against the PRE-update row, so
+    ``{"v": "v + 1"}`` and swaps behave like SQL UPDATE); all other
+    rows pass through untouched, and the result publishes as ONE new
+    version under the same optimistic-concurrency, count-verify,
+    high-water-stamp and time-travel guarantees as the other DML ops
+    (:func:`_rmw_publish_snapshot`). SQL three-valued semantics: a
+    NULL predicate row is NOT updated. ``set`` may only name existing
+    columns with type-compatible expressions — new columns are schema
+    evolution's job, dtype changes always refuse (the feed and
+    merge-read contracts depend on stable dtypes). Returns ``updated``
+    alongside the publish stats."""
+    if not set:
+        raise ValueError("set must name at least one column")
+    cond = (
+        F.lit(True)
+        if predicate is None
+        else (F.expr(predicate) if isinstance(predicate, str) else predicate)
+    )
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+    }
+
+    def compute(src, target):
+        tbl_schema = src.get("schema") or [list(p) for p in target.dtypes]
+        cols = [c for c, _t in tbl_schema]
+        types = dict(tbl_schema)
+        # {*...} literals: the SQL-shaped parameter name `set` shadows
+        # the builtin inside this function
+        unknown = sorted({*exprs} - {*cols})
+        if unknown:
+            raise ValueError(
+                f"update set columns {unknown} not in the table schema "
+                f"{cols}; add columns via allow_schema_evolution appends"
+            )
+        # probe each SET expression's OWN dtype (plan-only, no job):
+        # checking the merged when()'s type instead would let ANSI
+        # coercion hide a conflict until a runtime cast exception
+        # mid-write ('text' into a bigint column resolves the when to
+        # bigint with a runtime string->int cast)
+        probe_types = dict(
+            target.select(*[e.alias(c) for c, e in exprs.items()]).dtypes
+        )
+        conflicts = sorted(c for c in exprs if probe_types[c] != types[c])
+        if conflicts:
+            raise ValueError(
+                f"update changes dtype of {conflicts} (table has "
+                f"{[(c, types[c]) for c in conflicts]}, expressions give "
+                f"{[(c, probe_types[c]) for c in conflicts]}); cast the "
+                "expression to the column's type"
+            )
+        hit = F.coalesce(cond, F.lit(False))  # NULL predicate: keep
+        # every set expression evaluates against the PRE-update row (one
+        # select, SQL UPDATE semantics — swaps work)
+        updated = target.select(
+            *[
+                F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        n_hit = target.where(hit).count()
+        return updated, src["rows"], {"updated": n_hit}
+
+    return _rmw_publish_snapshot(
+        spark, path, compute, "update", max_retries=max_retries
+    )
+
+
 def restore_snapshot(
     spark, path: str, version: int, max_retries: int = 5
 ) -> dict:

@@ -48,6 +48,7 @@ _OPS = st.lists(
         st.tuples(st.just("publish_replay"), st.none()),
         st.tuples(st.just("merge"), st.none()),
         st.tuples(st.just("delete_even"), st.none()),
+        st.tuples(st.just("update_identity"), st.none()),
         st.tuples(st.just("restore_oldest"), st.none()),
     ),
     min_size=1,
@@ -330,6 +331,30 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
                 },
                 "src": effective_hwm(),
                 "mode": "delete",
+            }
+        elif op == "update_identity":
+            # r13 DML: an UPDATE whose SET is the identity on the first
+            # schema column — values unchanged (the model can verify
+            # them), but the whole rewrite protocol runs: one published
+            # version, count-verify, high-water stamp, evolved flag
+            # shed, every row's null pattern preserved through the
+            # uniform rewrite. Value-changing semantics are unit-pinned.
+            if cur is None:
+                continue
+            first_col = cur["schema"][0]
+            res = W.update_snapshot(
+                spark, tbl, {first_col: first_col}, "id % 2 = 1"
+            )
+            odds = [i for i in cur["rows"] if i % 2 == 1]
+            assert res["updated"] == len(odds)
+            assert not (
+                W._load_manifest(tbl, res["version"]) or {}
+            ).get("evolved"), "DML rewrite must shed the evolved flag"
+            versions[res["version"]] = {
+                "schema": list(cur["schema"]),
+                "rows": {i: set(c) for i, c in cur["rows"].items()},
+                "src": effective_hwm(),
+                "mode": "update",
             }
         elif op == "restore_oldest":
             # r13: roll content back to the oldest surviving version —

@@ -259,6 +259,65 @@ def test_evolved_table_stats_and_pruned_merge_read(spark, tmp_path):
     assert _ids(old) == list(range(6))
 
 
+def test_update_snapshot_semantics(spark, tmp_path):
+    """UPDATE (the third DML verb): SET expressions evaluate against
+    the PRE-update row (swaps work), NULL predicates keep the row,
+    unknown columns and dtype changes refuse, the publish carries the
+    usual stats/time-travel guarantees, and the change feed shows the
+    update as delete+insert pairs."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 6), tbl, stats_columns=["id"])
+
+    res = W.update_snapshot(
+        spark, tbl, {"v": "v + 100"}, "id < 3"
+    )
+    assert res["updated"] == 3 and res["rows"] == 6
+    got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
+    assert got == {0: 100, 1: 102, 2: 104, 3: 6, 4: 8, 5: 10}
+    # pre-update evaluation: a swap is exact, and predicate None = all
+    W.update_snapshot(spark, tbl, {"id": "v", "v": "id"})
+    got = sorted(
+        (r.id, r.v) for r in W.read_parquet_snapshot(spark, tbl).collect()
+    )
+    assert got == sorted(
+        (v, k) for k, v in {0: 100, 1: 102, 2: 104, 3: 6, 4: 8, 5: 10}.items()
+    )
+    # v1 still time-travels; stats recomputed on the rewrite
+    assert _ids(W.read_parquet_snapshot(spark, tbl, version=1)) == list(
+        range(6)
+    )
+    snap = W.list_parquet_snapshots(tbl)[-1]
+    assert snap["mode"] == "update" and snap["stats_columns"] == ["id"]
+    assert set(snap["stats"]) == set(snap["files"])
+
+    # NULL predicate keeps the row (three-valued semantics)
+    tbl2 = str(tmp_path / "tbl2")
+    W.write_parquet_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (2, None)], schema="id long, v long"
+        ).coalesce(1),
+        tbl2,
+    )
+    res = W.update_snapshot(spark, tbl2, {"id": "id + 100"}, "v > 5")
+    assert res["updated"] == 1
+    assert sorted(
+        r.id for r in W.read_parquet_snapshot(spark, tbl2).collect()
+    ) == [2, 101]
+
+    with pytest.raises(ValueError, match="not in the table schema"):
+        W.update_snapshot(spark, tbl2, {"zz": "1"})
+    with pytest.raises(ValueError, match="changes dtype"):
+        W.update_snapshot(spark, tbl2, {"v": "'text'"})
+    with pytest.raises(ValueError, match="at least one column"):
+        W.update_snapshot(spark, tbl2, {})
+
+    # the feed sees an update as delete+insert pairs at its version
+    rows = W.snapshot_changes(spark, tbl2, 1).collect()
+    assert sorted((r._change_type, r.id) for r in rows) == [
+        ("delete", 1), ("insert", 101)
+    ]
+
+
 def test_dml_and_restore_carry_stats(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     W.write_parquet_snapshot(_df(spark, 0, 10), tbl, stats_columns=["id"])
