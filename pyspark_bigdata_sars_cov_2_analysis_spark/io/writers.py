@@ -1336,7 +1336,14 @@ def vacuum_parquet_snapshots(
     publish a manifest naming vanished files. Dirs younger than the
     grace window are therefore left alone (default 24h, far beyond any
     write-to-publish gap); pass 0 only when no writer can be active
-    (tests, exclusive maintenance windows)."""
+    (tests, exclusive maintenance windows).
+
+    Ownership rule (r13, the shallow-clone guard): vacuum only ever
+    deletes files under THIS table's own ``data/`` root. A shallow
+    clone's manifests reference the SOURCE table's files — dropping a
+    cloned version must drop the manifest but never reach into another
+    table's data (the clone doesn't own those bytes; the source's own
+    vacuum governs them)."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -1347,6 +1354,7 @@ def vacuum_parquet_snapshots(
     kept, dropped = snaps[-keep:], snaps[:-keep]
     keep_files = {_local_path(f) for s in kept for f in s["files"]}
     base = _local_path(path)
+    own_root = _os.path.join(base, "data") + _os.sep
     # manifests FIRST, then data (ADVICE r10): deleting a dropped
     # version's files before its manifest leaves, across a crash, a
     # LISTED manifest referencing vanished files — list/read of that
@@ -1362,6 +1370,9 @@ def vacuum_parquet_snapshots(
     for s in dropped:
         for f in s["files"]:
             local = _local_path(f)
+            if not local.startswith(own_root):
+                continue  # another table's bytes (shallow clone): the
+                # manifest drops, the source's own vacuum governs them
             if local not in keep_files and _os.path.exists(local):
                 _os.remove(local)
                 removed_files.append(f)
@@ -1612,6 +1623,7 @@ def streaming_snapshot_sink(
 def compact_parquet_snapshot(
     spark, path: str, target_files: int = 1, max_retries: int = 5,
     cluster_by: list[str] | None = None, cluster_strategy: str = "range",
+    force: bool = False,
 ) -> dict:
     """Rewrite the LATEST snapshot version's file set as ``target_files``
     files and publish the result as a NEW version — the small-files
@@ -1634,7 +1646,10 @@ def compact_parquet_snapshot(
     becomes an invisible orphan for vacuum) and the compaction re-reads
     the new latest and retries, up to ``max_retries``. Already-compact
     tables (``<= target_files`` files) are a no-op — unless
-    ``cluster_by`` asks for a layout change.
+    ``cluster_by`` asks for a layout change, or ``force=True`` demands
+    the rewrite anyway (r13: how a SHALLOW CLONE materializes — a
+    small clone would otherwise no-op and silently keep referencing the
+    source's bytes past the source's vacuum horizon).
 
     ``cluster_by`` (r13 — the OPTIMIZE/CLUSTER BY of transactional
     formats): the rewrite range-partitions and sorts on the named
@@ -1692,7 +1707,7 @@ def compact_parquet_snapshot(
                     f"cluster_by columns {sorted(unknown)} not in the "
                     f"snapshot schema {[c for c, _t in src['schema']]}"
                 )
-        if len(src["files"]) <= target_files and not cluster_by:
+        if len(src["files"]) <= target_files and not cluster_by and not force:
             return {
                 "compacted": False, "version": src["version"],
                 "from_version": src["version"],
@@ -2161,6 +2176,104 @@ def restore_snapshot(
             "rows": src["rows"],
             "retries": retries,
         }
+
+
+def clone_snapshot(
+    spark, src_path: str, dst_path: str,
+    version: int | None = None, as_of_utc=None,
+) -> dict:
+    """SHALLOW CLONE: create a NEW snapshot table at ``dst_path`` whose
+    v1 manifest references the source version's files verbatim — zero
+    bytes copied, the transactional-format pattern for forking a 100 TB
+    table into a dev/test/experiment branch in O(1). The clone is a
+    fully independent table from then on: appends/DML/compaction write
+    into ITS data root, the source's history and replay guard are
+    untouched (a clone starts a fresh lineage — no ``src_batch`` is
+    carried), and data-skipping stats/evolved flags come along with the
+    file list. ``version``/``as_of_utc`` pin the source state exactly
+    like :func:`read_parquet_snapshot`.
+
+    Ownership contract (enforced in :func:`vacuum_parquet_snapshots`):
+    the clone does not OWN the source's bytes — its vacuum drops cloned
+    manifests but never deletes files outside its own ``data/`` root,
+    and conversely a SOURCE vacuum that drops the cloned-from version
+    deletes files the clone still references (exactly the documented
+    shallow-clone hazard of transactional formats). Either keep the
+    source's vacuum horizon behind every live clone, or MATERIALIZE the
+    clone (``compact_parquet_snapshot(dst, force=True)`` rewrites
+    everything into its own data root — ``force`` because an
+    already-small clone would otherwise no-op and keep the dependency)
+    before the source vacuums. Refuses a ``dst_path`` that already has
+    snapshots (clone creates tables, it doesn't overwrite them)."""
+    import os as _os
+    import time as _time
+
+    if version is not None and as_of_utc is not None:
+        raise ValueError("pass version OR as_of_utc, not both")
+    if as_of_utc is not None:
+        version = _version_as_of(src_path, _as_of_epoch(as_of_utc))
+        if version is None:
+            raise ValueError(
+                f"no snapshot at {src_path} published at or before "
+                f"{as_of_utc!r}"
+            )
+    if version is None:
+        src = _latest_manifest(src_path)
+        if src is None:
+            raise FileNotFoundError(
+                f"no snapshots published at {src_path}"
+            )
+    else:
+        src = _load_manifest(src_path, version)
+        if src is None:
+            raise ValueError(
+                f"snapshot v{version} not found at {src_path}; have "
+                f"{_manifest_versions(src_path)}"
+            )
+    if _manifest_versions(dst_path):
+        raise ValueError(
+            f"{dst_path} is already a snapshot table — clone creates "
+            "new tables; restore/DML mutate existing ones"
+        )
+    # the clone names files it did not write (restore's discipline): a
+    # source vacuum racing the clone could have deleted them — verify
+    # before publishing an unreadable table
+    readback = _read_snapshot_files(spark, src).count()
+    if readback != src["rows"]:
+        raise RuntimeError(
+            f"clone verification failed: {src_path} v{src['version']} "
+            f"records {src['rows']} rows but its files read back "
+            f"{readback} — the version was likely vacuumed mid-clone"
+        )
+    _os.makedirs(_snap_path(dst_path), exist_ok=True)
+    payload = {
+        "version": 1,
+        "files": src["files"],
+        "rows": src["rows"],
+        "mode": "clone",
+        "cloned_from": {
+            "path": _local_path(src_path), "version": src["version"]
+        },
+        "published_utc": _time.time(),
+    }
+    if src.get("schema") is not None:
+        payload["schema"] = src["schema"]
+    if src.get("evolved"):
+        payload["evolved"] = True
+    if src.get("stats_columns"):
+        payload["stats_columns"] = list(src["stats_columns"])
+        payload["stats"] = src.get("stats") or {}
+    if not _link_manifest(dst_path, 1, payload):
+        raise ValueError(
+            f"{dst_path} was concurrently created — clone refuses to "
+            "race another table's first publish"
+        )
+    return {
+        "version": 1,
+        "cloned_from": payload["cloned_from"],
+        "rows": src["rows"],
+        "files": len(src["files"]),
+    }
 
 
 def snapshot_changes(

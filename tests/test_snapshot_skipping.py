@@ -385,6 +385,76 @@ def test_streaming_sink_stats_and_clustered_compaction(spark, tmp_path):
     assert _ids(W.read_parquet_snapshot(spark, tbl)) == list(range(10))
 
 
+def test_shallow_clone(spark, tmp_path):
+    """Zero-copy table fork: the clone reads the pinned source state
+    (stats included), diverges independently into its OWN data root,
+    and neither table's vacuum can delete the other's bytes."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    W.write_parquet_snapshot(_df(spark, 0, 10), src, stats_columns=["id"])
+    W.write_parquet_snapshot(_df(spark, 10, 20), src, mode="append")
+
+    res = W.clone_snapshot(spark, src, dst)
+    assert res == {
+        "version": 1,
+        "cloned_from": {"path": src, "version": 2},
+        "rows": 20,
+        "files": 2,
+    }
+    assert _ids(W.read_parquet_snapshot(spark, dst)) == list(range(20))
+    # stats came along: the pruned read plans one file
+    pruned = W.read_parquet_snapshot(spark, dst, where={"id": (2, 5)})
+    assert len(pruned.inputFiles()) == 1 and _ids(pruned) == [2, 3, 4, 5]
+    # version-pinned clone
+    dstv1 = str(tmp_path / "dstv1")
+    W.clone_snapshot(spark, src, dstv1, version=1)
+    assert _ids(W.read_parquet_snapshot(spark, dstv1)) == list(range(10))
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        W.clone_snapshot(spark, src, dst)
+
+    # divergence: the clone's append lands in ITS data root and never
+    # perturbs the source
+    W.write_parquet_snapshot(_df(spark, 100, 103), dst, mode="append")
+    assert _ids(W.read_parquet_snapshot(spark, dst)) == list(range(20)) + [
+        100, 101, 102
+    ]
+    assert _ids(W.read_parquet_snapshot(spark, src)) == list(range(20))
+
+    # the ownership rule: a clone vacuum that drops the cloned manifest
+    # must NOT delete the source's bytes
+    W.write_parquet_snapshot(_df(spark, 200, 202), dst)  # dst v3 overwrite
+    out = W.vacuum_parquet_snapshots(dst, keep=1, orphan_grace_sec=0)
+    # dst's own appended file was reclaimed; the source's two were not
+    assert out["dropped_versions"] == [1, 2]
+    assert out["removed_files"] == 1
+    assert _ids(W.read_parquet_snapshot(spark, src)) == list(range(20))
+
+
+def test_clone_materialization_survives_source_vacuum(spark, tmp_path):
+    """compact_parquet_snapshot(dst) rewrites the clone into its own
+    data root — after that the source can vacuum freely."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    W.write_parquet_snapshot(_df(spark, 0, 8), src)
+    W.clone_snapshot(spark, src, dst)
+    # the feed/stream v1-initial-content rule covers mode 'clone'
+    rows = W.snapshot_changes(spark, dst, 0).collect()
+    assert sorted(r.id for r in rows if r._commit_version == 1) == list(
+        range(8)
+    )
+    # force=True: a single-file clone would otherwise NO-OP and keep
+    # silently referencing the source's bytes
+    noop = W.compact_parquet_snapshot(spark, dst, target_files=1)
+    assert noop["compacted"] is False
+    res = W.compact_parquet_snapshot(spark, dst, target_files=1, force=True)
+    assert res["compacted"] is True
+    W.vacuum_parquet_snapshots(dst, keep=1, orphan_grace_sec=0)
+    # source rewritten then vacuumed: its original files are gone
+    W.write_parquet_snapshot(_df(spark, 50, 52), src)
+    W.vacuum_parquet_snapshots(src, keep=1, orphan_grace_sec=0)
+    assert _ids(W.read_parquet_snapshot(spark, dst)) == list(range(8))
+
+
 # --------------------------------------------------------------------------
 # snapshot_changes — the change data feed
 # --------------------------------------------------------------------------
