@@ -137,6 +137,11 @@ def write_range_sorted(
     parts.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)
 
 
+_ZORDER_NUMERIC = {
+    "tinyint", "smallint", "int", "bigint", "float", "double"
+}
+
+
 def _zorder_column(df: DataFrame, cols: list[str], bits: int = 12):
     """Min/max-scaled Morton code Column for ``df`` over ``cols`` (one
     1-row stats aggregate), or None when the frame is empty — shared by
@@ -198,6 +203,12 @@ def write_zorder(
     dimensions while an x-sorted control leaves the second unbounded.
     """
     _refuse_snapshot_table(path, "write_zorder")
+    if "__z" in df.columns:
+        raise ValueError(
+            "input has a column named __z, which the zorder writer uses "
+            "as scratch (withColumn would replace it and drop would "
+            "delete it) — rename it first"
+        )
 
     zcol = _zorder_column(df, cols, bits=bits)
     if zcol is None:
@@ -807,6 +818,20 @@ def _collect_file_stats(
     return out
 
 
+def _prune_files(files: list, stats: dict, bounds: dict) -> list:
+    """The one pruning rule (review r13 — it was written twice): keep a
+    file iff every bound's recorded range can match (missing stats keep
+    it)."""
+    return [
+        f
+        for f in files
+        if all(
+            _file_may_match(stats.get(f), c, slo, shi)
+            for c, (slo, shi, _lo, _hi) in bounds.items()
+        )
+    ]
+
+
 def _file_may_match(stats_entry: dict | None, col: str, lo, hi) -> bool:
     """Can a file whose manifest stats are ``stats_entry`` contain a row
     with ``lo <= col <= hi`` (None = unbounded side)? Missing stats or
@@ -1288,15 +1313,7 @@ def _read_snapshot_files(
                     f"snapshot schema {[c for c, _t in schema]}"
                 )
         bounds = _prune_bounds(where)
-        stats = snap.get("stats") or {}
-        files = [
-            f
-            for f in files
-            if all(
-                _file_may_match(stats.get(f), c, slo, shi)
-                for c, (slo, shi, _lo, _hi) in bounds.items()
-            )
-        ]
+        files = _prune_files(files, snap.get("stats") or {}, bounds)
         cond = _where_condition(bounds)
         if not files:
             if schema is not None:
@@ -1343,7 +1360,12 @@ def vacuum_parquet_snapshots(
     clone's manifests reference the SOURCE table's files — dropping a
     cloned version must drop the manifest but never reach into another
     table's data (the clone doesn't own those bytes; the source's own
-    vacuum governs them)."""
+    vacuum governs them). The compare is abspath-normalized, so any
+    SPELLING of the same path works; a RELATIVE path resolves against
+    the calling process's cwd (which may differ from where the JVM
+    resolved the writes) — when in doubt the guard fails SAFE, skipping
+    deletion rather than reaching into foreign bytes. Prefer absolute
+    paths."""
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -1354,7 +1376,11 @@ def vacuum_parquet_snapshots(
     kept, dropped = snaps[-keep:], snaps[:-keep]
     keep_files = {_local_path(f) for s in kept for f in s["files"]}
     base = _local_path(path)
-    own_root = _os.path.join(base, "data") + _os.sep
+    # abspath BOTH sides of the ownership compare (review r13): the
+    # manifests record absolute file: paths from inputFiles(), so a
+    # vacuum invoked with a RELATIVE table path would otherwise match
+    # nothing and silently reclaim zero data files
+    own_root = _os.path.abspath(_os.path.join(base, "data")) + _os.sep
     # manifests FIRST, then data (ADVICE r10): deleting a dropped
     # version's files before its manifest leaves, across a crash, a
     # LISTED manifest referencing vanished files — list/read of that
@@ -1370,7 +1396,7 @@ def vacuum_parquet_snapshots(
     for s in dropped:
         for f in s["files"]:
             local = _local_path(f)
-            if not local.startswith(own_root):
+            if not _os.path.abspath(local).startswith(own_root):
                 continue  # another table's bytes (shallow clone): the
                 # manifest drops, the source's own vacuum governs them
             if local not in keep_files and _os.path.exists(local):
@@ -1600,6 +1626,21 @@ def streaming_snapshot_sink(
     keeps a ``where=`` read of a months-old streaming table from
     scanning every micro-batch's files."""
 
+    # pure value validation runs at SINK CONSTRUCTION (review r13):
+    # deferring it to the Nth micro-batch's folded compaction would kill
+    # a live stream mid-run over a typo the constructor could refuse
+    if cluster_strategy not in ("range", "zorder"):
+        raise ValueError(
+            f"cluster_strategy must be range|zorder, got {cluster_strategy!r}"
+        )
+    if cluster_strategy == "zorder" and (
+        not cluster_by or len(cluster_by) < 2
+    ):
+        raise ValueError(
+            "cluster_strategy='zorder' needs at least two cluster_by "
+            "columns (one dimension is just a range sort)"
+        )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not snapshot_publish_batch(
             batch_df, batch_id, path,
@@ -1707,6 +1748,36 @@ def compact_parquet_snapshot(
                     f"cluster_by columns {sorted(unknown)} not in the "
                     f"snapshot schema {[c for c, _t in src['schema']]}"
                 )
+            if cluster_strategy == "zorder":
+                # Morton quantization casts coordinates to double — a
+                # string/date dimension would silently degrade to a
+                # constant span (no pruning on the promised column) or
+                # throw a mid-job ANSI cast error (review r13); refuse
+                # eagerly instead
+                types = dict(src["schema"])
+                if "__z" in types:
+                    # withColumn would REPLACE the data column with the
+                    # Morton code and drop() would delete it — silent
+                    # column loss behind a passing count-verify
+                    raise ValueError(
+                        "table has a column named __z, which the "
+                        "zorder rewrite uses as scratch — rename it or "
+                        "use cluster_strategy='range'"
+                    )
+                bad = sorted(
+                    c
+                    for c in cluster_by
+                    if types[c] not in _ZORDER_NUMERIC
+                    and not types[c].startswith("decimal")
+                )
+                if bad:
+                    raise ValueError(
+                        f"cluster_strategy='zorder' needs numeric "
+                        f"dimensions; {bad} are "
+                        f"{[(c, types[c]) for c in bad]} — derive a "
+                        "numeric surrogate (day number, dictionary "
+                        "code) or use cluster_strategy='range'"
+                    )
         if len(src["files"]) <= target_files and not cluster_by and not force:
             return {
                 "compacted": False, "version": src["version"],
@@ -2035,8 +2106,16 @@ def update_snapshot(
         if predicate is None
         else (F.expr(predicate) if isinstance(predicate, str) else predicate)
     )
+    # strings are SQL expressions, Columns pass through, and any other
+    # Python value is a LITERAL (review r13: update(..., {'v': 0}) is a
+    # natural spelling that used to die with a bare AttributeError)
     exprs = {
-        c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        c: (
+            F.expr(e)
+            if isinstance(e, str)
+            else (e if isinstance(e, Column) else F.lit(e))
+        )
+        for c, e in set.items()
     }
 
     def compute(src, target):
@@ -2059,7 +2138,22 @@ def update_snapshot(
         probe_types = dict(
             target.select(*[e.alias(c) for c, e in exprs.items()]).dtypes
         )
-        conflicts = sorted(c for c in exprs if probe_types[c] != types[c])
+        # exact match or a SAFE numeric widening (an int literal into a
+        # bigint column merges losslessly — refusing it would make
+        # {'v': 0} unusable); string→bigint is NOT safe (ANSI runtime
+        # cast), double→bigint is NOT safe (truncation)
+        _INTS = ["tinyint", "smallint", "int", "bigint"]
+
+        def _ok(have: str, want: str) -> bool:
+            if have == want:
+                return True
+            if have in _INTS and want in _INTS:
+                return _INTS.index(have) <= _INTS.index(want)
+            return have == "float" and want == "double"
+
+        conflicts = sorted(
+            c for c in exprs if not _ok(probe_types[c], types[c])
+        )
         if conflicts:
             raise ValueError(
                 f"update changes dtype of {conflicts} (table has "
@@ -2069,10 +2163,13 @@ def update_snapshot(
             )
         hit = F.coalesce(cond, F.lit(False))  # NULL predicate: keep
         # every set expression evaluates against the PRE-update row (one
-        # select, SQL UPDATE semantics — swaps work)
+        # select, SQL UPDATE semantics — swaps work); the explicit cast
+        # pins a safely-widening expression to the column's exact dtype
         updated = target.select(
             *[
-                F.when(hit, exprs[c]).otherwise(F.col(c)).alias(c)
+                F.when(hit, exprs[c].cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
                 if c in exprs
                 else F.col(c)
                 for c in cols
@@ -2402,22 +2499,16 @@ def snapshot_changes(
     cond = _where_condition(bounds) if bounds else None
 
     def _new_rows(m: dict, files: list) -> DataFrame | None:
-        """An append's (or v1's) added files → padded, where-filtered
-        insert rows; stats-pruned to the files whose recorded range can
-        match (missing stats keep the file), None when nothing can."""
+        """An append's added files → padded, where-filtered insert rows;
+        stats-pruned to the files whose recorded range can match
+        (missing stats keep the file), None when nothing can. Only for
+        files ONE write job produced (uniform schema) — v1 goes through
+        :func:`_side` instead, because a shallow CLONE's v1 inherits the
+        source's possibly-evolved mixed-schema file list."""
         if bounds:
-            stats = m.get("stats") or {}
-            files = [
-                f
-                for f in files
-                if all(
-                    _file_may_match(stats.get(f), c, slo, shi)
-                    for c, (slo, shi, _lo, _hi) in bounds.items()
-                )
-            ]
+            files = _prune_files(files, m.get("stats") or {}, bounds)
             if not files:
                 return None
-        # one version's files are uniform (one write job) — plain read
         df = _pad_to_schema(spark.read.parquet(*files), out_cols)
         return df.where(cond) if cond is not None else df
 
@@ -2446,10 +2537,12 @@ def snapshot_changes(
         if v == 1:
             # from_version=0: the table's first version IS the initial
             # content, whatever mode published it (overwrite-created
-            # table or a sink's first append batch — there is no v0)
-            ins = _new_rows(m, sorted(m["files"]))
-            if ins is not None:
-                parts.append(_tagged(ins, "insert", v))
+            # table, a sink's first append batch, or a shallow CLONE —
+            # there is no v0). Read through _side, not a plain parquet
+            # read: a clone's v1 inherits the source's possibly-EVOLVED
+            # mixed-schema file list, where a one-footer-sampled plain
+            # read would silently null out evolved columns (review r13)
+            parts.append(_tagged(_side(m), "insert", v))
             continue
         prev = manifests[v - 1]
         if m.get("mode") == "compact":

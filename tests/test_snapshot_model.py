@@ -439,7 +439,11 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
         for r in feed.collect():
             key = tuple(r[c] for c in cols)
             folded[key] += 1 if r["_change_type"] == "insert" else -1
-        folded = +folded  # drop zero-count keys
+        negative = {k: c for k, c in folded.items() if c < 0}
+        assert not negative, (
+            f"feed deleted rows it never inserted: {negative}"
+        )
+        folded = +folded  # drop the exact-zero keys
         latest_model = versions[max(versions)]
         expected = Counter(
             tuple(row.get(c) for c in cols)

@@ -215,6 +215,45 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
             spark, tbl, target_files=4, cluster_by=["id", "g"],
             cluster_strategy="hilbert",
         )
+    # non-numeric dimensions refuse eagerly (a string would silently
+    # quantize to a constant span — no pruning, no error)
+    tbl_s = str(tmp_path / "tbl_s")
+    W.write_parquet_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], schema="id long, c string"
+        ).coalesce(1),
+        tbl_s,
+    )
+    with pytest.raises(ValueError, match="numeric dimensions"):
+        W.compact_parquet_snapshot(
+            spark, tbl_s, cluster_by=["id", "c"], cluster_strategy="zorder"
+        )
+    # a real column named __z would be replaced by the scratch code
+    tbl_z = str(tmp_path / "tbl_z")
+    W.write_parquet_snapshot(
+        spark.createDataFrame(
+            [(1, 2)], schema="id long, __z long"
+        ).coalesce(1),
+        tbl_z,
+    )
+    with pytest.raises(ValueError, match="__z"):
+        W.compact_parquet_snapshot(
+            spark, tbl_z, cluster_by=["id", "__z"],
+            cluster_strategy="zorder",
+        )
+    # the sink validates strategy values at CONSTRUCTION, not on the
+    # Nth micro-batch's folded compaction
+    with pytest.raises(ValueError, match="range|zorder"):
+        W.streaming_snapshot_sink(
+            spark.readStream.format("rate").load(), tbl, "ckpt",
+            compact_every=2, cluster_by=["a", "b"],
+            cluster_strategy="zordr",
+        )
+    with pytest.raises(ValueError, match="at least two"):
+        W.streaming_snapshot_sink(
+            spark.readStream.format("rate").load(), tbl, "ckpt",
+            compact_every=2, cluster_by=["a"], cluster_strategy="zorder",
+        )
 
     res = W.compact_parquet_snapshot(
         spark, tbl, target_files=4, cluster_by=["id", "g"],
@@ -272,6 +311,13 @@ def test_update_snapshot_semantics(spark, tmp_path):
         spark, tbl, {"v": "v + 100"}, "id < 3"
     )
     assert res["updated"] == 3 and res["rows"] == 6
+    # a raw Python value is a literal (not an AttributeError)
+    W.update_snapshot(spark, tbl, {"v": 7}, "id = 5")
+    assert {
+        r.v for r in W.read_parquet_snapshot(spark, tbl).collect()
+        if r.id == 5
+    } == {7}
+    W.update_snapshot(spark, tbl, {"v": "id * 2"}, "id = 5")  # restore v
     got = {r.id: r.v for r in W.read_parquet_snapshot(spark, tbl).collect()}
     assert got == {0: 100, 1: 102, 2: 104, 3: 6, 4: 8, 5: 10}
     # pre-update evaluation: a swap is exact, and predicate None = all
@@ -428,6 +474,41 @@ def test_shallow_clone(spark, tmp_path):
     assert out["dropped_versions"] == [1, 2]
     assert out["removed_files"] == 1
     assert _ids(W.read_parquet_snapshot(spark, src)) == list(range(20))
+
+
+def test_clone_of_evolved_table_feeds_real_values(spark, tmp_path):
+    """Review r13: a clone's v1 inherits the source's EVOLVED
+    mixed-schema file list — the feed's v1 initial-content read must
+    merge-read it, not sample one pre-evolution footer and null out the
+    evolved column for every row."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    W.write_parquet_snapshot(_df(spark, 0, 3), src)
+    wide = spark.range(3, 6).selectExpr(
+        "id", "id * 2 AS v", "id * 10 AS w"
+    ).coalesce(1)
+    W.write_parquet_snapshot(
+        wide, src, mode="append", allow_schema_evolution=True
+    )
+    W.clone_snapshot(spark, src, dst)
+    rows = {r.id: r.w for r in W.snapshot_changes(spark, dst, 0).collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_vacuum_ownership_guard_normalizes_spelling(spark, tmp_path):
+    """Review r13: the ownership guard compares ABSOLUTE normalized
+    paths — a vacuum invoked with a differently-SPELLED path to the
+    same table (./ segments, redundant separators) must still reclaim
+    the table's own dropped files, not silently skip them as foreign.
+    (Relative paths are resolved against the calling process's cwd —
+    pass the same spelling writes used, preferably absolute.)"""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 5), tbl)
+    W.write_parquet_snapshot(_df(spark, 5, 8), tbl)  # v2 overwrite
+    spelled = str(tmp_path) + "/./tbl"
+    out = W.vacuum_parquet_snapshots(spelled, keep=1, orphan_grace_sec=0)
+    assert out["dropped_versions"] == [1]
+    assert out["removed_files"] == 1
 
 
 def test_clone_materialization_survives_source_vacuum(spark, tmp_path):
