@@ -32,78 +32,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-13 window (VERDICT r12 Next-round #1, serving the plan
-# committed in VERDICT r11 #1): the 1 query registered DURING round 12
-# (never driver-attested — the standing never-attested-first
-# principle) comes first; then the 7 r8-stale names spilled past the
-# r12 cut; then the FIRST 42 of the 50 r9-attested names in their
-# CORRECTNESS_r09 order. 1 + 7 + 42 = 50 exactly; the committed
-# round-14 head is the two round-13 registrations in _NEXT_WINDOW_FIRST
-# (never-attested first — the standing overflow rule), then the 8 r9
-# names past the cut, then the r10-stale names in their CORRECTNESS_r10
-# order (2 + 8 + 40 = 50; the last 10 r10 names spill to r15).
-# `ml01_classifier_bench` (last
-# attested r5) stays out of the rotation by design — it is the
-# rows-only query, so a window slot buys no hash attestation. The cut
-# point is COMPUTED in _ordered_names (pinned by
+# Round-14 window (VERDICT r13 Next-round #1): o15 leads — its r13
+# attestation FAILED on an oracle typing bug (DuckDB HUGEINT → float64
+# hash mismatch; the oracle is fixed this round) and a failed
+# attestation outranks never-attested. Then the two round-13
+# registrations (never driver-attested — the standing
+# never-attested-first principle), then the 8 r9-stale names spilled
+# past the r13 cut, then the FIRST 39 of the 50 r10-attested names in
+# their CORRECTNESS_r10 order. 3 + 8 + 39 = 50 exactly; the committed
+# round-15 head is the 11 r10 names past the cut, then the 50
+# r11-attested names in their CORRECTNESS_r11 order (11 + 39 fill a
+# clean r15 window; the last 11 r11 names spill to r16).
+# `ml01_classifier_bench` (last attested r5) stays out of the rotation
+# by design — it is the rows-only query, so a window slot buys no hash
+# attestation. The cut point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST = [
-    # registered during round 12, never driver-attested — attestation
-    # required; order as committed in VERDICT r11 #7 / r12 #1
+    # FAILED r13 attestation (oracle typing, fixed in this round) —
+    # re-attestation required ahead of everything else
     "o15_schema_evolution",
-]
-
-# Queries registered DURING round 13, after the window above was
-# committed — per the standing overflow rule they queue BEHIND the
-# window (local parity covers them until then) instead of displacing a
-# committed stale name. They are never-attested, so the ROUND-14 window
-# must lead with them (move them into _PRIORITY_FIRST when rotating),
-# ahead of the r9/r10-stale queue below.
-_NEXT_WINDOW_FIRST: list[str] = [
-    # r13 registrations (verified at sf0.1 like o15 was): data skipping
-    # + clustered compaction + change data feed on the MVCC table, and
-    # the snapshot-table STREAMING SOURCE (e15's read-side twin)
+    # registered during round 13, never driver-attested; order as
+    # committed in _NEXT_WINDOW_FIRST last round / VERDICT r13 #1
     "o16_data_skipping",
     "e18_snapshot_stream_source",
 ]
+
+# Queries registered DURING round 14, after the window above was
+# committed — per the standing overflow rule they queue BEHIND the
+# window (local parity covers them until then) instead of displacing a
+# committed stale name. Round 14 holds new registrations to 0
+# (VERDICT r13 #6), so this is empty by plan.
+_NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the 7 r8-stale names spilled past the r12 cut (stalest in the
-    # rotation), exact order agreed in VERDICT r11 #1 / r12 #1
-    "w05_moving_frame", "f06_posexplode_roundtrip",
-    "sql01_subquery", "f13_null_handling", "o04_deterministic_sample",
-    "a16_percentiles", "sql02_file_scan",
-    # last attested round 9, in their CORRECTNESS_r09 order; the first
-    # WINDOW − 1 − 7 = 42 fill the round-13 window (cut after
-    # m03_frame_sample), the remaining 8 lead the committed round-14
-    # head
-    "t16_quality_audit_frame", "d19_chunk_ingest_incremental",
-    "d20_band_ingest_incremental", "w06_distribution_ranks",
-    "a18_theta_sketch_setops", "t09_tfidf_top_terms", "t11_chunk_text",
-    "t12_quality_gate", "d01_exact_dedup", "d02_minhash_lsh",
-    "d07_dup_clusters", "d11_incremental_dedup", "d09_decontaminate",
-    "d10_dedup_keep_best", "d03_ngram_jaccard", "d04_simhash",
-    "d06_simhash_neardup", "s01_cosine_topk", "s02_bucketed_topk",
-    "d05_embedding_neardup", "m01_binary_stats", "m02_image_decode_stats",
-    "t10_sequence_packing", "m05_audio_frame_energy", "a09_distinct",
-    "w01_latest_per_group", "w02_running_sum", "f14_variant_json",
-    "j04_latest_via_join_equiv", "u07_mlp_inference",
-    "d12_decontaminated_split", "d13_fuzzy_dedup_resolve",
-    "o06_temperature_mixture", "t13_token_surprisal",
-    "sql03_recursive_calendar", "sql04_lateral_topn",
-    "e09_session_window_native", "f15_map_functions",
-    "a15_approx_count_distinct", "a17_hll_mergeable_sketch",
-    "ml02_confusion_matrix", "m03_frame_sample",
-    # ---- round-14 head continues here (after the two never-attested
-    # r13 registrations in _NEXT_WINDOW_FIRST): the 8 r9-stale names
-    # past the r13 cut, then the 50 r10-attested names in their
-    # CORRECTNESS_r10 order (2 + 8 + 40 = 50; the last 10 spill to
-    # r15) ----
+    # the 8 r9-stale names spilled past the r13 cut (stalest in the
+    # rotation), in their CORRECTNESS_r09 order — VERDICT r12 #1 / r13 #1
     "m04_real_bmp_roundtrip",
     "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
     "p05_derived_cast", "p09_recode", "p11_filter_isin",
     "p12_compound_predicate",
-    # last attested round 10, in their CORRECTNESS_r10 order
+    # last attested round 10, in their CORRECTNESS_r10 order; the first
+    # WINDOW − 3 − 8 = 39 fill the round-14 window (cut after
+    # a19_approx_percentile_rankcheck), the remaining 11 lead the
+    # committed round-15 head
     "a27_approx_top_k_mergeable", "u15_python_udtf",
     "j11_lateral_join_api", "a28_listagg_within_group",
     "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
@@ -119,11 +90,38 @@ _STALE_QUEUE = [
     "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
     "t06_top_bigrams", "u08_arrow_batch_transform",
     "a20_kll_mergeable_quantiles", "a19_approx_percentile_rankcheck",
+    # ---- round-15 head continues here: the 11 r10-stale names past
+    # the r14 cut, then the 50 r11-attested names in their
+    # CORRECTNESS_r11 order (11 + 39 = 50; the last 11 spill to
+    # r16) ----
     "d14_chunk_dedup_keep_first", "a21_unpivot_melt",
     "ml03_regression_metrics", "u09_arrow_scalar_udf",
     "sql05_lateral_view_tokens", "e10_view_purchase_outer",
     "w07_time_range_frame", "f16_array_lambda", "u10_except_all",
     "u11_intersect_all", "o07_zorder_cells",
+    # last attested round 11, in their CORRECTNESS_r11 order
+    "o11_budgeted_mixture", "j12_runtime_filter", "sql11_sql_body_udf",
+    "d22_compacted_ingest", "o12_weighted_reservoir",
+    "d23_contamination_report", "j13_asof_nearest", "d24_minhash_error",
+    "f21_interval_arithmetic", "o13_snapshot_time_travel",
+    "g01_pagerank_fixedpoint", "t17_langid_confusion",
+    "a29_weighted_quantiles", "e15_snapshot_sink_stream",
+    "d25_cluster_size_audit", "ml05_calibration_bins",
+    "e16_scd2_stream_enrichment", "sql12_unpivot_clause",
+    "sql13_named_parameters", "j08_full_outer",
+    "u12_union_schema_evolution", "a22_countmin_heavy_hitters",
+    "o08_quality_weighted_sample", "ml04_kfold_assignment",
+    "p17_summary_stats", "a23_corr_covar", "f17_fuzzy_recode",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q10_returned_items", "j01_left_join", "j02_semi_join",
+    "j03_anti_join", "j05_salted_join_equiv", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
+    "q18_large_volume", "q19_discounted_revenue",
+    "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
+    "q20_potential_promotion",
 ]
 
 # the driver's attestation window

@@ -1533,24 +1533,36 @@ def o14_snapshot_lifecycle(spark, sf_dir):
     # recomputes every aggregate from the source, so wrong null padding,
     # a dropped column, an un-refused drift, or a compaction that
     # changed values all flip the hash.
+    # Every scalar-subquery branch is CAST to BIGINT (the o16 style):
+    # DuckDB types SUM(BIGINT) as HUGEINT, the UNION ALL promotes the
+    # whole `value` column, and a pandas/arrow fetch materializes
+    # HUGEINT as float64 — which value-hash-mismatches Spark's int64
+    # even when all values agree (the sole r13 driver red;
+    # VERDICT r13 What's-wrong #1).
     oracle="""
     SELECT 'v1_cols' AS metric, CAST(2 AS BIGINT) AS value
     UNION ALL SELECT 'evolved_flag_v2', 1
     UNION ALL SELECT 'latest_docs',
-        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 IN (0, 1))
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 5 IN (0, 1))
     UNION ALL SELECT 'latest_sum_id',
-        (SELECT SUM(doc_id) FROM documents WHERE doc_id % 5 IN (0, 1))
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+         WHERE doc_id % 5 IN (0, 1))
     UNION ALL SELECT 'lang_null_docs',
-        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 5 = 0)
     UNION ALL SELECT 'sum_chars',
-        (SELECT SUM(n_chars) FROM documents WHERE doc_id % 5 IN (0, 1))
+        (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+         WHERE doc_id % 5 IN (0, 1))
     UNION ALL SELECT 'drift_refused', 1
     UNION ALL SELECT 'compact_files', 1
     UNION ALL SELECT 'compact_evolved_flag', 0
     UNION ALL SELECT 'postcompact_docs',
-        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 IN (0, 1))
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 5 IN (0, 1))
     UNION ALL SELECT 'postcompact_lang_null',
-        (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id % 5 = 0)
     """,
 )
 def o15_schema_evolution(spark, sf_dir):

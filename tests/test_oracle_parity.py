@@ -7,7 +7,7 @@ import pytest
 
 from pyspark_bigdata_sars_cov_2_analysis_spark import plans
 from tests.conftest import SF_TEST
-from tests.oracle_harness import compare
+from tests.oracle_harness import compare, duck_connection
 
 CASES = sorted(plans.ORACLES)
 
@@ -26,3 +26,33 @@ def test_rows_only_queries_run(spark):
     for name in sorted(rows_only):
         df = plans.QUERIES[name](spark, SF_TEST)
         assert df.count() >= 0, name
+
+
+def test_no_oracle_hugeint_columns():
+    """Registry-wide oracle type-hygiene gate (VERDICT r13 #3).
+
+    DuckDB types SUM(BIGINT) as HUGEINT; a UNION ALL then silently
+    promotes the whole column, and the driver's pandas/arrow fetch
+    materializes HUGEINT as float64 — a value-hash mismatch that the
+    rows/schema compare (and this file's fetchall-based local parity,
+    which gets Python ints either way) cannot see. That exact widening
+    was the sole r13 driver red (o15). Resolve every oracle's output
+    types driver-side (lazy relation — no execution) and refuse
+    HUGEINT/UHUGEINT anywhere in the result schema; uncast SUMs must be
+    wrapped in CAST(... AS BIGINT) at the source.
+    """
+    con = duck_connection(SF_TEST)
+    offenders = {}
+    for name in CASES:
+        rel = con.sql(plans.ORACLES[name])
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with HUGEINT-typed result columns (hash as float64 in "
+        f"the driver's pandas fetch — CAST them to BIGINT): {offenders}"
+    )
