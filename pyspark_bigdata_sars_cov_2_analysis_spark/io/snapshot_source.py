@@ -136,6 +136,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         )
                     prev_files = set(base["files"])
                 new_files = sorted(set(m["files"]) - prev_files)
+            elif mode is None:
+                # legacy pre-mode manifest: the version's relationship to
+                # its predecessor is unknowable, so neither the append
+                # fast path nor the rewrite skip applies — name the real
+                # condition instead of calling it "a None rewrite"
+                # (ADVICE r13)
+                raise ValueError(
+                    f"snapshot v{v} at {self.path} predates mode-stamped "
+                    "manifests, so the stream cannot tell appends from "
+                    "rewrites — compact the table once to stamp a mode, "
+                    f"or restart with starting_version={v} to resume "
+                    "after it"
+                )
             elif self.ignore_changes:
                 prev_files = set(m["files"])
                 continue

@@ -1741,12 +1741,21 @@ def compact_parquet_snapshot(
         src = _latest_manifest(path)  # one JSON read per attempt
         if src is None:
             raise FileNotFoundError(f"no snapshots published at {path}")
-        if cluster_by and src.get("schema") is not None:
-            unknown = set(cluster_by) - {c for c, _t in src["schema"]}
+        if cluster_by:
+            # legacy pre-schema manifests record no schema — resolve it
+            # from the file footers (plan-only dtypes probe, the same
+            # fallback snapshot_changes uses) so the eager unknown-column
+            # / non-numeric-dimension / __z-collision refusals below
+            # still fire instead of degrading to a constant span or a
+            # mid-job cast error (ADVICE r13)
+            tbl_schema = src.get("schema") or [
+                list(p) for p in _read_snapshot_files(spark, src).dtypes
+            ]
+            unknown = set(cluster_by) - {c for c, _t in tbl_schema}
             if unknown:
                 raise ValueError(
                     f"cluster_by columns {sorted(unknown)} not in the "
-                    f"snapshot schema {[c for c, _t in src['schema']]}"
+                    f"snapshot schema {[c for c, _t in tbl_schema]}"
                 )
             if cluster_strategy == "zorder":
                 # Morton quantization casts coordinates to double — a
@@ -1754,7 +1763,7 @@ def compact_parquet_snapshot(
                 # constant span (no pruning on the promised column) or
                 # throw a mid-job ANSI cast error (review r13); refuse
                 # eagerly instead
-                types = dict(src["schema"])
+                types = dict(tbl_schema)
                 if "__z" in types:
                     # withColumn would REPLACE the data column with the
                     # Morton code and drop() would delete it — silent
@@ -2281,8 +2290,10 @@ def clone_snapshot(
 ) -> dict:
     """SHALLOW CLONE: create a NEW snapshot table at ``dst_path`` whose
     v1 manifest references the source version's files verbatim — zero
-    bytes copied, the transactional-format pattern for forking a 100 TB
-    table into a dev/test/experiment branch in O(1). The clone is a
+    bytes copied and no data scan (one tiny footer read per referenced
+    file, the vacuum-race verification), the transactional-format
+    pattern for forking a 100 TB table into a dev/test/experiment
+    branch at metadata cost. The clone is a
     fully independent table from then on: appends/DML/compaction write
     into ITS data root, the source's history and replay guard are
     untouched (a clone starts a fresh lineage — no ``src_batch`` is
@@ -2334,12 +2345,28 @@ def clone_snapshot(
         )
     # the clone names files it did not write (restore's discipline): a
     # source vacuum racing the clone could have deleted them — verify
-    # before publishing an unreadable table
-    readback = _read_snapshot_files(spark, src).count()
+    # before publishing an unreadable table. Driver-side FOOTER reads,
+    # O(files) and no Spark job (ADVICE r13: a full count() scan made
+    # "zero bytes copied in O(1)" cost one table scan at 100 TB); a
+    # vacuumed file surfaces as an unreadable footer, a truncated /
+    # swapped one as a row-count mismatch — the same races the scan
+    # caught, at metadata cost.
+    import pyarrow.parquet as _pq
+
+    readback = 0
+    for f in src["files"]:
+        try:
+            readback += _pq.ParquetFile(_local_path(f)).metadata.num_rows
+        except Exception as exc:
+            raise RuntimeError(
+                f"clone verification failed: {src_path} v{src['version']} "
+                f"references {f}, which is missing or unreadable — the "
+                f"version was likely vacuumed mid-clone"
+            ) from exc
     if readback != src["rows"]:
         raise RuntimeError(
             f"clone verification failed: {src_path} v{src['version']} "
-            f"records {src['rows']} rows but its files read back "
+            f"records {src['rows']} rows but its file footers total "
             f"{readback} — the version was likely vacuumed mid-clone"
         )
     _os.makedirs(_snap_path(dst_path), exist_ok=True)

@@ -748,3 +748,66 @@ def test_change_feed_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collides"):
         W.snapshot_changes(spark, tbl3, 1)
+
+
+def _strip_manifest_key(tbl, version, key):
+    import json
+
+    mpath = os.path.join(tbl, "_snapshots", f"v{version:08d}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m[key]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+
+def test_clustered_compact_validates_on_preschema_manifest(spark, tmp_path):
+    """ADVICE r13: cluster_by/zorder validation (unknown columns,
+    non-numeric dimensions, __z collision) must still fire on a legacy
+    manifest that records no schema — resolved from the file footers
+    (plan-only dtypes probe) instead of silently skipping straight to a
+    degraded or mid-job-failing rewrite."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 6), tbl)
+    _strip_manifest_key(tbl, 1, "schema")
+    with pytest.raises(ValueError, match="not in the snapshot schema"):
+        W.compact_parquet_snapshot(spark, tbl, cluster_by=["nope"])
+    # non-numeric zorder dimension refused eagerly on the same
+    # schema-less manifest
+    tbl2 = str(tmp_path / "tbl2")
+    W.write_parquet_snapshot(
+        spark.range(0, 6)
+        .selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1),
+        tbl2,
+    )
+    _strip_manifest_key(tbl2, 1, "schema")
+    with pytest.raises(ValueError, match="numeric"):
+        W.compact_parquet_snapshot(
+            spark, tbl2, target_files=2,
+            cluster_by=["id", "s"], cluster_strategy="zorder",
+        )
+    # a VALID clustered compaction still works without a recorded schema
+    res = W.compact_parquet_snapshot(
+        spark, tbl, target_files=2, cluster_by=["id"]
+    )
+    assert res["compacted"] and res["files_after"] == 2
+    assert _ids(W.read_parquet_snapshot(spark, tbl)) == list(range(6))
+
+
+def test_clone_verifies_driver_side_and_catches_vacuum_race(spark, tmp_path):
+    """ADVICE r13: clone verification is per-file FOOTER row counts —
+    O(files) metadata reads, no Spark job (spark=None proves no session
+    is touched) — and still refuses a source vacuumed mid-clone."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    W.write_parquet_snapshot(_df(spark, 0, 5), src)
+    res = W.clone_snapshot(None, src, dst)
+    assert res["rows"] == 5 and res["version"] == 1
+    assert _ids(W.read_parquet_snapshot(spark, dst)) == list(range(5))
+    # vacuum race: a referenced file disappears between manifest load
+    # and publish — the footer check refuses before linking
+    v1 = W._load_manifest(src, 1)
+    os.remove(v1["files"][0].removeprefix("file:"))
+    with pytest.raises(RuntimeError, match="vacuumed mid-clone"):
+        W.clone_snapshot(None, src, str(tmp_path / "dst2"))
+    assert W._manifest_versions(str(tmp_path / "dst2")) == []

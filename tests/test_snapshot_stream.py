@@ -154,3 +154,38 @@ def test_stream_starting_version_and_vacuum_refusal(spark, tmp_path):
     )
     with pytest.raises(Exception, match="vacuumed"):
         q.awaitTermination(120)
+
+
+def test_stream_refuses_legacy_premode_manifest(spark, tmp_path):
+    """ADVICE r13: a manifest without a 'mode' key (legacy pre-mode
+    tables) is an unsupported-manifest condition, not "a None rewrite" —
+    the refusal names the real case, and ignore_changes must NOT skip
+    it (the version could be an append whose rows would then silently
+    vanish from the stream)."""
+    import json
+    import os
+
+    register_snapshot_stream(spark)
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    W.write_parquet_snapshot(_df(spark, 3, 6), tbl, mode="append")
+    mpath = os.path.join(tbl, "_snapshots", "v00000002.json")
+    with open(mpath) as fh:
+        legacy = json.load(fh)
+    del legacy["mode"]
+    with open(mpath, "w") as fh:
+        json.dump(legacy, fh)
+    for n, opts in enumerate(({}, {"ignore_changes": "true"})):
+        reader = spark.readStream.format("snapshot_stream")
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load(tbl)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{n}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="mode-stamped"):
+            q.awaitTermination(120)
