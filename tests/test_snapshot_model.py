@@ -123,6 +123,13 @@ def _check_version(spark, tbl, model_version, version, pruned=False):
 # r13 decision pin: an overwrite is a lineage BARRIER — the publish
 # after it restarts at batch id 0 and must not be swallowed
 @example([("publish_new", None), ("overwrite", "narrow"), ("publish_new", None)])
+# r14: a mix whose feed carries deletes AND an update's delete/insert
+# pair — the where=-restricted fold must still reconstruct the filtered
+# latest (filter-commutes-with-diff, VERDICT r13 #8)
+@example([
+    ("overwrite", "narrow"), ("append_same", None),
+    ("delete_even", None), ("merge", None),
+])
 @settings(max_examples=10, deadline=None)
 def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
     tbl = str(tmp_path_factory.mktemp("snap_model") / "tbl")
@@ -450,3 +457,35 @@ def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
             for row in _expected_rows(latest_model).values()
         )
         assert folded == expected, "change feed does not fold to latest"
+
+        # r14 (VERDICT r13 #8 stretch): where= must COMMUTE with the
+        # diff — folding a range-restricted feed reconstructs the
+        # latest version's row multiset restricted to the same range,
+        # under the same random interleavings (previously unit-pinned
+        # only). Updates keep their id, so a delete/insert pair never
+        # straddles the range boundary and the fold stays consistent.
+        latest_rows = _expected_rows(latest_model)
+        latest_ids = sorted(latest_rows)
+        if latest_ids:
+            lo, hi = latest_ids[0], latest_ids[len(latest_ids) // 2]
+            sub = W.snapshot_changes(spark, tbl, 0, where={"id": (lo, hi)})
+            folded_sub: Counter = Counter()
+            for r in sub.collect():
+                key = tuple(r[c] for c in cols)
+                folded_sub[key] += (
+                    1 if r["_change_type"] == "insert" else -1
+                )
+            negative_sub = {k: c for k, c in folded_sub.items() if c < 0}
+            assert not negative_sub, (
+                f"restricted feed deleted rows it never inserted: "
+                f"{negative_sub}"
+            )
+            expected_sub = Counter(
+                tuple(row.get(c) for c in cols)
+                for i, row in latest_rows.items()
+                if lo <= i <= hi
+            )
+            assert +folded_sub == expected_sub, (
+                f"where-restricted feed does not fold to the filtered "
+                f"latest on id∈[{lo},{hi}]"
+            )
