@@ -2312,7 +2312,11 @@ def clone_snapshot(
     everything into its own data root — ``force`` because an
     already-small clone would otherwise no-op and keep the dependency)
     before the source vacuums. Refuses a ``dst_path`` that already has
-    snapshots (clone creates tables, it doesn't overwrite them)."""
+    snapshots (clone creates tables, it doesn't overwrite them).
+
+    ``spark`` is accepted for signature symmetry with the other
+    snapshot ops but unused — the whole clone is driver-side manifest
+    and footer work (``spark=None`` is fine and the test proves it)."""
     import os as _os
     import time as _time
 
