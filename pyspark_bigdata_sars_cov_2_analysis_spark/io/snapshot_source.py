@@ -141,13 +141,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 # its predecessor is unknowable, so neither the append
                 # fast path nor the rewrite skip applies — name the real
                 # condition instead of calling it "a None rewrite"
-                # (ADVICE r13)
+                # (ADVICE r13). Manifests are immutable, so v itself can
+                # never gain a mode — the only remediation is to resume
+                # PAST it (review r14: "compact once to stamp a mode"
+                # publishes a NEW manifest and would leave this same
+                # error on every restart)
                 raise ValueError(
                     f"snapshot v{v} at {self.path} predates mode-stamped "
                     "manifests, so the stream cannot tell appends from "
-                    "rewrites — compact the table once to stamp a mode, "
-                    f"or restart with starting_version={v} to resume "
-                    "after it"
+                    "rewrites; its manifest is immutable and can never "
+                    f"gain a mode — restart with starting_version={v} "
+                    "to resume after it"
                 )
             elif self.ignore_changes:
                 prev_files = set(m["files"])

@@ -6,13 +6,14 @@ is re-verified locally at 10x that scale).
 
 Not a pytest module (no ``test_`` prefix) — a one-shot runner:
 
-    python tests/run_sf01_rehearsal.py [sf_dir]
+    python tests/run_sf01_rehearsal.py [sf_dir] [summary_out.json]
 
 Protocol (matches the recorded BASELINE_BENCH protocol_notes entries):
 ``spark.driver.memory=8g`` (d06 emits 5.25M pairs at sf0.1 and the
 harness collects results — the 1g default driver dies), ``local[32]``,
-``clearCache()`` + ``release_plan_caches()`` between queries. Writes a
-JSON summary next to the log and prints one ``REHEARSAL:{...}`` line.
+``clearCache()`` + ``release_plan_caches()`` between queries. Prints
+one ``REHEARSAL:{...}`` summary line to stdout; pass a second argument
+to also write that summary as a JSON file.
 """
 
 from __future__ import annotations
@@ -70,6 +71,9 @@ def main() -> int:
         "secs": round(time.time() - t0, 1),
     }
     print("REHEARSAL:" + json.dumps(out))
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as fh:
+            json.dump(out, fh, indent=1)
     spark.stop()
     return 1 if fail else 0
 
