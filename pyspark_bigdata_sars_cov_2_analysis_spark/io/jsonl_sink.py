@@ -88,7 +88,18 @@ class PartCommit(WriterCommitMessage):
 class JsonLinesWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
-        self.overwrite = overwrite
+        if overwrite:
+            # the sink is versioned-APPEND by design: every committed job
+            # adds an immutable _manifest-NNNNN.json and re-points
+            # _SUCCESS; silently treating overwrite as append left prior
+            # jobs' parts mixed into the directory for any non-manifest
+            # reader (review r14) — refuse instead of lying
+            raise ValueError(
+                "jsonl_dir is a versioned-append sink (every job appends "
+                "an immutable manifest version; read_jsonl_manifest "
+                "follows the latest) — use mode('append'); to start "
+                "fresh, write to a new directory"
+            )
 
     def write(self, iterator) -> PartCommit:
         """Executor-side: stream rows to a uniquely named staging file.
@@ -131,9 +142,14 @@ class JsonLinesWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         """Driver-side on job failure: best-effort staging cleanup; the
-        manifest is never written, so nothing was published."""
+        manifest is never written, so nothing was published. Failed
+        tasks contribute ``None`` commit messages (the DataSourceWriter
+        contract) — skip them or the abort itself raises and masks the
+        original failure (review r14)."""
         staging = os.path.join(self.path, STAGING)
         for m in messages:
+            if m is None:
+                continue  # a FAILED task has no staged part to clean
             try:
                 os.remove(os.path.join(staging, m.part))
             except OSError:

@@ -20,10 +20,12 @@ count is known by construction, which no sampled real corpus gives you.
 ``k == 1`` is rejected: every doc copying its neighbor degenerates into a
 chain of all-distinct texts.
 
-``hot_every=h`` (h >= 1) plants a SKEWED shingle: every doc_id divisible
-by h gets the fixed phrase "the of and" prepended (words outside the
-vocabulary, so exactly one fully-hot 3-shingle), giving that shingle a
-document frequency of ~n/h — the hot-key regime where naive
+``hot_every=h`` (h >= 1) plants a SKEWED shingle: every doc whose BASE
+id (the id whose text it carries — so planted duplicate pairs stay
+byte-identical under any knob combination) is divisible by h gets the
+fixed phrase "the of and" prepended (words outside the vocabulary, so
+exactly one fully-hot 3-shingle), giving that shingle a document
+frequency of ~n/h — the hot-key regime where naive
 inverted-index candidate generation expands ~(n/h)²/2 pairs and a
 prefix-filtered variant must win. This is the ground-truth corpus for
 the jaccard auto-dispatch skew probe (README scale-probe table).
@@ -64,16 +66,34 @@ def _doc_text(seed: int, base_id: int, doc_len: int) -> str:
     return " ".join(rng.choice(_VOCAB) for _ in range(doc_len))
 
 
+def _validate_dup_every(dup_every: int) -> int:
+    """Shared by the batch AND streaming readers (review r14: the
+    stream accepted the degenerate corpus the batch reader refuses, so
+    a streamed-vs-batch comparison of "the same corpus" diverged —
+    batch raised, stream yielded zero planted duplicates)."""
+    if dup_every == 1:
+        raise ValueError(
+            "dup_every=1 makes every doc copy its neighbor — a chain of "
+            "all-distinct texts, no duplicates; use dup_every >= 2"
+        )
+    return dup_every
+
+
 def _doc_row(
     seed: int, doc_id: int, doc_len: int, dup_every: int, hot_every: int
 ) -> tuple:
     """One deterministic row — shared by the batch and streaming readers
-    so the two surfaces emit byte-identical corpora."""
+    so the two surfaces emit byte-identical corpora. The hot prefix is
+    keyed on the BASE id (review r14): keying it on doc_id broke the
+    dup_every ground truth whenever both knobs were set — a planted
+    pair where exactly one id was divisible by hot_every got the prefix
+    on one side only, so the copies were no longer exact duplicates and
+    the documented two-copy-group count undercounted."""
     base = doc_id
     if dup_every and doc_id % dup_every == 0:
         base = doc_id + 1  # planted exact duplicate of a neighbor
     text = _doc_text(seed, base, doc_len)
-    if hot_every and doc_id % hot_every == 0:
+    if hot_every and base % hot_every == 0:
         text = "the of and " + text
     lang = _LANGS[random.Random(f"{seed}:lang:{doc_id}").randrange(len(_LANGS))]
     return (doc_id, text, lang, len(text))
@@ -84,12 +104,7 @@ class SyntheticDocsReader(DataSourceReader):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("parts", 8))
         self.doc_len = int(options.get("doc_len", 30))
-        self.dup_every = int(options.get("dup_every", 0))
-        if self.dup_every == 1:
-            raise ValueError(
-                "dup_every=1 makes every doc copy its neighbor — a chain of "
-                "all-distinct texts, no duplicates; use dup_every >= 2"
-            )
+        self.dup_every = _validate_dup_every(int(options.get("dup_every", 0)))
         self.hot_every = int(options.get("hot_every", 0))
         self.seed = int(options.get("seed", 7))
         # id range after filter pushdown; [0, n) until pushFilters narrows
@@ -180,7 +195,7 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 1000))
         self.doc_len = int(options.get("doc_len", 30))
-        self.dup_every = int(options.get("dup_every", 0))
+        self.dup_every = _validate_dup_every(int(options.get("dup_every", 0)))
         self.hot_every = int(options.get("hot_every", 0))
         self.seed = int(options.get("seed", 7))
         self.batch_size = int(options.get("batch_size", 100))

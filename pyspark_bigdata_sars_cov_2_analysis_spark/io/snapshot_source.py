@@ -151,7 +151,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "manifests, so the stream cannot tell appends from "
                     "rewrites; its manifest is immutable and can never "
                     f"gain a mode — restart with starting_version={v} "
-                    "to resume after it"
+                    "AND a fresh checkpointLocation (a checkpointed "
+                    "stream resumes from its offset log and would hit "
+                    "this version again)"
                 )
             elif self.ignore_changes:
                 prev_files = set(m["files"])
@@ -160,8 +162,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"snapshot v{v} at {self.path} is a {mode} rewrite — "
                     "an insert-only stream cannot represent it; restart "
-                    f"with starting_version={v} to resume after it, or "
-                    "pass ignore_changes=true to skip rewrites"
+                    f"with starting_version={v} and a FRESH "
+                    "checkpointLocation to resume after it (a "
+                    "checkpointed stream replays its offset log and "
+                    "hits this version again), or pass "
+                    "ignore_changes=true to skip rewrites under the "
+                    "same checkpoint"
                 )
             parts.extend(InputPartition(f) for f in new_files)
             prev_files = set(m["files"])
@@ -211,6 +217,15 @@ class SnapshotStreamDataSource(DataSource):
         return "snapshot_stream"
 
     def _manifest_schema(self) -> list:
+        # resolved ONCE and reused by schema() AND streamReader()
+        # (review r14): Spark calls the two separately at stream
+        # definition, and a schema-evolution publish landing between
+        # them would hand the reader more columns than the query's
+        # pinned schema — Arrow batches would misalign on the first
+        # micro-batch
+        cached = getattr(self, "_schema_cache", None)
+        if cached is not None:
+            return cached
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_stream needs a path: .load(<table>)")
@@ -223,6 +238,7 @@ class SnapshotStreamDataSource(DataSource):
                 f"snapshot table at {path} predates manifest schemas — "
                 "compact it once to record one"
             )
+        self._schema_cache = schema
         return schema
 
     def schema(self) -> str:

@@ -832,20 +832,57 @@ def _prune_files(files: list, stats: dict, bounds: dict) -> list:
     ]
 
 
+_ISO_DATE = None  # compiled lazily; module imports stay top-light
+
+
+def _temporal_shape(s):
+    """'date' / 'datetime' for ISO-8601-shaped strings, else None."""
+    import re
+
+    global _ISO_DATE
+    if _ISO_DATE is None:
+        _ISO_DATE = (
+            re.compile(r"\d{4}-\d{2}-\d{2}$"),
+            re.compile(r"\d{4}-\d{2}-\d{2}[T ]"),
+        )
+    if _ISO_DATE[0].match(s):
+        return "date"
+    if _ISO_DATE[1].match(s):
+        return "datetime"
+    return None
+
+
 def _file_may_match(stats_entry: dict | None, col: str, lo, hi) -> bool:
     """Can a file whose manifest stats are ``stats_entry`` contain a row
     with ``lo <= col <= hi`` (None = unbounded side)? Missing stats or
     an un-orderable comparison answer YES — pruning is only ever an
     optimization, never the correctness mechanism (the read applies the
-    real filter regardless)."""
+    real filter regardless).
+
+    Date-vs-datetime refusal (review r14): both serialize as ISO-8601,
+    but the two SHAPES order inconsistently as raw strings —
+    ``'2020-01-02T00:00:00' > '2020-01-02'`` lexicographically even
+    though the SQL comparison promotes the date to midnight and says
+    EQUAL, so a ``date`` bound on a timestamp-stats column (or the
+    mirror) could prune a file whose rows the real predicate matches.
+    Any comparison that would cross the two shapes answers YES instead.
+    A genuine STRING column whose values merely look like dates loses a
+    prune opportunity, never a row."""
     rng = (stats_entry or {}).get(col)
     if rng is None:
         return True
     mn, mx = rng
-    try:
-        if lo is not None and mx < lo:
+
+    def _cross_shaped(a, b):
+        if not (isinstance(a, str) and isinstance(b, str)):
             return False
-        if hi is not None and mn > hi:
+        sa, sb = _temporal_shape(a), _temporal_shape(b)
+        return sa is not None and sb is not None and sa != sb
+
+    try:
+        if lo is not None and not _cross_shaped(mx, lo) and mx < lo:
+            return False
+        if hi is not None and not _cross_shaped(mn, hi) and mn > hi:
             return False
     except TypeError:
         return True
@@ -892,6 +929,25 @@ def _where_condition(bounds: dict[str, tuple]):
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
     return cond
+
+
+def _validate_cluster_args(
+    cluster_by: list[str] | None, cluster_strategy: str
+) -> None:
+    """Pure value validation shared by ``compact_parquet_snapshot`` and
+    ``streaming_snapshot_sink`` (review r14: the identical block lived
+    in both and the rule/messages could drift)."""
+    if cluster_strategy not in ("range", "zorder"):
+        raise ValueError(
+            f"cluster_strategy must be range|zorder, got {cluster_strategy!r}"
+        )
+    if cluster_strategy == "zorder" and (
+        not cluster_by or len(cluster_by) < 2
+    ):
+        raise ValueError(
+            "cluster_strategy='zorder' needs at least two cluster_by "
+            "columns (one dimension is just a range sort)"
+        )
 
 
 def write_parquet_snapshot(
@@ -1403,16 +1459,23 @@ def vacuum_parquet_snapshots(
                 _os.remove(local)
                 removed_files.append(f)
     # orphan data dirs: referenced by NO manifest (crashed pre-publish
-    # writers); also prune now-empty version dirs
+    # writers); also prune now-empty version dirs. abspath BOTH sides
+    # of the membership test exactly like the ownership compare above
+    # (review r14): manifests record absolute file: paths, so a vacuum
+    # invoked with a RELATIVE table path would otherwise see every LIVE
+    # data dir — the kept latest's included — as "referenced by no
+    # manifest" and rmtree the whole table once past the grace window
     data_root = _os.path.join(base, "data")
     referenced_dirs = {
-        _os.path.dirname(_local_path(f)) for s in snaps for f in s["files"]
+        _os.path.abspath(_os.path.dirname(_local_path(f)))
+        for s in snaps
+        for f in s["files"]
     }
     removed_orphans = []
     now = _time.time()
     if _os.path.isdir(data_root):
         for d in sorted(_os.listdir(data_root)):
-            full = _os.path.join(data_root, d)
+            full = _os.path.abspath(_os.path.join(data_root, d))
             if full not in referenced_dirs:
                 if now - _os.path.getmtime(full) < orphan_grace_sec:
                     continue  # possibly an in-flight writer's data
@@ -1629,17 +1692,7 @@ def streaming_snapshot_sink(
     # pure value validation runs at SINK CONSTRUCTION (review r13):
     # deferring it to the Nth micro-batch's folded compaction would kill
     # a live stream mid-run over a typo the constructor could refuse
-    if cluster_strategy not in ("range", "zorder"):
-        raise ValueError(
-            f"cluster_strategy must be range|zorder, got {cluster_strategy!r}"
-        )
-    if cluster_strategy == "zorder" and (
-        not cluster_by or len(cluster_by) < 2
-    ):
-        raise ValueError(
-            "cluster_strategy='zorder' needs at least two cluster_by "
-            "columns (one dimension is just a range sort)"
-        )
+    _validate_cluster_args(cluster_by, cluster_strategy)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not snapshot_publish_batch(
@@ -1723,17 +1776,7 @@ def compact_parquet_snapshot(
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
-    if cluster_strategy not in ("range", "zorder"):
-        raise ValueError(
-            f"cluster_strategy must be range|zorder, got {cluster_strategy!r}"
-        )
-    if cluster_strategy == "zorder" and (
-        not cluster_by or len(cluster_by) < 2
-    ):
-        raise ValueError(
-            "cluster_strategy='zorder' needs at least two cluster_by "
-            "columns (one dimension is just a range sort)"
-        )
+    _validate_cluster_args(cluster_by, cluster_strategy)
     base = _local_path(path)
     retries = 0
     hwm_cache: dict = {}  # per base version, shared across retries

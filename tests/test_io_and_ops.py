@@ -1277,3 +1277,49 @@ def test_python_datasource_filter_pushdown(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_synthetic_docs_dup_ground_truth_survives_hot_every(spark):
+    """Review r14: the hot prefix was keyed on doc_id, so with BOTH
+    knobs set a planted pair where exactly one id was divisible by
+    hot_every got the prefix on one side only — the copies were no
+    longer exact duplicates and the documented two-copy-group count
+    undercounted. Keyed on the BASE id now: copies stay byte-identical
+    under any knob combination."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    n, k = 400, 5
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("n", n).option("parts", 4)
+        .option("dup_every", k).option("hot_every", 2)
+        .load()
+    )
+    groups = (
+        docs.groupBy("text").count().where("count >= 2").collect()
+    )
+    expected = len(range(0, n - 1, k))
+    assert len(groups) == expected, (
+        f"hot_every broke the dup_every ground truth: "
+        f"{len(groups)} != {expected}"
+    )
+    assert all(r["count"] == 2 for r in groups)
+
+
+def test_synthetic_docs_stream_refuses_dup_every_one(spark):
+    """Review r14: the streaming reader skipped the dup_every=1
+    validation the batch reader enforces, so a streamed-vs-batch
+    comparison of 'the same corpus' diverged (batch raised, stream
+    yielded zero planted duplicates). Both construct through the shared
+    validator now."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.pysource import (
+        SyntheticDocsStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="dup_every=1"):
+        SyntheticDocsStreamReader({"dup_every": "1"})

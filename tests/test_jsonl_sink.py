@@ -126,3 +126,44 @@ def test_snapshot_versions_ignore_stray_manifest_names(spark, tmp_path):
     latest, m = read_jsonl_manifest(spark, out)
     assert m["version"] == 2 and m["rows"] == 2
     assert sorted(r.id for r in latest.collect()) == [3, 4]
+
+
+def test_abort_skips_failed_task_none_messages(tmp_path):
+    """Review r14: per the DataSourceWriter contract a FAILED task's
+    commit message arrives as None — abort must skip it (it has no
+    staged part) and still clean the successful tasks' staging files,
+    instead of raising AttributeError and masking the real failure."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+        STAGING,
+        JsonLinesWriter,
+        PartCommit,
+    )
+
+    out = str(tmp_path / "sink")
+    staging = os.path.join(out, STAGING)
+    os.makedirs(staging)
+    part = "part-deadbeef.jsonl"
+    with open(os.path.join(staging, part), "w") as fh:
+        fh.write('{"id": 1}\n')
+    w = JsonLinesWriter({"path": out}, overwrite=False)
+    w.abort([None, PartCommit(part=part, rows=1), None])
+    assert not os.path.exists(os.path.join(staging, part)), (
+        "successful task's staged part survived abort"
+    )
+
+
+def test_overwrite_mode_refused_as_versioned_append(spark, tmp_path):
+    """Review r14: mode('overwrite') silently behaved as append — prior
+    jobs' parts stayed mixed into the directory for any non-manifest
+    reader. The sink is versioned-append by design; overwrite refuses
+    by name."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.jsonl_sink import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "ow")
+    with pytest.raises(Exception, match="versioned-append"):
+        spark.range(3).write.format("jsonl_dir").option("path", out).mode(
+            "overwrite"
+        ).save()

@@ -1378,3 +1378,21 @@ def test_restore_refuses_vacuumed_source_files(spark, tmp_path):
     assert sorted(
         r.id for r in W.read_parquet_snapshot(spark, tbl).collect()
     ) == [10, 11]
+
+
+def test_vacuum_with_relative_path_keeps_live_data(spark, tmp_path, monkeypatch):
+    """Review r14: the orphan sweep compared the caller's RELATIVE
+    spelling against abspath'd manifest dirs, so a relative-path vacuum
+    saw every LIVE data dir as unreferenced and rmtree'd the whole
+    table once past the grace window. Both sides are abspath'd now —
+    like the ownership compare two lines up already was."""
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 4), tbl)
+    W.write_parquet_snapshot(_df(spark, 4, 8), tbl, mode="append")
+    monkeypatch.chdir(tmp_path)
+    res = W.vacuum_parquet_snapshots("tbl", keep=1, orphan_grace_sec=0)
+    assert res["removed_orphan_dirs"] == [], (
+        "live data dirs were swept as orphans under a relative path"
+    )
+    got = sorted(r.id for r in W.read_parquet_snapshot(spark, tbl).collect())
+    assert got == list(range(8))

@@ -811,3 +811,26 @@ def test_clone_verifies_driver_side_and_catches_vacuum_race(spark, tmp_path):
     with pytest.raises(RuntimeError, match="vacuumed mid-clone"):
         W.clone_snapshot(None, src, str(tmp_path / "dst2"))
     assert W._manifest_versions(str(tmp_path / "dst2")) == []
+
+
+def test_pruning_refuses_date_vs_datetime_shape_mix():
+    """Review r14: dates serialize as '2020-01-02' and naive datetimes
+    as '2020-01-02T00:00:00'; the two shapes order inconsistently as
+    raw strings ('...T00:00:00' > '...'), so a date bound on a
+    timestamp-stats column could prune a file whose midnight row the
+    real predicate (which promotes the date to midnight) matches. A
+    cross-shape comparison must answer KEEP; same-shape comparisons
+    still prune."""
+    ts_stats = {"ts": ["2020-01-02T00:00:00", "2020-01-05T00:00:00"]}
+    # date bound, timestamp stats: upper bound exactly at the file's
+    # midnight min — lexicographically "above" it, semantically EQUAL
+    assert W._file_may_match(ts_stats, "ts", None, "2020-01-02") is True
+    # mirror: date stats, datetime bound at the file's midnight max
+    d_stats = {"d": ["2020-01-01", "2020-01-02"]}
+    assert W._file_may_match(d_stats, "d", "2020-01-02T00:00:00", None) is True
+    # same-shape comparisons still prune as before
+    assert W._file_may_match(ts_stats, "ts", None, "2020-01-01T23:59:59") is False
+    assert W._file_may_match(d_stats, "d", "2020-01-03", None) is False
+    # plain strings that don't look like dates are untouched
+    s_stats = {"s": ["apple", "pear"]}
+    assert W._file_may_match(s_stats, "s", "zebra", None) is False

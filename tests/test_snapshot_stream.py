@@ -189,3 +189,32 @@ def test_stream_refuses_legacy_premode_manifest(spark, tmp_path):
         )
         with pytest.raises(Exception, match="mode-stamped"):
             q.awaitTermination(120)
+
+
+def test_stream_schema_resolved_once_across_evolution_race(spark, tmp_path):
+    """Review r14: Spark calls schema() and streamReader() separately at
+    stream definition; a schema-evolution publish landing between the
+    two calls must not hand the reader more columns than the declared
+    stream schema (misaligned Arrow batches on the first micro-batch).
+    The manifest schema is resolved once and cached on the DataSource
+    instance."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io.snapshot_source import (
+        SnapshotStreamDataSource,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    W.write_parquet_snapshot(_df(spark, 0, 3), tbl)
+    src = SnapshotStreamDataSource({"path": tbl})
+    declared = src.schema()
+    # an evolution publish lands between schema() and streamReader()
+    W.write_parquet_snapshot(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS v", "id AS extra"),
+        tbl, mode="append", allow_schema_evolution=True,
+    )
+    reader = src.streamReader(None)
+    assert reader.columns == ["id", "v"], (
+        "streamReader resolved a fresher manifest than schema() declared"
+    )
+    assert "extra" not in declared
+    # a FRESH definition (new DataSource instance) sees the widened table
+    assert "extra" in SnapshotStreamDataSource({"path": tbl}).schema()
