@@ -111,6 +111,8 @@ def audio_frame_energy(
         for pdf in batches:
             ids, idxs, energies = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: no frames (review r14)
                 _, samples = decode_wav(bytes(payload))
                 n_frames = len(samples) // frame_len
                 frames = (
@@ -158,6 +160,8 @@ def audio_decimate(
         for pdf in batches:
             ids, n_outs, sums = [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: nothing to decimate (review r14)
                 rate, samples = decode_wav(bytes(payload))
                 dec = np.asarray(samples, dtype=np.int64)[::factor]
                 ids.append(int(did))

@@ -139,21 +139,28 @@ def lsh_bands(
 ) -> DataFrame:
     """(id, band, band_sig): concatenate each ``band_rows`` consecutive
     min-hashes into a band signature and unpivot — ``num_hashes/band_rows``
-    small rows per document are all that ever reaches a shuffle."""
+    small rows per document are all that ever reaches a shuffle. When
+    ``band_rows`` does not divide ``num_hashes`` the trailing
+    ``num_hashes % band_rows`` hashes form a narrower remainder band
+    (review r14, the simhash_band_layout rule applied here): without it
+    those hashes were computed and paid for in the signature aggregate
+    but belonged to no band — pairs agreeing only there were never
+    candidates, a silent recall loss."""
     n_bands = num_hashes // band_rows
+    slices = [
+        range(b * band_rows, (b + 1) * band_rows) for b in range(n_bands)
+    ]
+    if num_hashes % band_rows:
+        slices.append(range(n_bands * band_rows, num_hashes))
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{j}")
-                        for j in range(b * band_rows, (b + 1) * band_rows)
-                    ],
+                    ",", *[F.col(f"mh_{j}") for j in sl]
                 ).alias("band_sig"),
             )
-            for b in range(n_bands)
+            for b, sl in enumerate(slices)
         ]
     )
     return signatures.select(
@@ -335,7 +342,19 @@ def _resolve_append_batch_id(
     silently seed-stamped append sits outside the ingest replay
     exclusion, re-opening the torn-append silent-loss path the stamps
     exist to close. An explicit ``batch_id=-1`` append remains the
-    operator's clean-boundary seed-extension assertion."""
+    operator's clean-boundary seed-extension assertion.
+
+    Only ``overwrite`` (seed) and ``append`` (ingest) are meaningful
+    checkpoint modes — anything else is refused here for BOTH writers
+    (review r14: ``mode='ignore'`` made the data write a no-op but
+    still re-stamped the parameter sidecar with the CALLER's values,
+    relabeling state computed under different parameters — exactly the
+    undetected zero-match hazard the sidecar exists to prevent)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"{what} mode must be 'overwrite' (seed) or 'append' "
+            f"(ingest), got {mode!r}"
+        )
     if batch_id is not None:
         return int(batch_id)
     if mode == "append":
@@ -1396,17 +1415,15 @@ def jaccard_pairs_prefix(
     return jac.where(F.col("jaccard") >= threshold)
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    threshold: float = 0.1,
+def _cooccurrence_counts(
+    sh: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (full
-    inverted-index join) — fastest below the hot-shingle crossover
-    (see ``jaccard_pairs_prefix`` for the skew-proof variant)."""
-    sh = word_shingles(df, id_col, text_col, k)
+    """(id_a, id_b, n_inter, n_a, n_b) for every ordered (id_a < id_b)
+    pair sharing ≥1 shingle — the inverted-index co-occurrence frame
+    shared by :func:`jaccard_pairs` and :func:`containment_pairs`
+    (review r14: the ~25-line block lived verbatim in both, so a fix to
+    the shared shape had to be applied twice). One shingle-keyed
+    self-join + one pair aggregate, never all-pairs."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -1418,17 +1435,27 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(sa, on="id_a")
-        .join(sb, on="id_b")
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ),
-        )
+    return inter.join(sa, on="id_a").join(sb, on="id_b")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (full
+    inverted-index join) — fastest below the hot-shingle crossover
+    (see ``jaccard_pairs_prefix`` for the skew-proof variant)."""
+    sh = word_shingles(df, id_col, text_col, k)
+    jac = _cooccurrence_counts(sh, id_col).withColumn(
+        "jaccard",
+        pround(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            4,
+        ),
     )
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -1451,18 +1478,7 @@ def containment_pairs(
     (id tiebreak) so the score reads as 'fraction of the smaller doc
     found inside the bigger'."""
     sh = word_shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    j = inter.join(sa, on="id_a").join(sb, on="id_b")
+    j = _cooccurrence_counts(sh, id_col)
     a_small = (F.col("n_a") < F.col("n_b")) | (
         (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
     )
@@ -1902,7 +1918,14 @@ def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """(id, simhash): bit-majority SimHash over distinct whitespace tokens.
-    Token hash = first 8 hex chars of md5 as an unsigned 32-bit int.
+    Token hash = first ``ceil(bits/4)`` hex chars of md5 (8 chars — an
+    unsigned 32-bit int — at the default), so every signature bit has a
+    live vote source. ``bits`` caps at 60: the hash must stay below
+    2^63 for the signed-bigint ``conv`` (review r14 — the hash was
+    FIXED at 32 bits, so ``bits=64`` silently voted -n_tokens on every
+    bit >= 32: all-zero upper halves, dead bands whose (band, val) was
+    identical for every doc, and a quadratic candidate blowup in the
+    banded self-join instead of an error).
 
     Scale shape: each token row carries its ``bits`` ±1 votes as ``bits``
     sum columns into ONE ``groupBy(id)`` — map-side partial sums combine
@@ -1912,13 +1935,20 @@ def simhash_signatures(
     (the earlier formulation crossJoined every token with a broadcast
     bit index, multiplying pre-shuffle rows ``bits``×, and needed a
     second aggregate to fold bytes into the signature)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"bits must be in [1, 60] (the token hash is built from "
+            f"ceil(bits/4) md5 hex chars and must fit a signed bigint), "
+            f"got {bits}"
+        )
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(_normalize(F.col(text_col)), " "))
         ).alias("tok"),
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    n_hex = (bits + 3) // 4  # 8 at bits=32 — the historical hash exactly
+    h = F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("bigint")
     t = toks.select(F.col(id_col), h.alias("h"))
     # bit b of h via shiftright with a LITERAL shift (stays in codegen);
     # vote = +1 when set, -1 when clear
@@ -2139,6 +2169,16 @@ def chunk_dedup_keep_first(
     and once in the per-doc reassembly), and the reassembly is the a08
     ordered-collect aggregate, one shuffle keyed by document id."""
     chunks = _doc_chunks(df, id_col, text_col, chunk_words)
+    kept = _first_occurrence_survivors(chunks, id_col)
+    return _reassemble_chunks(chunks, kept, id_col)
+
+
+def _first_occurrence_survivors(chunks: DataFrame, id_col: str) -> DataFrame:
+    """The chunk rows surviving keep-first: min(struct(id, pos)) per
+    chunk hash (an aggregate, never a window over the hot boilerplate
+    keys), semi-joined back. Shared by the batch operator and the
+    streaming ingest twin (review r14: the block lived verbatim in
+    both, so the twins could drift)."""
     firsts = (
         chunks.groupBy("lh")
         .agg(
@@ -2155,13 +2195,22 @@ def chunk_dedup_keep_first(
             F.col("fo.pos").alias("f_pos"),
         )
     )
-    kept = chunks.join(
+    return chunks.join(
         firsts,
         (F.col("lh") == F.col("f_lh"))
         & (F.col(id_col) == F.col("f_id"))
         & (F.col("pos") == F.col("f_pos")),
         "left_semi",
     )
+
+
+def _reassemble_chunks(
+    chunks: DataFrame, kept: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, clean_text, n_chunks, n_dropped): per-doc ordered reassembly
+    of the surviving chunks against the full chunk totals — the a08
+    ordered-collect aggregate, one shuffle keyed by document id. Shared
+    by the batch operator and the streaming ingest twin."""
     totals = chunks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks")
     )
@@ -2427,7 +2476,14 @@ def chunk_ingest_batch_idempotent(
     overwrite; (4) append the batch's own new first-occurrences to the
     checkpoint. Batches with increasing ids reproduce
     :func:`chunk_dedup_keep_first` on the concatenated corpus exactly
-    (streaming==batch twin test).
+    (streaming==batch twin test) — PROVIDED doc ids are monotone with
+    batch order, the twin test's (and d19's) delivery contract. When a
+    later batch delivers a SMALLER id sharing a chunk with an admitted
+    doc, the stream keeps the admitted copy (arrival order) while the
+    batch operator's min(struct(id, pos)) would keep the smaller id —
+    the stream is still a correct keep-first under arrival order, it
+    just isn't the id-ordered batch answer (review r14: the claim was
+    previously unconditional).
 
     Replay safety follows the torn-append rule of
     :func:`ingest_batch_idempotent`, re-scoped per ADVICE r8: the
@@ -2506,54 +2562,13 @@ def chunk_ingest_batch_idempotent(
             F.col("src_batch") != int(batch_id)
         ).drop("src_batch")
         fresh = chunks.join(prior.select("lh"), on="lh", how="left_anti")
-        firsts = (
-            fresh.groupBy("lh")
-            .agg(
-                F.min(
-                    F.struct(F.col(id_col).alias("id"), F.col("pos"))
-                ).alias("fo")
-            )
-            .select(
-                F.col("lh").alias("f_lh"),
-                F.col("fo.id").alias("f_id"),
-                F.col("fo.pos").alias("f_pos"),
-            )
-        )
         # kept feeds TWO actions (the output write and the checkpoint
         # append) — cache it for the batch scope so the state anti-join
         # and first-occurrence aggregate run once, not twice;
         # micro-batch sized, released in the finally below
-        kept = fresh.join(
-            firsts,
-            (F.col("lh") == F.col("f_lh"))
-            & (F.col(id_col) == F.col("f_id"))
-            & (F.col("pos") == F.col("f_pos")),
-            "left_semi",
-        ).cache()
-        totals = chunks.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_chunks")
-        )
-        rebuilt = kept.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                    lambda st: st["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        out = (
-            totals.join(rebuilt, on=id_col, how="left")
-            .select(
-                id_col,
-                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                "n_chunks",
-                (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
-                    "n_dropped"
-                ),
-            )
-            .withColumn("ingest_batch", F.lit(int(batch_id)))
+        kept = _first_occurrence_survivors(fresh, id_col).cache()
+        out = _reassemble_chunks(chunks, kept, id_col).withColumn(
+            "ingest_batch", F.lit(int(batch_id))
         )
         (
             out.write.mode("overwrite")

@@ -39,16 +39,24 @@ def binary_stats(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
+            # a NULL payload has no bytes to describe — NULL features,
+            # the decode_image_stats degenerate-input rule (review r14:
+            # an unguarded len(None) killed the whole stage over one
+            # bad row with no row-identifying message)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int64"),
+                        lambda b: None
+                        if b is None
+                        else (b[0] if len(b) else -1)
+                    ).astype("Int64"),
                     "byte_sum_mod": payloads.map(
-                        lambda b: sum(b) % 997
-                    ).astype("int64"),
+                        lambda b: None if b is None else sum(b) % 997
+                    ).astype("Int64"),
                 }
             )
 
@@ -96,20 +104,34 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
                     "(llmdata.imaging.encode_bmp) or install pillow"
                 )
 
-        def _decode(b: bytes) -> np.ndarray:
+        def _decode(b) -> np.ndarray | None:
+            if b is None:
+                return None  # NULL payload -> NULL features (review r14)
             if b[:2] == b"BM":
                 return decode_bmp(b)
             return _pil_decode(b)
 
         for pdf in batches:
-            px = pdf[payload_col].map(lambda b: _decode(b).astype(np.float64))
+            px = pdf[payload_col].map(
+                lambda b: (lambda a: None if a is None else a.astype(
+                    np.float64
+                ))(_decode(b))
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "height": px.map(lambda a: a.shape[0]).astype("int32"),
-                    "width": px.map(lambda a: a.shape[1]).astype("int32"),
-                    "mean_pixel": px.map(lambda a: float(a.mean())),
-                    "std_pixel": px.map(lambda a: float(a.std())),
+                    "height": px.map(
+                        lambda a: None if a is None else a.shape[0]
+                    ).astype("Int32"),
+                    "width": px.map(
+                        lambda a: None if a is None else a.shape[1]
+                    ).astype("Int32"),
+                    "mean_pixel": px.map(
+                        lambda a: None if a is None else float(a.mean())
+                    ),
+                    "std_pixel": px.map(
+                        lambda a: None if a is None else float(a.std())
+                    ),
                 }
             )
 
@@ -138,9 +160,19 @@ def decode_image_stats(
 
         for pdf in batches:
             payloads = pdf[payload_col]
-            ns = payloads.map(len)
-            sums = payloads.map(lambda b: sum(b))
-            sqs = payloads.map(lambda b: sum(x * x for x in b))
+            # NULL payload -> NaN through the float arithmetic below ->
+            # the same NULL-stats branch as the zero-length case
+            # (review r14); float64 so None rides as NaN instead of
+            # raising in the object-series arithmetic
+            ns = payloads.map(
+                lambda b: len(b) if b is not None else None
+            ).astype("float64")
+            sums = payloads.map(
+                lambda b: sum(b) if b is not None else None
+            ).astype("float64")
+            sqs = payloads.map(
+                lambda b: sum(x * x for x in b) if b is not None else None
+            ).astype("float64")
             # a zero-length payload has no pixels: 0/0 -> NaN here, and
             # unguarded pyround would raise (math.floor(NaN)) and kill
             # the whole stage — emit NULL stats instead, the same
@@ -150,7 +182,7 @@ def decode_image_stats(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "height": ((ns + width - 1) // width).astype("int32"),
+                    "height": ((ns + width - 1) // width).astype("Int32"),
                     "width": pd.Series([width] * len(pdf), dtype="int32"),
                     "mean_pixel": mean.map(
                         lambda v: None if pd.isna(v) else pyround(v, 4)
@@ -189,7 +221,11 @@ def encode_text_as_bmp(
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raw = pdf[text_col].map(lambda t: t.encode("utf-8"))
+            # a NULL text encodes nothing — dropped with the too-short
+            # docs instead of crashing the stage (review r14)
+            raw = pdf[text_col].map(
+                lambda t: b"" if t is None else t.encode("utf-8")
+            )
             keep = raw.map(len) >= width
             payloads = raw[keep].map(
                 lambda b: encode_bmp(
@@ -229,6 +265,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, sums = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: no frames (review r14)
                 n = len(payload)
                 for i in range(0, (n + frame_bytes - 1) // frame_bytes, every):
                     ids.append(int(doc_id))
@@ -278,6 +316,8 @@ def resize_image_nn(
         for pdf in batches:
             ids, sums = [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue  # NULL payload: no thumbnail (review r14)
                 arr = decode_bmp(bytes(payload))  # (h, w, 3) uint8
                 h, w = arr.shape[0], arr.shape[1]
                 ri = (np.arange(out_h) * h) // out_h

@@ -41,9 +41,27 @@ def global_token_offsets(
         return df.withColumn("offset", F.lit(None).cast("bigint"))
     span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1, 1)
     width = -(-span // n_chunks)  # ceil
-    with_chunk = df.withColumn(
-        "__rel", F.col(id_col) - F.lit(int(lo_hi["lo"]))
-    ).withColumn("__chunk", F.expr(f"__rel DIV {width}")).drop("__rel")
+    # a NULL order key has no position in the packed layout — and worse,
+    # it would yield __chunk NULL, silently vanish through the inner
+    # join below, and the packed output would simply be missing the doc
+    # (review r14). Refuse row-locally with raise_error in the __rel
+    # expression's null branch — no extra job, a clear message at
+    # execution instead of lost data. (An assert_true rider does NOT
+    # work here: it returns NullType, so the optimizer folds its cast
+    # to a plain NULL and the side effect vanishes.)
+    rel = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col) - F.lit(int(lo_hi["lo"]))
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{id_col} is NULL: a null order key has no position in "
+                "the packed layout — drop or key such rows first"
+            )
+        ).cast("bigint")
+    )
+    with_chunk = df.withColumn("__rel", rel).withColumn(
+        "__chunk", F.expr(f"__rel DIV {width}")
+    ).drop("__rel")
     w_local = (
         Window.partitionBy("__chunk")
         .orderBy(id_col)

@@ -2105,3 +2105,134 @@ def test_weighted_quantiles_survive_unshared_exchanges(spark):
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old)
         spark.catalog.clearCache()
+
+
+def test_simhash_bits_widen_hash_and_refuse_over_60(spark):
+    """Review r14: the token hash was fixed at 32 bits, so bits=64
+    silently zeroed every signature bit >= 32 — dead bands whose
+    (band, val) matched every doc and a quadratic candidate blowup.
+    The hash now takes ceil(bits/4) md5 hex chars (8 at the default —
+    the historical hash exactly), and bits caps at 60 for the signed
+    bigint conv."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"\[1, 60\]"):
+        dedup.simhash_signatures(docs, "doc_id", "text", bits=64)
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(
+            docs, "doc_id", "text", bits=40
+        ).collect()
+    }
+    # with live upper bits, SOME signature must exceed 2^32 (each of
+    # the 8 upper bits is a ~fair coin over 20 docs)
+    assert any(s >= (1 << 32) for s in sigs.values()), (
+        "bits=40 produced no signature with a live bit above 32"
+    )
+
+
+def test_lsh_bands_remainder_band_covers_trailing_hashes(spark):
+    """Review r14: num_hashes % band_rows trailing min-hashes were
+    computed but belonged to no band — pairs agreeing only there were
+    never candidates. They now form a narrower remainder band (the
+    simhash_band_layout rule)."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 2, 12)
+    banded = dedup.lsh_bands(sigs, "doc_id", num_hashes=12, band_rows=5)
+    per_doc = (
+        banded.groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] == 3 for r in per_doc), (
+        "12 hashes / band_rows=5 must yield 2 full bands + 1 remainder"
+    )
+    rem = banded.where("band = 2").select("band_sig").first()[0]
+    assert rem.count(",") == 1, (
+        f"remainder band must hold the 2 trailing hashes, got {rem!r}"
+    )
+
+
+def test_checkpoint_writers_refuse_foreign_modes(spark, tmp_path):
+    """Review r14: mode='ignore' no-opped the data write but re-stamped
+    the parameter sidecar with the caller's values, relabeling state
+    computed under different parameters. Both writers refuse any mode
+    but overwrite/append."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="'overwrite'.*'append'"):
+        dedup.write_band_checkpoint(
+            docs, str(tmp_path / "b"), "doc_id", "text", mode="ignore"
+        )
+    with _pytest.raises(ValueError, match="'overwrite'.*'append'"):
+        dedup.write_chunk_checkpoint(
+            docs, str(tmp_path / "c"), "doc_id", "text", mode="ignore"
+        )
+
+
+def test_pack_sequences_refuses_null_order_key(spark):
+    """Review r14: a NULL id produced a NULL chunk, vanished through the
+    inner join, and the packed output silently missed the doc. The
+    row-local assert_true guard names the problem instead."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 5), (3, 7)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="null order key"):
+        pack_sequences(df, "doc_id", "n_tokens", seq_len=8).collect()
+
+
+def test_multimodal_extractors_tolerate_null_payloads(spark):
+    """Review r14: one NULL payload/text row killed whole stages with
+    an opaque TypeError. Stats extractors emit NULL features; fan-out
+    extractors emit no rows for the null doc; the BMP encoder drops a
+    NULL text with the too-short docs."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import multimodal
+
+    base = spark.createDataFrame(
+        [(1, "hello world this is a payload of reasonable length"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    payloads = multimodal.attach_binary_payload(base)  # encode(NULL)=NULL
+    stats = {r.doc_id: r for r in multimodal.binary_stats(payloads).collect()}
+    assert stats[2].n_bytes is None and stats[2].first_byte is None
+    assert stats[1].n_bytes > 0
+    frames = multimodal.sample_frames(payloads).collect()
+    assert {r.doc_id for r in frames} == {1}
+    bmps = multimodal.encode_text_as_bmp(base, width=8).collect()
+    assert {r.doc_id for r in bmps} == {1}
+    # decode path: a real BMP next to a NULL payload
+    both = multimodal.encode_text_as_bmp(base, width=8).unionByName(
+        spark.createDataFrame([(2, None)], "doc_id long, payload binary")
+    )
+    feats = {r.doc_id: r for r in multimodal.decode_image(both).collect()}
+    assert feats[2].height is None and feats[2].mean_pixel is None
+    assert feats[1].height >= 1
+    resized = multimodal.resize_image_nn(both).collect()
+    assert {r.doc_id for r in resized} == {1}
+    img_stats = {
+        r.doc_id: r
+        for r in multimodal.decode_image_stats(payloads).collect()
+    }
+    assert img_stats[2].mean_pixel is None
+    assert img_stats[1].mean_pixel is not None
