@@ -136,7 +136,12 @@ def detect_language(col: Column) -> Column:
     arr = F.array(*pairs)
     best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
     firsts = F.filter(arr, lambda s: s["score"] == best_score)
-    return F.element_at(F.transform(firsts, lambda s: s["lang"]), 1)
+    # try_element_at, not element_at (review r14): a NULL document makes
+    # every score NULL, the filter yields an EMPTY array, and ANSI-mode
+    # element_at(empty, 1) aborts the whole job with
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a NULL doc must simply detect
+    # as NULL
+    return F.try_element_at(F.transform(firsts, lambda s: s["lang"]), F.lit(1))
 
 
 def repetition_ratio(col: Column, k: int = 3) -> Column:
@@ -262,17 +267,26 @@ def _gate_decision(
     """(keep, reasons) from the three pre-rounded scores — the ONE place
     the gate's decision logic lives, shared by the struct and frame
     forms so their contract can never drift (their equality is what the
-    r9 t12 wiring relies on)."""
+    r9 t12 wiring relies on).
+
+    A NULL document scores NULL on every axis, which used to make every
+    comparison NULL: keep=NULL (silently dropped by any filter on keep)
+    with reasons='' (the audit trail claiming nothing was wrong —
+    review r14). NULL scores now gate keep=false with the explicit
+    reason ``null_text``."""
+    is_null = n_toks.isNull() | q.isNull() | rep.isNull()
     too_short = n_toks < min_tokens
     low_q = q < min_quality
     repet = rep > max_rep
     reasons = F.concat_ws(
         ",",
+        F.when(is_null, F.lit("null_text")),
         F.when(too_short, F.lit("too_short")),
         F.when(low_q, F.lit("low_quality")),
         F.when(repet, F.lit("repetitious")),
     )
-    return ~(too_short | low_q | repet), reasons
+    keep = F.coalesce(~(too_short | low_q | repet), F.lit(False))
+    return keep, reasons
 
 
 def quality_gate(
@@ -358,10 +372,21 @@ def quality_gate_frame(
         pround(quality_score(col), 4).alias("q"),
     ]
     if scorer == "agg":
+        # eqNullSafe join (review r14): the bare `on=id_col` inner join
+        # silently DROPPED a NULL-id document from the gate output while
+        # the local path scored it — scorer='auto' then made the output
+        # row set depend on corpus size. (id_col is a document KEY: on
+        # duplicate ids the agg scorer pools the duplicates' shingles
+        # into one score while the local path scores each row — keep ids
+        # unique upstream, the d18 scorer-seam contract.)
         rep = repetition_ratio_agg(df, id_col, text_col, 3)
         scores = (
             df.select(*base_cols)
-            .join(rep, id_col)
+            .join(
+                rep.withColumnRenamed(id_col, "__rep_id"),
+                F.col(id_col).eqNullSafe(F.col("__rep_id")),
+            )
+            .drop("__rep_id")
             .withColumnRenamed("rep_ratio", "rep")
         )
     else:

@@ -147,8 +147,17 @@ def weighted_quantiles(
     """
     from pyspark.sql.window import Window
 
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+        _assert_no_reserved,
+    )
+
     tiebreaks = tiebreaks or []
     order_cols = [value_col, *tiebreaks]
+    _assert_no_reserved(
+        "weighted_quantiles",
+        ("__pid", "__btot", "__off", "__tot", "__cum", "__wq_pid"),
+        df=df,
+    )
     parts = (
         df.repartitionByRange(
             n_range_parts, *[F.col(c) for c in [*keys, *order_cols]]
@@ -177,8 +186,25 @@ def weighted_quantiles(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = parts.join(F.broadcast(off), [*keys, "__pid"]).withColumn(
-        "__cum", F.col("__off") + F.sum(weight_col).over(w_loc)
+    # eqNullSafe on the key columns (review r14, joins.py's r9 rule): a
+    # plain `on=[*keys, "__pid"]` drops NULL-key rows on the offsets
+    # join, silently erasing the NULL group from the output — groupBy
+    # keeps NULL groups and so must this. __pid is never null; key
+    # columns on the offsets side are renamed so the condition join
+    # doesn't collide names.
+    off_r = off.select(
+        *[F.col(k).alias(f"__wq_k{i}") for i, k in enumerate(keys)],
+        F.col("__pid").alias("__wq_pid"),
+        "__off",
+        "__tot",
+    )
+    cond = F.col("__pid") == F.col("__wq_pid")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__wq_k{i}"))
+    cum = (
+        parts.join(F.broadcast(off_r), cond)
+        .drop("__wq_pid", *[f"__wq_k{i}" for i in range(len(keys))])
+        .withColumn("__cum", F.col("__off") + F.sum(weight_col).over(w_loc))
     )
     picks = [
         F.min(

@@ -88,6 +88,54 @@ def latest_per_group_via_join(
     return df.join(rhs, on=cond, how="inner").select(df["*"])
 
 
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+):
+    """The tagged union both as-of variants window over (review r14: the
+    ~25-line block lived verbatim in :func:`asof_join` and
+    :func:`asof_join_nearest`, so a one-sided edit could silently
+    diverge the twins both docstrings claim share semantics). Right rows
+    carry their whole row as ONE nullable struct ``__r`` (NULL marks a
+    left-side row; a non-null struct may still hold NULL attributes —
+    per-column fills would tear columns across right rows); right rows
+    with a NULL key or NULL ts can never match under the oracle's
+    equi+inequality contract and are pre-filtered (review r9). Returns
+    ``(both, struct_type)``."""
+    row_struct = F.struct(
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    right = right.where(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    )
+    marked_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        row_struct.alias("__r"),
+    )
+    struct_type = marked_r.schema["__r"].dataType
+    marked_l = left.select(
+        "*",
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_type).alias("__r"),
+    )
+    both = marked_l.unionByName(
+        marked_r.select(
+            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+            "__k", "__ts", "__side", "__r",
+        )
+    )
+    return both, struct_type
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -145,34 +193,8 @@ def asof_join(
     ]
     from pyspark.sql import Window
 
-    # the full right row travels as one nullable struct: NULL marks
-    # "left-side row", a non-null struct may still hold NULL attributes
-    row_struct = F.struct(
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
-    right = right.where(
-        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
-    )
-    marked_r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        row_struct.alias("__r"),
-    )
-    struct_type = marked_r.schema["__r"].dataType
-    marked_l = left.select(
-        "*",
-        F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(struct_type).alias("__r"),
-    )
-    both = marked_l.unionByName(
-        marked_r.select(
-            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-            "__k", "__ts", "__side", "__r",
-        )
+    both, struct_type = _asof_tagged_union(
+        left, right, on, left_ts, right_ts, right_cols
     )
     w = (
         Window.partitionBy("__k")
@@ -239,30 +261,8 @@ def asof_join_nearest(
     ]
     from pyspark.sql import Window
 
-    row_struct = F.struct(
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
-    right = right.where(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
-    marked_r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        row_struct.alias("__r"),
-    )
-    struct_type = marked_r.schema["__r"].dataType
-    marked_l = left.select(
-        "*",
-        F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(struct_type).alias("__r"),
-    )
-    both = marked_l.unionByName(
-        marked_r.select(
-            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-            "__k", "__ts", "__side", "__r",
-        )
+    both, struct_type = _asof_tagged_union(
+        left, right, on, left_ts, right_ts, right_cols
     )
     base = Window.partitionBy("__k").orderBy("__ts", "__side")
     w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -56,8 +56,17 @@ def zorder_value(cols: list[Column], bits: int = 12) -> Column:
     ``bits * len(cols)`` must stay ≤ 63 to fit a signed BIGINT.
     """
     n = len(cols)
-    assert n >= 2, "z-ordering needs at least two dimensions"
-    assert bits * n <= 63, "z-value must fit a signed 64-bit integer"
+    # ValueError, not assert (review r14): asserts vanish under
+    # python -O, and an oversized configuration would silently put the
+    # top bit in the sign position — large coordinates sorting BEFORE
+    # small ones, wrong clustering with no error
+    if n < 2:
+        raise ValueError("z-ordering needs at least two dimensions")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*n = {bits * n} > 63: the z-value must fit a signed "
+            "64-bit integer — lower bits or interleave fewer columns"
+        )
     one = F.lit(1).cast("bigint")
     z = F.lit(0).cast("bigint")
     for i in range(bits):

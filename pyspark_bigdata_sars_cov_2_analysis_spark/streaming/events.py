@@ -107,6 +107,11 @@ def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> Data
     def update(key, pdfs, state: GroupState):
         best = state.get if state.exists else None
         for pdf in pdfs:
+            # NULL ordering keys arrive as NaT/NaN in pandas; int(nan)
+            # raises in the Python worker and kills the whole query
+            # (review r14) — a row with no (ts, event_id) has no place
+            # in a latest-by-(ts, event_id) ordering, skip it
+            pdf = pdf[pdf["ts"].notna() & pdf["event_id"].notna()]
             ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
             for t, eid, etype, val in zip(
                 ts_us, pdf["event_id"], pdf["event_type"], pdf["value"]
@@ -114,6 +119,8 @@ def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> Data
                 cand = (int(t), int(eid), str(etype), float(val))
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
+        if best is None:
+            return  # only null-keyed rows ever seen: nothing to emit
         state.update(best)
         yield pd.DataFrame(
             {
@@ -409,6 +416,10 @@ def funnel_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         v, c, p = state.get if state.exists else (None, None, None)
         rows = []
         for pdf in pdfs:
+            # NaT ts silently becomes INT64_MIN through the int64 cast
+            # (review r14) — a null-ts event has no place in the funnel
+            # ordering, skip it
+            pdf = pdf[pdf["ts"].notna() & pdf["event_id"].notna()]
             ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
             rows.extend(
                 zip(ts_us, pdf["event_id"], pdf["event_type"])

@@ -38,7 +38,16 @@ def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float | None, float | None]:
     case (review r9): a zero-variance group (all x identical) returns
     (None, None) exactly as regr_slope/regr_intercept return NULL — the
     old slope=0/intercept=mean fallback silently diverged from the u05
-    oracle on single-day groups."""
+    oracle on single-day groups.
+
+    Rows where x OR y is NULL/NaN are dropped as a PAIR first (review
+    r14): SQL regr_* skips the whole observation, while pandas
+    mean/sum skip NaN element-wise — a NULL-x row's y still entered
+    ``ym`` and silently bent the intercept away from the oracle."""
+    ok = x.notna() & y.notna()
+    x, y = x[ok], y[ok]
+    if len(x) == 0:
+        return None, None
     xm, ym = x.mean(), y.mean()
     dx = x - xm
     var = (dx * dx).sum()

@@ -19,14 +19,25 @@ from pyspark.sql.functions import udtf
 class ChunkText:
     """Overlapping token-window chunker — semantics identical to
     functions/text.chunk_array (window tokens per chunk, stride apart,
-    normalized whitespace/case, empty docs yield nothing)."""
+    normalized whitespace/case, empty docs yield nothing).
+
+    The normalization replicates chunk_array's EXACT Spark expression
+    chain — ``regexp_replace(trim(lower(col)), r"\\s+", " ")`` then
+    ``split(norm, " ")`` — character class included: Java's ``\\s`` is
+    ASCII-only, while Python's ``str.split()`` tokenizes on ALL Unicode
+    whitespace, so a document containing NBSP chunked differently in
+    the two twins (review r14); Spark ``trim`` strips only the ASCII
+    space, mirrored by ``strip(" ")``."""
 
     def eval(self, text: str, window: int, stride: int):
         if text is None:
             return
-        toks = " ".join(text.lower().split()).split(" ")
-        if toks == [""]:
+        import re
+
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower().strip(" "))
+        if not norm:
             return
+        toks = norm.split(" ")
         for i, start in enumerate(range(0, len(toks), stride)):
             yield i, " ".join(toks[start : start + window])
 

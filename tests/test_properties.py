@@ -2236,3 +2236,143 @@ def test_multimodal_extractors_tolerate_null_payloads(spark):
     }
     assert img_stats[2].mean_pixel is None
     assert img_stats[1].mean_pixel is not None
+
+
+def test_detect_language_null_doc_is_null_not_crash(spark):
+    """Review r14: a NULL document made every lang score NULL, the
+    argmax filter yielded an empty array, and ANSI-mode element_at
+    aborted the whole job — try_element_at detects NULL instead."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        detect_language,
+    )
+
+    df = spark.createDataFrame(
+        [("the quick brown fox and the dog",), (None,)], "text string"
+    )
+    got = [r[0] for r in df.select(detect_language(F.col("text"))).collect()]
+    assert got[0] == "en" and got[1] is None
+
+
+def test_ols_line_drops_null_pairs_like_sql_regr():
+    """Review r14: pandas mean/sum skip NaN element-wise, so a NULL-x
+    row's y still entered the intercept — SQL regr_* drops the whole
+    observation. The fit now drops (x, y) pairs with any NaN."""
+    import pandas as pd
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.timeseries.forecast import (
+        _ols_line,
+    )
+
+    x = pd.Series([1.0, 2.0, None])
+    y = pd.Series([1.0, 2.0, 99.0])
+    slope, icept = _ols_line(x, y)
+    assert slope == 1.0 and icept == 0.0
+    assert _ols_line(pd.Series([None]), pd.Series([1.0])) == (None, None)
+
+
+def test_weighted_quantiles_keeps_null_key_group(spark):
+    """Review r14: the offsets join used null-unsafe equality, so the
+    NULL key group silently vanished from the output — groupBy keeps
+    NULL groups and so must the two-phase quantile."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 2), (None, 5, 1), (None, 6, 3)],
+        "k string, v long, w long",
+    )
+    rows = {
+        r.k: r.wp50
+        for r in weighted_quantiles(df, ["k"], "v", "w", [(1, 2, "wp50")])
+        .collect()
+    }
+    assert rows == {"a": 2, None: 6}
+    spark.catalog.clearCache()
+
+
+def test_quality_gate_null_doc_drops_with_named_reason(spark):
+    """Review r14: a NULL doc used to gate keep=NULL (silently dropped
+    by any keep filter) with reasons='' (an audit trail claiming nothing
+    was wrong). It now gates keep=false, reasons='null_text' — in BOTH
+    the struct form and the frame form's local and agg paths, and the
+    agg path no longer loses the NULL-id row to its scorer join."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_gate,
+        quality_gate_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 20), (2, None)],
+        "doc_id long, text string",
+    )
+    g = {
+        r.doc_id: (r.g.keep, r.g.reasons)
+        for r in df.select(
+            "doc_id", quality_gate(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert g[2] == (False, "null_text")
+    assert g[1][0] in (True, False) and g[1][0] is not None
+    for scorer in ("local", "agg"):
+        got = {
+            r.doc_id: (r.keep, r.reasons)
+            for r in quality_gate_frame(
+                df, "doc_id", "text", scorer=scorer
+            ).collect()
+        }
+        assert got[2] == (False, "null_text"), (scorer, got)
+        assert got[1] == g[1], (scorer, got)
+
+
+def test_chunk_text_udtf_matches_chunk_array_on_unicode_space(spark):
+    """Review r14: Python str.split() tokenizes on Unicode whitespace
+    while chunk_array's Java \\s+ is ASCII-only, so an NBSP document
+    chunked differently in the two twins. The UDTF now replicates the
+    exact Spark normalization chain."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        chunk_array,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "a b c d e"), (3, " "),
+         (4, "x\ty")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("chunk_twin_docs")
+    native = {
+        (r.doc_id, r.c.chunk_idx): r.c.chunk
+        for r in df.select(
+            "doc_id",
+            F.explode(chunk_array(F.col("text"), 2, 2)).alias("c"),
+        ).collect()
+    }
+    via_udtf = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.chunk "
+            "FROM chunk_twin_docs d, "
+            "LATERAL chunk_text(d.text, 2, 2) c"
+        ).collect()
+    }
+    assert native == via_udtf
+
+
+def test_zorder_value_raises_not_asserts():
+    """Review r14: bare asserts vanish under python -O, letting an
+    oversized bits*n overflow the sign bit and silently corrupt the
+    clustering — ValueError survives -O."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import (
+        zorder_value,
+    )
+
+    with _pytest.raises(ValueError, match="at least two"):
+        zorder_value([F.col("a")], bits=8)
+    with _pytest.raises(ValueError, match="> 63"):
+        zorder_value([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)

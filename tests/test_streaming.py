@@ -1716,3 +1716,27 @@ def test_band_ingest_matches_independent_sequential_admission(
         )
         assert got == expect, (b, got, expect)
         corpus_docs += [d for d in rows if d[0] not in dup]
+
+
+def test_latest_per_user_state_survives_null_ordering_keys(spark, tmp_path):
+    """Review r14: a NULL event_id arrives in the pandas state worker as
+    NaN and int(nan) raised ValueError — one bad row deterministically
+    killed the whole streaming query. Null-keyed rows are now skipped
+    (no place in a latest-by-(ts, event_id) ordering); real rows still
+    fold."""
+    d = str(tmp_path / "null_events")
+    base = registry.table(spark, SF_TEST, "events").limit(20)
+    nulls = spark.sql(
+        "SELECT CAST(1 AS BIGINT) user_id, CAST(NULL AS BIGINT) event_id, "
+        "TIMESTAMP'2024-01-01 00:00:00' ts, 'view' event_type, "
+        "CAST(NULL AS DOUBLE) value, CAST(NULL AS STRING) props"
+    )
+    base.unionByName(nulls).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = S.read_event_stream(spark, d)
+    result = _run_stream(
+        spark, S.latest_per_user_state(stream), "latestuser_null_mem",
+        "update",
+    )
+    rows = result.collect()
+    assert len(rows) > 0  # the query completed and emitted the real rows
+    assert all(r.event_id is not None for r in rows)
