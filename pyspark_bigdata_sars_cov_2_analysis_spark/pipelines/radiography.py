@@ -129,7 +129,15 @@ def classifier_with_confusion(
     acc_df = spark.createDataFrame(
         [("random_forest", float(acc))], "model string, accuracy double"
     )
-    cm = confusion_matrix(model.transform(test).select("label", "prediction"))
+    # pin the pivot to the known class set (review r14): without
+    # values=, the pivot runs an EAGER distinct scan — a full RF
+    # inference of the test split at plan-construction time — and the
+    # output schema varies with which classes the model happened to
+    # predict (a 10% split easily misses one)
+    cm = confusion_matrix(
+        model.transform(test).select("label", "prediction"),
+        values=[float(c) for c in sorted(CLASS_NAMES)],
+    )
     return acc_df, cm
 
 
@@ -154,13 +162,23 @@ def dl_inference(df: DataFrame, limit: int = 100) -> DataFrame:
 def outputs(df: DataFrame) -> dict[str, DataFrame]:
     """All (non-commented) named outputs of the reference job's main()
     (…:27-66; the DL-training matrix/accuracy pair is commented out there
-    at :55-59 and stays out here)."""
+    at :55-59 and stays out here).
+
+    ``stats`` is CACHED (review r14): it is the expensive
+    mapInPandas byte-stats fan-out and feeds the RF fit, the accuracy
+    eval, the confusion pivot AND the colour_distribution write — left
+    uncached, every one of those actions re-decoded every sampled
+    image's bytes through Arrow/Python (~4-5× the pipeline's dominant
+    cost). The sampled frame is likewise built ONCE and reused by
+    take_samples. Caller owns the release (run_job's loop finishes all
+    actions before returning; a resident caller unpersists)."""
     valid = valid_images(df)
-    stats = pixel_stats(sampled_per_class(valid, n=1000))
-    acc, cm = classifier_with_confusion(stats)
+    sampled = sampled_per_class(valid, n=1000)
+    stats = pixel_stats(sampled).cache()
+    acc, _cm = classifier_with_confusion(stats)
     return {
         "percentage_of_samples": class_distribution(valid),
-        "take_samples": sampled_per_class(valid, n=1000).select(
+        "take_samples": sampled.select(
             "label", F.col("image.origin").alias("origin")
         ),
         "colour_distribution": stats,

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
+    SCD2_TEMPORAL_JOIN_SQL,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    tracked_cache,
     pround,
     query,
     sql_round,
@@ -566,21 +570,24 @@ def e11_funnel_conversion(spark, sf_dir):
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
-    ).cache()
+    )
+    v = tracked_cache(v)
     c = (
         e.where(F.col("event_type") == "click")
         .join(v, "user_id")
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
-    ).cache()
+    )
+    c = tracked_cache(c)
     p = (
         e.where(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
-    ).cache()
+    )
+    p = tracked_cache(p)
     nv = v.agg(F.count(F.lit(1)).alias("n_view"))
     nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
@@ -630,9 +637,9 @@ def e12_retention_cohorts(spark, sf_dir):
     barrier the events scan + distinct ran twice (the e11 lesson — the
     frame is at most users×weeks rows of two ints)."""
     e = table(spark, sf_dir, "events")
-    wk = e.select(
+    wk = tracked_cache(e.select(
         "user_id", F.expr("unix_date(to_date(ts)) div 7").alias("w")
-    ).distinct().cache()
+    ).distinct())
     cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
     return (
         wk.join(cohort, "user_id")
@@ -753,32 +760,7 @@ def e14_view_purchase_full_outer(spark, sf_dir):
     "e16_scd2_stream_enrichment",
     # j09's oracle verbatim: the streaming drain through the native
     # parquet file sink must reproduce the batch temporal join exactly
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, d, event_type AS attr FROM (
-        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
-               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1),
-    marked AS (
-      SELECT user_id, d, attr, LAG(attr) OVER w AS prev_attr
-      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
-    changes AS (
-      SELECT user_id, d, attr FROM marked
-      WHERE prev_attr IS NULL OR attr <> prev_attr),
-    dim AS (
-      SELECT user_id, attr, d AS valid_from,
-             LEAD(d - INTERVAL 1 DAY) OVER
-               (PARTITION BY user_id ORDER BY d) AS valid_to
-      FROM changes)
-    SELECT dim.attr AS regime_attr, e.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events e JOIN dim
-      ON e.user_id = dim.user_id
-     AND CAST(e.ts AS DATE) >= dim.valid_from
-     AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) <= dim.valid_to)
-    GROUP BY 1, 2
-    """,
+    oracle=SCD2_TEMPORAL_JOIN_SQL,
 )
 def e16_scd2_stream_enrichment(spark, sf_dir):
     """Streaming SCD2 enrichment through the NATIVE parquet file sink

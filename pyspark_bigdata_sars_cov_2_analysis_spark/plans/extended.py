@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators import sorts, windows
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
+    SCD2_CHANGES_CTES,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    tracked_cache,
     pround,
     query,
     sql_round,
@@ -981,21 +985,11 @@ def a24_zscore_anomaly(spark, sf_dir):
     "w08_scd2_intervals",
     # per (user, day) the LAST event's type (argmax by ts with event_id
     # tiebreak — lineitem-style determinism), then change-points via lag
-    # and validity intervals via lead: the SCD2 build as pure windows
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, d, event_type AS attr FROM (
-        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
-               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1),
-    marked AS (
-      SELECT user_id, d, attr,
-             LAG(attr) OVER w AS prev_attr
-      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
-    changes AS (
-      SELECT user_id, d, attr FROM marked
-      WHERE prev_attr IS NULL OR attr <> prev_attr)
+    # and validity intervals via lead: the SCD2 build as pure windows.
+    # The CTE chain is the shared fragments.SCD2_CHANGES_CTES — j09/e16
+    # extend the same chain, so the three oracles cannot drift.
+    oracle=f"""
+    WITH {SCD2_CHANGES_CTES}
     SELECT user_id, attr,
            strftime(d, '%Y-%m-%d') AS valid_from,
            strftime(LEAD(d - INTERVAL 1 DAY) OVER
@@ -1394,12 +1388,16 @@ def j12_runtime_filter(spark, sf_dir):
     default), which a sf0.001/sf0.01 fixture never reaches, and a
     creation side small enough to BROADCAST skips the rule entirely
     (the broadcast join already prunes via its build side). At real
-    scale the defaults fire on their own; here the query pins the
-    thresholds while FORCING physical planning (``executedPlan`` is a
-    Scala lazy val, so the plan the driver later collects is the one
-    planned under the pinned confs) and restores every conf before
-    returning — no leakage into other registry entries' plans, verified
-    by the restore assertions in the plan-shape test."""
+    scale the defaults fire on their own; here the thresholds are
+    pinned on a CLONED session (``spark.newSession()`` — shared
+    SparkContext, ISOLATED SQLConf) while physical planning is forced
+    (``executedPlan`` is a Scala lazy val, so the plan the driver later
+    collects is the one planned under the pinned confs). The caller's
+    session conf is never touched, even transiently — the r13 form
+    set-and-restored on the shared session, which silently disabled
+    broadcast joins for any plan CONSTRUCTED concurrently in the same
+    session during the pin window (review r14; the registry's
+    concurrency contract allows exactly that)."""
     pins = {
         # sf-fixture scans are far below the 10 GB application-side gate
         "spark.sql.optimizer.runtime.bloomFilter."
@@ -1408,29 +1406,25 @@ def j12_runtime_filter(spark, sf_dir):
         # makes the rule correctly skip — nothing left to prune)
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k) for k in pins}
+    planner = spark.newSession()
     for k, v in pins.items():
-        spark.conf.set(k, v)
-    try:
-        o = table(spark, sf_dir, "orders")
-        c = table(spark, sf_dir, "customer").where(
-            F.col("c_mktsegment") == "AUTOMOBILE"
+        planner.conf.set(k, v)
+    o = table(planner, sf_dir, "orders")
+    c = table(planner, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        out = (
-            o.join(c, o.o_custkey == c.c_custkey)
-            .groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                pround(F.sum("o_totalprice"), 2).alias("revenue"),
-            )
-        )
-        # force physical planning NOW, under the pinned confs — the
-        # lazy val pins the injected plan for the later collect
-        out._jdf.queryExecution().executedPlan()
-        return out
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    )
+    # force physical planning NOW, under the clone's pinned confs — the
+    # lazy val pins the injected plan for the later collect
+    out._jdf.queryExecution().executedPlan()
+    return out
 
 
 @query(
@@ -1695,16 +1689,15 @@ def g01_pagerank_fixedpoint(spark, sf_dir):
     # feed every unrolled iteration — CACHED so the fact-scale 4-table
     # join behind `edges` runs once, not once per iteration per consumer
     # (uncached, the plan re-expanded it 3x: 33 scans; cached: 6)
-    ep = edges.join(outw, "src").cache()
+    ep = tracked_cache(edges.join(outw, "src"))
     # ONE cached node frame carries (node, name, n_nodes) — the node
     # count rides every row so no iteration re-aggregates (or re-scans)
     # the nation table; uncached, nn's 1-row aggregate re-expanded the
     # nation scan once per unrolled level
     nn = nat.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    nodes = (
+    nodes = tracked_cache(
         nat.select(F.col("n_nationkey").alias("node"), "n_name")
         .crossJoin(F.broadcast(nn))
-        .cache()
     )
     r = nodes.select(
         "node", F.expr(f"{SCALE} DIV n_nodes").alias("rank_fp")

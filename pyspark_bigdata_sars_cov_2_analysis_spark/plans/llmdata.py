@@ -14,6 +14,9 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import (
     multimodal,
     similarity,
 )
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
+    DUCK_NORM,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     pround,
     query,
@@ -23,7 +26,9 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.text import _QUALITY_EXPR
 
-_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# the shared fragment (review r14: text.py defined the same string as
+# _DUCK_NORM)
+_NORM = DUCK_NORM
 
 # word 3-shingles, distinct, per doc — shared CTE text for dedup oracles
 _SHINGLES_CTE = f"""

@@ -13,6 +13,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.ml import (
 from pyspark_bigdata_sars_cov_2_analysis_spark.ml.classify import features_from_array
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    tracked_cache,
     pround,
     query,
     sql_round,
@@ -22,7 +23,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
 
 def _prepped(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    return features_from_array(e, "embedding", "label").cache()
+    return tracked_cache(features_from_array(e, "embedding", "label"))
 
 
 @query("ml01_classifier_bench", oracle=None)

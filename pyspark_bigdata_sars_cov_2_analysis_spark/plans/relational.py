@@ -17,6 +17,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.operators import (
     windows,
 )
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    tracked_cache,
     pround,
     query,
     sql_round,
@@ -876,7 +877,7 @@ def p18_skew_profile(spark, sf_dir):
     events scan + count shuffle ran twice; cached, once, and the frame
     is small (two columns, one row per distinct key)."""
     e = table(spark, sf_dir, "events")
-    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).cache()
+    k = tracked_cache(e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
     s = k.agg(
         F.sum("n").alias("total"),
         F.max("n").alias("mx"),

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions import text as T
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
+    DUCK_NORM,
+    LANG_ARGMAX_CASE,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+    tracked_cache,
     pround,
     query,
     sql_round,
@@ -17,7 +22,8 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
 )
 
 
-_DUCK_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# the shared fragment (review r14: llmdata.py re-defined the same string)
+_DUCK_NORM = DUCK_NORM
 
 
 def _occ_sql(word: str) -> str:
@@ -84,13 +90,7 @@ def t02_quality_score(spark, sf_dir):
              {_score_sql(T.LANG_MARKERS['zh'])} AS s_zh
       FROM documents)
     SELECT doc_id,
-           CASE
-             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-             WHEN s_fr >= s_zh THEN 'fr'
-             ELSE 'zh'
-           END AS lang_pred
+{LANG_ARGMAX_CASE} AS lang_pred
     FROM scored
     """,
 )
@@ -303,7 +303,9 @@ def t09_tfidf_top_terms(spark, sf_dir):
         "doc_id",
         F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = tracked_cache(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
     n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     # join back UNHINTED: AQE broadcasts dfreq when the vocabulary is
@@ -370,7 +372,9 @@ def t13_token_surprisal(spark, sf_dir):
         F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("tok"),
     )
     tf = (
-        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+        tracked_cache(
+            toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        )
     )
     freq = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("t_total"))
@@ -546,7 +550,9 @@ def a22_countmin_heavy_hitters(spark, sf_dir):
     # re-plan the full tokenize+count subtree (3 corpus scans at 100 TB
     # — ReuseExchange does not deduplicate them across the differing
     # projections); the cached frame is vocabulary-sized and spillable
-    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact")).cache()
+    tc = tracked_cache(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    )
     cms = sketches.countmin_table(tc, "tok", "n_exact")
     top = tc.orderBy(F.desc("n_exact"), F.asc("tok")).limit(20)
     est = sketches.countmin_estimate(cms, top.select("tok"), "tok")
@@ -744,14 +750,9 @@ def t16_quality_audit_frame(spark, sf_dir):
     )
 
 
-_T17_PRED = f"""
-           CASE
-             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-             WHEN s_fr >= s_zh THEN 'fr'
-             ELSE 'zh'
-           END"""
+# t03's prediction CASE — the shared fragment, so the confusion
+# rollup can never drift from the classifier it audits (review r14)
+_T17_PRED = LANG_ARGMAX_CASE
 
 
 @query(

@@ -14,6 +14,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins, sorts
+from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
+    SCD2_TEMPORAL_JOIN_SQL,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     pround,
     query,
@@ -336,32 +339,7 @@ def j08_full_outer(spark, sf_dir):
     # TIME: equi-join on user_id + validity-interval predicate (open
     # upper bound for the current row). Both engines rebuild the same
     # dimension CTE, then count events landing in each attribute regime.
-    oracle="""
-    WITH daily AS (
-      SELECT user_id, d, event_type AS attr FROM (
-        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
-               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) WHERE rn = 1),
-    marked AS (
-      SELECT user_id, d, attr, LAG(attr) OVER w AS prev_attr
-      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)),
-    changes AS (
-      SELECT user_id, d, attr FROM marked
-      WHERE prev_attr IS NULL OR attr <> prev_attr),
-    dim AS (
-      SELECT user_id, attr, d AS valid_from,
-             LEAD(d - INTERVAL 1 DAY) OVER
-               (PARTITION BY user_id ORDER BY d) AS valid_to
-      FROM changes)
-    SELECT dim.attr AS regime_attr, e.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM events e JOIN dim
-      ON e.user_id = dim.user_id
-     AND CAST(e.ts AS DATE) >= dim.valid_from
-     AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) <= dim.valid_to)
-    GROUP BY 1, 2
-    """,
+    oracle=SCD2_TEMPORAL_JOIN_SQL,
 )
 def j09_temporal_scd2_join(spark, sf_dir):
     """§2.3 completion — the TEMPORAL dimension join, w08's payoff: every

@@ -675,10 +675,11 @@ def test_j12_runtime_filter_injected_and_confs_restored(spark):
     side builds a bloom filter over the filtered dim's join key
     (bloom_filter_agg) and the FACT side's scan filter probes it
     (might_contain) — rows that cannot join die at the scan, never
-    riding the join shuffle. The query pins the size-gate confs only
-    for the duration of plan forcing; afterwards the session confs must
-    be exactly what they were (no leakage into other registry entries'
-    plans)."""
+    riding the join shuffle. The size-gate confs are pinned on a CLONED
+    session (r14: the set-and-restore form mutated the SHARED session
+    conf during the pin window, silently degrading any concurrently
+    constructed plan); the caller's session confs must be exactly what
+    they were — there is no pin window on them at all."""
     keys = (
         "spark.sql.optimizer.runtime.bloomFilter."
         "applicationSideScanSizeThreshold",
