@@ -32,74 +32,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json: queries never green in ANY round first, then the
 # stalest attestations, newest-attested last.
 #
-# Round-14 window (VERDICT r13 Next-round #1): o15 leads — its r13
-# attestation FAILED on an oracle typing bug (DuckDB HUGEINT → float64
-# hash mismatch; the oracle is fixed this round) and a failed
-# attestation outranks never-attested. Then the two round-13
-# registrations (never driver-attested — the standing
-# never-attested-first principle), then the 8 r9-stale names spilled
-# past the r13 cut, then the FIRST 39 of the 50 r10-attested names in
-# their CORRECTNESS_r10 order. 3 + 8 + 39 = 50 exactly; the committed
-# round-15 head is the 11 r10 names past the cut, then the 50
-# r11-attested names in their CORRECTNESS_r11 order (11 + 39 fill a
-# clean r15 window; the last 11 r11 names spill to r16).
+# Round-15 window (VERDICT r14 Next-round #1, committed in the r14
+# round as the forward plan): round 14 closed 50/50 green with ZERO new
+# registrations and no failed attestations, so the r15 head is pure
+# staleness rotation — the 11 r10-attested names spilled past the r14
+# cut (in their CORRECTNESS_r10 order), then the FIRST 39 of the 50
+# r11-attested names in their CORRECTNESS_r11 order (11 + 39 = 50; the
+# last 11 r11 names lead the committed round-16 head, followed by the
+# 50 r12-attested names in their CORRECTNESS_r12 order).
 # `ml01_classifier_bench` (last attested r5) stays out of the rotation
 # by design — it is the rows-only query, so a window slot buys no hash
 # attestation. The cut point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
-_PRIORITY_FIRST = [
-    # FAILED r13 attestation (oracle typing, fixed in this round) —
-    # re-attestation required ahead of everything else
-    "o15_schema_evolution",
-    # registered during round 13, never driver-attested; order as
-    # committed in _NEXT_WINDOW_FIRST last round / VERDICT r13 #1
-    "o16_data_skipping",
-    "e18_snapshot_stream_source",
+_PRIORITY_FIRST: list[str] = [
+    # empty this round: no failed attestations (r14 was 50/50 green)
+    # and no never-attested registrations (r14 held additions at 0)
 ]
 
-# Queries registered DURING round 14, after the window above was
+# Queries registered DURING round 15, after the window above was
 # committed — per the standing overflow rule they queue BEHIND the
 # window (local parity covers them until then) instead of displacing a
-# committed stale name. Round 14 holds new registrations to 0
-# (VERDICT r13 #6), so this is empty by plan.
+# committed stale name. Round 15 holds new registrations to 0
+# (VERDICT r14 #4), so this is empty by plan.
 _NEXT_WINDOW_FIRST: list[str] = []
 _STALE_QUEUE = [
-    # the 8 r9-stale names spilled past the r13 cut (stalest in the
-    # rotation), in their CORRECTNESS_r09 order — VERDICT r12 #1 / r13 #1
-    "m04_real_bmp_roundtrip",
-    "s03_ivf_topk", "s04_ivf_multiprobe", "p01_project_filter",
-    "p05_derived_cast", "p09_recode", "p11_filter_isin",
-    "p12_compound_predicate",
-    # last attested round 10, in their CORRECTNESS_r10 order; the first
-    # WINDOW − 3 − 8 = 39 fill the round-14 window (cut after
-    # a19_approx_percentile_rankcheck), the remaining 11 lead the
-    # committed round-15 head
-    "a27_approx_top_k_mergeable", "u15_python_udtf",
-    "j11_lateral_join_api", "a28_listagg_within_group",
-    "sql09_sql_scripting", "sql10_pipe_syntax", "o10_token_budget_plan",
-    "d21_curation_funnel", "p16_null_profile", "a01_grouped_sum",
-    "a03_count_share", "a04_max_avg", "a05_group_count",
-    "a08_ordered_collect", "e02_sessionize",
-    "e06_view_purchase_attribution", "j06_asof_join",
-    "j07_range_join_binned", "o05_stratified_sample",
-    "d08_leakage_free_split", "w03_topn_per_group", "o03_topk_resort",
-    "u01_union", "u03_intersect", "u04_except", "f01_string_funcs",
-    "f11_date_funcs", "f12_json_extract", "t01_token_count",
-    "t02_quality_score", "t03_language_id", "t04_fingerprint",
-    "t05_clean_wordcount", "t07_repetition_ratio", "t08_pii_scrub",
-    "t06_top_bigrams", "u08_arrow_batch_transform",
-    "a20_kll_mergeable_quantiles", "a19_approx_percentile_rankcheck",
-    # ---- round-15 head continues here: the 11 r10-stale names past
-    # the r14 cut, then the 50 r11-attested names in their
-    # CORRECTNESS_r11 order (11 + 39 = 50; the last 11 spill to
-    # r16) ----
+    # the 11 r10-stale names spilled past the r14 cut (stalest in the
+    # rotation), in their CORRECTNESS_r10 order — VERDICT r13 #1 / r14 #1
     "d14_chunk_dedup_keep_first", "a21_unpivot_melt",
     "ml03_regression_metrics", "u09_arrow_scalar_udf",
     "sql05_lateral_view_tokens", "e10_view_purchase_outer",
     "w07_time_range_frame", "f16_array_lambda", "u10_except_all",
     "u11_intersect_all", "o07_zorder_cells",
-    # last attested round 11, in their CORRECTNESS_r11 order
+    # last attested round 11, in their CORRECTNESS_r11 order; the first
+    # WINDOW - 11 = 39 fill the round-15 window (cut after
+    # q8_market_share), the remaining 11 lead the committed round-16 head
     "o11_budgeted_mixture", "j12_runtime_filter", "sql11_sql_body_udf",
     "d22_compacted_ingest", "o12_weighted_reservoir",
     "d23_contamination_report", "j13_asof_nearest", "d24_minhash_error",
@@ -116,12 +83,38 @@ _STALE_QUEUE = [
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "j01_left_join", "j02_semi_join",
     "j03_anti_join", "j05_salted_join_equiv", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
-    "q18_large_volume", "q19_discounted_revenue",
-    "q22_global_sales_opportunity", "q16_parts_supplier_relationship",
-    "q20_potential_promotion",
+    "q7_volume_shipping", "q8_market_share",
+    # ---- round-16 head continues here: the 11 r11-stale names past
+    # the r15 cut, then the 50 r12-attested names in their
+    # CORRECTNESS_r12 order (11 + 39 = 50 fill a clean r16 window; the
+    # last 11 r12 names spill to r17) ----
+    "q9_product_profit", "q12_priority_shipping",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity", "q18_large_volume",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship", "q20_potential_promotion",
+    # last attested round 12, in their CORRECTNESS_r12 order
+    "o14_snapshot_lifecycle", "e17_statestore_keys",
+    "q21_waiting_supplier", "q11_important_stock",
+    "q2_min_cost_supplier", "u05_grouped_forecast",
+    "u06_batch_inference", "u13_grouped_arrow", "a24_zscore_anomaly",
+    "e11_funnel_conversion", "e12_retention_cohorts",
+    "p18_skew_profile", "o09_cluster_balanced_sample",
+    "w08_scd2_intervals", "s05_ann_recall", "sql06_relational_division",
+    "u14_pandas_udaf", "m06_resize_nn", "t14_langid_margin",
+    "d16_containment_neardup", "m07_audio_decimate",
+    "sql07_pivot_clause", "p19_snapshot_drift",
+    "w09_running_distinct_users", "e13_session_conversion",
+    "j09_temporal_scd2_join", "p20_join_cardinality_preflight",
+    "sql08_registered_udf", "e14_view_purchase_full_outer",
+    "a25_transpose", "f18_ansi_safe_functions", "f19_collated_grouping",
+    "w10_forward_fill", "a26_deterministic_mode", "f20_parse_url",
+    "t15_sentence_stats", "d18_curation_pipeline",
+    "j10_range_lookup_broadcast", "e01_tumbling_window",
+    "e03_dedup_latest_state", "e04_sliding_window", "e05_user_totals",
+    "e07_segment_window", "e08_gapfill_daily", "a10_rollup", "a11_cube",
+    "a12_grouping_sets", "a13_pivot", "a14_count_distinct",
+    "w04_lag_lead_rank",
 ]
 
 # the driver's attestation window

@@ -98,19 +98,14 @@ def test_attestation_window_arithmetic():
     assert window == want, (
         "attestation window drifted from the planned head"
     )
-    assert len(entry._PRIORITY_FIRST) == 3, (
+    assert len(entry._PRIORITY_FIRST) == 0, (
         "head accounting changed — re-derive the window plan and update "
         "this pin"
     )
-    # VERDICT r13 #1: a FAILED attestation outranks never-attested —
-    # o15 (the sole r13 hash-red, an oracle typing bug fixed this
-    # round) leads the window, then the two never-attested r13
-    # registrations
-    assert entry._PRIORITY_FIRST == [
-        "o15_schema_evolution", "o16_data_skipping",
-        "e18_snapshot_stream_source",
-    ]
-    # round 14 commits to ZERO new registrations (VERDICT r13 #6)
+    # round 15 has no failed attestations (r14 was 50/50 green) and no
+    # never-attested registrations (r14 held additions at 0), so the
+    # head is pure staleness rotation (VERDICT r14 #1)
+    # round 15 commits to ZERO new registrations (VERDICT r14 #4)
     assert entry._NEXT_WINDOW_FIRST == []
     # a never-attested query must be in the CURRENT window, or be one of
     # the late-round registrations explicitly committed to LEAD the next
@@ -135,66 +130,63 @@ def test_attestation_window_arithmetic():
     assert "ml01_classifier_bench" not in (
         entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
     )
-    # Staleness pins. VERDICT r13 What's-wrong #2: the r13 version of
-    # this test derived staleness from ALL records, so it flipped red
-    # the moment the driver's own round file landed (serving the window
-    # re-attested the served names). The window PLAN is a function of
-    # the record AS OF planning time — derive it from records ≤ r13
-    # only, so the pins hold identically before and after
-    # CORRECTNESS_r14.json (or any later record) lands.
+    # Staleness pins. VERDICT r13 What's-wrong #2: derive the plan from
+    # the record AS OF planning time — records ≤ r14 only — so the pins
+    # hold identically before and after CORRECTNESS_r15.json (or any
+    # later record) lands.
     latest = {}
     for rec in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(rec)[len("CORRECTNESS_r"):-len(".json")])
-        if rnd > 13:
+        if rnd > 14:
             continue
         with open(rec) as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
-    # the r14 window tail must be exactly the 8 r9-stale names spilled
-    # past the r13 cut + the FIRST 39 names whose latest (as-of-r13)
-    # attestation is round 10, each in their own record order (cut
-    # after a19_approx_percentile_rankcheck)
-    with open(os.path.join(REPO, "CORRECTNESS_r09.json")) as fh:
-        r09_order = list(json.load(fh).keys())
-    r9_stale = [n for n in r09_order if latest.get(n) == 9]
+    # the r15 window must be exactly the 11 r10-stale names spilled
+    # past the r14 cut + the FIRST 39 names whose latest (as-of-r14)
+    # attestation is round 11, each in their own record order (cut
+    # after q8_market_share)
     with open(os.path.join(REPO, "CORRECTNESS_r10.json")) as fh:
         r10_order = list(json.load(fh).keys())
     r10_stale = [n for n in r10_order if latest.get(n) == 10]
-    window_tail = entry._STALE_QUEUE[: entry.WINDOW - len(entry._PRIORITY_FIRST)]
-    assert len(r9_stale) == 8 and len(r10_stale) == 50
-    assert window_tail[:8] == r9_stale, (
-        "r14 window tail drifted from the CORRECTNESS_r09 record"
-    )
-    assert window_tail[8:] == r10_stale[:39], (
-        "r14 window tail drifted from the CORRECTNESS_r10 record"
-    )
-    assert window_tail[-1] == "a19_approx_percentile_rankcheck"
-    # VERDICT r13 #1: the round-15 head is a complete forward plan —
-    # the 11 r10-stale names past the r14 cut (ending o07_zorder_cells),
-    # then the 50 r11-stale names in their CORRECTNESS_r11 order (11 +
-    # 39 fit a clean 50-slot r15 window; the last 11 spill to r16)
-    r15_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
-    assert len(r15_head) == 11 + 50
-    assert r15_head[:11] == r10_stale[39:]
-    assert r15_head[11] == "o11_budgeted_mixture"
-    assert r15_head[-1] == "q20_potential_promotion"
-    # the r15 continuation must be EXACTLY the names whose latest
-    # (as-of-r13) attestation is round 11, in their CORRECTNESS_r11
-    # order
     with open(os.path.join(REPO, "CORRECTNESS_r11.json")) as fh:
         r11_order = list(json.load(fh).keys())
     r11_stale = [n for n in r11_order if latest.get(n) == 11]
-    assert r15_head[11:] == r11_stale, "r15 continuation drifted from record"
-    # Pre-gated r14 pin (VERDICT r13 #2 "add the equivalent r14 pin
-    # pre-gated"): the moment the driver's CORRECTNESS_r14.json lands,
-    # it must contain EXACTLY this committed window — and this test
-    # stays green either way.
-    r14_rec = os.path.join(REPO, "CORRECTNESS_r14.json")
-    if os.path.exists(r14_rec):
-        with open(r14_rec) as fh:
+    window_tail = entry._STALE_QUEUE[: entry.WINDOW - len(entry._PRIORITY_FIRST)]
+    assert len(r10_stale) == 11 and len(r11_stale) == 50
+    assert window_tail[:11] == r10_stale, (
+        "r15 window head drifted from the CORRECTNESS_r10 record"
+    )
+    assert window_tail[11:] == r11_stale[:39], (
+        "r15 window tail drifted from the CORRECTNESS_r11 record"
+    )
+    assert window_tail[-1] == "q8_market_share"
+    # VERDICT r14 #1: the round-16 head is a complete forward plan —
+    # the 11 r11-stale names past the r15 cut (ending
+    # q20_potential_promotion), then the 50 r12-stale names in their
+    # CORRECTNESS_r12 order (11 + 39 fit a clean 50-slot r16 window;
+    # the last 11 spill to r17)
+    r16_head = entry._STALE_QUEUE[entry.WINDOW - len(entry._PRIORITY_FIRST):]
+    assert len(r16_head) == 11 + 50
+    assert r16_head[:11] == r11_stale[39:]
+    assert r16_head[11] == "o14_snapshot_lifecycle"
+    assert r16_head[-1] == "w04_lag_lead_rank"
+    # the r16 continuation must be EXACTLY the names whose latest
+    # (as-of-r14) attestation is round 12, in their CORRECTNESS_r12
+    # order
+    with open(os.path.join(REPO, "CORRECTNESS_r12.json")) as fh:
+        r12_order = list(json.load(fh).keys())
+    r12_stale = [n for n in r12_order if latest.get(n) == 12]
+    assert r16_head[11:] == r12_stale, "r16 continuation drifted from record"
+    # Pre-gated r15 pin: the moment the driver's CORRECTNESS_r15.json
+    # lands, it must contain EXACTLY this committed window — and this
+    # test stays green either way.
+    r15_rec = os.path.join(REPO, "CORRECTNESS_r15.json")
+    if os.path.exists(r15_rec):
+        with open(r15_rec) as fh:
             served = set(json.load(fh).keys())
         assert served == set(window), (
-            f"driver served a different r14 window: "
+            f"driver served a different r15 window: "
             f"unexpected={sorted(served - set(window))} "
             f"missing={sorted(set(window) - served)}"
         )
