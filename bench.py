@@ -359,6 +359,37 @@ def _refreeze_baseline(out: dict) -> None:
     print("baseline re-frozen from this run", file=sys.stderr)
 
 
+def _compact_summary(out: dict) -> dict:
+    """VERDICT r14 What's-wrong #2: the round driver keeps only the LAST
+    2,000 chars of bench stdout, and since r8 the full record outgrew
+    that tail — BENCH_r{N}.json carried the extras flag lists but lost
+    ``value``, ``host_canary``, and the headline times, so flags could
+    only be adjudicated by re-running. The fix is one final COMPACT
+    line (same metric/value/unit/sf, headline queries only, canary +
+    regression lists) printed after the full record, so any tail
+    capture is self-contained and the driver's line-parse finds a
+    complete record again. Deliberately NOT the per-query ratio maps:
+    at sf0.1 they would push this line itself past the 2,000-char tail
+    and defeat it."""
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "host_canary": out["host_canary"],
+    }
+    for k in (
+        "regressions",
+        "regressions_raw",
+        "extras_regressions",
+        "errors",
+    ):
+        if k in out:
+            summary[k] = out[k]
+    return summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = start_session("bench")
@@ -514,6 +545,7 @@ def main() -> None:
     except (OSError, ValueError, KeyError):
         pass
     print(json.dumps(out))
+    print(json.dumps(_compact_summary(out)))
     if "--extend-baseline" in sys.argv:
         if errors:
             print("refusing to extend baseline: errored run", file=sys.stderr)

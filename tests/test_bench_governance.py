@@ -66,3 +66,56 @@ def test_rebase_extras_still_refuses_headline_and_unfrozen(
         {"sf": 0.1, "queries": {"q1": 0.9}, "extras": {"q1": 0.9}}, ["q1"]
     )
     assert json.loads(p.read_text()) == planted
+
+
+def test_compact_summary_is_tail_safe():
+    """VERDICT r14 #3: the driver records only the LAST 2,000 chars of
+    bench stdout, so the final compact line must (a) carry the
+    verdict-critical fields, (b) omit the per-query ratio maps that
+    would outgrow the tail, and (c) stay well under 2,000 chars for a
+    realistic headline set so the line survives truncation whole."""
+    headline = {f"q{i}_some_longish_headline_name": 1.234 for i in range(30)}
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": 27.004,
+        "unit": "sec",
+        "queries": headline,
+        "sf": 0.1,
+        "runs_per_query": 2,
+        "agg": "min",
+        "host_canary": {"sec": 0.433, "vs_frozen": 0.92},
+        "vs_baseline": {n: 1.0 for n in headline},
+        "vs_baseline_drift_normalized": {n: 1.0 for n in headline},
+        "extras": {f"x{i}": 1.0 for i in range(160)},
+        "extras_vs_baseline": {f"x{i}": 1.0 for i in range(160)},
+        "extras_vs_baseline_drift_normalized": {
+            f"x{i}": 1.0 for i in range(160)
+        },
+        "extras_regressions": ["d06_simhash_neardup"],
+        "regressions": [],
+        "regressions_raw": ["q1_pricing_summary"],
+    }
+    summary = bench._compact_summary(out)
+    # verdict-critical fields present
+    assert summary["value"] == 27.004
+    assert summary["host_canary"] == {"sec": 0.433, "vs_frozen": 0.92}
+    assert summary["regressions"] == []
+    assert summary["regressions_raw"] == ["q1_pricing_summary"]
+    assert summary["extras_regressions"] == ["d06_simhash_neardup"]
+    assert summary["queries"] == headline
+    # the bulky maps must NOT ride along
+    for k in (
+        "vs_baseline",
+        "vs_baseline_drift_normalized",
+        "extras",
+        "extras_vs_baseline",
+        "extras_vs_baseline_drift_normalized",
+    ):
+        assert k not in summary
+    # and the rendered line fits the tail with margin
+    line = json.dumps(summary)
+    assert len(line) < 1900, len(line)
+    # errors propagate when present (a truncated tail must still show
+    # an errored run as errored)
+    out["errors"] = {"q5": "boom"}
+    assert bench._compact_summary(out)["errors"] == {"q5": "boom"}
