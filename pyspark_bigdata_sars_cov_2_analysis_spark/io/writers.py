@@ -15,6 +15,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
+
 
 def write_json_single_file(
     df: DataFrame,
@@ -607,18 +609,20 @@ _SNAP_DIR = "_snapshots"
 
 
 def _local_path(p: str) -> str:
-    """file:-URI (any slash count: ``file:/x``, ``file:///x``) → local
-    filesystem path, normalized so string comparison works — Spark's
-    ``inputFiles()`` emits ``file:///`` while callers pass plain paths."""
-    import os as _os
-
-    return _os.path.normpath(p.removeprefix("file:"))
+    """Canonical address of ``p`` (``file:``-URI in any slash count →
+    plain local path, normalized so string comparison works — Spark's
+    ``inputFiles()`` emits ``file:///`` while callers pass plain
+    paths). Delegates to the filesystem seam (``io/fs.py``, VERDICT r14
+    #2): an object-store path resolves to its normalized URI instead,
+    and an UNREGISTERED scheme fails loudly here — the entry point of
+    every snapshot op — rather than os.* silently treating
+    ``s3://bucket/x`` as a relative local path."""
+    return _fs.for_path(p).resolve(p)
 
 
 def _snap_path(path: str) -> str:
-    import os as _os
-
-    return _os.path.join(_local_path(path), _SNAP_DIR)
+    fs = _fs.for_path(path)
+    return fs.join(fs.resolve(path), _SNAP_DIR)
 
 
 # exactly the names write_parquet_snapshot publishes (``v%08d.json``;
@@ -637,12 +641,7 @@ def _manifest_names(path: str, reverse: bool = False) -> list[str]:
     readdir, non-manifest strays ignored. Sorted by the parsed number,
     not lexically: zero-padding makes the two agree up to v99,999,999,
     but a 9-digit name sorts lexically BEFORE the 8-digit ones."""
-    import os as _os
-
-    try:
-        names = _os.listdir(_snap_path(path))
-    except FileNotFoundError:
-        return []
+    names = _fs.for_path(path).list_names(_snap_path(path))
     return sorted(
         (n for n in names if _MANIFEST_RE.fullmatch(n)),
         key=lambda n: int(n[1:-5]),
@@ -659,14 +658,13 @@ def list_parquet_snapshots(path: str) -> list[dict]:
     of history length, so a long-lived table's per-batch cost never
     grows with its version count."""
     import json as _json
-    import os as _os
 
+    fs = _fs.for_path(path)
     d = _snap_path(path)
-    out = []
-    for n in _manifest_names(path):
-        with open(_os.path.join(d, n)) as fh:
-            out.append(_json.load(fh))
-    return out
+    return [
+        _json.loads(fs.read_text(fs.join(d, n)))
+        for n in _manifest_names(path)
+    ]
 
 
 def _manifest_versions(path: str) -> list[int]:
@@ -678,13 +676,12 @@ def _manifest_versions(path: str) -> list[int]:
 def _load_manifest(path: str, version: int) -> dict | None:
     """One published manifest by version — O(1) tiny JSON read."""
     import json as _json
-    import os as _os
 
+    fs = _fs.for_path(path)
     try:
-        with open(
-            _os.path.join(_snap_path(path), f"v{version:08d}.json")
-        ) as fh:
-            return _json.load(fh)
+        return _json.loads(
+            fs.read_text(fs.join(_snap_path(path), f"v{version:08d}.json"))
+        )
     except FileNotFoundError:
         return None
 
@@ -1007,7 +1004,6 @@ def write_parquet_snapshot(
     read with their OWN recorded schema. Same-name columns must keep
     their dtype; a type conflict always refuses. Drift-refusal stays the
     default so accidental producer drift cannot silently widen a table."""
-    import os as _os
     import time as _time
     import uuid as _uuid
 
@@ -1023,11 +1019,12 @@ def write_parquet_snapshot(
                 f"schema {df.columns}"
             )
     spark = df.sparkSession
+    fs = _fs.for_path(path)
     base = _local_path(path)
-    _os.makedirs(_snap_path(path), exist_ok=True)
+    fs.make_dirs(_snap_path(path))
     last = _latest_manifest(path)
     version = (last["version"] + 1) if last else 1
-    data_dir = _os.path.join(
+    data_dir = fs.join(
         base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(data_dir)
@@ -1422,21 +1419,20 @@ def vacuum_parquet_snapshots(
     resolved the writes) — when in doubt the guard fails SAFE, skipping
     deletion rather than reaching into foreign bytes. Prefer absolute
     paths."""
-    import os as _os
-    import shutil as _shutil
     import time as _time
 
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    fs = _fs.for_path(path)
     snaps = list_parquet_snapshots(path)
     kept, dropped = snaps[-keep:], snaps[:-keep]
     keep_files = {_local_path(f) for s in kept for f in s["files"]}
     base = _local_path(path)
-    # abspath BOTH sides of the ownership compare (review r13): the
-    # manifests record absolute file: paths from inputFiles(), so a
+    # absolute-form BOTH sides of the ownership compare (review r13):
+    # the manifests record absolute file: paths from inputFiles(), so a
     # vacuum invoked with a RELATIVE table path would otherwise match
     # nothing and silently reclaim zero data files
-    own_root = _os.path.abspath(_os.path.join(base, "data")) + _os.sep
+    own_root = fs.absolute(fs.join(base, "data")) + "/"
     # manifests FIRST, then data (ADVICE r10): deleting a dropped
     # version's files before its manifest leaves, across a crash, a
     # LISTED manifest referencing vanished files — list/read of that
@@ -1445,18 +1441,18 @@ def vacuum_parquet_snapshots(
     # readable at all times; a crash between the two phases merely
     # leaves unreferenced files for the next vacuum's orphan sweep.
     for s in dropped:
-        _os.remove(
-            _os.path.join(_snap_path(path), f"v{s['version']:08d}.json")
+        fs.remove(
+            fs.join(_snap_path(path), f"v{s['version']:08d}.json")
         )
     removed_files = []
     for s in dropped:
         for f in s["files"]:
             local = _local_path(f)
-            if not _os.path.abspath(local).startswith(own_root):
+            if not fs.absolute(local).startswith(own_root):
                 continue  # another table's bytes (shallow clone): the
                 # manifest drops, the source's own vacuum governs them
-            if local not in keep_files and _os.path.exists(local):
-                _os.remove(local)
+            if local not in keep_files and fs.exists(local):
+                fs.remove(local)
                 removed_files.append(f)
     # orphan data dirs: referenced by NO manifest (crashed pre-publish
     # writers); also prune now-empty version dirs. abspath BOTH sides
@@ -1465,26 +1461,26 @@ def vacuum_parquet_snapshots(
     # invoked with a RELATIVE table path would otherwise see every LIVE
     # data dir — the kept latest's included — as "referenced by no
     # manifest" and rmtree the whole table once past the grace window
-    data_root = _os.path.join(base, "data")
+    data_root = fs.join(base, "data")
     referenced_dirs = {
-        _os.path.abspath(_os.path.dirname(_local_path(f)))
+        fs.absolute(_local_path(f).rsplit("/", 1)[0])
         for s in snaps
         for f in s["files"]
     }
     removed_orphans = []
     now = _time.time()
-    if _os.path.isdir(data_root):
-        for d in sorted(_os.listdir(data_root)):
-            full = _os.path.abspath(_os.path.join(data_root, d))
+    if fs.is_dir(data_root):
+        for d in sorted(fs.list_names(data_root)):
+            full = fs.absolute(fs.join(data_root, d))
             if full not in referenced_dirs:
-                if now - _os.path.getmtime(full) < orphan_grace_sec:
+                if now - fs.mtime(full) < orphan_grace_sec:
                     continue  # possibly an in-flight writer's data
-                _shutil.rmtree(full, ignore_errors=True)
+                fs.remove_tree(full)
                 removed_orphans.append(d)
             elif not any(
-                n.endswith(".parquet") for n in _os.listdir(full)
+                n.endswith(".parquet") for n in fs.list_names(full)
             ):
-                _shutil.rmtree(full, ignore_errors=True)
+                fs.remove_tree(full)
                 removed_orphans.append(d)
     return {
         "dropped_versions": [s["version"] for s in dropped],
@@ -1509,12 +1505,11 @@ def _latest_src_batch(path: str) -> int | None:
     because batch ids are published in monotonically increasing order
     within a sink's append chain."""
     import json as _json
-    import os as _os
 
+    fs = _fs.for_path(path)
     d = _snap_path(path)
     for n in _manifest_names(path, reverse=True):
-        with open(_os.path.join(d, n)) as fh:
-            m = _json.load(fh)
+        m = _json.loads(fs.read_text(fs.join(d, n)))
         if m.get("src_batch") is not None:
             return int(m["src_batch"])
         if m.get("mode") == "overwrite":
@@ -1541,28 +1536,19 @@ def _effective_hwm(path: str, base: dict, cache: dict) -> int | None:
 
 
 def _link_manifest(path: str, version: int, payload: dict) -> bool:
-    """Stage-then-LINK one manifest (review r10: O_EXCL-creating the
-    final name and writing into it leaves a torn window — the content
-    is fully written to a uniquely-named tmp first, os.link atomically
-    claims the version, and readers can only ever open a complete
-    manifest). Returns True when this writer claimed the version,
-    False on a lost race — the caller recomputes against the new
-    latest. The tmp is always removed."""
+    """Atomically claim one manifest version via the filesystem seam's
+    first-writer-wins ``put_if_absent`` (``io/fs.py`` — stage-then-link
+    on LocalFS, a conditional PUT on object stores; review r10: readers
+    can only ever open a complete manifest, never a torn one). Returns
+    True when this writer claimed the version, False on a lost race —
+    the caller recomputes against the new latest."""
     import json as _json
-    import os as _os
-    import uuid as _uuid
 
-    manifest = _os.path.join(_snap_path(path), f"v{version:08d}.json")
-    tmp = f"{manifest}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(payload, fh)
-    try:
-        _os.link(tmp, manifest)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        _os.remove(tmp)
+    fs = _fs.for_path(path)
+    return fs.put_if_absent(
+        fs.join(_snap_path(path), f"v{version:08d}.json"),
+        _json.dumps(payload),
+    )
 
 
 def snapshot_publish_batch(
@@ -1625,14 +1611,13 @@ def _published_since_last_compact(path: str) -> int:
     bounded by the sink's ``compact_every`` between compactions, never
     O(versions) over the stream's lifetime."""
     import json as _json
-    import os as _os
 
+    fs = _fs.for_path(path)
     d = _snap_path(path)
     since = 0
     for n in _manifest_names(path, reverse=True):
-        with open(_os.path.join(d, n)) as fh:
-            if _json.load(fh).get("mode") == "compact":
-                break
+        if _json.loads(fs.read_text(fs.join(d, n))).get("mode") == "compact":
+            break
         since += 1
     return since
 
@@ -1769,14 +1754,13 @@ def compact_parquet_snapshot(
 
     Returns ``{"compacted", "version", "from_version", "files_before",
     "files_after", "rows", "retries"}``."""
-    import os as _os
-    import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
     _validate_cluster_args(cluster_by, cluster_strategy)
+    fs = _fs.for_path(path)
     base = _local_path(path)
     retries = 0
     hwm_cache: dict = {}  # per base version, shared across retries
@@ -1839,7 +1823,7 @@ def compact_parquet_snapshot(
                 "rows": src["rows"], "retries": retries,
             }
         version = src["version"] + 1
-        data_dir = _os.path.join(
+        data_dir = fs.join(
             base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
         )
         # evolved-aware read: compacting a schema-evolved version
@@ -1871,7 +1855,7 @@ def compact_parquet_snapshot(
         new_files = sorted(compacted.inputFiles())
         rows = spark.read.parquet(*new_files).count()
         if rows != src["rows"]:
-            _shutil.rmtree(data_dir, ignore_errors=True)
+            fs.remove_tree(data_dir)
             raise RuntimeError(
                 f"compaction count-verify failed at {path}: base "
                 f"v{src['version']} has {src['rows']} rows, rewrite "
@@ -1953,11 +1937,10 @@ def _rmw_publish_snapshot(
     mid-stream merge must still be a publish no-op), and the rewrite
     materializes uniform files, so an evolved base sheds the flag
     exactly like compaction does."""
-    import os as _os
-    import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
+    fs = _fs.for_path(path)
     base = _local_path(path)
     retries = 0
     hwm_cache: dict = {}  # per base version, shared across retries
@@ -1969,7 +1952,7 @@ def _rmw_publish_snapshot(
             src, _read_snapshot_files(spark, src)
         )
         version = src["version"] + 1
-        data_dir = _os.path.join(
+        data_dir = fs.join(
             base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
         )
         result_df.write.mode("error").parquet(data_dir)
@@ -1977,7 +1960,7 @@ def _rmw_publish_snapshot(
         new_files = sorted(written.inputFiles())
         rows = spark.read.parquet(*new_files).count()
         if rows != expected_rows:
-            _shutil.rmtree(data_dir, ignore_errors=True)
+            fs.remove_tree(data_dir)
             raise RuntimeError(
                 f"{mode} count-verify failed at {path}: expected "
                 f"{expected_rows} rows from base v{src['version']}, "
@@ -2360,7 +2343,6 @@ def clone_snapshot(
     ``spark`` is accepted for signature symmetry with the other
     snapshot ops but unused — the whole clone is driver-side manifest
     and footer work (``spark=None`` is fine and the test proves it)."""
-    import os as _os
     import time as _time
 
     if version is not None and as_of_utc is not None:
@@ -2416,7 +2398,7 @@ def clone_snapshot(
             f"records {src['rows']} rows but its file footers total "
             f"{readback} — the version was likely vacuumed mid-clone"
         )
-    _os.makedirs(_snap_path(dst_path), exist_ok=True)
+    _fs.for_path(dst_path).make_dirs(_snap_path(dst_path))
     payload = {
         "version": 1,
         "files": src["files"],

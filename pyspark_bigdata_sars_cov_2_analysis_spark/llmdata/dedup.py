@@ -217,12 +217,15 @@ def minhash_lsh_pairs(
 
 
 def _hwm_dir(path: str) -> str:
-    """Local-FS directory holding the checkpoint's committed-batch
-    markers (underscore-prefixed: hidden from parquet partition
-    discovery, like the parameter sidecars)."""
-    import os as _os
+    """Directory holding the checkpoint's committed-batch markers
+    (underscore-prefixed: hidden from parquet partition discovery, like
+    the parameter sidecars). Resolved through the filesystem seam
+    (``io/fs.py``, VERDICT r14 #2) so marker I/O follows the table onto
+    whatever store the checkpoint lives on."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
 
-    return _os.path.join(path.removeprefix("file:"), "_ingest_hwm")
+    f = _fs.for_path(path)
+    return f.join(f.resolve(path), "_ingest_hwm")
 
 
 def ingest_high_water_mark(path: str) -> int:
@@ -234,11 +237,10 @@ def ingest_high_water_mark(path: str) -> int:
     create for a conditional put). Listing cost is one readdir over
     filenames; there is no torn-delete window because nothing is ever
     rewritten."""
-    import os as _os
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
 
-    try:
-        names = _os.listdir(_hwm_dir(path))
-    except FileNotFoundError:
+    names = _fs.for_path(path).list_names(_hwm_dir(path))
+    if not names:
         return -1
     ids = [int(n[1:]) for n in names if n.startswith("b") and n[1:].isdigit()]
     return max(ids, default=-1)
@@ -283,53 +285,39 @@ def _mark_batch_committed(
     the marker landed but the stream checkpoint commit did not —
     at-least-once replay, which the stamp-scoped exclusion makes
     idempotent). The marker FILE CONTENT is the committed batch's id-set
-    fingerprint: write a UNIQUELY-NAMED stage (pid+random suffix — never
-    shared, so two writers racing the same uncommitted batch id can
-    never interleave into one file and commit the OTHER writer's
-    fingerprint, the ADVICE r9 takeover hazard), then ``os.link`` it to
-    the final name — link REFUSES an existing destination (EEXIST), so
-    the FIRST publisher genuinely wins and a later racer's content is
-    discarded whole (review r10: the earlier ``os.rename`` silently
-    REPLACED the destination on POSIX — last-wins — letting a racing
-    second writer overwrite a committed fingerprint and flip the
-    ``== hwm`` verification's verdict for subsequent replays). A crash
+    fingerprint, published through the filesystem seam's
+    first-writer-wins ``put_if_absent`` (``io/fs.py``): the FIRST
+    publisher genuinely wins and a later racer's content is discarded
+    WHOLE — never interleaved, never overwritten (the ADVICE r9
+    takeover hazard and the review-r10 os.rename last-wins hazard are
+    both closed by that contract; on LocalFS it is a uniquely-named
+    stage + ``os.link``, on an object store a conditional PUT). A crash
     can leave a stale unique ``.tmp``, never a truncated marker, so an
     existing marker's content is trustworthy (empty = legacy
     pre-fingerprint marker, which the guard treats as unverifiable and
-    allows); the stage is unlinked on every exit path, and stale tmps
-    from killed processes are ignored by the hwm reader and dropped by
-    checkpoint compaction's marker copy. Concurrency contract: markers
-    assume at most one LOGICAL writer per state path (the streaming
-    engine serializes micro-batches); the link protocol only makes a
-    rogue second process fail-safe."""
-    import os as _os
-    import uuid as _uuid
+    allows); stale tmps from killed processes are ignored by the hwm
+    reader and dropped by checkpoint compaction's marker copy.
+    Concurrency contract: markers assume at most one LOGICAL writer per
+    state path (the streaming engine serializes micro-batches); the
+    claim protocol only makes a rogue second process fail-safe."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
 
-    d = _hwm_dir(path)
-    _os.makedirs(d, exist_ok=True)
-    final = _os.path.join(d, f"b{int(batch_id)}")
-    if _os.path.exists(final):
-        return
-    tmp = f"{final}.{_os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
-    fd = _os.open(tmp, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-    with _os.fdopen(fd, "w") as fh:
-        fh.write(fingerprint)
-    try:
-        _os.link(tmp, final)
-    except FileExistsError:
-        pass  # a racer committed first: its content stands, ours drops
-    finally:
-        _os.remove(tmp)
+    f = _fs.for_path(path)
+    final = f.join(_hwm_dir(path), f"b{int(batch_id)}")
+    if f.exists(final):
+        return  # a replay's duplicate marker is a no-op
+    f.put_if_absent(final, fingerprint)
+    # False = a racer committed first: its content stands, ours drops
 
 
 def _committed_fingerprint(path: str, batch_id: int) -> str | None:
     """Content of batch ``batch_id``'s commit marker (None = no marker,
     "" = legacy empty marker)."""
-    import os as _os
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
 
+    f = _fs.for_path(path)
     try:
-        with open(_os.path.join(_hwm_dir(path), f"b{int(batch_id)}")) as fh:
-            return fh.read().strip()
+        return f.read_text(f.join(_hwm_dir(path), f"b{int(batch_id)}")).strip()
     except FileNotFoundError:
         return None
 
