@@ -1,5 +1,9 @@
-"""ML plans (SURVEY.md §2.10). Model fits are not SQL-expressible, so these
-are rows-only driver checks (no oracle entry) — flagged per the contract."""
+"""ML plans (SURVEY.md §2.10). Model fits are not SQL-expressible, but
+every query's OUTPUT contract is: ml02-ml05 use closed-form
+deterministic eval paths, and ml01 (r15) hashes its post-training
+contract (model set, compat-grid chance-band edges, in_band verdict)
+while the un-oracle-able raw accuracies surface only in its
+contract-violation raise."""
 
 from __future__ import annotations
 
@@ -15,6 +19,7 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_spl
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
     tracked_cache,
     pround,
+    pyround,
     query,
     sql_round,
     table,
@@ -26,53 +31,79 @@ def _prepped(spark, sf_dir):
     return tracked_cache(features_from_array(e, "embedding", "label"))
 
 
-@query("ml01_classifier_bench", oracle=None)
+# ml01's hashable contract (VERDICT r14 stretch #8): the MLlib
+# accuracies themselves are engine-specific (no SQL twin can refit the
+# models), but everything ELSE the query asserts IS oracle-expressible —
+# the model set, the data-derived chance-band edges on the compat
+# rounding grid, and the in_band verdict (TRUE row-for-row, because an
+# out-of-band model RAISES instead of returning false). So the oracle
+# states the full post-training contract and the measured accuracies
+# live in the raise message, not the hashed frame — upgrading ml01 from
+# the registry's sole rows-only check to a hashed one like ml02–ml05.
+_ML01_ORACLE = f"""
+WITH k AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings)
+SELECT m.model,
+       {sql_round('0.5 / k.n', 4)} AS band_lo,
+       {sql_round('3.0 / k.n', 4)} AS band_hi,
+       TRUE AS in_band
+FROM (VALUES ('random_forest'), ('decision_tree'),
+             ('logistic_regression')) AS m(model)
+CROSS JOIN k
+"""
+
+
+@query("ml01_classifier_bench", oracle=_ML01_ORACLE)
 def ml01_classifier_bench(spark, sf_dir, band=(0.5, 3.0)):
     """M1-M6 — the reference's classifier accuracy bench
     (spark/jobs/cases_clinical_spectrum_analysis.py:168-212), seeded.
 
-    Rows-only by design (MLlib training is not SQL-expressible), but the
-    rows CARRY the pass/fail signal (VERDICT r7 #7, the a19/a20
+    The rows CARRY the pass/fail signal (VERDICT r7 #7, the a19/a20
     contract-boolean pattern): each model row states its accuracy band —
     the embeddings are random vectors, so a correct train/eval loop must
     land NEAR the chance rate 1/n_classes, with n_classes derived from
     the data — and ``in_band`` asserts it. VERDICT r8 #8 closes the
-    loop: the driver's rows-only check cannot read booleans, so an
-    out-of-band model now RAISES (turning the driver record red via its
-    err field) instead of returning a polite false the driver would
-    count as a green row. Safe to raise because the whole path is
-    seeded and deterministic — a band exit means the train/eval loop
-    broke, not that the dice rolled badly. ``band`` is the
-    (lo, hi) multiplier pair on the chance rate; the planted-failure
-    test passes an impossible band to prove the raise fires through
-    the real training path."""
+    loop: an out-of-band model RAISES (turning the driver record red via
+    its err field, and carrying the measured accuracies in the message)
+    instead of returning a polite false the driver would count as a
+    green row. Safe to raise because the whole path is seeded and
+    deterministic — a band exit means the train/eval loop broke, not
+    that the dice rolled badly. ``band`` is the (lo, hi) multiplier pair
+    on the chance rate; the planted-failure test passes an impossible
+    band to prove the raise fires through the real training path.
+
+    Hash-checkable since r15 (VERDICT r14 stretch #8): the returned
+    frame holds only engine-independent values — model names, compat-
+    grid band edges, in_band — so the DuckDB oracle states the same
+    contract and the driver's value-hash attests it; the raw accuracies
+    (MLlib-specific, un-oracle-able) moved out of the frame and surface
+    only in the contract-violation raise. Margins measured at
+    sf0.001/sf0.01: accuracies 0.096-0.128 against band [0.05, 0.3] —
+    ≥1.9x from either edge, so the hashed contract is not fragile."""
     data = _prepped(spark, sf_dir)
     try:
         n_classes = data.select("label").distinct().count()
         chance = 1.0 / n_classes
-        band_lo = round(band[0] * chance, 4)
-        band_hi = round(band[1] * chance, 4)
+        band_lo = pyround(band[0] * chance, 4)
+        band_hi = pyround(band[1] * chance, 4)
         train, test = seeded_split(data, [0.8, 0.2], seed=2020)
         models = train_classifiers(train)
-        rows = [
+        checked = [
             (
                 name,
-                (acc := round(evaluate_accuracy(m, test), 4)),
-                band_lo,
-                band_hi,
+                (acc := pyround(evaluate_accuracy(m, test), 4)),
                 band_lo <= acc <= band_hi,
             )
             for name, m in models.items()
         ]
-        out_of_band = [r for r in rows if not r[4]]
+        out_of_band = [c for c in checked if not c[2]]
         if out_of_band:
             raise AssertionError(
                 "ml01 chance-band contract violated (broken train/eval "
-                f"loop?): {[(r[0], r[1], r[2], r[3]) for r in out_of_band]}"
+                f"loop?): {[(c[0], c[1], band_lo, band_hi) for c in out_of_band]}"
             )
         return spark.createDataFrame(
-            rows,
-            "model string, accuracy double, band_lo double, band_hi double, "
+            [(name, band_lo, band_hi, ok) for name, _acc, ok in checked],
+            "model string, band_lo double, band_hi double, "
             "in_band boolean",
         )
     finally:

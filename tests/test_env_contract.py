@@ -125,8 +125,12 @@ def test_attestation_window_arithmetic():
         f"committed next-window head: "
         f"{[n for n in never if n not in allowed]}"
     )
-    # `ml01_classifier_bench` (rows-only, last attested r5) stays OUT of
-    # the rotation by design — a window slot buys no hash attestation
+    # `ml01_classifier_bench` (last attested r5) is outside the
+    # COMMITTED r15/r16 windows: it was rows-only (a slot bought no
+    # hash attestation) until r15 gave it a DuckDB oracle, and a
+    # committed window plan is never displaced mid-flight. It is now
+    # the stalest hash-eligible name — the r17 planner should lead
+    # with it.
     assert "ml01_classifier_bench" not in (
         entry._PRIORITY_FIRST + entry._STALE_QUEUE + entry._NEXT_WINDOW_FIRST
     )

@@ -23,6 +23,10 @@ def test_all_queries_have_callables():
 
 def test_rows_only_queries_run(spark):
     rows_only = set(plans.QUERIES) - set(plans.ORACLES)
+    # since r15 (ml01's hashed-contract upgrade) EVERY registered query
+    # carries an oracle — pin it so a rows-only entry can only appear
+    # as a deliberate, reviewed decision
+    assert rows_only == set(), sorted(rows_only)
     for name in sorted(rows_only):
         df = plans.QUERIES[name](spark, SF_TEST)
         assert df.count() >= 0, name

@@ -1401,9 +1401,12 @@ def test_containment_prefix_prunes_candidates(spark):
 
 
 def test_ml01_band_contract(spark):
-    """ml01 is rows-only (MLlib training has no SQL oracle), so its rows
-    themselves must carry the contract: every model's accuracy lands in
-    the data-derived chance band and says so in the in_band column."""
+    """ml01's rows carry the post-training contract (hash-checkable
+    since r15: MLlib training has no SQL oracle, but the model set, the
+    compat-grid chance-band edges, and the in_band verdict do — the raw
+    accuracies surface only in the contract-violation raise). Every
+    model's accuracy must land in the data-derived chance band and say
+    so in the in_band column."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
     from tests.conftest import SF_TEST
 
@@ -1413,8 +1416,11 @@ def test_ml01_band_contract(spark):
     }
     for r in rows:
         assert r.band_lo < r.band_hi
-        assert r.in_band, (r.model, r.accuracy, r.band_lo, r.band_hi)
-        assert r.in_band == (r.band_lo <= r.accuracy <= r.band_hi)
+        assert r.in_band, (r.model, r.band_lo, r.band_hi)
+    # accuracy deliberately NOT in the frame: it is the one
+    # engine-specific value, and hashing requires every column to have
+    # a DuckDB twin
+    assert "accuracy" not in rows[0].asDict()
 
     # VERDICT r8 #8 planted failure: an impossible band must RAISE
     # through the real training path (the driver's rows-only check can't
