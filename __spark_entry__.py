@@ -40,9 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # r11-attested names in their CORRECTNESS_r11 order (11 + 39 = 50; the
 # last 11 r11 names lead the committed round-16 head, followed by the
 # 50 r12-attested names in their CORRECTNESS_r12 order).
-# `ml01_classifier_bench` (last attested r5) stays out of the rotation
-# by design — it is the rows-only query, so a window slot buys no hash
-# attestation. The cut point is COMPUTED in _ordered_names (pinned by
+# `ml01_classifier_bench` (last attested r5) sits outside the COMMITTED
+# r15/r16 windows: it was rows-only (a slot bought no hash attestation)
+# until r15 gave it a DuckDB oracle, and a committed window plan is
+# never displaced mid-flight — it is now the stalest hash-eligible
+# name, so the r17 planner should lead with it.
+# The cut point is COMPUTED in _ordered_names (pinned by
 # tests/test_env_contract.py::test_attestation_window_arithmetic),
 # never hand-counted in a comment.
 _PRIORITY_FIRST: list[str] = [

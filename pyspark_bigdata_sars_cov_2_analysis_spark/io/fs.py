@@ -74,13 +74,64 @@ directory — silent corruption, the worst failure mode).
 
 from __future__ import annotations
 
+import abc
 import os
 import re
 import shutil
 import uuid
 
 
-class LocalFS:
+class SnapshotFS(abc.ABC):
+    """The seam's interface — the six primitives plus path algebra the
+    snapshot/marker protocol needs (module docstring). A backend
+    subclasses THIS, so a forgotten method is a loud TypeError at
+    construction, never an inherited os.* call that "works" against the
+    URI string as a local path (review r15: a dict typed to a concrete
+    POSIX class invited exactly that silent half-working mode).
+    ``LocalFS`` is the one concrete implementation; scheme-translating
+    LOCAL variants (tests, scratch mirrors) may subclass it instead."""
+
+    # -- path algebra --
+    @abc.abstractmethod
+    def resolve(self, path: str) -> str: ...
+
+    @abc.abstractmethod
+    def join(self, *parts: str) -> str: ...
+
+    @abc.abstractmethod
+    def absolute(self, path: str) -> str: ...
+
+    # -- reads --
+    @abc.abstractmethod
+    def list_names(self, path: str) -> list[str]: ...
+
+    @abc.abstractmethod
+    def read_text(self, path: str) -> str: ...
+
+    @abc.abstractmethod
+    def exists(self, path: str) -> bool: ...
+
+    @abc.abstractmethod
+    def is_dir(self, path: str) -> bool: ...
+
+    @abc.abstractmethod
+    def mtime(self, path: str) -> float: ...
+
+    # -- writes --
+    @abc.abstractmethod
+    def make_dirs(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def put_if_absent(self, path: str, text: str) -> bool: ...
+
+    @abc.abstractmethod
+    def remove(self, path: str) -> None: ...
+
+    @abc.abstractmethod
+    def remove_tree(self, path: str) -> None: ...
+
+
+class LocalFS(SnapshotFS):
     """POSIX implementation of the seam — also the reference semantics
     the object-store contract above is written against. Stateless;
     module-level singleton ``LOCAL``."""
@@ -90,10 +141,29 @@ class LocalFS:
     def resolve(path: str) -> str:
         """Canonical ADDRESS of ``path`` for both seam ops and Spark
         reads/writes: ``file:``-URI (any slash count: ``file:/x``,
-        ``file:///x``) → plain local path, normalized so string
-        comparison works. An object-store FS would return the
-        normalized URI unchanged — Spark consumes either form."""
-        return os.path.normpath(path.removeprefix("file:"))
+        ``file:///x``, and RFC 3986 case-insensitively — scheme
+        DISPATCH lowercases, so resolve must too or ``File:///x``
+        would silently become the relative path ``File:/x``, review
+        r15) → plain local path, normalized so string comparison
+        works. An authority component (``file://host/path``) is
+        accepted only for the local host (empty or ``localhost``);
+        any other host names a REMOTE file system this class cannot
+        address — refused loudly rather than misread as a local
+        ``/host/path``. An object-store FS would return the normalized
+        URI unchanged — Spark consumes either form."""
+        if path[:5].lower() == "file:":
+            rest = path[5:]
+            if rest.startswith("//"):
+                authority, _sep, tail = rest[2:].partition("/")
+                if authority not in ("", "localhost"):
+                    raise ValueError(
+                        f"file: URI with non-local authority "
+                        f"{authority!r} ({path!r}) — LocalFS cannot "
+                        f"address a remote host"
+                    )
+                rest = "/" + tail
+            path = rest
+        return os.path.normpath(path)
 
     @staticmethod
     def join(*parts: str) -> str:
@@ -178,10 +248,11 @@ class LocalFS:
 
 LOCAL = LocalFS()
 
-# scheme → implementation; an object-store backend registers here
-# (e.g. ``REGISTRY["s3"] = S3FS(...)``) and the whole snapshot/marker
-# layer lights up without touching writers.py or dedup.py.
-REGISTRY: dict[str, LocalFS] = {"": LOCAL, "file": LOCAL}
+# scheme → implementation; an object-store backend subclasses
+# SnapshotFS and registers here (e.g. ``REGISTRY["s3"] = S3FS(...)``)
+# and the whole snapshot/marker layer lights up without touching
+# writers.py or dedup.py.
+REGISTRY: dict[str, SnapshotFS] = {"": LOCAL, "file": LOCAL}
 
 
 _SCHEME_RE = re.compile(r"[A-Za-z][A-Za-z0-9+.-]*")
@@ -196,7 +267,7 @@ def _scheme(path: str) -> str:
     return head.lower()
 
 
-def for_path(path: str) -> LocalFS:
+def for_path(path: str) -> SnapshotFS:
     """The seam's dispatch: pick the filesystem for ``path``'s scheme.
     Unsupported schemes fail HERE, loudly, with the implementation
     contract — never by os.* misinterpreting a URI as a relative

@@ -31,6 +31,13 @@ def _prepped(spark, sf_dir):
     return tracked_cache(features_from_array(e, "embedding", "label"))
 
 
+# the oracle and the query DEFAULT must state the same band — a single
+# constant feeds both so they cannot drift (review r15); calling
+# ml01_classifier_bench directly with a custom band is out of the
+# registered contract (the planted-failure test does, and raises
+# before returning a frame)
+_ML01_BAND = (0.5, 3.0)
+
 # ml01's hashable contract (VERDICT r14 stretch #8): the MLlib
 # accuracies themselves are engine-specific (no SQL twin can refit the
 # models), but everything ELSE the query asserts IS oracle-expressible —
@@ -43,8 +50,8 @@ def _prepped(spark, sf_dir):
 _ML01_ORACLE = f"""
 WITH k AS (SELECT COUNT(DISTINCT label) AS n FROM embeddings)
 SELECT m.model,
-       {sql_round('0.5 / k.n', 4)} AS band_lo,
-       {sql_round('3.0 / k.n', 4)} AS band_hi,
+       {sql_round(f'{_ML01_BAND[0]} / k.n', 4)} AS band_lo,
+       {sql_round(f'{_ML01_BAND[1]} / k.n', 4)} AS band_hi,
        TRUE AS in_band
 FROM (VALUES ('random_forest'), ('decision_tree'),
              ('logistic_regression')) AS m(model)
@@ -53,7 +60,7 @@ CROSS JOIN k
 
 
 @query("ml01_classifier_bench", oracle=_ML01_ORACLE)
-def ml01_classifier_bench(spark, sf_dir, band=(0.5, 3.0)):
+def ml01_classifier_bench(spark, sf_dir, band=_ML01_BAND):
     """M1-M6 — the reference's classifier accuracy bench
     (spark/jobs/cases_clinical_spectrum_analysis.py:168-212), seeded.
 

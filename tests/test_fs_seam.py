@@ -81,6 +81,32 @@ def test_resolve_normalizes_file_uri_spellings(tmp_path):
     plain = str(tmp_path / "t")
     for spelling in (plain, f"file:{plain}", f"file://{plain}", f"file:///{plain.lstrip('/')}"):
         assert FS.LOCAL.resolve(spelling) == plain
+    # RFC 3986 schemes are case-insensitive: dispatch lowercases, so
+    # resolve must strip case-insensitively too or File:///x would
+    # silently become the RELATIVE path 'File:/x' (review r15)
+    assert FS.LOCAL.resolve(f"FILE:{plain}") == plain
+    assert FS.LOCAL.resolve(f"File://{plain}") == plain
+    # an authority component is honored for the local host only; any
+    # other host is a REMOTE file system — refused, never misread as
+    # the local path /host/...
+    assert FS.LOCAL.resolve(f"file://localhost{plain}") == plain
+    with pytest.raises(ValueError, match="non-local authority"):
+        FS.LOCAL.resolve("file://nas01/exports/tbl")
+
+
+def test_snapshotfs_interface_is_abstract():
+    """A backend must implement every primitive: subclassing SnapshotFS
+    and forgetting one is a loud TypeError at construction, never an
+    inherited os.* call half-working against a URI string."""
+
+    class Partial(FS.SnapshotFS):
+        def resolve(self, path):
+            return path
+
+    with pytest.raises(TypeError):
+        Partial()
+    with pytest.raises(TypeError):
+        FS.SnapshotFS()
 
 
 # ---------------------------------------------------------------------------

@@ -21,15 +21,13 @@ def test_all_queries_have_callables():
     assert set(plans.ORACLES) <= set(plans.QUERIES)
 
 
-def test_rows_only_queries_run(spark):
-    rows_only = set(plans.QUERIES) - set(plans.ORACLES)
+def test_registry_fully_oracled():
     # since r15 (ml01's hashed-contract upgrade) EVERY registered query
     # carries an oracle — pin it so a rows-only entry can only appear
-    # as a deliberate, reviewed decision
+    # as a deliberate, reviewed decision (which would also have to
+    # resurrect the rows-only smoke loop this pin replaced)
+    rows_only = set(plans.QUERIES) - set(plans.ORACLES)
     assert rows_only == set(), sorted(rows_only)
-    for name in sorted(rows_only):
-        df = plans.QUERIES[name](spark, SF_TEST)
-        assert df.count() >= 0, name
 
 
 def test_no_oracle_hugeint_columns():
