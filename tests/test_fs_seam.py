@@ -239,3 +239,69 @@ def test_manifest_is_json_complete_after_claim(spark, tmp_path):
         with open(os.path.join(d, n)) as fh:
             m = json.load(fh)
         assert {"version", "files", "rows", "mode"} <= set(m)
+
+
+_RACER = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as FS
+
+d = {d!r}
+me = int(sys.argv[1])
+claimed = []
+# optimistic-publish loop, exactly the writers' shape: read the latest
+# version, try to claim the next name, lost race -> recompute
+for _ in range(200):
+    names = FS.LOCAL.list_names(d)
+    versions = sorted(
+        int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+    )
+    nxt = (versions[-1] + 1) if versions else 1
+    if nxt > {k}:
+        break
+    payload = json.dumps({{"version": nxt, "writer": me, "pad": "x" * 2000}})
+    if FS.LOCAL.put_if_absent(os.path.join(d, f"v{{nxt:08d}}.json"), payload):
+        claimed.append(nxt)
+print("CLAIMED:" + json.dumps(claimed))
+"""
+
+
+def test_put_if_absent_cross_process_race(tmp_path):
+    """The cluster story: N independent PROCESSES (not threads) race
+    the optimistic-publish loop over one directory. Exactly-once claim
+    per version, every manifest complete and attributable to exactly
+    the process that claimed it, zero stray staging files."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "_snapshots")
+    K = 24
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _RACER.format(repo=repo, d=d, k=K)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(6)
+    ]
+    claims: dict[int, int] = {}
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, out
+        line = [l for l in out.splitlines() if l.startswith("CLAIMED:")][-1]
+        for v in json.loads(line[len("CLAIMED:"):]):
+            assert v not in claims, (
+                f"version {v} claimed by BOTH process {claims[v]} and {i}"
+            )
+            claims[v] = i
+    # every version claimed exactly once, by somebody
+    assert sorted(claims) == list(range(1, K + 1))
+    # the surviving content is complete and matches the claimant
+    names = sorted(os.listdir(d))
+    assert names == [f"v{v:08d}.json" for v in range(1, K + 1)], names
+    for v, owner in claims.items():
+        with open(os.path.join(d, f"v{v:08d}.json")) as fh:
+            m = json.load(fh)  # complete JSON — no torn manifest
+        assert m["version"] == v and m["writer"] == owner
