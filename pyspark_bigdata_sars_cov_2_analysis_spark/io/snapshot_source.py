@@ -177,6 +177,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # _local_path resolves through the io/fs seam: local/file: paths
+        # become plain paths, and an object-store backend's resolve()
+        # returns the normalized URI — which pq.read_table accepts
+        # directly (pyarrow dispatches its own FileSystem from the URI
+        # scheme), so the executor-side data read composes with the
+        # same seam the driver-side manifest I/O goes through
         tbl = pq.read_table(_local_path(partition.value))
         have = set(tbl.column_names)
         missing = [c for c in self.columns if c not in have]
