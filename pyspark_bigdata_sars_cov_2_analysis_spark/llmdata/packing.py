@@ -10,9 +10,20 @@ over the per-chunk totals (one row per chunk), and a broadcast join back.
 Cost: one narrow shuffle per level; the only single-partition work is over
 ``n_chunks`` rows.
 
+Chunk boundaries are ORDER-KEY QUANTILES (review r15): the earlier
+``(id - min) / width`` value-range grid degenerated under skewed ids —
+one snowflake/timestamp outlier id stretched the span so every real row
+landed in chunk 0, recreating the single-partition collapse the module
+exists to avoid. ``percentile_approx`` boundaries stay balanced under
+any id distribution; the boundary probe rides the same one-row sidecar
+aggregate the min/max grid already paid for (the documented
+param-sidecar collect class — a scalar per call, never per row).
+
 Offsets are identical to the naive formulation by associativity of
-addition (asserted in tests), and deterministic because the order key is
-the stable ``doc_id``, not arrival order.
+addition (asserted in tests) — and invariant to WHERE the chunk
+boundaries fall, so the approximate quantiles need no accuracy bound
+for correctness, only for balance. Deterministic because the order key
+is the stable numeric ``doc_id``, not arrival order.
 """
 
 from __future__ import annotations
@@ -20,6 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+    _assert_no_reserved,
+)
+
+_OFFSET_RESERVED = ("__chunk", "__local_cum", "__total", "__before", "offset")
 
 
 def global_token_offsets(
@@ -29,48 +46,92 @@ def global_token_offsets(
     n_chunks: int = 64,
 ) -> DataFrame:
     """Input + ``offset`` = total tokens in all docs ordered before this
-    one by ``id_col``. Two-level distributed prefix sum (see module doc);
-    ``n_chunks`` bounds the second level's single-partition frame and
-    should be ~the cluster's core count at real scale."""
-    # contiguous ranges of the order key -> chunk ids that preserve order
-    # BETWEEN chunks (chunk k's ids all precede chunk k+1's)
-    lo_hi = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).collect()[0]
-    if lo_hi["lo"] is None:  # empty input: offset column, no rows
+    one by ``id_col`` (numeric). Two-level distributed prefix sum (see
+    module doc); ``n_chunks`` bounds the second level's single-partition
+    frame and should be ~the cluster's core count at real scale.
+
+    Contract guards (review r15): an all-NULL order key refuses eagerly
+    (the partial-NULL case already refused row-locally); a NULL or
+    negative token count refuses row-locally (a silent NULL offset — or
+    a max-based chunk total drifting under negatives — corrupts every
+    later chunk's placement); input columns may not collide with the
+    working names."""
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    _assert_no_reserved("global_token_offsets", _OFFSET_RESERVED, df=df)
+    # one-row sidecar: row count (empty/all-NULL discrimination — min()
+    # alone conflated the two, review r15) + order-balanced boundaries
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    probe = [
+        F.count(F.lit(1)).alias("n"),
+        F.count(id_col).alias("n_keyed"),
+    ]
+    if qs:
+        probe.append(F.percentile_approx(id_col, qs).alias("bounds"))
+    stats = df.agg(*probe).collect()[0]
+    if stats["n"] == 0:  # empty input: offset column, no rows
         return df.withColumn("offset", F.lit(None).cast("bigint"))
-    span = max(int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1, 1)
-    width = -(-span // n_chunks)  # ceil
+    if stats["n_keyed"] == 0:
+        raise ValueError(
+            f"{id_col} is NULL for every row: a null order key has no "
+            "position in the packed layout — drop or key such rows first"
+        )
+    # dedupe (heavy id duplication repeats quantiles) and keep sorted so
+    # chunk k's ids all precede chunk k+1's — offsets are invariant to
+    # the boundary positions themselves (associativity), so approximate
+    # quantiles affect balance only, never values
+    bounds = sorted(set(stats["bounds"] or [])) if qs else []
     # a NULL order key has no position in the packed layout — and worse,
     # it would yield __chunk NULL, silently vanish through the inner
     # join below, and the packed output would simply be missing the doc
-    # (review r14). Refuse row-locally with raise_error in the __rel
+    # (review r14). Refuse row-locally with raise_error in the chunk
     # expression's null branch — no extra job, a clear message at
     # execution instead of lost data. (An assert_true rider does NOT
     # work here: it returns NullType, so the optimizer folds its cast
     # to a plain NULL and the side effect vanishes.)
-    rel = F.when(
-        F.col(id_col).isNotNull(), F.col(id_col) - F.lit(int(lo_hi["lo"]))
-    ).otherwise(
+    chunk_val = (
+        F.size(F.filter(F.array(*[F.lit(b) for b in bounds]),
+                        lambda b: F.col(id_col) >= b))
+        if bounds
+        else F.lit(0)
+    )
+    chunk = F.when(F.col(id_col).isNotNull(), chunk_val).otherwise(
         F.raise_error(
             F.lit(
                 f"{id_col} is NULL: a null order key has no position in "
                 "the packed layout — drop or key such rows first"
             )
-        ).cast("bigint")
+        ).cast("int")
     )
-    with_chunk = df.withColumn("__rel", rel).withColumn(
-        "__chunk", F.expr(f"__rel DIV {width}")
-    ).drop("__rel")
+    # NULL/negative token counts corrupt placement silently (a NULL
+    # offset for the doc itself, a wrong __total for every later chunk)
+    # — refuse row-locally, same pattern as the order-key guard; the
+    # guarded expression feeds BOTH the local cumsum and the chunk
+    # totals so column pruning can never optimize the check away on
+    # one branch (review r15)
+    tok_type = dict(df.dtypes)[tokens_col]
+    tok = F.when(
+        F.col(tokens_col).isNotNull() & (F.col(tokens_col) >= 0),
+        F.col(tokens_col),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{tokens_col} is NULL or negative: token counts must be "
+                "non-negative for a packed layout — clean them first"
+            )
+        ).cast(tok_type)
+    )
+    with_chunk = df.withColumn("__chunk", chunk)
     w_local = (
         Window.partitionBy("__chunk")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_chunk.withColumn(
-        "__local_cum", F.sum(tokens_col).over(w_local)
-    )
-    totals = local.groupBy("__chunk").agg(F.max("__local_cum").alias("__total"))
+    local = with_chunk.withColumn("__local_cum", F.sum(tok).over(w_local))
+    # sum of the guarded tokens, not max(__local_cum): equal once the
+    # guard holds, and sum stays correct by definition rather than by
+    # the no-negatives argument (review r15)
+    totals = with_chunk.groupBy("__chunk").agg(F.sum(tok).alias("__total"))
     w_chunks = (
         Window.orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -104,6 +165,13 @@ def pack_sequences(
     chunkers split straddling docs across sequences rather than padding).
 
     Output: (id, n_tokens, offset, seq_id, straddles)."""
+    if seq_len < 1:
+        # 'offset DIV 0' is NULL in non-ANSI Spark — every seq_id and
+        # straddles would be silently NULL (review r15)
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    _assert_no_reserved(
+        "pack_sequences", ("__end", "seq_id", "straddles"), df=df
+    )
     out = global_token_offsets(df, id_col, tokens_col, n_chunks).withColumn(
         "__end", F.col("offset") + F.col(tokens_col) - 1
     )

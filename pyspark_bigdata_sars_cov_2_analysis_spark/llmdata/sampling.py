@@ -11,6 +11,17 @@ uniform, a 4-hex-digit prefix gives 16-bit (1/65536) rate granularity, and
 lexicographic comparison on lowercase hex is identical in Spark, DuckDB,
 and Python. No conv()/bit tricks that differ across engines.
 
+NULL keys (review r15, pinned in tests): ``md5(NULL)`` is NULL, the
+comparison is NULL, and a ``where(NULL)`` DROPS the row — in Spark AND in
+every SQL oracle, by three-valued logic. So the filter-shaped operators
+(stratified/weighted/temperature sampling) exclude NULL-id rows at ANY
+rate, exactly like ``WHERE`` would; this is the deliberate cross-engine
+contract, not an accident — a sampling key should never be NULL, and a
+row with one has no deterministic fate to reproduce. The one
+column-shaped operator (``leakage_free_split``) instead routes NULL
+group keys to 'eval' (its ``otherwise`` branch — fail-safe: questionable
+rows must never contaminate train).
+
 Scale shape: both operators are pure row-local projections/filters — zero
 shuffles beyond what the caller already has; the split is stable under
 repartitioning by construction.
@@ -20,6 +31,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+    _assert_no_reserved,
+)
 
 
 def rate_to_hex(rate: float, digits: int = 4) -> str:
@@ -50,8 +65,10 @@ def _hash_prefix(key: Column, salt: str) -> Column:
 
 def hash_gate(key: Column, rate: float, salt: str = "") -> Column:
     """Boolean column: deterministically true for ~``rate`` of distinct
-    keys. ``salt`` decorrelates independent gates over the same key (a
-    sample gate and a split gate must not select nested subsets)."""
+    keys, NULL for a NULL key (which a ``where()`` then drops — the
+    module-doc NULL contract). ``salt`` decorrelates independent gates
+    over the same key (a sample gate and a split gate must not select
+    nested subsets)."""
     return _hash_prefix(key, salt) < F.lit(rate_to_hex(rate))
 
 
@@ -150,12 +167,22 @@ def temperature_mixture_sample(
     salt: str = "mix",
 ) -> DataFrame:
     """Temperature-scaled corpus mixing — the standard LLM-data recipe for
-    rebalancing sources: target share of source ``s`` ∝ ``w_s^(1/T)``
-    (T→∞ flattens toward uniform, T→0 sharpens toward the max-weight
-    source), with ``budget`` = target output fraction of the whole corpus.
+    rebalancing sources: target share of source ``s`` ∝ ``w_s^(1/T)``,
+    with ``budget`` = target output fraction of the whole corpus.
     Per-source keep-rate = ``min(1, budget·N·share_s / n_s)``; rows are
     kept by the same deterministic md5 gate as o05/d08, so the mix is
     reproducible across runs, engines, and partitionings.
+
+    Temperature domain (review r15): the in-plan exponent is the
+    INTEGER ``inv_temperature`` = 1/T ≥ 1, so this operator directly
+    expresses the identity mix (1) and SHARPENING toward the
+    max-weight source (≥ 2). The FLATTENING regime (T > 1 — the
+    ``w^0.7``-style upsample-rare recipe) is reached by pre-scaling the
+    weights DICT driver-side (``{s: w**0.7 for ...}`` with
+    ``inv_temperature=1``): the dict values are Python floats that land
+    as identical literals in the Spark plan and the SQL oracle, so
+    cross-engine exactness is preserved — which an in-plan fractional
+    ``pow()`` (last-ulp divergence across engines) would not be.
 
     ``inv_temperature`` is an INTEGER exponent (1/T) applied by repeated
     multiplication: ``pow()`` differs across engines in the last ulp,
@@ -184,16 +211,12 @@ def temperature_mixture_sample(
         # pre-clamp, a negative rate's hex encoding lpad-truncated to
         # 'ffff' — silently keeping ~everything
         raise ValueError(f"weights must be >= 0 and not NaN, got {bad}")
-    reserved = ("__src", "__n", "__sw", "__ntot", "__swtot", "__thresh")
-    clash = sorted(set(df.columns) & set(reserved))
-    if clash:
-        # the final drop() would otherwise remove the CALLER's columns
-        # (the joins._assert_no_reserved rule)
-        raise ValueError(
-            f"temperature_mixture_sample: input columns {clash} collide "
-            f"with internal working names (reserved: {sorted(reserved)}); "
-            "rename them before calling"
-        )
+    # the final drop() would otherwise remove the CALLER's columns
+    _assert_no_reserved(
+        "temperature_mixture_sample",
+        ("__src", "__n", "__sw", "__ntot", "__swtot", "__thresh"),
+        df=df,
+    )
     pairs = [
         x
         for key in sorted(weights)
@@ -244,7 +267,12 @@ def leakage_free_split(
     SAME side. Splitting i.i.d. by row is how eval contamination happens
     in deduplicated-but-clustered corpora.
 
+    A NULL group key routes to 'eval' (the ``otherwise`` branch) —
+    fail-safe by design: a row whose grouping is unknown must never
+    contaminate train (module-doc NULL contract, pinned in tests).
+
     Output: input columns + ``split`` ∈ {'train', 'eval'}."""
+    _assert_no_reserved("leakage_free_split", ("split",), df=df)
     return df.select(
         "*",
         F.when(hash_gate(group_key, train_rate, salt), F.lit("train"))
