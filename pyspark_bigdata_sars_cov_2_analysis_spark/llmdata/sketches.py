@@ -36,7 +36,17 @@ WIDTH = 256  # 2 hex chars of md5
 
 
 def _bucket(row_col, item_col):
-    return F.substring(F.md5(F.concat_ws("|", row_col, item_col)), 1, 2)
+    # F.concat, NOT concat_ws (review r15): the documented cross-engine
+    # formula is md5(row || '|' || item), and SQL `||` PROPAGATES NULL —
+    # concat_ws silently skipped a NULL item, hashing md5(row) alone and
+    # depositing the NULL mass into four real buckets that the DuckDB
+    # oracle twin (which gets NULL -> no bucket) never touches. With
+    # concat, a NULL item yields a NULL bucket in BOTH engines: it forms
+    # its own inert cell and can never be probed (estimate joins on the
+    # bucket), so the sketches stay bit-identical.
+    return F.substring(
+        F.md5(F.concat(row_col, F.lit("|"), item_col)), 1, 2
+    )
 
 
 def _rows(depth: int):

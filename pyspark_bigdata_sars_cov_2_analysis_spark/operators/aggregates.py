@@ -76,6 +76,15 @@ def ordered_collect(
     (`spark/jobs/research_challenge_analysis.py:94-98`) — that materializes
     O(n²) intermediate arrays per group. The idiomatic single-shuffle form is
     ``sort_array(collect_list(struct(order, value)))``.
+
+    NULL values (review r15, deliberate): the two output modes follow
+    their engine-native semantics, which DIFFER — the list form keeps a
+    NULL element in position (Spark struct-collect keeps it), while the
+    joined-string form drops it (``array_join`` without a
+    nullReplacement, matching DuckDB/Spark ``array_to_string``/string
+    aggregation and therefore the SQL oracles). Callers who need NULLs
+    visible in the string form should coalesce the value column to a
+    marker upstream.
     """
     pairs = F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
     ordered = F.transform(F.array_sort(pairs), lambda s: s[value_col])
@@ -105,6 +114,7 @@ def weighted_quantiles(
     quantiles: list[tuple[int, int, str]],
     tiebreaks: list[str] | None = None,
     n_range_parts: int = 64,
+    cache_registrar=None,
 ) -> DataFrame:
     """EXACT weighted quantiles per key group, at scale (r10).
 
@@ -140,10 +150,17 @@ def weighted_quantiles(
 
     Weights must be non-negative integers (cast upstream); zero-weight
     rows can never be picked (their cum equals their predecessor's, and
-    min-crossing selects the first row that REACHES the threshold).
-    Caller owns the cache lifetime (unpersist after collecting) for
-    long-lived sessions — the frame is the projected input columns
-    only.
+    min-crossing selects the first row that REACHES the threshold), and
+    a group whose TOTAL weight is zero yields NULL quantiles (review
+    r15: the threshold test used to degenerate to 0 >= 0 and fabricate
+    the group's min value as a "median" of a zero-mass distribution).
+    The internal cache is correctness-load-bearing mid-plan; pass
+    ``cache_registrar`` (e.g. ``plans.registry.tracked_cache``) to give
+    it a caller-releasable lifetime in long-lived sessions (review r15:
+    the bare .cache() had NO release path — only clearCache() could
+    free it); the cached frame is projected to exactly
+    [keys, value, tiebreaks, weight] first, so unused input width never
+    rides the range exchange or the cache.
     """
     from pyspark.sql.window import Window
 
@@ -155,16 +172,27 @@ def weighted_quantiles(
     order_cols = [value_col, *tiebreaks]
     _assert_no_reserved(
         "weighted_quantiles",
-        ("__pid", "__btot", "__off", "__tot", "__cum", "__wq_pid"),
+        (
+            "__pid", "__btot", "__off", "__tot", "__cum", "__wq_pid",
+            # the per-key join aliases generated below (review r15: an
+            # input literally named __wq_k0 defeated the guard and died
+            # with the ambiguous-column error it exists to pre-empt)
+            *[f"__wq_k{i}" for i in range(len(keys))],
+        ),
         df=df,
     )
-    parts = (
-        df.repartitionByRange(
+    # project BEFORE the range exchange: only [keys, order, weight]
+    # ride the shuffle and the cache (dict.fromkeys dedupes a column
+    # that serves two roles while preserving order)
+    needed = list(dict.fromkeys([*keys, *order_cols, weight_col]))
+    raw = (
+        df.select(*needed)
+        .repartitionByRange(
             n_range_parts, *[F.col(c) for c in [*keys, *order_cols]]
         )
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
     )
+    parts = cache_registrar(raw) if cache_registrar is not None else raw.cache()
     sub = parts.groupBy(*keys, "__pid").agg(
         F.sum(weight_col).alias("__btot")
     )
@@ -209,7 +237,8 @@ def weighted_quantiles(
     picks = [
         F.min(
             F.when(
-                F.col("__cum") * F.lit(den) >= F.col("__tot") * F.lit(num),
+                (F.col("__tot") > 0)
+                & (F.col("__cum") * F.lit(den) >= F.col("__tot") * F.lit(num)),
                 F.col(value_col),
             )
         ).alias(alias)

@@ -1783,6 +1783,10 @@ def a29_weighted_quantiles(spark, sf_dir):
         weight_col="wt",
         quantiles=[(1, 4, "wp25"), (1, 2, "wp50"), (3, 4, "wp75")],
         tiebreaks=["l_orderkey", "l_linenumber"],
+        # review r15: the operator's mid-plan cache had no release path
+        # — registering it gives release_plan_caches() the handle, the
+        # same caller-owned lifetime as o11/d24/d18/d21/s05
+        cache_registrar=tracked_cache,
     )
 
 

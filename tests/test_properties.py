@@ -2526,3 +2526,78 @@ def test_hash_gate_null_key_contract(spark):
         leakage_free_split(
             df.withColumn("split", F.lit("x")), "doc_id", F.col("doc_id")
         )
+
+
+def test_weighted_quantiles_review_r15_contracts(spark):
+    """Review r15: (1) a group whose TOTAL weight is zero yields NULL
+    quantiles instead of fabricating its min value (0 >= 0 degenerated
+    the threshold test); (2) the generated __wq_k* join aliases are in
+    the reserved-name guard; (3) the internal cache registers with a
+    caller-supplied registrar so it has a release path."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 3), ("z", 10, 0), ("z", 20, 0)],
+        "k string, v long, w long",
+    )
+    out = {
+        r.k: r.wp50
+        for r in weighted_quantiles(
+            df, ["k"], "v", "w", [(1, 2, "wp50")]
+        ).collect()
+    }
+    assert out["a"] == 20  # cum 1/4 < 1/2 at v=10, reaches at v=20
+    assert out["z"] is None  # zero-mass distribution has no median
+
+    with _pytest.raises(ValueError, match="collide"):
+        weighted_quantiles(
+            df.withColumn("__wq_k0", F.lit(1)),
+            ["k"], "v", "w", [(1, 2, "wp50")],
+        )
+
+    registered = []
+
+    def registrar(frame):
+        frame.cache()
+        registered.append(frame)
+        return frame
+
+    weighted_quantiles(
+        df, ["k"], "v", "w", [(1, 2, "wp50")], cache_registrar=registrar
+    ).collect()
+    assert len(registered) == 1
+    # and the registered frame is the PROJECTED one — no unused width
+    assert set(registered[0].columns) == {"k", "v", "w", "__pid"}
+    registered[0].unpersist()
+
+
+def test_countmin_bucket_null_item_matches_sql_concat(spark):
+    """Review r15: concat_ws skipped a NULL item (bucketing it as
+    md5(row) — mass the SQL oracle's NULL-propagating `||` never
+    deposits). With concat, a NULL item forms an inert NULL bucket in
+    both engines and estimates stay bit-identical."""
+    import duckdb
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import sketches as SK
+
+    counts = spark.createDataFrame(
+        [("x", 5), (None, 7), ("y", 2)], "tok string, n long"
+    )
+    tbl = SK.countmin_table(counts, "tok", "n")
+    rows = tbl.collect()
+    # the NULL item's mass lands ONLY in NULL buckets, never in a real
+    # cell where it would inflate a colliding item's estimate
+    real = [r for r in rows if r["bucket"] is not None]
+    con = duckdb.connect()
+    for r in real:
+        got = con.sql(
+            f"SELECT substring(md5('{r['cms_row']}' || '|' || t.tok), 1, 2) "
+            f"AS b, SUM(n) FROM (VALUES ('x', 5), ('y', 2)) t(tok, n) "
+            f"WHERE substring(md5('{r['cms_row']}' || '|' || t.tok), 1, 2) "
+            f"= '{r['bucket']}' GROUP BY 1"
+        ).fetchall()
+        assert got and int(got[0][1]) == r["cell"], (r, got)
