@@ -129,11 +129,34 @@ def _asof_tagged_union(
     )
     both = marked_l.unionByName(
         marked_r.select(
-            *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+            # cast to the DataType OBJECT: a dtypes simpleString does
+            # not round-trip the DDL parser for every type (e.g. a
+            # nested field name with a space), review r15
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+            ],
             "__k", "__ts", "__side", "__r",
         )
     )
     return both, struct_type
+
+
+def _asof_output_guard(
+    left: DataFrame, right_ts: str, right_cols: Sequence[str]
+) -> None:
+    """The as-of twins emit ``{col}_asof`` names; a left column already
+    bearing one would either KeyError inside the cogroup's pandas merge
+    or emit a duplicate column from the native form (review r15) —
+    refuse up front with the module's fail-fast rule."""
+    out_names = [f"{c}_asof" for c in right_cols] + [f"{right_ts}_asof"]
+    clash = sorted(set(left.columns) & set(out_names))
+    if clash:
+        raise ValueError(
+            f"asof join: left columns {clash} collide with the "
+            f"generated output names ({out_names}); rename them before "
+            "calling"
+        )
 
 
 def asof_join(
@@ -191,6 +214,7 @@ def asof_join(
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    _asof_output_guard(left, right_ts, right_cols)
     from pyspark.sql import Window
 
     both, struct_type = _asof_tagged_union(
@@ -259,6 +283,7 @@ def asof_join_nearest(
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    _asof_output_guard(left, right_ts, right_cols)
     from pyspark.sql import Window
 
     both, struct_type = _asof_tagged_union(
@@ -333,6 +358,11 @@ def binned_range_join(
     Columns from both sides are kept (caller projects/aggregates); name
     collisions are the caller's to avoid.
     """
+    if bin_width_us <= 0:
+        # 'us % 0' is NULL under non-ANSI remainder semantics: every
+        # left row's bin would be NULL and the join silently empty
+        # (review r15)
+        raise ValueError(f"bin_width_us must be > 0, got {bin_width_us}")
     _assert_no_reserved(
         "binned_range_join", ("__bin", "__lo", "__hi", "__pt"),
         left=left, right=right,
@@ -391,6 +421,7 @@ def asof_join_cogroup(
     right_cols = list(right_cols) or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    _asof_output_guard(left, right_ts, right_cols)
     rtype = {f.name: f.dataType for f in right.schema.fields}
     out_schema = StructType(
         list(left.schema.fields)
@@ -461,6 +492,10 @@ def salted_join(
     so they are rejected. The salt must be deterministic (xxhash64 of the
     whole left row), never rand(): retried tasks must re-derive the same
     salt or the join duplicates/drops rows."""
+    if n_salts < 1:
+        # pmod(x, 0) is NULL non-ANSI and sequence(0, -1) still yields
+        # salts: an inner join silently returned ZERO rows (review r15)
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     _assert_no_reserved("salted_join", ("__salt",), left=left, right=right)
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"}
     if how.lower() not in allowed:
@@ -470,7 +505,16 @@ def salted_join(
             "right rows once per salt — use a plain join with AQE skew "
             "handling instead."
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    # xxhash64 refuses MapType anywhere in its inputs (Spark >= 3.0) —
+    # hash the non-map columns; map-bearing frames stay usable and the
+    # salt still spreads on everything hashable (review r15)
+    hashable = [c for c, t in left.dtypes if "map<" not in t]
+    if not hashable:
+        raise ValueError(
+            "salted_join: every left column is map-typed — xxhash64 "
+            "cannot derive a deterministic salt; add a hashable column"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
     lhs = left.withColumn("__salt", salt.cast("int"))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

@@ -12,6 +12,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
+    _assert_no_reserved,
+)
+
 
 def latest_per_group(
     df: DataFrame, keys: list[str], order_col: str
@@ -20,10 +24,6 @@ def latest_per_group(
     partitionBy(keys), keep rows equal to the max
     (`spark/jobs/cases_time_analysis.py:158-161`). Keeps ALL tied rows,
     matching the reference (and plain SQL ``= (SELECT max…)``)."""
-    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
-        _assert_no_reserved,
-    )
-
     _assert_no_reserved("latest_per_group", ("__max",), df=df)
     w = Window.partitionBy(*keys)
     return (
@@ -39,6 +39,7 @@ def top_n_per_group(
 ) -> DataFrame:
     """W3 — deterministic top-n per group via ``row_number`` (callers must
     include a unique tiebreaker in ``order_by``)."""
+    _assert_no_reserved("top_n_per_group", (rank_alias,), df=df)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn(rank_alias, F.row_number().over(w))
@@ -55,10 +56,14 @@ def running_agg(
 ) -> DataFrame:
     """W2 — running aggregate over the default growing frame
     (unboundedPreceding..currentRow), the frame the reference's ordered
-    ``collect_list`` used (`spark/jobs/research_challenge_analysis.py:96`)."""
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    ``collect_list`` used (`spark/jobs/research_challenge_analysis.py:96`).
+
+    The frame is the SQL default — RANGE, not ROWS (review r15): on
+    tied order keys the reference's default frame gives every peer the
+    same running value, while an explicit ROWS frame split ties by
+    arrival order — shuffle-dependent, nondeterministic across runs.
+    Callers wanting per-row running values must order by a unique
+    tiebreaker (w02 does), under which the two frames agree."""
+    _assert_no_reserved("running_agg", (alias,), df=df)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn(alias, agg.over(w))

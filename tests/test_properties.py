@@ -2601,3 +2601,93 @@ def test_countmin_bucket_null_item_matches_sql_concat(spark):
             f"= '{r['bucket']}' GROUP BY 1"
         ).fetchall()
         assert got and int(got[0][1]) == r["cell"], (r, got)
+
+
+def test_joins_windows_review_r15_guards(spark):
+    """Review r15 join/window wave: parameter validation fails fast
+    where non-ANSI NULL arithmetic used to return silently-empty joins,
+    generated output names are guarded, map-typed columns don't brick
+    the salt hash, and running_agg's frame matches the SQL default
+    (RANGE: peers share the running value on ties)."""
+    import pytest as _pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins as J
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import windows as W
+
+    li = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, lv string"
+    )
+    ri = spark.createDataFrame([(1, "x"), (2, "y")], "k long, rv string")
+
+    with _pytest.raises(ValueError, match="n_salts"):
+        J.salted_join(li, ri, "k", "k", n_salts=0)
+
+    # a map-typed left column no longer bricks the salt hash
+    lm = li.withColumn("props", F.create_map(F.lit("a"), F.lit(1)))
+    got = J.salted_join(lm, ri, "k", "k", n_salts=4).drop("props")
+    assert got.count() == 3
+
+    ts = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k long, t long"
+    ).select("k", F.timestamp_micros(F.col("t")).alias("t"))
+    with _pytest.raises(ValueError, match="bin_width_us"):
+        J.binned_range_join(
+            ts.select("k", F.col("t").alias("lo"), F.col("t").alias("hi")),
+            ts.select("k", F.col("t").alias("pt")),
+            F.col("lo"), F.col("hi"), F.col("pt"), bin_width_us=0,
+        )
+
+    # generated *_asof output names refuse a colliding left column — in
+    # the native twin AND the cogroup twin (which died with a KeyError
+    # in the executor) AND the nearest variant
+    lts = spark.createDataFrame(
+        [(1, 100, "clash")], "k long, t long, rv_asof string"
+    ).select("k", F.timestamp_micros("t").alias("t"), "rv_asof")
+    rts = spark.createDataFrame(
+        [(1, 50, "r")], "k long, t long, rv string"
+    ).select("k", F.timestamp_micros("t").alias("rt"), "rv")
+    for fn in (J.asof_join, J.asof_join_nearest, J.asof_join_cogroup):
+        with _pytest.raises(ValueError, match="collide"):
+            fn(lts, rts, "k", "t", "rt")
+
+    # window alias guards
+    df = spark.createDataFrame([(1, 2, 3)], "k long, o long, rn long")
+    with _pytest.raises(ValueError, match="collide"):
+        W.top_n_per_group(df, ["k"], [F.col("o")], rank_alias="rn")
+    with _pytest.raises(ValueError, match="collide"):
+        W.running_agg(df, ["k"], [F.col("o")], F.sum("o"), "rn")
+
+    # RANGE frame: tied order keys are peers and share the running value
+    tied = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 200), (1, 20, 50)], "k long, o long, v long"
+    )
+    out = {
+        (r.k, r.o, r.v): r.run
+        for r in W.running_agg(
+            tied, ["k"], [F.col("o")], F.sum("v"), "run"
+        ).collect()
+    }
+    assert out[(1, 10, 100)] == 300 and out[(1, 10, 200)] == 300
+    assert out[(1, 20, 50)] == 350
+
+
+def test_asof_shim_casts_survive_exotic_types(spark):
+    """Review r15: the tagged-union shim cast through dtypes
+    simpleString, which does not round-trip the DDL parser for every
+    type — a nested field name with a space broke every asof call on
+    such a frame. Casting to the DataType object has no parser."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins as J
+
+    left = (
+        spark.createDataFrame([(1, 100, 7)], "k long, t long, x long")
+        .select(
+            "k",
+            F.timestamp_micros("t").alias("t"),
+            F.struct(F.col("x").alias("my field")).alias("s"),
+        )
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "r")], "k long, t long, rv string"
+    ).select("k", F.timestamp_micros("t").alias("rt"), "rv")
+    got = J.asof_join(left, right, "k", "t", "rt").collect()
+    assert len(got) == 1 and got[0]["rv_asof"] == "r"
