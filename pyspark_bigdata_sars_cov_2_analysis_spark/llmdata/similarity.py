@@ -45,8 +45,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<double> columns — the
+    reference formula the hoisted-norm paths below are tested against.
+    NULL for a zero-norm vector (try_divide, review r15: plain `/`
+    raised DIVIDE_BY_ZERO under Spark 4's default ANSI mode, while the
+    DuckDB oracle's x/0.0 is NULL — now both engines agree)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _score_rank_topk(joined: DataFrame, k: int, decimals: int) -> DataFrame:
@@ -58,11 +62,16 @@ def _score_rank_topk(joined: DataFrame, k: int, decimals: int) -> DataFrame:
     dtype — cannot drift between the exact baseline and the ANN paths
     it is the recall yardstick for. ``joined`` carries (query_id, q, nq)
     × (neighbor_id, v, nv)."""
+    # try_divide (review r15): a zero-norm vector made plain `/` raise
+    # DIVIDE_BY_ZERO under ANSI; NULL matches DuckDB's x/0.0 and the
+    # NULLS-LAST-under-DESC ranking contract documented at _cell_cmp
     scored = joined.where(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
         pround(
-            _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")),
+            F.try_divide(
+                _dot(F.col("q"), F.col("v")), F.col("nq") * F.col("nv")
+            ),
             decimals,
         ).alias("cos_sim"),
     )
@@ -113,10 +122,16 @@ def sign_bucket(vec: Column, m: int = 8) -> Column:
     """LSH bucket id from the sign bits of the first ``m`` dimensions —
     a fixed random-hyperplane family (axis-aligned planes). Returns bigint
     in [0, 2^m)."""
+    # try_element_at (review r15): a vector shorter than m raised
+    # INVALID_ARRAY_INDEX under ANSI; NULL > 0 is NULL -> bit 0, the
+    # exact semantics of the DuckDB oracle twin (out-of-range list
+    # access is NULL there too), so short vectors hash with zero bits
+    # for their missing dimensions in BOTH engines
     bits = [
-        F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        F.when(
+            F.try_element_at(vec, F.lit(i + 1)) > 0,
+            F.lit(2**i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
         for i in range(m)
     ]
     return sum(bits[1:], bits[0])
@@ -162,8 +177,13 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
+            # try_divide: zero-norm -> NULL -> fails the threshold
+            # filter below, in both engines (review r15)
             pround(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.try_divide(
+                    _dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
                 decimals,
             ).alias("cos_sim"),
         )
@@ -237,9 +257,10 @@ def _scored_cells(v: Column, nv: Column, assign_decimals: int) -> Column:
     return F.transform(
         F.col("cents"),
         lambda ct: F.struct(
-            pround(_dot(v, ct["c"]) / (nv * ct["nc"]), assign_decimals).alias(
-                "d"
-            ),
+            pround(
+                F.try_divide(_dot(v, ct["c"]), nv * ct["nc"]),
+                assign_decimals,
+            ).alias("d"),
             ct["cid"].alias("cid"),
         ),
     )
@@ -369,6 +390,7 @@ def ivf_topk(
     n_centroids: int = 16,
     decimals: int = 4,
     nprobe: int = 1,
+    assign_decimals: int = 6,
 ) -> DataFrame:
     """IVF ANN top-k: each probe scans only its ``nprobe`` nearest cells.
     With cells as partition keys the scan is partition-pruned to
@@ -390,9 +412,14 @@ def ivf_topk(
     codebook = F.broadcast(
         _centroid_codebook(df, id_col, vec_col, n_centroids)
     )
+    # assign_decimals is a PARAMETER, not the hardcoded 6 (review r15):
+    # a layout written via ivf_assign_cells(assign_decimals=4) must be
+    # queried on the same rounding grid or boundary vectors assign to
+    # different cells at write vs query time — silent recall loss
     best = F.element_at(
         F.array_sort(
-            _scored_cells(F.col("v"), F.col("nv"), 6), _cell_cmp
+            _scored_cells(F.col("v"), F.col("nv"), assign_decimals),
+            _cell_cmp,
         ),
         1,
     )
@@ -417,7 +444,10 @@ def ivf_topk(
     # and NULL contract as ivf_probe_cells, inlined so the probe vectors
     # are scanned once and never joined back on query_id)
     top = F.slice(
-        F.array_sort(_scored_cells(F.col("q"), F.col("nq"), 6), _cell_cmp),
+        F.array_sort(
+            _scored_cells(F.col("q"), F.col("nq"), assign_decimals),
+            _cell_cmp,
+        ),
         1,
         nprobe,
     )

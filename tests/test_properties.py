@@ -2691,3 +2691,66 @@ def test_asof_shim_casts_survive_exotic_types(spark):
     ).select("k", F.timestamp_micros("t").alias("rt"), "rv")
     got = J.asof_join(left, right, "k", "t", "rt").collect()
     assert len(got) == 1 and got[0]["rv_asof"] == "r"
+
+
+def test_similarity_ansi_degenerate_inputs(spark):
+    """Review r15 (empirically reproduced under Spark 4's default
+    ANSI mode): a zero-norm vector made every cosine path raise
+    DIVIDE_BY_ZERO, and a vector shorter than m made sign_bucket raise
+    INVALID_ARRAY_INDEX. try_divide / try_element_at give the exact
+    DuckDB twin semantics (x/0.0 -> NULL, out-of-range list access ->
+    NULL -> zero bit), verified here cross-engine."""
+    import duckdb
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 2.0]), (2, [0.0, 0.0, 0.0]), (3, [2.0, 4.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # zero-norm neighbor scores NULL -> ranked NULLS-LAST, never top
+    top = S.brute_force_topk(df, "vec_id", "embedding", [1], k=2).collect()
+    ranked = {r.rank: (r.neighbor_id, r.cos_sim) for r in top}
+    assert ranked[1] == (3, 1.0)
+    assert ranked[2][0] == 2 and ranked[2][1] is None
+    # zero-norm pair fails the near-dup threshold instead of crashing
+    pairs = S.embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, m=2
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 3)}
+    # IVF assignment survives a zero-norm member
+    assert S.ivf_topk(df, "vec_id", "embedding", [1], k=1,
+                      n_centroids=2).count() >= 1
+    # short vector: missing dims hash as zero bits — matching DuckDB
+    short = spark.createDataFrame(
+        [(1, [5.0, -1.0])], "vec_id long, v array<double>"
+    )
+    got = short.select(S.sign_bucket(F.col("v"), 8).alias("b")).collect()
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT "
+        + " + ".join(
+            f"CASE WHEN ([5.0, -1.0][{i + 1}]) > 0 THEN {2**i} ELSE 0 END"
+            for i in range(8)
+        )
+    ).fetchone()[0]
+    assert got[0]["b"] == want == 1
+
+
+def test_resize_nn_tolerates_undecodable_payloads(spark):
+    """Review r15: an empty or non-BMP payload killed the whole resize
+    stage; it now gets no thumbnail, the NULL-payload rule."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import multimodal as M
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.imaging import (
+        encode_bmp,
+    )
+    import numpy as np
+
+    ok = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(b"")), (3, None),
+         (4, bytearray(b"not a bmp"))],
+        "doc_id long, payload binary",
+    )
+    got = M.resize_image_nn(df, out_h=2, out_w=2).collect()
+    assert [r.doc_id for r in got] == [1]
