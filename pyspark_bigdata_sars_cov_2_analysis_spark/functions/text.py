@@ -39,14 +39,21 @@ def token_count(col: Column) -> Column:
     """Whitespace token count — ``size(split(...))``
     (ref: spark/jobs/research_challenge_analysis.py:100).
 
-    Contract note (review r9): an empty or whitespace-only document
-    counts as 1, not 0 — ``split('')`` yields ``['']`` in Spark, DuckDB,
-    and Python alike, and every DuckDB oracle replicates this exact
-    expression, so the engines agree by construction. Changing it to 0
-    would also divide-by-zero every ratio built on it
-    (:func:`stopword_ratio`, :func:`avg_token_length`); gates that must
-    treat empty docs as empty should test ``trim(col) = ''`` explicitly
-    (as :func:`~...llmdata.dedup.chunk_array` does)."""
+    Contract note (review r9, sharpened r15): an empty or
+    whitespace-only document counts as 1, not 0 — ``split('')`` yields
+    ``['']`` in Spark, DuckDB, and Python alike, and every DuckDB
+    oracle replicates this exact expression, so the engines agree by
+    construction. Changing it to 0 would also divide-by-zero every
+    ratio built on it (:func:`stopword_ratio`, :func:`avg_token_length`).
+    The same twin-fidelity rule covers tab/newline EDGES: SQL ``trim``
+    strips only ASCII spaces, so ``'hello\n'`` counts 2 (a trailing
+    phantom empty) — in BOTH engines identically; the count is a
+    deterministic cross-engine token MEASURE, not a linguistic one, and
+    rebasing it on full-whitespace trim would desynchronize every
+    attested oracle copy plus the persisted dedup-state fingerprints
+    built downstream of the shared normalize chain. Gates that must
+    treat blank docs as empty test the trimmed normalized text
+    explicitly (as :func:`chunk_array` in this module does)."""
     return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
 
 
@@ -168,33 +175,47 @@ def repetition_ratio_agg(df, id_col: str, text_col: str, k: int = 3):
     measured), while this shape explodes the k-grams and reduces with
     hash aggregates (whole-stage codegen, map-side partials) at the
     cost of ONE shuffle on (doc, gram). Same value, different physical
-    plan — equivalence property-tested. Returns (id, rep_ratio rounded
-    4dp); docs shorter than k tokens score 0.0 via the left join."""
+    plan — equivalence property-tested. Returns ONE row per DISTINCT id
+    (review r15: one-row-per-input-row made the gate's null-safe join
+    multiply N NULL-id docs into N² gate rows), rep_ratio rounded 4dp;
+    docs shorter than k tokens score 0.0 via the left join. NULL ids
+    pool exactly like duplicate ids do (word_shingles groups them into
+    one stats row — the documented d18 scorer-seam contract), and the
+    stats attach null-safely (review r15: the null-UNSAFE join scored
+    every NULL-id doc 0.0 on this path while the local scorer rated its
+    real repetition — the corpus-size-dependent divergence the r14
+    gate fix was meant to close)."""
     from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import (
         pround,
     )
     from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.dedup import (
-        word_shingles,
+        shingle_array,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import (
+        spread_compute,
     )
 
-    sh = word_shingles(df, id_col, text_col, k, distinct=False)
-    stats = sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("total"),
-        F.countDistinct("shingle").alias("dist"),
+    # explode_OUTER keeps a NULL-shingle row for docs shorter than k
+    # tokens (and NULL texts), so the ONE groupBy covers every distinct
+    # id — no second exchange for a distinct-ids frame and no stats
+    # join at all (review r15: the join form both scored NULL-id docs
+    # 0.0 through its null-unsafe condition and emitted one row per
+    # INPUT row, multiplying the gate's null-safe join N^2-fold on
+    # duplicate/NULL ids). count("shingle") counts non-null only, so a
+    # short doc's total is 0 and it scores 0.0 through the guard.
+    sh = spread_compute(df).select(
+        F.col(id_col),
+        F.explode_outer(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
-    return (
-        df.select(id_col)
-        .join(stats, id_col, "left")
-        .select(
-            id_col,
-            pround(
-                F.when(
-                    F.col("total") > 0,
-                    (F.col("total") - F.col("dist")) / F.col("total"),
-                ).otherwise(F.lit(0.0)),
-                4,
-            ).alias("rep_ratio"),
-        )
+    return sh.groupBy(id_col).agg(
+        pround(
+            F.when(
+                F.count("shingle") > 0,
+                (F.count("shingle") - F.countDistinct("shingle"))
+                / F.count("shingle"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("rep_ratio"),
     )
 
 
@@ -236,10 +257,13 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
     until the caller asks). Chunk c covers tokens [c*stride, c*stride +
     window); a trailing chunk may be short; stride < window gives overlap.
     Empty/whitespace-only/NULL docs produce no chunks — the guard is on
-    the NORMALIZED TEXT length, not the token-array size: splitting the
+    the TRIMMED normalized text, not the token-array size: splitting the
     empty string yields [''] (size 1), which would otherwise emit one
-    (0, '') chunk (the r4 bug ADVICE flagged; the ChunkText UDTF twin
-    always had the no-chunks behavior)."""
+    (0, '') chunk (the r4 bug ADVICE flagged), and a tab/newline-only
+    doc normalizes to a single ' ' — ASCII trim is complete AFTER the
+    collapse, so the trim closes the review-r15 hole where such docs
+    emitted one bogus (0, ' ') chunk (the ChunkText UDTF and the t11
+    oracle carry the identical guard)."""
     norm = normalize_text(col)
     toks = F.split(norm, " ")
     n = F.size(toks)
@@ -251,7 +275,7 @@ def chunk_array(col: Column, window: int = 40, stride: int = 30) -> Column:
             F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk"),
         ),
     )
-    return F.when(F.length(norm) > 0, chunks).otherwise(
+    return F.when(F.length(F.trim(norm)) > 0, chunks).otherwise(
         F.array().cast("array<struct<chunk_idx:bigint,chunk:string>>")
     )
 

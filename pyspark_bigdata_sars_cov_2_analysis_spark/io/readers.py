@@ -64,9 +64,7 @@ def read_xml(
     the same prune/pushdown reasons as read_csv (inference reads the
     data twice). Round-trip (write.format('xml') → read) is pinned in
     tests/test_io_and_ops.py."""
-    reader = spark.read.format("xml").option("rowTag", row_tag)
-    for k, v in options.items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("xml").options(rowTag=row_tag, **options)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)

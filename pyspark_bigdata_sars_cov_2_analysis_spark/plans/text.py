@@ -401,12 +401,13 @@ def t13_token_surprisal(spark, sf_dir):
     # own token count (unnest of a scalar-range list — DuckDB 1.0 rejects
     # lateral column params to generate_series), so the oracle is exact
     # for any document length instead of silently capping at 100001
-    # chunks; the length() filter mirrors chunk_array's empty-doc guard
+    # chunks; the trimmed-length filter mirrors chunk_array's
+    # empty/whitespace-only-doc guard (trim AFTER collapse, review r15)
     # (empty/whitespace/NULL text emits no chunks).
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split({_DUCK_NORM}, ' ') AS w
-      FROM documents WHERE length({_DUCK_NORM}) > 0
+      FROM documents WHERE length(trim({_DUCK_NORM})) > 0
     ),
     idx AS (
       SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // 30) + 1)) AS c

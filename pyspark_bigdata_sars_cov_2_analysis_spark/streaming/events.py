@@ -41,6 +41,20 @@ def read_event_stream(
     )
 
 
+def _ordered_rows_us(pdf):
+    """Drop rows with NULL ordering keys and convert the ns timestamp to
+    µs — the stateful updaters' shared ingest step (review r15: the
+    identical filter+cast block was copy-pasted between
+    latest_per_user_state and funnel_state, so the r14 NaT fix had to
+    land twice). NULL ordering keys arrive as NaT/NaN in pandas;
+    int(nan) raises in the Python worker and a NaT silently becomes
+    INT64_MIN through the int64 cast — a row with no (ts, event_id) has
+    no place in any ordering, skip it."""
+    pdf = pdf[pdf["ts"].notna() & pdf["event_id"].notna()]
+    ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+    return pdf, ts_us
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -61,11 +75,23 @@ def sessionized(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # twin-aligned duration (review r15): the session_window
+            # SPAN runs to last-event + gap by definition, so a
+            # single-event session's window_us is the whole gap — the
+            # batch twin's duration_us is max(ts)-min(ts); emit BOTH,
+            # explicitly named, so a consumer reconciling the surfaces
+            # never eats a constant +gap skew unknowingly
+            (
+                F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+            ).alias("duration_us"),
+        )
         .select(
             "user_id",
             F.unix_micros("w.start").alias("session_start_us"),
             (F.unix_micros("w.end") - F.unix_micros("w.start")).alias("window_us"),
+            "duration_us",
             "n_events",
         )
     )
@@ -107,16 +133,21 @@ def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> Data
     def update(key, pdfs, state: GroupState):
         best = state.get if state.exists else None
         for pdf in pdfs:
-            # NULL ordering keys arrive as NaT/NaN in pandas; int(nan)
-            # raises in the Python worker and kills the whole query
-            # (review r14) — a row with no (ts, event_id) has no place
-            # in a latest-by-(ts, event_id) ordering, skip it
-            pdf = pdf[pdf["ts"].notna() & pdf["event_id"].notna()]
-            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            pdf, ts_us = _ordered_rows_us(pdf)
             for t, eid, etype, val in zip(
                 ts_us, pdf["event_id"], pdf["event_type"], pdf["value"]
             ):
-                cand = (int(t), int(eid), str(etype), float(val))
+                # preserve NULL attributes (review r15): str(None) stored
+                # the literal string 'None' and float(None-as-NaN) rode
+                # NaN into the output, both diverging from the batch
+                # twin e03's NULL — only the ORDERING keys must be
+                # non-null, the carried attributes may be anything
+                cand = (
+                    int(t),
+                    int(eid),
+                    None if etype is None else str(etype),
+                    None if pd.isna(val) else float(val),
+                )
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
         if best is None:
@@ -128,7 +159,9 @@ def latest_per_user_state(events: DataFrame, watermark: str = "2 hours") -> Data
                 "ts_us": [best[0]],
                 "event_id": [best[1]],
                 "event_type": [best[2]],
-                "value": [best[3]],
+                # nullable Float64, not float64: a None value must reach
+                # Spark as NULL like the batch twin, not as NaN
+                "value": pd.array([best[3]], dtype="Float64"),
             }
         )
 
@@ -416,11 +449,7 @@ def funnel_state(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         v, c, p = state.get if state.exists else (None, None, None)
         rows = []
         for pdf in pdfs:
-            # NaT ts silently becomes INT64_MIN through the int64 cast
-            # (review r14) — a null-ts event has no place in the funnel
-            # ordering, skip it
-            pdf = pdf[pdf["ts"].notna() & pdf["event_id"].notna()]
-            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            pdf, ts_us = _ordered_rows_us(pdf)
             rows.extend(
                 zip(ts_us, pdf["event_id"], pdf["event_type"])
             )

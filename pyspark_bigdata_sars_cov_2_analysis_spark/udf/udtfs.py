@@ -35,7 +35,10 @@ class ChunkText:
         import re
 
         norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower().strip(" "))
-        if not norm:
+        if not norm.strip(" "):
+            # post-collapse whitespace is only ' ', so the ASCII strip
+            # is complete: a tab/newline-only doc yields no chunks,
+            # matching chunk_array's trimmed guard (review r15)
             return
         toks = norm.split(" ")
         for i, start in enumerate(range(0, len(toks), stride)):

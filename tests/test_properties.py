@@ -2754,3 +2754,69 @@ def test_resize_nn_tolerates_undecodable_payloads(spark):
     )
     got = M.resize_image_nn(df, out_h=2, out_w=2).collect()
     assert [r.doc_id for r in got] == [1]
+
+
+def test_chunkers_emit_nothing_for_whitespace_only_docs(spark):
+    """Review r15: a tab/newline-only doc normalizes to a single ' '
+    (SQL trim strips only ASCII spaces), which slipped the old
+    length>0 guard and emitted one bogus (0, ' ') chunk from all THREE
+    twins. The trimmed guard closes it in chunk_array, the ChunkText
+    UDTF, and the t11 oracle alike."""
+    import duckdb
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        chunk_array,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.udf.udtfs import ChunkText
+
+    df = spark.createDataFrame(
+        [(1, "\t"), (2, "\n \n"), (3, ""), (4, None), (5, "real words here")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", F.size(chunk_array(F.col("text"), 4, 3)).alias("n")
+    ).collect()
+    assert {r.doc_id: r.n for r in out} == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1}
+    # UDTF twin (the @udtf wrapper keeps the raw handler at .func)
+    handler = ChunkText.func()
+    assert list(handler.eval("\t", 4, 3)) == []
+    assert list(handler.eval("\n \n", 4, 3)) == []
+    assert len(list(handler.eval("real words here", 4, 3))) == 1
+    # oracle guard twin (the t11 WHERE clause shape)
+    con = duckdb.connect()
+    n = con.sql(
+        "SELECT COUNT(*) FROM (VALUES (CHR(9)), ('x')) t(text) "
+        "WHERE length(trim(regexp_replace(trim(lower(text)), "
+        "'\\s+', ' ', 'g'))) > 0"
+    ).fetchone()[0]
+    assert n == 1
+
+
+def test_repetition_agg_null_and_duplicate_ids(spark):
+    """Review r15: the agg scorer's null-UNSAFE join scored every
+    NULL-id doc 0.0 (its pooled stats row never matched), and its
+    one-row-per-input-row output made the gate's null-safe join emit
+    N^2 rows for N NULL-id (or duplicate-id) docs. The scorer now
+    emits one row per DISTINCT id with null-safe stats attach."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        quality_gate_frame,
+        repetition_ratio_agg,
+    )
+
+    rep_text = "spam spam spam spam spam spam spam spam spam spam"
+    df = spark.createDataFrame(
+        [(None, rep_text), (None, rep_text), (7, rep_text), (7, rep_text)],
+        "doc_id long, text string",
+    )
+    rep = repetition_ratio_agg(df, "doc_id", "text", 3).collect()
+    # one row per DISTINCT id, both highly repetitious (pooled stats)
+    got = {r.doc_id: r.rep_ratio for r in rep}
+    assert set(got) == {None, 7} and len(rep) == 2
+    assert got[None] > 0.5 and got[7] > 0.5
+    # the gate emits one row per INPUT row — no N^2 multiplication —
+    # and drops the repetitious docs on BOTH paths
+    gate = quality_gate_frame(
+        df, "doc_id", "text", scorer="agg", min_tokens=1
+    ).collect()
+    assert len(gate) == 4
+    assert all(not r.keep and "repetitious" in r.reasons for r in gate)

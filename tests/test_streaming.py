@@ -1740,3 +1740,57 @@ def test_latest_per_user_state_survives_null_ordering_keys(spark, tmp_path):
     rows = result.collect()
     assert len(rows) > 0  # the query completed and emitted the real rows
     assert all(r.event_id is not None for r in rows)
+
+
+def test_latest_state_preserves_null_attributes(spark, tmp_path):
+    """Review r15: str(None) stored the literal string 'None' and a
+    NULL value rode NaN into the output — the batch twin e03 emits
+    NULL for both. Only the ORDERING keys (ts, event_id) must be
+    non-null; carried attributes round-trip as true NULLs."""
+    d = tmp_path / "null_attr_events"
+    spark.createDataFrame(
+        [(1, 100, 1000, None, None), (1, 50, 999, "view", 1.5)],
+        "user_id long, t long, event_id long, event_type string, value double",
+    ).select(
+        "user_id",
+        F.timestamp_micros("t").alias("ts"),
+        "event_id", "event_type", "value",
+    ).write.parquet(str(d))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double"
+        ).parquet(str(d))
+    )
+    result = _run_stream(
+        spark, S.latest_per_user_state(stream), "nullattr_mem", "update"
+    )
+    rows = result.where(F.col("ts_us") == 100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_type"] is None, r  # NOT the string 'None'
+    assert r["value"] is None, r  # NOT NaN
+
+
+def test_sessionized_duration_matches_batch_twin(spark, events_dir):
+    """Review r15: window_us is the session_window SPAN (last event +
+    gap — a single-event session spans the whole gap), while the batch
+    twin e02 reports max(ts)-min(ts). sessionized now emits BOTH; the
+    new duration_us must equal e02's duration_us row-for-row."""
+    stream = S.read_event_stream(spark, events_dir)
+    result = _run_stream(
+        spark, S.sessionized(stream), "sessdur_mem", "complete"
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans import QUERIES
+
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["duration_us"])
+        for r in result.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_us"], r["duration_us"])
+        for r in QUERIES["e02_sessionize"](spark, SF_TEST).collect()
+    )
+    assert got == want and len(got) > 0
+    # and the span column exceeds the duration by construction
+    assert result.where(F.col("window_us") < F.col("duration_us")).count() == 0
