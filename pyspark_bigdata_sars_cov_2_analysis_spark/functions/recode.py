@@ -20,13 +20,24 @@ def binary_indicator(col: Column, positive_value: str) -> Column:
     return F.when(col == positive_value, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
 
 
-def label_from_code(col: Column, mapping: Mapping[int | str, str], default: str = "unknown") -> Column:
-    """code → class name (ref ``classify``/``transform_result``)."""
+def when_chain(col: Column, mapping: Mapping, otherwise: Column) -> Column:
+    """The one when-chain builder every dictionary recode shares
+    (review r15: three hand-rolled copies — label_from_code,
+    fuzzy_recode's scaffold, operators.relational.recode_values — had
+    already drifted in guard style and defaults). ValueError, not
+    assert: asserts vanish under ``python -O`` and the failure degrades
+    to ``NoneType has no attribute 'otherwise'``."""
     expr: Column | None = None
     for k, v in mapping.items():
         expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
-    assert expr is not None
-    return expr.otherwise(F.lit(default))
+    if expr is None:
+        raise ValueError("empty recode mapping")
+    return expr.otherwise(otherwise)
+
+
+def label_from_code(col: Column, mapping: Mapping[int | str, str], default: str = "unknown") -> Column:
+    """code → class name (ref ``classify``/``transform_result``)."""
+    return when_chain(col, mapping, F.lit(default))
 
 
 def rate_percent(numer: Column, denom: Column, decimals: int = 2) -> Column:

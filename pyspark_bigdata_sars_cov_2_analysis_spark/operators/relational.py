@@ -53,12 +53,14 @@ def recode_values(
     """P9/D4 — dictionary recode. The reference used both ``replace`` and
     row UDFs (`spark/jobs/cases_clinical_spectrum_analysis.py:87,128-144`);
     a single when-chain keeps it codegen'd and pushdown-safe."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
+        when_chain,
+    )
+
     col = F.col(column)
-    expr: Column | None = None
-    for k, v in mapping.items():
-        expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
-    assert expr is not None, "empty recode mapping"
-    expr = expr.otherwise(F.lit(default) if default is not None else col)
+    expr = when_chain(
+        col, mapping, F.lit(default) if default is not None else col
+    )
     return df.withColumn(column, expr)
 
 
@@ -74,8 +76,18 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
     One aggregate job, map-side partial — no per-column passes.
     NaN only applies to float/double columns; others check isNull.
+    An explicit empty ``columns`` list is refused loudly rather than
+    silently widened to every column (review r15: ``columns or
+    df.columns`` conflated [] with None — a dynamically computed subset
+    that filtered to nothing profiled the whole table; Spark itself
+    accepts a zero-column select, so the guard lives here).
     """
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
+    if not cols:
+        raise ValueError(
+            "null_profile: empty columns list — pass None to profile "
+            "every column"
+        )
     numeric_floats = {
         f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "float")
     }
@@ -123,6 +135,11 @@ def spread_compute(df: DataFrame, min_bytes: int = 0) -> DataFrame:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        # stat-less plans (local relations, some post-shuffle frames)
+        # report the Long.MaxValue sentinel, not a real size (review
+        # r15) — treat unknown as "spread" (the pre-r10 default: the
+        # exchange is cheap insurance, and every production caller
+        # reads parquet where real stats exist and the skip works)
         if est < min_bytes:
             return df
     target = df.sparkSession.sparkContext.defaultParallelism

@@ -15,10 +15,26 @@ from functools import reduce
 from pyspark.sql import DataFrame
 
 
-def union_all(frames: list[DataFrame], by_name: bool = True) -> DataFrame:
-    """U1 — n-way union. One pass; Spark flattens chained unions."""
+def union_all(
+    frames: list[DataFrame],
+    by_name: bool = True,
+    allow_missing_columns: bool = False,
+) -> DataFrame:
+    """U1/U12 — n-way union. One pass; Spark flattens chained unions.
+    ``allow_missing_columns`` is the schema-evolution form (each side's
+    missing columns null-pad — requires ``by_name``); an empty list
+    refuses loudly (review r15: reduce() raised an opaque TypeError)."""
+    if not frames:
+        raise ValueError("union_all needs at least one frame")
+    if allow_missing_columns and not by_name:
+        raise ValueError("allow_missing_columns requires by_name=True")
     if by_name:
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        return reduce(
+            lambda a, b: a.unionByName(
+                b, allowMissingColumns=allow_missing_columns
+            ),
+            frames,
+        )
     return reduce(lambda a, b: a.union(b), frames)
 
 

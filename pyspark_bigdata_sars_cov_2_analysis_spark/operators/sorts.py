@@ -62,6 +62,11 @@ def zorder_value(cols: list[Column], bits: int = 12) -> Column:
     # small ones, wrong clustering with no error
     if n < 2:
         raise ValueError("z-ordering needs at least two dimensions")
+    if bits < 1:
+        # bits<=0 passed the upper-bound check and yielded a CONSTANT
+        # zero z-value — every file spanning every dimension, pruning
+        # silently dead (review r15)
+        raise ValueError(f"bits must be >= 1, got {bits}")
     if bits * n > 63:
         raise ValueError(
             f"bits*n = {bits * n} > 63: the z-value must fit a signed "

@@ -41,9 +41,16 @@ def _ols_line(x: pd.Series, y: pd.Series) -> tuple[float | None, float | None]:
     oracle on single-day groups.
 
     Rows where x OR y is NULL/NaN are dropped as a PAIR first (review
-    r14): SQL regr_* skips the whole observation, while pandas
+    r14): SQL regr_* skips the whole NULL observation, while pandas
     mean/sum skip NaN element-wise — a NULL-x row's y still entered
-    ``ym`` and silently bent the intercept away from the oracle."""
+    ``ym`` and silently bent the intercept away from the oracle.
+    Precision of the claim (review r15): after the Arrow transfer a
+    Spark NULL and a true NaN are the same float64 NaN, so the pandas
+    path cannot honor regr_*'s one divergence between them (SQL skips
+    NULL but PROPAGATES NaN — verified in DuckDB). Dropping non-finite
+    pairs therefore matches the oracle exactly on NULL observations —
+    the only kind the attested inputs contain — and true-NaN measures
+    are out of the attested contract (clean them upstream)."""
     ok = x.notna() & y.notna()
     x, y = x[ok], y[ok]
     if len(x) == 0:
@@ -81,6 +88,16 @@ def prophet_fitter(
     def fit(x: pd.Series, y: pd.Series) -> Callable[[pd.Series], pd.Series]:
         from prophet import Prophet  # gated optional dependency
 
+        # honor the Fitter seam's degenerate-input contract exactly
+        # like ols_fitter (review r15): NULL/NaN observations drop as
+        # pairs, and a group left with <2 points (Prophet's hard
+        # minimum) forecasts all-NULL instead of killing the job —
+        # x.astype('int64') on a NaN raised ValueError in the executor
+        # and one bad group aborted every group's forecast
+        ok = x.notna() & y.notna()
+        x, y = x[ok], y[ok]
+        if len(x) < 2:
+            return lambda xn: pd.Series([None] * len(xn), dtype="object")
         base = pd.Timestamp(epoch)
         m = Prophet()
         m.fit(
