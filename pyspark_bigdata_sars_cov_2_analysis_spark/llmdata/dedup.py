@@ -1056,7 +1056,12 @@ def ingest_batch_idempotent(
     partition. Each committed batch therefore drops an O_EXCL marker
     (:func:`ingest_high_water_mark`) and ``batch_id < hwm`` raises
     loudly; ``== hwm`` stays allowed as the legitimate newest-batch
-    replay. Verified by an incarnation-restart test."""
+    replay. Verified by an incarnation-restart test.
+
+    Degenerate text: a NULL-text doc has no shingles, is never a dup
+    candidate, and PASSES THROUGH to the output — unlike the chunk
+    ingest twin, where NULL text drops the doc (SQL NULL propagation;
+    see :func:`chunk_dedup_keep_first`)."""
     if int(batch_id) < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "
@@ -2148,6 +2153,16 @@ def chunk_dedup_keep_first(
 
     Returns ``(id_col, clean_text, n_chunks, n_dropped)``.
 
+    Degenerate text (pinned by
+    tests/test_properties.py::test_chunk_dedup_null_and_empty_text): a
+    NULL-text document has no chunks and is ABSENT from the output —
+    SQL NULL propagation, and exactly what the d14 DuckDB oracle
+    computes — while an empty text is one ``''`` chunk subject to
+    normal keep-first. This differs from the d11 band ingest, where a
+    NULL-text doc has no shingles and passes through to the output;
+    callers wanting NULL-text docs surfaced here must gate them
+    upstream (the quality gate emits ``keep=false/'null_text'``).
+
     Scale shape: first-occurrence selection is a ``min(struct(id, pos))``
     AGGREGATE keyed on md5(chunk) — never a window over the chunk hash,
     whose hot keys (the boilerplate being removed!) would serialize into
@@ -2504,7 +2519,12 @@ def chunk_ingest_batch_idempotent(
     state through that literal partition filter, so buckets the batch
     cannot match are never opened. The anti-join itself is unchanged;
     only the state scan shrinks. A batch whose chunks span every bucket
-    reads everything, exactly as the flat layout did."""
+    reads everything, exactly as the flat layout did.
+
+    Degenerate text follows the batch operator
+    (:func:`chunk_dedup_keep_first`): a NULL-text doc has no chunks and
+    is absent from the batch's output partition — gate upstream if it
+    must be surfaced."""
     if int(batch_id) < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}): -1 is reserved for "

@@ -294,7 +294,14 @@ def run_job(spark: SparkSession, csv_path: str, out_dir: str) -> list[str]:
 
     df = prepare(extract(spark, csv_path))
     written = []
-    for name, frame in outputs(df).items():
-        write_json_single_file(frame, f"{out_dir}/{name}")
-        written.append(name)
+    try:
+        for name, frame in outputs(df).items():
+            write_json_single_file(frame, f"{out_dir}/{name}")
+            written.append(name)
+    finally:
+        # run_job is the terminal consumer of prepare()'s cached root —
+        # release it here (review r15): the caller never receives the
+        # handle, so "caller-owned release" would in practice mean a
+        # blunt clearCache() or a cache pinned for the session
+        df.unpersist()
     return written

@@ -188,7 +188,12 @@ def run_job(spark: SparkSession, csv_path: str, out_dir: str) -> list[str]:
 
     df = prepare(extract(spark, csv_path))
     written = []
-    for name, frame in outputs(df).items():
-        write_json_single_file(frame, f"{out_dir}/{name}")
-        written.append(name)
+    try:
+        for name, frame in outputs(df).items():
+            write_json_single_file(frame, f"{out_dir}/{name}")
+            written.append(name)
+    finally:
+        # terminal consumer releases prepare()'s cached root (the
+        # cases_time run_job rule, review r15)
+        df.unpersist()
     return written

@@ -170,8 +170,11 @@ def outputs(df: DataFrame) -> dict[str, DataFrame]:
     uncached, every one of those actions re-decoded every sampled
     image's bytes through Arrow/Python (~4-5× the pipeline's dominant
     cost). The sampled frame is likewise built ONCE and reused by
-    take_samples. Caller owns the release (run_job's loop finishes all
-    actions before returning; a resident caller unpersists)."""
+    take_samples. Caller owns the release — ``colour_distribution`` IS
+    the cached stats frame, so its handle is the release handle
+    (``run_job`` unpersists it, and the extract root, after its last
+    write; a resident caller calling outputs() directly does the
+    same)."""
     valid = valid_images(df)
     sampled = sampled_per_class(valid, n=1000)
     stats = pixel_stats(sampled).cache()
@@ -194,7 +197,16 @@ def run_job(spark: SparkSession, parquet_path: str, out_dir: str) -> list[str]:
 
     df = extract(spark, parquet_path).cache()
     written = []
-    for name, frame in outputs(df).items():
-        write_json_single_file(frame, f"{out_dir}/{name}")
-        written.append(name)
+    out = outputs(df)
+    try:
+        for name, frame in out.items():
+            write_json_single_file(frame, f"{out_dir}/{name}")
+            written.append(name)
+    finally:
+        # terminal consumer releases BOTH caches (review r15): the
+        # extract root, and the pixel-stats frame outputs() caches —
+        # which is exactly the colour_distribution entry, so the
+        # returned handle is the release handle
+        out["colour_distribution"].unpersist()
+        df.unpersist()
     return written

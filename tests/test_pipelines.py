@@ -231,7 +231,14 @@ class TestCasesTimeJobParity:
         import os
 
         out = str(tmp_path / "cases_time_out")
+        cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
         written = cases_time.run_job(spark, tmp_fixtures["cases_time"], out)
+        # run_job is the terminal consumer: its prepare() cache must be
+        # released on return, not pinned for the session (review r15)
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+            <= cached_before
+        )
         assert set(written) == self.REFERENCE_OUTPUTS
         for name in written:
             parts = glob.glob(os.path.join(out, name, "part-*"))
@@ -309,7 +316,14 @@ class TestResearchAndRadiographyJobParity:
         import os
 
         out = str(tmp_path / "radiography_out")
+        cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
         written = radiography.run_job(spark, tmp_fixtures["radiography"], out)
+        # both run_job caches (extract root + pixel-stats frame) must be
+        # released on return (review r15)
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+            <= cached_before
+        )
         assert set(written) == {
             "percentage_of_samples",
             "take_samples",

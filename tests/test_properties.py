@@ -978,6 +978,58 @@ def test_chunk_dedup_planted_spans(spark):
     assert got[3] == (u("c"), 1, 0)
 
 
+def test_chunk_dedup_null_and_empty_text(spark):
+    """Pin the chunk family's degenerate-text semantics AND that the
+    DuckDB oracle agrees (review r15): a NULL-text document has no
+    chunks — SQL NULL propagation drops it from the output ENTIRELY, in
+    the engine (ANSI size(split(NULL)) is NULL, so posexplode emits no
+    rows) and in the d14 oracle (DuckDB len(string_split(NULL)) is NULL,
+    so unnest(range(NULL)) emits no rows) alike. This differs from the
+    d11 band ingest, where a NULL-text doc has no shingles, is never a
+    dup candidate, and passes through to the output — documented in both
+    docstrings; callers wanting NULL-text docs surfaced must gate them
+    upstream (the t02 quality gate emits keep=false/'null_text' for
+    exactly this). An EMPTY text is one ''-chunk in both engines: the
+    doc survives with its empty chunk subject to normal keep-first."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+        for r in dedup.chunk_dedup_keep_first(
+            docs, "doc_id", "text", chunk_words=10
+        ).collect()
+    }
+    # NULL-text doc 2 is absent; empty-text docs chunk to one '' chunk,
+    # keep-first keeps doc 3's and drops doc 4's
+    assert set(got) == {1, 3, 4}
+    assert got[1] == ("a b c", 1, 0)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == ("", 1, 1)
+    # the oracle's chunks CTE agrees on which docs have chunks at all
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c'), (2, NULL), (3, ''), (4, '')) t(doc_id, text)"
+    )
+    oracle_docs = {
+        r[0]
+        for r in con.execute(
+            """
+            WITH arrs AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            )
+            SELECT DISTINCT doc_id FROM arrs,
+              UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT)))
+            """
+        ).fetchall()
+    }
+    assert oracle_docs == {1, 3, 4}
+
+
 def test_countmin_merge_linearity_and_overcount(spark):
     """The two Count-Min invariants a 100 TB per-shard deployment relies
     on: (1) LINEARITY — the sketch of a union equals the cell-wise merge
