@@ -1030,6 +1030,65 @@ def test_chunk_dedup_null_and_empty_text(spark):
     assert oracle_docs == {1, 3, 4}
 
 
+def test_dedup_families_degenerate_text_matrix(spark):
+    """The cross-family degenerate-text matrix (review r15, completing
+    the chunk-family pin above): every dedup family must handle NULL,
+    empty, whitespace-only, and shorter-than-k text the way its
+    documented semantics imply — silently inconsistent drops across
+    families are how a 100 TB curation pipeline loses rows nobody can
+    explain.
+
+    - minhash (shingle-based, k=3): NULL and <k-token docs produce no
+      shingles and DROP OUT of the signature frame (documented);
+    - jaccard (shingle-based): same universe, so such docs can never
+      pair;
+    - simhash (token-based): NULL drops, but empty and whitespace-only
+      docs normalize to the same single-''-token signature — and are
+      therefore correctly flagged as EXACT near-dups of each other
+      (identical post-normalization content IS a dup);
+    - exact dedup: NULL texts group under the NULL fingerprint, and
+      empty/whitespace-only share md5('') — one keep-first group."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "one two"),  # 2 tokens < k=3
+        ],
+        "doc_id long, text string",
+    )
+    mh = sorted(
+        r.doc_id
+        for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()
+    )
+    assert mh == [1], mh
+    assert (
+        dedup.jaccard_pairs(docs, "doc_id", "text").count() == 0
+    )
+    sh = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert sorted(sh) == [1, 3, 4, 5], sorted(sh)
+    assert sh[3] == sh[4]  # '' and '   ' normalize identically
+    sp = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(
+            docs, "doc_id", "text", band_bits=4
+        ).collect()
+    )
+    assert sp == [(3, 4)], sp
+    ex = {
+        r.keeper: (r.fp, r.n_copies)
+        for r in dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert ex[2][0] is None and ex[2][1] == 1  # NULL-fp group
+    assert ex[3][1] == 2  # '' and '   ' are one group, keeper 3
+
+
 def test_countmin_merge_linearity_and_overcount(spark):
     """The two Count-Min invariants a 100 TB per-shard deployment relies
     on: (1) LINEARITY — the sketch of a union equals the cell-wise merge
