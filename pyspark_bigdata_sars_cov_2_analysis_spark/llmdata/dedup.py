@@ -1257,15 +1257,26 @@ def dup_clusters(
     the step that turns pairwise dedup output into keep-one-per-cluster
     decisions (keeper = the row where doc_id == cluster_id).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels); converges in
-    O(graph diameter) rounds. Near-dup graphs are dense clique-ish
+    Algorithm: iterative min-label propagation over the CLOSED
+    neighborhood — self-loops are planted in the edge frame, so each
+    round is ONE shuffle join + ONE aggregate on (id, label) pairs
+    (optimization r15: the open-neighborhood form needed a second
+    labels⋈nb_min join per round to mix in the node's own label — at
+    scale that was a second full shuffle of the label frame every
+    round, and locally a second join stage). Converges in
+    O(graph diameter) rounds; near-dup graphs are dense clique-ish
     clusters with tiny diameters (LSH buckets emit all intra-bucket
     pairs), so this beats the O(log n) large-star/small-star alternates
-    that exist for long-path graphs — and each round is ONE shuffle join
-    + agg on (id, label) pairs, never touching document text. The
-    convergence check is a driver-side count per round (the standard
-    iterative-algorithm action; everything else stays distributed).
+    that exist for long-path graphs. Round 1 is FUSED into the seed:
+    initial labels are the ids themselves, so the first round's
+    min-over-closed-neighborhood is just min(dst) per src over the
+    self-looped edges — a plain aggregate, no join, replacing both the
+    old distinct-ids seed pass and the first loop round. Convergence:
+    the self-loop row carries each node's own previous label through
+    the round's aggregate, so the exact changed-row count is a
+    filter+count over the round's tiny checkpointed (id, label, own)
+    frame — type-agnostic (ids need not be numeric), no second join,
+    and everything else stays distributed.
     """
     # NOTE: no cache on the pair frame — the union's two branches share
     # their upstream shuffles via ReusedExchange (A/B-measured: caching
@@ -1274,13 +1285,14 @@ def dup_clusters(
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = sym.distinct().cache()
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    # self-loops ride the same distinct pass (src of sym = every node),
+    # so the closed-neighborhood min needs no second per-round join
+    edges = (
+        sym.union(sym.select("src", F.col("src").alias("dst")))
         .distinct()
-        .withColumn("label", F.col("id"))
         .cache()
     )
+
     def release_checkpoint(ckpt: DataFrame) -> None:
         # Dataset.unpersist() does NOT free localCheckpoint blocks (they
         # live on the internal LogicalRDD, not in the CacheManager —
@@ -1293,32 +1305,43 @@ def dup_clusters(
         except Exception:
             pass
 
+    # round 1, fused: labels start as the ids, so min over the closed
+    # neighborhood is min(dst) within the self-looped edge groups.
+    # eager localCheckpoint MATERIALIZES each round's result and
+    # truncates its lineage before the predecessor is released — a plain
+    # cache().unpersist() sequence here left each round recomputing the
+    # full i-deep plan from `edges` (quadratic total work, linearly
+    # growing plan). Label frames are (id, label) pairs, so the
+    # checkpointed blocks are tiny.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .select(F.col("src").alias("id"), "label")
+        .localCheckpoint(eager=True)
+    )
     converged = False
-    prev_ckpt: DataFrame | None = None
+    prev_ckpt: DataFrame = labels
     for _ in range(max_iterations):
-        nb_min = (
+        # the self-loop row (dst == src) carries the node's OWN previous
+        # label into its group, so the same aggregate yields both the new
+        # label and the old one — the exact per-round change count costs
+        # one filter+count on the tiny checkpointed frame, works for any
+        # id type, and needs no second labels join
+        stepped = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("label").alias("nb"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("label"))
+                ).alias("__own"),
+            )
+            .select(F.col("src").alias("id"), "label", "__own")
+            .localCheckpoint(eager=True)
         )
-        stepped = labels.join(nb_min, labels.id == nb_min.src, "left").select(
-            "id",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nb", "label")).alias("label"),
-        )
-        # eager localCheckpoint MATERIALIZES the round's result and
-        # truncates its lineage before the predecessor is released —
-        # a plain cache().unpersist() sequence here left each round
-        # recomputing the full i-deep plan from `edges` (quadratic total
-        # work, linearly growing plan). Label frames are (id, label)
-        # pairs, so the checkpointed blocks are tiny.
-        stepped = stepped.localCheckpoint(eager=True)
-        changed = stepped.where(F.col("label") < F.col("old")).count()
-        old_labels = labels
+        changed = stepped.where(F.col("label") != F.col("__own")).count()
         labels = stepped.select("id", "label")
-        old_labels.unpersist()  # releases only the round-0 cache()
-        if prev_ckpt is not None:
-            release_checkpoint(prev_ckpt)
+        release_checkpoint(prev_ckpt)
         prev_ckpt = stepped
         if changed == 0:
             converged = True
@@ -1335,12 +1358,53 @@ def dup_clusters(
     )
 
 
+def _shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-document DISTINCT shingle arrays ``(id, __sh_arr, __n_sh)``,
+    computed in ONE spread shingling pass and cached through the
+    plan-cache registry (released by ``registry.release_plan_caches()``
+    like t09's tf frame / d18's score frame).
+
+    Why (optimization r15, guide §2.4/§5): every exact-similarity
+    consumer branch previously re-ran ``word_shingles`` — d16's prefix
+    plan held SIX Generate nodes re-shingling the corpus (frequency,
+    rank, probe, full index, and two collect_list array rebuilds),
+    because each branch projects differently and ReuseExchange never
+    canonicalizes them together. One cached array pass replaces all of
+    them; downstream views are a cheap ``explode`` (inverted index), a
+    ``size`` projection (doc sizes — no aggregate at all), and the
+    arrays themselves (row-local verification — the two
+    collect_list+Exchange array rebuilds disappear outright). The cache
+    is ~k× the text bytes and spillable (MEMORY_AND_DISK default);
+    recomputing the interpreted ``array_distinct`` shingling 3-6× per
+    query costs more at every scale measured."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+        tracked_cache,
+    )
+
+    arr = F.array_distinct(shingle_array(F.col(text_col), k))
+    return tracked_cache(
+        spread_compute(df)
+        .select(F.col(id_col), arr.alias("__sh_arr"))
+        .withColumn("__n_sh", F.size("__sh_arr").cast("bigint"))
+    )
+
+
+def _exploded_shingles(arrs: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingle) inverted-index view of :func:`_shingle_arrays` —
+    documents shorter than k tokens (empty arrays) produce no rows,
+    exactly like ``word_shingles``."""
+    return arrs.select(F.col(id_col), F.explode("__sh_arr").alias("shingle"))
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     threshold: float = 0.1,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold with LOSSLESS prefix filtering
     (the AllPairs/PPJoin bound): if J(A,B) ≥ t, the pair must share a
@@ -1356,10 +1420,20 @@ def jaccard_pairs_prefix(
     extra shuffles cost 7× more than the naive join saves, so the naive
     form stays the default; this one is for corpora whose hottest shingle
     appears in a large fraction of documents (inverted-list length ~N →
-    naive candidate pairs ~N², while prefixes only index rare shingles)."""
-    sh = word_shingles(df, id_col, text_col, k)
+    naive candidate pairs ~N², while prefixes only index rare shingles).
+
+    Physical shape (optimization r15): shingling runs ONCE into the
+    cached :func:`_shingle_arrays` frame; the inverted index explodes
+    from it, doc sizes are a ``size()`` projection of it (the former
+    per-doc count aggregate + exchange is gone), and verification reads
+    the cached arrays directly instead of rebuilding them with two
+    collect_list aggregates."""
+    arrs = (
+        _shingle_arrays(df, id_col, text_col, k) if _arrs is None else _arrs
+    )
+    sh = _exploded_shingles(arrs, id_col)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = arrs.select(F.col(id_col), F.col("__n_sh").alias("n_sh"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
     ranked = (
         sh.join(freq, on="shingle")
@@ -1379,21 +1453,18 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    arrs = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("arr"), F.count(F.lit(1)).alias("n")
-    )
     j = cands.join(
         arrs.select(
             F.col(id_col).alias("id_a"),
-            F.col("arr").alias("sa"),
-            F.col("n").alias("n_a"),
+            F.col("__sh_arr").alias("sa"),
+            F.col("__n_sh").alias("n_a"),
         ),
         on="id_a",
     ).join(
         arrs.select(
             F.col(id_col).alias("id_b"),
-            F.col("arr").alias("sb"),
-            F.col("n").alias("n_b"),
+            F.col("__sh_arr").alias("sb"),
+            F.col("__n_sh").alias("n_b"),
         ),
         on="id_b",
     )
@@ -1409,15 +1480,19 @@ def jaccard_pairs_prefix(
 
 
 def _cooccurrence_counts(
-    sh: DataFrame, id_col: str
+    arrs: DataFrame, id_col: str
 ) -> DataFrame:
     """(id_a, id_b, n_inter, n_a, n_b) for every ordered (id_a < id_b)
     pair sharing ≥1 shingle — the inverted-index co-occurrence frame
     shared by :func:`jaccard_pairs` and :func:`containment_pairs`
     (review r14: the ~25-line block lived verbatim in both, so a fix to
     the shared shape had to be applied twice). One shingle-keyed
-    self-join + one pair aggregate, never all-pairs."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    self-join + one pair aggregate, never all-pairs. Input is the
+    cached :func:`_shingle_arrays` frame (optimization r15): the
+    inverted index explodes from it and doc sizes are a projection of
+    it — the former per-doc count aggregate (a full extra exchange) is
+    gone."""
+    sh = _exploded_shingles(arrs, id_col)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -1426,8 +1501,8 @@ def _cooccurrence_counts(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = arrs.select(F.col(id_col).alias("id_a"), F.col("__n_sh").alias("n_a"))
+    sb = arrs.select(F.col(id_col).alias("id_b"), F.col("__n_sh").alias("n_b"))
     return inter.join(sa, on="id_a").join(sb, on="id_b")
 
 
@@ -1437,12 +1512,15 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.1,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle (full
     inverted-index join) — fastest below the hot-shingle crossover
     (see ``jaccard_pairs_prefix`` for the skew-proof variant)."""
-    sh = word_shingles(df, id_col, text_col, k)
-    jac = _cooccurrence_counts(sh, id_col).withColumn(
+    arrs = (
+        _shingle_arrays(df, id_col, text_col, k) if _arrs is None else _arrs
+    )
+    jac = _cooccurrence_counts(arrs, id_col).withColumn(
         "jaccard",
         pround(
             F.col("n_inter")
@@ -1459,6 +1537,7 @@ def containment_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: shingle CONTAINMENT |A∩B| / min(|A|, |B|) —
     catches a document embedded inside a larger one (boilerplate-wrapped
@@ -1470,8 +1549,10 @@ def containment_pairs(
     all-pairs — with the pair oriented (small, big) by shingle count
     (id tiebreak) so the score reads as 'fraction of the smaller doc
     found inside the bigger'."""
-    sh = word_shingles(df, id_col, text_col, k)
-    j = _cooccurrence_counts(sh, id_col)
+    arrs = (
+        _shingle_arrays(df, id_col, text_col, k) if _arrs is None else _arrs
+    )
+    j = _cooccurrence_counts(arrs, id_col)
     a_small = (F.col("n_a") < F.col("n_b")) | (
         (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
     )
@@ -1486,16 +1567,23 @@ def containment_pairs(
 
 
 def _containment_prefix_candidates(
-    sh: DataFrame, id_col: str, threshold: float
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from the asymmetric prefix bound —
     the frame :func:`containment_pairs_prefix` verifies. Split out so the
     structural claim ('the prefix probe expands strictly fewer candidates
     than the naive inverted-index join in the hot-shingle regime') is
     testable as a row count, not a wall-clock assertion
-    (tests/test_properties.py::test_containment_prefix_prunes_candidates)."""
+    (tests/test_properties.py::test_containment_prefix_prunes_candidates).
+    ``sizes``: an optional pre-computed ``(id, n_sh)`` frame (the
+    :func:`_shingle_arrays` projection) — skips the per-doc count
+    aggregate over ``sh``."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df_"), F.asc("shingle"))
     ranked = (
         sh.join(freq, on="shingle")
@@ -1525,6 +1613,7 @@ def containment_pairs_prefix(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    _arrs: DataFrame | None = None,
 ) -> DataFrame:
     """LOSSLESS prefix-filtered containment — the hot-regime scale path
     for :func:`containment_pairs` (a Jaccard-LSH prefilter CANNOT serve
@@ -1540,24 +1629,30 @@ def containment_pairs_prefix(
     bounds candidate generation by prefix-shingle document frequencies.
     Verification is row-local array_intersect per candidate pair,
     oriented small→big; output identical to the naive form
-    (property-tested, embedded-pair case included)."""
-    sh = word_shingles(df, id_col, text_col, k)
-    cands = _containment_prefix_candidates(sh, id_col, threshold)
-    arrs = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("arr"), F.count(F.lit(1)).alias("n")
+    (property-tested, embedded-pair case included).
+
+    Physical shape (optimization r15): same single-pass cached
+    :func:`_shingle_arrays` skeleton as ``jaccard_pairs_prefix`` — one
+    shingling pass, sizes as a projection, verification from the cached
+    arrays (no collect_list rebuild aggregates)."""
+    arrs = (
+        _shingle_arrays(df, id_col, text_col, k) if _arrs is None else _arrs
     )
+    sh = _exploded_shingles(arrs, id_col)
+    sizes = arrs.select(F.col(id_col), F.col("__n_sh").alias("n_sh"))
+    cands = _containment_prefix_candidates(sh, id_col, threshold, sizes=sizes)
     j = cands.join(
         arrs.select(
             F.col(id_col).alias("id_a"),
-            F.col("arr").alias("sa"),
-            F.col("n").alias("n_a"),
+            F.col("__sh_arr").alias("sa"),
+            F.col("__n_sh").alias("n_a"),
         ),
         on="id_a",
     ).join(
         arrs.select(
             F.col(id_col).alias("id_b"),
-            F.col("arr").alias("sb"),
-            F.col("n").alias("n_b"),
+            F.col("__sh_arr").alias("sb"),
+            F.col("__n_sh").alias("n_b"),
         ),
         on="id_b",
     )
@@ -1734,6 +1829,7 @@ def _sampled_shingle_stats(
     k: int,
     sample_fraction: float | None,
     salt: str,
+    _arrs: DataFrame | None = None,
 ) -> dict:
     """The corpus measurement both dispatch choosers share: shingle-
     frequency aggregate over a deterministic md5-gated doc sample, with
@@ -1749,15 +1845,30 @@ def _sampled_shingle_stats(
             f"sample_fraction must be in (0, 1], got {sample_fraction}"
         )
     p = 1.0 if sample_fraction is None else sample_fraction
-    if p < 1.0:
-        from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
-            hash_gate,
-        )
+    if _arrs is not None:
+        # derive the sample from the caller's cached shingle-array frame
+        # (optimization r15): the md5 gate keys on the id either way, so
+        # the sampled doc set — and therefore the stats — is identical
+        # to shingling the gated raw corpus, without a second shingling
+        # pass just to pick a physical plan.
+        src = _arrs
+        if p < 1.0:
+            from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+                hash_gate,
+            )
 
-        df = df.where(hash_gate(F.col(id_col), p, salt=salt))
+            src = src.where(hash_gate(F.col(id_col), p, salt=salt))
+        sh = _exploded_shingles(src, id_col)
+    else:
+        if p < 1.0:
+            from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata.sampling import (
+                hash_gate,
+            )
+
+            df = df.where(hash_gate(F.col(id_col), p, salt=salt))
+        sh = word_shingles(df, id_col, text_col, k)
     st = (
-        word_shingles(df, id_col, text_col, k)
-        .groupBy("shingle")
+        sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("L"))
         .agg(
             F.sum(F.col("L") * (F.col("L") - 1) / 2).alias("quad"),
@@ -1781,6 +1892,7 @@ def choose_jaccard_variant(
     k: int = 3,
     threshold: float = 0.1,
     sample_fraction: float | None = 0.25,
+    _arrs: DataFrame | None = None,
 ) -> tuple[str, dict]:
     """Pick ``naive`` vs ``prefix`` Jaccard from ONE measured corpus stat
     instead of making the caller guess (the round-4 advice item).
@@ -1811,7 +1923,8 @@ def choose_jaccard_variant(
     :func:`_sampled_shingle_stats` measurement (estimator math and the
     l_max caveat documented there); pass ``None`` for the exact scan."""
     stats = _sampled_shingle_stats(
-        df, id_col, text_col, k, sample_fraction, salt="jacchoose|"
+        df, id_col, text_col, k, sample_fraction, salt="jacchoose|",
+        _arrs=_arrs,
     )
     saved = stats["quad"] * (1.0 - (1.0 - threshold) ** 2)
     stats["saved_candidates_est"] = saved
@@ -1828,16 +1941,23 @@ def jaccard_pairs_auto(
     """Single Jaccard entry point: measures the corpus
     (``choose_jaccard_variant``) and dispatches to ``jaccard_pairs`` or
     ``jaccard_pairs_prefix`` — both emit identical pairs (lossless
-    property test), so the choice is purely physical."""
+    property test), so the choice is purely physical. The chooser's
+    stats job and the chosen variant SHARE one cached
+    :func:`_shingle_arrays` frame (optimization r15) — the corpus is
+    shingled once for both, instead of once for the measurement and
+    3-6 more times inside the variant's plan."""
     import logging
 
-    variant, stats = choose_jaccard_variant(df, id_col, text_col, k, threshold)
+    arrs = _shingle_arrays(df, id_col, text_col, k)
+    variant, stats = choose_jaccard_variant(
+        df, id_col, text_col, k, threshold, _arrs=arrs
+    )
     logging.getLogger(__name__).info(
         "jaccard_pairs_auto: variant=%s stats=%s threshold=%s",
         variant, stats, threshold,
     )
     fn = jaccard_pairs_prefix if variant == "prefix" else jaccard_pairs
-    return fn(df, id_col, text_col, k, threshold)
+    return fn(df, id_col, text_col, k, threshold, _arrs=arrs)
 
 
 def choose_containment_variant(
@@ -1847,6 +1967,7 @@ def choose_containment_variant(
     k: int = 3,
     threshold: float = 0.8,
     sample_fraction: float | None = 0.25,
+    _arrs: DataFrame | None = None,
 ) -> tuple[str, dict]:
     """d16's measured dispatch (VERDICT r7 Next-round #4) — the
     :func:`choose_jaccard_variant` pattern with the ASYMMETRIC cost
@@ -1857,12 +1978,20 @@ def choose_containment_variant(
     shingle-rank model it expands ≈ 2·(1−t)·quad candidates against
     naive's quad — saving quad·(2t−1), which is non-positive for
     t ≤ 0.5 (the probe prefix then covers over half of every doc and
-    prefix can only lose). Same β=2 fixed-cost bar as the Jaccard
-    chooser (frequency join + rank window + candidate distinct all scale
-    with ``rows``): choose prefix iff quad·(2t−1) > 2·rows. On the
-    shipped corpora (quad ≈ 0.5·rows) that keeps naive; on the 50k
-    hot-shingle probe corpus (quad ≫ rows, prefix measured 1.4× faster)
-    it flips to prefix.
+    prefix can only lose). Fixed-cost bar β=8 (RECALIBRATED,
+    optimization r15 — was 2): prefix pays rank-window + candidate
+    distinct passes that scale with ``rows``, and — the term the old
+    β=2 bar under-counted — its verification is a per-candidate
+    ``array_intersect`` (O(avg shingles/doc) each), where naive's
+    verification is an O(1)-per-row count aggregate over the same
+    co-occurrence join it already ran. Measured at sf0.1 (saved/rows
+    ≈ 3): naive 1.7s vs prefix 4.1s on a warm shingle cache — the old
+    bar picked prefix, 2.4× the cost. Measured on planted hot corpora:
+    prefix first wins around saved/rows ≈ 40 (1.3×), with a flat tie
+    zone between ~20 and ~40; β=8 puts the shipped regime (≤3) firmly
+    on naive and the hot regimes (≥18) on prefix, the decision the
+    planted-regime tests pin from both sides. Choose prefix iff
+    quad·(2t−1) > 8·rows.
 
     ``sample_fraction`` (default 0.25) measures a DETERMINISTIC
     hash-gated subset of documents instead of the full corpus — the
@@ -1875,11 +2004,12 @@ def choose_containment_variant(
     sampled decision matches the full-scan decision on both planted
     regimes. Pass ``None`` to measure the full corpus."""
     stats = _sampled_shingle_stats(
-        df, id_col, text_col, k, sample_fraction, salt="contchoose|"
+        df, id_col, text_col, k, sample_fraction, salt="contchoose|",
+        _arrs=_arrs,
     )
     saved = stats["quad"] * max(2.0 * threshold - 1.0, 0.0)
     stats["saved_candidates_est"] = saved
-    return ("prefix" if saved > 2.0 * stats["rows"] else "naive"), stats
+    return ("prefix" if saved > 8.0 * stats["rows"] else "naive"), stats
 
 
 def containment_pairs_auto(
@@ -1893,18 +2023,23 @@ def containment_pairs_auto(
     (:func:`choose_containment_variant`) and dispatches to
     :func:`containment_pairs` or :func:`containment_pairs_prefix` — both
     emit identical (id_small, id_big, containment) rows (lossless
-    property test), so the choice is purely physical."""
+    property test), so the choice is purely physical. As in
+    :func:`jaccard_pairs_auto`, the stats job and the chosen variant
+    share ONE cached :func:`_shingle_arrays` frame (optimization r15) —
+    one shingling pass total instead of one for the measurement plus
+    3-6 inside the variant."""
     import logging
 
+    arrs = _shingle_arrays(df, id_col, text_col, k)
     variant, stats = choose_containment_variant(
-        df, id_col, text_col, k, threshold
+        df, id_col, text_col, k, threshold, _arrs=arrs
     )
     logging.getLogger(__name__).info(
         "containment_pairs_auto: variant=%s stats=%s threshold=%s",
         variant, stats, threshold,
     )
     fn = containment_pairs_prefix if variant == "prefix" else containment_pairs
-    return fn(df, id_col, text_col, k, threshold)
+    return fn(df, id_col, text_col, k, threshold, _arrs=arrs)
 
 
 def simhash_signatures(
