@@ -291,9 +291,30 @@ def d11_incremental_dedup(spark, sf_dir):
     quadratic bulk, already deduped by prior batches) are never
     materialized (llmdata/dedup.incremental_neardup_pairs)."""
     d = table(spark, sf_dir, "documents")
-    new = d.where(F.col("doc_id") % 5 == 0)
-    corpus = d.where(F.col("doc_id") % 5 != 0)
-    return dedup.incremental_neardup_pairs(new, corpus, "doc_id", "text")
+    # band the WHOLE corpus once and split the banded frame by side
+    # (optimization r15, guide §2.4): banding is per-document, so
+    # bands(filter(d)) == filter(bands(d)) — but the two-frame form ran
+    # the scan→shingle→md5→signature pipeline twice (once per side).
+    # The banded frame is cached through the plan-cache registry: a
+    # bare common subplan would NOT be shared (Catalyst pushes the
+    # doc_id%5 side filters through the signature aggregate down to the
+    # scan, so the two sides' subtrees differ and ReuseExchange never
+    # matches — plan-verified); the cache pins one materialized corpus
+    # pass, and each side is a cheap in-memory filter of it. Band rows
+    # are (id, band, sig) triples — tiny next to the text they replace.
+    banded = tracked_cache(
+        dedup.lsh_bands(
+            dedup.minhash_signatures(
+                d, "doc_id", "text", k=3, num_hashes=12
+            ),
+            "doc_id", num_hashes=12, band_rows=3,
+        )
+    )
+    return dedup.incremental_neardup_pairs(
+        None, None, "doc_id", "text",
+        new_bands=banded.where(F.col("doc_id") % 5 == 0),
+        corpus_bands=banded.where(F.col("doc_id") % 5 != 0),
+    )
 
 
 @query(
