@@ -15,6 +15,9 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.io import fs as _fs
 
 
@@ -1371,8 +1374,12 @@ def _read_snapshot_files(
         if not files:
             if schema is not None:
                 # every file pruned: an empty frame IS the exact answer
-                # (stats are true bounds), with the manifest's schema
-                return spark.createDataFrame([], schema=_schema_ddl(schema))
+                # (stats are true bounds), with the manifest's schema.
+                # local_frame keeps it a JVM LocalRelation — a
+                # createDataFrame empty frame is a Python-RDD scan that
+                # costs a Python worker round-trip in every downstream
+                # job (r15, functions/localrel.py)
+                return local_frame(spark, [], _schema_ddl(schema))
             files = snap["files"]  # legacy manifest: no schema ⇒ no
             # stats either, so this is unreachable — kept as a safe
             # full-scan fallback
@@ -2620,7 +2627,7 @@ def snapshot_changes(
             _schema_ddl(out_cols)
             + ", `_change_type` string, `_commit_version` bigint"
         )
-        return spark.createDataFrame([], schema=ddl)
+        return local_frame(spark, [], ddl)  # JVM-local, see localrel.py
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

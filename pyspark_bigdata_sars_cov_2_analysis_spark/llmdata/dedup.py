@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.relational import spread_compute
 
 
@@ -541,7 +544,11 @@ def write_band_checkpoint(
     # re-open the torn-sidecar crash window on every micro-batch that
     # the refusal above exists to catch.
     if not sidecar_exists:
-        spark.createDataFrame(
+        # local_frame, not createDataFrame: this write runs once per
+        # checkpoint seed and its Python-RDD form cost ~5 s of Python
+        # worker spawn per write job (r15, functions/localrel.py)
+        local_frame(
+            spark,
             [(k, num_hashes, band_rows, n_sig_buckets)],
             "k int, num_hashes int, band_rows int, n_sig_buckets int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
@@ -2541,8 +2548,9 @@ def write_chunk_checkpoint(
     # values are guaranteed identical and the overwrite would re-open
     # the torn-sidecar crash window (band twin's rule)
     if not sidecar_exists:
-        spark.createDataFrame(
-            [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
+        # local_frame, not createDataFrame — see the band sidecar above
+        local_frame(
+            spark, [(chunk_words, n_buckets)], "chunk_words int, n_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_chunk_params")
     if mode == "append" and batch_id >= 0:
         _mark_batch_committed(path, batch_id, batch_fp or "")

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.compat import pround
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
     binary_indicator,
 )
@@ -126,7 +129,7 @@ def classifier_bench(df: DataFrame, seed: int = 2020) -> DataFrame:
     )
     spark = df.sparkSession
     rows = [(n, float(evaluate_accuracy(m, test))) for n, m in models.items()]
-    return spark.createDataFrame(rows, "model string, accuracy double")
+    return local_frame(spark, rows, "model string, accuracy double")
 
 
 def assay_values(df: DataFrame, column: str) -> DataFrame:

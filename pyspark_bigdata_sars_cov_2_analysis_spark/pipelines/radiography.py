@@ -20,6 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.functions.recode import (
     label_from_code,
 )
@@ -126,8 +129,8 @@ def classifier_with_confusion(
     ]
     acc = evaluate_accuracy(model, test)
     spark = stats.sparkSession
-    acc_df = spark.createDataFrame(
-        [("random_forest", float(acc))], "model string, accuracy double"
+    acc_df = local_frame(
+        spark, [("random_forest", float(acc))], "model string, accuracy double"
     )
     # pin the pivot to the known class set (review r14): without
     # values=, the pivot runs an EAGER distinct scan — a full RF

@@ -14,6 +14,9 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.ml import (
     evaluate_accuracy,
     train_classifiers,
 )
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.ml.classify import features_from_array
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators.sorts import seeded_split
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
@@ -108,14 +111,15 @@ def ml01_classifier_bench(spark, sf_dir, band=_ML01_BAND):
                 "ml01 chance-band contract violated (broken train/eval "
                 f"loop?): {[(c[0], c[1], band_lo, band_hi) for c in out_of_band]}"
             )
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [(name, band_lo, band_hi, ok) for name, _acc, ok in checked],
             "model string, band_lo double, band_hi double, "
             "in_band boolean",
         )
     finally:
         # training and eval are EAGER (MLlib fits + accuracy actions run
-        # above), and the returned frame is a local createDataFrame — the
+        # above), and the returned frame is a local literal frame — the
         # cached features block would otherwise sit in executor storage
         # for the rest of a multi-query suite run (review r9)
         data.unpersist()

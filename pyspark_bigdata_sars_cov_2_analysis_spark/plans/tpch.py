@@ -13,6 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+    local_frame,
+)
 from pyspark_bigdata_sars_cov_2_analysis_spark.operators import joins, sorts
 from pyspark_bigdata_sars_cov_2_analysis_spark.plans.fragments import (
     SCD2_TEMPORAL_JOIN_SQL,
@@ -403,7 +406,11 @@ def j10_range_lookup_broadcast(spark, sf_dir):
     The plan test pins BNLJ + broadcast here, the documented exception
     to the rule the q-family guards enforce."""
     li = table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    # local_frame, not createDataFrame: the dim must be a JVM
+    # LocalTableScan — the Python-RDD form re-enters Python to build the
+    # 5-row broadcast on every execution (r15, functions/localrel.py)
+    bands = local_frame(
+        spark,
         [
             ("budget", 0.0, 20000.0),
             ("mid", 20000.0, 40000.0),
