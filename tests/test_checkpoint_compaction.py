@@ -351,3 +351,68 @@ def test_marker_race_first_publisher_wins_whole(tmp_path, monkeypatch):
     # replaying the loser again is a no-op (EEXIST short-circuit)
     dedup._mark_batch_committed(path, 7, "ours:fp")
     assert dedup._committed_fingerprint(path, 7) == "racer:fp"
+
+
+def test_sidecar_params_memo_hits_and_invalidates(spark, tmp_path):
+    """r15 optimization: ``read_band_params``/``read_chunk_params``
+    memoize per (sidecar path, mtime) so the per-micro-batch param read
+    in the ingest loops stops costing a Spark job. Pins the contract:
+
+    1. an unchanged sidecar is answered from the memo (loader not
+       re-invoked) and the memo hands out COPIES (caller mutation must
+       not poison later reads);
+    2. a re-seed (``mode='overwrite'``) rewrites the sidecar directory,
+       which changes its mtime and MUST invalidate the entry — stale
+       params here would mis-band every subsequent probe.
+    """
+    corpus = spark.createDataFrame(
+        [(d, _rngtext(d)) for d in range(10)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
+                                num_hashes=12, band_rows=3, n_sig_buckets=4)
+    first = dedup.read_band_params(spark, path)
+    assert (first["num_hashes"], first["band_rows"],
+            first["n_sig_buckets"]) == (12, 3, 4)
+
+    # 1a. memo hit: loader must not run while the sidecar is unchanged
+    sidecar = f"{path}/_band_params"
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return {"marker": 1}
+
+    assert dedup._memoized_sidecar(spark, sidecar, loader) == first
+    assert loads["n"] == 0
+    # 1b. copies out: mutating the answer must not change the memo
+    got = dedup.read_band_params(spark, path)
+    got["num_hashes"] = -99
+    assert dedup.read_band_params(spark, path)["num_hashes"] == 12
+
+    # 2. re-seed with different params -> mtime change -> fresh read
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text",
+                                num_hashes=8, band_rows=2, n_sig_buckets=2,
+                                mode="overwrite")
+    second = dedup.read_band_params(spark, path)
+    assert (second["num_hashes"], second["band_rows"],
+            second["n_sig_buckets"]) == (8, 2, 2)
+
+    # chunk twin: same memo, same invalidation rule
+    cpath = str(tmp_path / "chunks")
+    dedup.write_chunk_checkpoint(corpus, cpath, "doc_id", "text",
+                                 chunk_words=5, n_buckets=4)
+    assert dedup.read_chunk_params(spark, cpath) == {
+        "chunk_words": 5, "n_buckets": 4,
+    }
+    csidecar = f"{cpath}/_chunk_params"
+    assert dedup._memoized_sidecar(spark, csidecar, loader) == {
+        "chunk_words": 5, "n_buckets": 4,
+    }
+    assert loads["n"] == 0
+    dedup.write_chunk_checkpoint(corpus, cpath, "doc_id", "text",
+                                 chunk_words=7, n_buckets=2,
+                                 mode="overwrite")
+    assert dedup.read_chunk_params(spark, cpath) == {
+        "chunk_words": 7, "n_buckets": 2,
+    }
