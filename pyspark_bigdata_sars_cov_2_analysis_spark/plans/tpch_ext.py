@@ -572,26 +572,40 @@ def q21_waiting_supplier(spark, sf_dir):
     count/sum per order) instead of two count_distincts: Catalyst plans
     multi-distinct aggregates via Expand (2× every pre-shuffle row);
     the two-level form has no Expand, the same shuffle count, and half
-    the shuffled volume — MEASURED 1.97s vs 3.26s at sf0.1."""
+    the shuffled volume — MEASURED 1.97s vs 3.26s at sf0.1.
+
+    r15: lineitem is scanned ONCE. The former shape re-scanned it for
+    the flagged-row probe (l1) and joined l1 against the per-order
+    aggregate — at scale a second full pass over the fact plus a
+    broadcast build. Instead the pairs aggregate also keeps the flagged
+    ROW COUNT per (order, supplier) (``n_r``), the per-order existence
+    counts ride a window over the SAME small pairs frame (no self-join,
+    no second scan — guide §2.4), and ``numwait``, which counts
+    qualified flagged lineitems, is recovered exactly as ``sum(n_r)``:
+    every l1 row belongs to exactly one (order, supplier) group and the
+    qualification predicate is constant within the group."""
     s = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    flag = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     pairs = li.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
-            "has_r"
+        F.max(flag).alias("has_r"),
+        F.sum(flag).alias("n_r"),
+    )
+    w = Window.partitionBy("ok")
+    j = (
+        pairs.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_flagged", F.sum("has_r").over(w))
+        # multi-supplier order, and this supplier is the only flagged one
+        .where(
+            (F.col("has_r") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_flagged") == 1)
         )
     )
-    per_order = pairs.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_r").alias("n_flagged"),
-    )
-    l1 = li.where(F.col("l_returnflag") == "R")
-    j = joins.join_fact(l1, o, on=F.col("l_orderkey") == F.col("o_orderkey"))
-    j = joins.join_fact(j, per_order, on=F.col("l_orderkey") == F.col("ok"))
-    # multi-supplier order, and this supplier is the only flagged one
-    j = j.where((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
+    j = joins.join_fact(j, o, on=F.col("ok") == F.col("o_orderkey"))
     j = joins.join_dim(j, s, on=F.col("l_suppkey") == F.col("s_suppkey"))
-    return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return j.groupBy("s_name").agg(F.sum("n_r").alias("numwait"))
 
 
 @query(
