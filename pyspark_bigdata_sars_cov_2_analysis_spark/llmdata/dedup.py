@@ -2258,10 +2258,24 @@ def simhash_neardup_pairs(
             ).otherwise(expr)
         return expr
 
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+        tracked_cache,
+    )
+
     sig = simhash_signatures(df, id_col, text_col, bits)
-    banded = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bs")
-    ).select(F.col(id_col), "simhash", "bs.band", "bs.val")
+    # Cached through the plan-cache registry (optimization r15, the
+    # d16/_shingle_arrays rule applied here): both self-join sides are
+    # projections of this ONE frame, but they project different aliases,
+    # so ReuseExchange never canonicalizes them together and the whole
+    # signature pipeline — tokenize, explode, md5, bit-majority
+    # aggregate over the full corpus — executed TWICE, once per side.
+    # The cache is tiny (n_bands rows of four ints per doc, no text) and
+    # released by registry.release_plan_caches() like every plan cache.
+    banded = tracked_cache(
+        sig.select(
+            F.col(id_col), F.col("simhash"), F.explode(bands).alias("bs")
+        ).select(F.col(id_col), "simhash", "bs.band", "bs.val")
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"),
         "band", "val",
