@@ -140,15 +140,29 @@ def detect_language(col: Column) -> Column:
     # — so ties deterministically pick the lexicographically SMALLEST
     # language. (A struct-comparing array_max would pick the GREATEST
     # lang on ties — that is why the argmax is split into max + filter.)
+    # The scored array is BOUND ONCE per row as a lambda variable
+    # (optimization r15, the shingle_array rule): HOF lambdas re-evaluate
+    # free subexpressions per element, and ``best_score`` — which embeds
+    # the whole regexp marker battery — sat free inside the filter
+    # lambda, re-running every language's regexp_count sum once per
+    # array element (~(n_langs+1)× the battery per row). Inside the
+    # binding lambda the per-element re-evaluation of array_max is over
+    # ``a``, an already-materialized array of n_langs tiny structs.
     arr = F.array(*pairs)
-    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
-    firsts = F.filter(arr, lambda s: s["score"] == best_score)
-    # try_element_at, not element_at (review r14): a NULL document makes
-    # every score NULL, the filter yields an EMPTY array, and ANSI-mode
-    # element_at(empty, 1) aborts the whole job with
-    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a NULL doc must simply detect
-    # as NULL
-    return F.try_element_at(F.transform(firsts, lambda s: s["lang"]), F.lit(1))
+
+    def pick(a: Column) -> Column:
+        best_score = F.array_max(F.transform(a, lambda s: s["score"]))
+        firsts = F.filter(a, lambda s: s["score"] == best_score)
+        # try_element_at, not element_at (review r14): a NULL document
+        # makes every score NULL, the filter yields an EMPTY array, and
+        # ANSI-mode element_at(empty, 1) aborts the whole job with
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a NULL doc must simply
+        # detect as NULL
+        return F.try_element_at(
+            F.transform(firsts, lambda s: s["lang"]), F.lit(1)
+        )
+
+    return F.try_element_at(F.transform(F.array(arr), pick), F.lit(1))
 
 
 def repetition_ratio(col: Column, k: int = 3) -> Column:
