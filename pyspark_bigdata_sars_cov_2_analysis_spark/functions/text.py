@@ -217,7 +217,10 @@ def repetition_ratio_agg(df, id_col: str, text_col: str, k: int = 3):
     # INPUT row, multiplying the gate's null-safe join N^2-fold on
     # duplicate/NULL ids). count("shingle") counts non-null only, so a
     # short doc's total is 0 and it scores 0.0 through the guard.
-    sh = spread_compute(df).select(
+    # keyed spread: the groupBy(id) below reuses this exchange (no
+    # second shuffle) and the text rows skip the round-robin
+    # determinism sort — see spread_compute
+    sh = spread_compute(df, key=id_col).select(
         F.col(id_col),
         F.explode_outer(shingle_array(F.col(text_col), k)).alias("shingle"),
     )

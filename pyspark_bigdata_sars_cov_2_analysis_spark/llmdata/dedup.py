@@ -100,7 +100,12 @@ def word_shingles(
     sh = shingle_array(F.col(text_col), k)
     if distinct:
         sh = F.array_distinct(sh)
-    return spread_compute(df).select(
+    # hash-spread on the doc id (not round-robin): skips the
+    # sort-before-repartition of the text rows and lets the MinHash
+    # signature aggregate's groupBy(id) reuse this exchange outright
+    # (spread_compute key rationale; plan-verified: the signature
+    # pipeline's id Exchange disappears)
+    return spread_compute(df, key=id_col).select(
         F.col(id_col), F.explode(sh).alias("shingle")
     )
 
@@ -1446,8 +1451,10 @@ def _shingle_arrays(
     )
 
     arr = F.array_distinct(shingle_array(F.col(text_col), k))
+    # keyed spread (see spread_compute): same shuffle, minus the
+    # round-robin determinism sort of the text rows
     return tracked_cache(
-        spread_compute(df)
+        spread_compute(df, key=id_col)
         .select(F.col(id_col), arr.alias("__sh_arr"))
         .withColumn("__n_sh", F.size("__sh_arr").cast("bigint"))
     )

@@ -102,7 +102,7 @@ def brute_force_topk(
     # per-pair expression is a single dot product (same arithmetic, same
     # bits: sqrt(dot(v,v)) is evaluated identically, just hoisted).
     vec = F.col(vec_col).cast("array<double>")
-    vecs = spread_compute(df, _SPREAD_MIN_BYTES).select(
+    vecs = spread_compute(df, _SPREAD_MIN_BYTES, key=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -153,7 +153,7 @@ def embedding_neardup_pairs(
     At 100 TB the bucket is the shuffle key; within-bucket comparison is
     quadratic only in bucket size."""
     vec = F.col(vec_col).cast("array<double>")
-    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES, key=id_col).select(
         F.col(id_col).alias("vid"),
         vec.alias("v"),
         _norm(vec).alias("nrm"),
@@ -206,7 +206,7 @@ def bucketed_topk(
     column is the layout partition key so each probe reads ~1/2^m of data.
     """
     vec = F.col(vec_col).cast("array<double>")
-    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES, key=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -309,7 +309,7 @@ def ivf_assign_cells(
     # norm projected ONCE per row (review r9): transform lambdas get no
     # lambda-invariant hoisting, so an nv expression inlined into
     # _scored_cells would re-run the O(dim) norm aggregate per centroid
-    base = spread_compute(df, _SPREAD_MIN_BYTES).select(
+    base = spread_compute(df, _SPREAD_MIN_BYTES, key=id_col).select(
         F.col(id_col).alias("__vid"),
         vec.alias("v"),
         _norm(vec).alias("nv"),
@@ -424,7 +424,7 @@ def ivf_topk(
         1,
     )
     base = (
-        spread_compute(df, _SPREAD_MIN_BYTES)
+        spread_compute(df, _SPREAD_MIN_BYTES, key=id_col)
         .select(
             F.col(id_col).alias("neighbor_id"),
             vec.alias("v"),

@@ -98,7 +98,9 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.select(aggs)
 
 
-def spread_compute(df: DataFrame, min_bytes: int = 0) -> DataFrame:
+def spread_compute(
+    df: DataFrame, min_bytes: int = 0, key: str | None = None
+) -> DataFrame:
     """Widen a narrow scan before CPU-heavy row-local work (X1 family —
     the reference's manual ``repartition(200)`` after the image union,
     `spark/jobs/radiography_analysis.py:102`, made adaptive).
@@ -144,5 +146,19 @@ def spread_compute(df: DataFrame, min_bytes: int = 0) -> DataFrame:
             return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            # Hash-spread on a caller-named key (optimization r15, guide
+            # §2.4/§2.5): a KEYLESS repartition is RoundRobinPartitioning,
+            # which (a) pays the hidden sort-before-repartition of the
+            # full input rows (SPARK-23207 determinism sort — costly when
+            # rows carry document text) and (b) establishes a partitioning
+            # no downstream operator can reuse. Hash-partitioning on the
+            # key the consumer aggregates by skips the sort AND lets the
+            # downstream groupBy/join satisfy its ClusteredDistribution
+            # from this same exchange — one shuffle total. Only pass a
+            # key with enough distinct values to fill ``target``
+            # partitions (a per-document id qualifies; a handful of
+            # categories does not — guide §2.5 synthetic-key rule).
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df

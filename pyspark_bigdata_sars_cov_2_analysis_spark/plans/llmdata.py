@@ -558,7 +558,7 @@ def d23_contamination_report(spark, sf_dir):
         spread_compute,
     )
 
-    base = spread_compute(d).select(
+    base = spread_compute(d, key="doc_id").select(
         "doc_id",
         "source",
         bench.alias("bench"),

@@ -41,7 +41,15 @@ EXCLUDE = {"ml01_classifier_bench"}  # plan construction trains models
 
 _NODE = re.compile(r"^\((\d+)\) Exchange\b")
 _SCAN = re.compile(r"^\((\d+)\) Scan parquet\b")
-_KIND = re.compile(r"hashpartitioning|rangepartitioning|SinglePartition")
+# roundrobinpartitioning added r15: the deliberate spread_compute
+# repartitions were round-robin (uncounted — a historical blind spot);
+# the keyed-spread optimization turned them into hashpartitioning and
+# they appeared as phantom "gained shuffles". Count EVERY data-moving
+# exchange flavor so the budget is flavor-independent, and regenerate.
+_KIND = re.compile(
+    r"hashpartitioning|rangepartitioning|SinglePartition"
+    r"|roundrobinpartitioning"
+)
 
 
 def _formatted_plan(df) -> str:
