@@ -755,6 +755,29 @@ def _stats_scalar(v):
     return None
 
 
+def _footer_row_count(files: list[str]) -> int:
+    """Total row count of freshly-written parquet files from their
+    FOOTERS — driver-side, O(files) tiny metadata reads, no Spark job
+    (optimization r15, guide §1.2 "don't compute things you throw
+    away": the former read-back ``count()`` was a full second scan of
+    every written byte per publish — at 100 TB, a duplicate pass of the
+    entire commit). The footer's ``num_rows`` is written by the parquet
+    writer at close and is exactly what any reader will see; an absent
+    or unparseable footer (torn write) raises here, which is the same
+    loud refusal the count-verify job gave, minus the data scan."""
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for f in files:
+        try:
+            total += _pq.ParquetFile(_local_path(f)).metadata.num_rows
+        except Exception as exc:  # torn/corrupt footer → refuse loudly
+            raise RuntimeError(
+                f"unreadable parquet footer for freshly-written {f}: {exc}"
+            ) from exc
+    return total
+
+
 def _collect_file_stats(
     files: list[str], columns: list[str]
 ) -> dict[str, dict]:
@@ -967,7 +990,10 @@ def write_parquet_snapshot(
     immutable uniquely-named dir ``data/v<N>-<uuid>/`` — a crash here
     leaves an orphan dir no manifest references, invisible to every
     reader, reclaimed by :func:`vacuum_parquet_snapshots`; (2)
-    count-verify the written files by reading them back; (3) publish
+    count-verify the written files from their parquet footers (the
+    footer is written at file close, so a torn write fails the read
+    loudly; r15 — previously a full Spark re-scan of the written data,
+    a duplicate pass of the whole commit at scale); (3) publish
     ``_snapshots/v<N>.json`` with O_EXCL — if a concurrent writer
     claimed N first, re-publish as N+1 (the uuid in the data dir name
     keeps the loser's files distinct; for ``append`` the retry re-reads
@@ -1031,11 +1057,12 @@ def write_parquet_snapshot(
         base, "data", f"v{version:08d}-{_uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(data_dir)
-    new_files = sorted(
-        spark.read.parquet(data_dir).inputFiles()
-    )
-    written = spark.read.parquet(*new_files)
-    n_new = written.count()
+    # one schema-inferring read serves both the file list and the
+    # written schema; the row count comes from the footers (no second
+    # scan of the just-written data — see _footer_row_count)
+    written = spark.read.parquet(data_dir)
+    new_files = sorted(written.inputFiles())
+    n_new = _footer_row_count(new_files)
     # the schema the files actually carry (post-write, what readers see)
     new_schema = [list(p) for p in written.dtypes]
     # legacy-schema derivation cache (ADVICE r11): pre-manifest-schema
@@ -1860,7 +1887,7 @@ def compact_parquet_snapshot(
         rewritten.write.mode("error").parquet(data_dir)
         compacted = spark.read.parquet(data_dir)
         new_files = sorted(compacted.inputFiles())
-        rows = spark.read.parquet(*new_files).count()
+        rows = _footer_row_count(new_files)
         if rows != src["rows"]:
             fs.remove_tree(data_dir)
             raise RuntimeError(
@@ -1965,7 +1992,7 @@ def _rmw_publish_snapshot(
         result_df.write.mode("error").parquet(data_dir)
         written = spark.read.parquet(data_dir)
         new_files = sorted(written.inputFiles())
-        rows = spark.read.parquet(*new_files).count()
+        rows = _footer_row_count(new_files)
         if rows != expected_rows:
             fs.remove_tree(data_dir)
             raise RuntimeError(

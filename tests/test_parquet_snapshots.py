@@ -1396,3 +1396,24 @@ def test_vacuum_with_relative_path_keeps_live_data(spark, tmp_path, monkeypatch)
     )
     got = sorted(r.id for r in W.read_parquet_snapshot(spark, tbl).collect())
     assert got == list(range(8))
+
+
+def test_publish_rows_from_footers_and_torn_footer_refuses(spark, tmp_path):
+    """Optimization r15: the publish-time count-verify reads parquet
+    FOOTER num_rows (driver-side) instead of re-scanning the written
+    data with a second Spark job. The manifest row count must still be
+    exact, and a torn write (truncated footer) must still refuse
+    loudly."""
+    tbl = str(tmp_path / "tbl")
+    v = W.write_parquet_snapshot(_df(spark, 0, 7), tbl)
+    man = W._latest_manifest(tbl)
+    assert man["rows"] == 7
+    assert W.read_parquet_snapshot(spark, tbl, version=v).count() == 7
+    # torn footer: truncate a freshly-written file and verify the
+    # helper refuses instead of recording a wrong count
+    data_file = man["files"][0]
+    local = W._local_path(data_file)
+    with open(local, "r+b") as f:
+        f.truncate(10)
+    with pytest.raises(RuntimeError, match="unreadable parquet footer"):
+        W._footer_row_count([data_file])
