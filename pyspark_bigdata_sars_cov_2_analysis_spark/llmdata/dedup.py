@@ -866,6 +866,9 @@ def _compact_checkpoint(spark, path: str, sidecar: str, part_cols_fn) -> dict:
     import os as _os
     import shutil as _shutil
 
+    from pyspark_bigdata_sars_cov_2_analysis_spark.io import (
+        writers as _writers,
+    )
     from pyspark_bigdata_sars_cov_2_analysis_spark.io.writers import (
         _swap_in,
         recover_staged_swap,
@@ -926,13 +929,17 @@ def _compact_checkpoint(spark, path: str, sidecar: str, part_cols_fn) -> dict:
             ignore=_shutil.ignore_patterns("*.tmp"),
         )
     staged = spark.read.parquet(tmp)
-    got = staged.count()
+    staged_files = staged.inputFiles()
+    # row-count cross-check from the staged files' parquet footers —
+    # the same verification, minus a full Spark re-scan of the staged
+    # copy (optimization r15, the write_parquet_snapshot footer rule)
+    got = _writers._footer_row_count(sorted(staged_files))
     if got != want:
         raise RuntimeError(
             f"checkpoint compaction row-count mismatch ({got} != {want});"
             f" staged output left at {tmp}, original untouched"
         )
-    files_after = len(staged.inputFiles())
+    files_after = len(staged_files)
     _swap_in(path, tmp, ".pre-compaction")
     return {
         "rows": want,
