@@ -377,9 +377,16 @@ def q17_small_quantity(spark, sf_dir):
     """,
 )
 def q18_large_volume(spark, sf_dir):
-    """TPC-H Q18 family — large-volume orders: HAVING subquery as a LEFT
-    SEMI join against the aggregated orderkey set (integral quantity sums,
-    so the >300 threshold is exact)."""
+    """TPC-H Q18 family — large-volume orders. The HAVING subquery's
+    per-order quantity aggregate IS the query's ``sum_qty`` output
+    (orderkey is unique in orders, so the outer group collapses to one
+    row per surviving order), so the aggregate's sum is carried through
+    instead of re-scanning and re-aggregating lineitem on the probe side
+    (optimization r15, the q21 single-scan rule — guide §1.2): lineitem
+    scans 2 → 1, and the orders⋈lineitem fact join disappears; the
+    surviving-order set (rare: quantity sums are integral and the >300
+    threshold is exact, so equivalence is order-independent) broadcasts
+    onto orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -387,21 +394,16 @@ def q18_large_volume(spark, sf_dir):
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 300)
-        .select("l_orderkey")
     )
-    oo = joins.semi_join(o, big, on=o.o_orderkey == big.l_orderkey)
-    j = joins.join_fact(oo, li, on=F.col("o_orderkey") == F.col("l_orderkey"))
+    j = joins.join_dim(o, big, on=F.col("o_orderkey") == F.col("l_orderkey"))
     j = joins.join_dim(j, c, on=F.col("o_custkey") == F.col("c_custkey"))
-    agg = j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
-        pround(F.sum("l_quantity"), 2).alias("sum_qty")
-    )
-    out = agg.select(
+    out = j.select(
         "c_custkey",
         "c_name",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         pround(F.col("o_totalprice"), 2).alias("totalprice"),
-        "sum_qty",
+        pround(F.col("q"), 2).alias("sum_qty"),
     )
     return sorts.top_k(out, 100, F.desc("totalprice"), F.asc("o_orderkey"))
 

@@ -67,33 +67,37 @@ def test_q9_bounded_shuffles(spark):
     assert n_shuffle <= 3, f"too many shuffles ({n_shuffle})\n{plan}"
 
 
-def test_q18_semi_join_and_topk(spark):
-    """Q18 — the HAVING subquery must plan as a semi join against the
-    aggregated keyset (no distinct+inner), top-100 must never global-sort."""
+def test_q18_single_lineitem_scan_and_topk(spark):
+    """Q18 (r15 single-scan shape) — the HAVING aggregate's per-order
+    quantity sum IS the output sum_qty, so lineitem is scanned exactly
+    ONCE (no probe-side re-scan, no orders⋈lineitem fact join); the
+    surviving-order set broadcasts onto orders, customer broadcasts,
+    and top-100 never global-sorts."""
     plan = _plan(QUERIES["q18_large_volume"](spark, SF_TEST))
     assert "TakeOrderedAndProject" in plan, plan
-    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+    assert plan.count("Location: InMemoryFileIndex") >= 1, plan
+    import re as _re
+
+    li_scans = len(
+        _re.findall(r"InMemoryFileIndex \[[^\]]*lineitem", plan)
+    )
+    assert li_scans == 1, f"lineitem scanned {li_scans}x\n{plan}"
     simple = _plan(QUERIES["q18_large_volume"](spark, SF_TEST), mode="simple")
+    assert simple.count("BroadcastHashJoin") == 2, simple
+    assert "SortMergeJoin" not in simple, simple
     n_shuffle = simple.count("Exchange hashpartitioning") + simple.count(
         "Exchange rangepartitioning"
     )
-    assert n_shuffle <= 4, f"too many shuffles ({n_shuffle})\n{simple}"
+    assert n_shuffle <= 1, f"too many shuffles ({n_shuffle})\n{simple}"
 
 
-def test_q18_no_expand_semi_before_fact(spark):
-    """Q18's quantity-sum HAVING must stay a single plain aggregate (no
-    Expand — a count_distinct formulation would double pre-shuffle rows)
-    and the semi join must filter ORDERS BEFORE the fact join re-scans
-    lineitem. Explain prints top-down (consumers above inputs), so the
-    LeftSemi appearing AFTER the fact Inner join in the text means it is
-    deeper in the tree — i.e. computed first, as the fact join's input;
-    a replan that semi-joined the joined fact would print the LeftSemi
-    first and fail this."""
+def test_q18_no_expand_plain_aggregate(spark):
+    """Q18's quantity-sum HAVING must stay a single plain aggregate with
+    a map-side partial (no Expand — a count_distinct formulation would
+    double pre-shuffle rows)."""
     plan = _plan(QUERIES["q18_large_volume"](spark, SF_TEST), mode="simple")
     assert "Expand" not in plan, plan
-    semi_at = plan.find("LeftSemi")
-    fact_at = plan.find("], Inner")
-    assert semi_at > fact_at >= 0, plan
+    assert "partial_sum" in plan, plan
 
 
 def test_q20_semi_keyset_aggregated_before_join(spark):
