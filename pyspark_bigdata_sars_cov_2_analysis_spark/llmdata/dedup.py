@@ -2388,60 +2388,87 @@ def chunk_dedup_keep_first(
     callers wanting NULL-text docs surfaced here must gate them
     upstream (the quality gate emits ``keep=false/'null_text'``).
 
-    Scale shape: first-occurrence selection is a ``min(struct(id, pos))``
-    AGGREGATE keyed on md5(chunk) — never a window over the chunk hash,
-    whose hot keys (the boilerplate being removed!) would serialize into
-    single window partitions. Shuffle keys are 16-byte hashes + two ids;
-    chunk text rides exactly twice (once into the hash groupBy's
-    map-side partial — where duplicates collapse before the exchange —
-    and once in the per-doc reassembly), and the reassembly is the a08
-    ordered-collect aggregate, one shuffle keyed by document id."""
+    Scale shape: first-occurrence selection is a
+    ``min(struct(id, pos, chunk))`` AGGREGATE keyed on md5(chunk) —
+    never a window over the chunk hash, whose hot keys (the boilerplate
+    being removed!) would serialize into single window partitions. The
+    corpus is chunked exactly ONCE (optimization r15: per-doc totals
+    are the row-local ``ceil(n_tokens/chunk_words)``, no second
+    explode, and the survivor text rides the min struct instead of a
+    semi-join back onto a third re-chunking); chunk text crosses
+    exactly two exchanges (the hash groupBy — where map-side partials
+    collapse duplicates first — and the per-doc reassembly, the a08
+    ordered-collect aggregate keyed by document id)."""
     chunks = _doc_chunks(df, id_col, text_col, chunk_words)
     kept = _first_occurrence_survivors(chunks, id_col)
-    return _reassemble_chunks(chunks, kept, id_col)
+    # same tokenization expression as _doc_chunks, so the count matches
+    # the explode's row count exactly (incl. empty text = 1 '' chunk);
+    # NULL text yields no chunk rows there and is filtered here
+    w = F.split(F.col(text_col), " ")
+    totals = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.ceil(F.size(w) / chunk_words).cast("long").alias("__n"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__n").alias("n_chunks"))
+    )
+    return _reassemble_chunks(chunks, kept, id_col, totals=totals)
 
 
 def _first_occurrence_survivors(chunks: DataFrame, id_col: str) -> DataFrame:
-    """The chunk rows surviving keep-first: min(struct(id, pos)) per
-    chunk hash (an aggregate, never a window over the hot boilerplate
-    keys), semi-joined back. Shared by the batch operator and the
-    streaming ingest twin (review r14: the block lived verbatim in
-    both, so the twins could drift)."""
-    firsts = (
+    """The chunk rows surviving keep-first: min(struct(id, pos, chunk))
+    per chunk hash (an aggregate, never a window over the hot
+    boilerplate keys). Shared by the batch operator and the streaming
+    ingest twin (review r14: the block lived verbatim in both, so the
+    twins could drift).
+
+    The chunk TEXT rides INSIDE the min struct (optimization r15, guide
+    §2.4): struct comparison is lexicographic and (id, pos) is unique
+    per chunk row, so the text field never decides an ordering — it
+    just tags along, and the former semi-join back onto the full
+    exploded frame (a second full shuffle of every chunk row, text
+    included, plus a third corpus re-chunking in the batch operator) is
+    gone. Map-side partial min collapses duplicates before the
+    exchange, so the shuffle carries one chunk text per distinct hash
+    per map partition — strictly fewer text bytes than the semi-join
+    probe side moved."""
+    return (
         chunks.groupBy("lh")
         .agg(
-            F.min(F.struct(F.col(id_col).alias("id"), F.col("pos"))).alias(
-                "fo"
-            )
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("id"), F.col("pos"), F.col("chunk")
+                )
+            ).alias("fo")
         )
-        # rename the join keys: the groupBy key keeps its upstream
-        # attribute id, and a chunks⋈firsts condition naming `lh` on both
-        # sides of the shared lineage would be ambiguous/trivially-true
         .select(
-            F.col("lh").alias("f_lh"),
-            F.col("fo.id").alias("f_id"),
-            F.col("fo.pos").alias("f_pos"),
+            F.col("fo.id").alias(id_col),
+            F.col("fo.pos").alias("pos"),
+            F.col("fo.chunk").alias("chunk"),
+            "lh",
         )
-    )
-    return chunks.join(
-        firsts,
-        (F.col("lh") == F.col("f_lh"))
-        & (F.col(id_col) == F.col("f_id"))
-        & (F.col("pos") == F.col("f_pos")),
-        "left_semi",
     )
 
 
 def _reassemble_chunks(
-    chunks: DataFrame, kept: DataFrame, id_col: str
+    chunks: DataFrame, kept: DataFrame, id_col: str,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """(id, clean_text, n_chunks, n_dropped): per-doc ordered reassembly
     of the surviving chunks against the full chunk totals — the a08
     ordered-collect aggregate, one shuffle keyed by document id. Shared
-    by the batch operator and the streaming ingest twin."""
-    totals = chunks.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks")
-    )
+    by the batch operator and the streaming ingest twin. ``totals``
+    (optimization r15): a caller that can compute per-doc chunk counts
+    WITHOUT the exploded frame (row-local ``ceil(n_tokens/k)`` — the
+    batch operator) passes them here and skips one full corpus
+    re-chunking; the streaming twin keeps the default (its ``chunks``
+    is a cached micro-batch frame, so the count is a cache read)."""
+    if totals is None:
+        totals = chunks.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_chunks")
+        )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

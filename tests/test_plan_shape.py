@@ -470,14 +470,22 @@ def test_d14_chunk_dedup_no_window_over_chunks(spark):
     """d14's first-occurrence selection must be the min(struct) AGGREGATE
     shape with a map-side partial — never a window partitioned by the
     chunk hash, whose hottest keys (the boilerplate being removed) would
-    serialize into single window partitions. The only window-free way to
-    pick corpus-wide first occurrences is the argmin aggregate + semi
-    join back, so the plan must show partial_min and no
-    windowspecdefinition anywhere."""
+    serialize into single window partitions. Since r15 the survivor TEXT
+    rides inside the min struct, so there is NO semi-join back onto a
+    re-chunked corpus at all, and per-doc totals are the row-local
+    ceil(n_tokens/k) — the corpus is chunk-exploded exactly once (one
+    Generate), scanned at most twice (explode + the narrow totals
+    projection)."""
     plan = _plan(QUERIES["d14_chunk_dedup_keep_first"](spark, SF_TEST))
     assert "windowspecdefinition" not in plan.lower(), plan
     assert "partial_min" in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "LeftSemi" not in plan, plan  # survivor text rides the agg
+    import re as _re
+
+    n_generate = len(_re.findall(r"\(\d+\) Generate", plan))
+    assert n_generate == 1, f"corpus chunk-exploded {n_generate}x\n{plan}"
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, f"{n_scans} scans\n{plan}"
 
 
 def test_a21_unpivot_is_expand_no_shuffle(spark):
