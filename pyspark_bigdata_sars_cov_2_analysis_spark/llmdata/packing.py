@@ -59,6 +59,25 @@ def global_token_offsets(
     if n_chunks < 1:
         raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
     _assert_no_reserved("global_token_offsets", _OFFSET_RESERVED, df=df)
+    # THREE consumers scan the input — the boundary/count probe below,
+    # the local-cumsum window branch, and the chunk-totals aggregate
+    # branch — and Catalyst cannot share them (column pruning + the
+    # join's inferred isnotnull filter make the subtrees canonically
+    # different, so neither ReuseExchange nor AQE's stage cache ever
+    # matches; verified on the planned trees). When the caller derives
+    # the token count from document text (t10), each extra pass re-reads
+    # and re-tokenizes the whole corpus. Route the input through the
+    # registry-tracked plan cache (the d16/d06 narrow-frame rule;
+    # released between runs by release_plan_caches/clearCache, never a
+    # cross-run result cache): the packing input is id + token count —
+    # two numeric columns, text-free — so the one materialization is
+    # cheap and every pass after the probe is an in-memory read
+    # (optimization r15, guide §2.4/§5).
+    from pyspark_bigdata_sars_cov_2_analysis_spark.plans.registry import (
+        tracked_cache,
+    )
+
+    df = tracked_cache(df)
     # one-row sidecar: row count (empty/all-NULL discrimination — min()
     # alone conflated the two, review r15) + order-balanced boundaries
     qs = [i / n_chunks for i in range(1, n_chunks)]
