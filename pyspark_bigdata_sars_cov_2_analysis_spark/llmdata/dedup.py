@@ -1352,17 +1352,36 @@ def dup_clusters(
     frame — type-agnostic (ids need not be numeric), no second join,
     and everything else stays distributed.
     """
-    # NOTE: no cache on the pair frame — the union's two branches share
-    # their upstream shuffles via ReusedExchange (A/B-measured: caching
-    # the pairs first was ~25% SLOWER end-to-end; same anti-lesson as the
-    # Jaccard size-agg fusion in git history)
-    sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    # self-loops ride the same distinct pass (src of sym = every node),
-    # so the closed-neighborhood min needs no second per-round join
+    # Both directions AND the self-loops are generated ROW-LOCALLY with
+    # one explode — four (src, dst) structs per pair row — instead of
+    # the old three-way union (optimization r15, guide §1.2/§2.4): the
+    # union's branches each embedded the whole upstream pair pipeline
+    # (minhash shingle/signature/band/self-join for d07) and no longer
+    # canonicalized equal after the keyed-spread change, so the pipeline
+    # executed more than twice per edges fill (measured 2.5 s vs 1.1 s
+    # for a single pass at sf0.1). One pass, same distinct, same rows:
+    # self-loops for BOTH endpoints ride along (dst-side nodes included,
+    # exactly what the old sym-of-sym union produced).
     edges = (
-        sym.union(sym.select("src", F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
