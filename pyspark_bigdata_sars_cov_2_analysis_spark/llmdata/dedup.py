@@ -1861,10 +1861,24 @@ def fuzzy_dedup_keep_best(
     pairs = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, band_rows)
     # (doc_id, cluster_id), members only
     clusters = dup_clusters(pairs, max_iterations=max_iterations)
-    scored = df.select(
-        F.col(id_col).alias("__sid"), pround(score, 4).alias("q")
-    )
-    j = clusters.join(scored, clusters.doc_id == F.col("__sid"))
+    # score AFTER the members join, not in a pre-join projection
+    # (optimization r15, guide §3 "pre-filter the big side"): the score
+    # expression (t16's regexp battery in d13) is row-local, and the
+    # cluster frame holds dup members only — a tiny fraction of the
+    # corpus — so computing it on the joined rows scores exactly the
+    # members instead of every corpus document. Catalyst cannot hoist a
+    # projection above a join by itself; written this way the corpus
+    # side of the (broadcast) join carries raw (id, text) and the regex
+    # work runs on members only.
+    # broadcast the MEMBERS side explicitly: the checkpointed cluster
+    # frame has no stats (ExistingRDD), so the planner otherwise guesses
+    # — at sf0.1 it picked the corpus TEXT side as the build, exactly
+    # backwards for scale. Members ≪ corpus by construction (dup members
+    # only), so the corpus streams with no shuffle and no text broadcast.
+    j = F.broadcast(clusters).join(
+        df.select(F.col(id_col).alias("__sid"), F.col(text_col)),
+        clusters.doc_id == F.col("__sid"),
+    ).select("cluster_id", "doc_id", pround(score, 4).alias("q"))
     best = F.max(
         F.struct(F.col("q"), (-F.col("doc_id")).alias("negid"))
     ).alias("b")
