@@ -86,7 +86,15 @@ def global_token_offsets(
         F.count(id_col).alias("n_keyed"),
     ]
     if qs:
-        probe.append(F.percentile_approx(id_col, qs).alias("bounds"))
+        # accuracy=100 (default 10000): offsets are invariant to WHERE
+        # the boundaries fall (module doc — associativity), so quantile
+        # accuracy buys only balance, and ±1% of rank is ample for a
+        # work-splitting grid; the default's larger sketch costs 2-3×
+        # the probe time and driver memory for nothing (optimization
+        # r15, guide §1.2)
+        probe.append(
+            F.percentile_approx(id_col, qs, 100).alias("bounds")
+        )
     stats = df.agg(*probe).collect()[0]
     if stats["n"] == 0:  # empty input: offset column, no rows
         return df.withColumn("offset", F.lit(None).cast("bigint"))
