@@ -96,11 +96,45 @@ def word_occurrences(col: Column, word: str) -> Column:
     return F.regexp_count(col, F.lit(rf"\b\Q{word}\E\b")).cast("bigint")
 
 
-def stopword_ratio(col: Column) -> Column:
-    stops = sum(
-        (word_occurrences(col, w) for w in STOPWORDS), F.lit(0).cast("bigint")
+def word_set_occurrences(col: Column, words: list[str]) -> Column:
+    """Total non-overlapping whole-word occurrences of ANY word in
+    ``words`` — ONE regexp pass (``\\b(?:\\Qw1\\E|\\Qw2\\E|…)\\b``)
+    instead of one per word (optimization r15, guide §1.2: the marker
+    and stopword batteries scanned the full text once per word).
+
+    Value-identical to ``sum(word_occurrences(col, w))`` by
+    construction, not approximation: every word here is pure
+    ``[A-Za-z0-9_]`` (``word_occurrences``' edge guard, applied to each
+    element below), and a ``\\b``-anchored match of a pure-word-char
+    pattern must cover a COMPLETE word-char run — any internal boundary
+    would need a non-word char the pattern cannot contain. Runs are
+    disjoint and two distinct words cannot match the same run, so the
+    per-word counts partition the alternation's matches exactly.
+    Pinned by tests against the per-word sum on adversarial inputs.
+    Duplicate list entries would break the partition argument (the
+    same run can't be counted twice by one pass) — refused."""
+    if not words:
+        return F.lit(0).cast("bigint")
+    if len(set(words)) != len(words):
+        raise ValueError(f"duplicate words in {words!r}: the one-pass "
+                         "count would undercount vs the per-word sum")
+    wordchar = set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
     )
-    return stops / token_count(col)
+    for word in words:
+        if "\\E" in word:
+            raise ValueError(r"word must not contain the \E quote terminator")
+        if not word or word[0] not in wordchar or word[-1] not in wordchar:
+            raise ValueError(
+                f"word {word!r} starts or ends with a character outside "
+                r"the regex \b word class [A-Za-z0-9_]"
+            )
+    alt = "|".join(rf"\Q{w}\E" for w in words)
+    return F.regexp_count(col, F.lit(rf"\b(?:{alt})\b")).cast("bigint")
+
+
+def stopword_ratio(col: Column) -> Column:
+    return word_set_occurrences(col, STOPWORDS) / token_count(col)
 
 
 def avg_token_length(col: Column) -> Column:
@@ -117,11 +151,10 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    """Marker-lexicon score per language."""
+    """Marker-lexicon score per language — one alternation pass per
+    language (:func:`word_set_occurrences`), not one per marker word."""
     return {
-        lang: sum(
-            (word_occurrences(col, w) for w in words), F.lit(0).cast("bigint")
-        )
+        lang: word_set_occurrences(col, words)
         for lang, words in LANG_MARKERS.items()
     }
 

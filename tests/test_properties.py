@@ -1875,6 +1875,57 @@ def test_word_occurrences_escapes_regex_metacharacters(spark):
             word_occurrences(F.col("text"), bad)
 
 
+def test_word_set_occurrences_equals_per_word_sum(spark):
+    """Optimization r15: the marker/stopword batteries collapsed to ONE
+    alternation regexp per word set. The one-pass count must equal the
+    per-word sum EXACTLY on every input — whole-word matches of
+    pure-word-char patterns cover complete word-char runs, so the
+    per-word counts partition the alternation's matches. Adversarial
+    rows: substring words (a/an), adjacent runs, punctuation edges,
+    empty/whitespace text, repeated hits, all-markers-in-one-line."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+        word_occurrences,
+        word_set_occurrences,
+    )
+
+    rows = [
+        (1, "a the an thea athe a-the the.a the"),
+        (2, ""),
+        (3, "   \t\n "),
+        (4, "the the the a a a an"),
+        (5, "fast slow data row column hash sort merge window stream "
+            "batch vector spark scan the a"),
+        (6, "fasten slowly database rows columns hashing sorted"),
+        (7, "a,a;a!a?a a|the(the)the[the]"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    sets = dict(LANG_MARKERS)
+    sets["__stops"] = STOPWORDS
+    cols = []
+    for name, words in sets.items():
+        cols.append(word_set_occurrences(F.col("text"), words).alias(f"one_{name}"))
+        cols.append(
+            sum(
+                (word_occurrences(F.col("text"), w) for w in words),
+                F.lit(0).cast("bigint"),
+            ).alias(f"sum_{name}")
+        )
+    for r in df.select(*cols).collect():
+        for name in sets:
+            assert r[f"one_{name}"] == r[f"sum_{name}"], (name, r)
+    # the partition argument needs distinct words; duplicates are refused
+    with pytest.raises(ValueError, match="duplicate"):
+        word_set_occurrences(F.col("text"), ["the", "the"])
+    # same edge guards as the per-word form
+    for bad in (["c++"], ["ok", "x+"], [""]):
+        with pytest.raises(ValueError, match="word class|quote"):
+            word_set_occurrences(F.col("text"), bad)
+
+
 def test_udaf_and_arrow_null_semantics(spark):
     """Review r9: the u13/u14 oracles' SUM/list_aggregate SKIP nulls, so
     a NULL embedding row and a NULL element must contribute nothing and
