@@ -438,10 +438,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # VERDICT r15 #3: cold/warm split. run 1 of each query is COLD (plan +
+    # codegen + any tracked-cache fill paid inside the timing); run 2
+    # reuses intra-query caches until the clearCache below. Recording the
+    # per-run times alongside the min makes cache-assisted minima visible
+    # without changing the protocol: `value`/`queries` stay the best-of-2
+    # min the frozen baseline was recorded under.
+    run_times: dict[str, list[float]] = {}
     for name in list(HEADLINE) + sorted(EXTRA) + list(EXTRAS_SHELF):
         fn = EXTRA.get(name) or plans.QUERIES[name]
         best = float("inf")
         completed = 0
+        this_runs: list[float] = []
         # failure-tolerant: one broken query must not zero out the whole
         # round's measurements — record its error and keep timing the rest
         try:
@@ -449,7 +457,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
-                best = min(best, time.perf_counter() - t0)
+                this_runs.append(round(time.perf_counter() - t0, 3))
+                best = min(best, this_runs[-1])
                 completed += 1
                 assert n >= 0
         except Exception as exc:  # noqa: BLE001
@@ -472,6 +481,7 @@ def main() -> None:
             # rounds no matter what diagnostics come and go
             is_extra = name in EXTRA or name in EXTRAS_SHELF
             (extras if is_extra else timings)[name] = round(best, 3)
+            run_times[name] = this_runs
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -484,6 +494,11 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
         "host_canary": {"sec": canary},
+        # additions-only cold/warm record (VERDICT r15 #3): per-run times
+        # in execution order — index 0 is the cold run (includes any
+        # tracked-cache fill), later indexes are warm. Never read by the
+        # regression gate; the frozen comparison stays on the min.
+        "queries_runs": run_times,
     }
     if extras:
         out["extras"] = extras

@@ -104,15 +104,25 @@ def word_set_occurrences(col: Column, words: list[str]) -> Column:
 
     Value-identical to ``sum(word_occurrences(col, w))`` by
     construction, not approximation: every word here is pure
-    ``[A-Za-z0-9_]`` (``word_occurrences``' edge guard, applied to each
-    element below), and a ``\\b``-anchored match of a pure-word-char
-    pattern must cover a COMPLETE word-char run — any internal boundary
-    would need a non-word char the pattern cannot contain. Runs are
-    disjoint and two distinct words cannot match the same run, so the
-    per-word counts partition the alternation's matches exactly.
+    ``[A-Za-z0-9_]`` (guard below — EVERY character, not just the
+    edges), and a ``\\b``-anchored match of a pure-word-char pattern
+    must cover a COMPLETE word-char run — any internal boundary would
+    need a non-word char the pattern cannot contain. Runs are disjoint
+    and two distinct words cannot match the same run, so the per-word
+    counts partition the alternation's matches exactly.
     Pinned by tests against the per-word sum on adversarial inputs.
     Duplicate list entries would break the partition argument (the
-    same run can't be counted twice by one pass) — refused."""
+    same run can't be counted twice by one pass) — refused.
+
+    Purity is checked on EVERY character (ADVICE r15): a word with an
+    interior non-word char — ``"don't"``, ``"U.S"``, a two-token phrase
+    ``"new york"`` — is legal for :func:`word_occurrences` (only the \\b
+    EDGES constrain that form), but breaks the partition argument here:
+    combined with a prefix word (``"don"``, ``"new"``) the alternation
+    consumes one or the other and silently undercounts vs the per-word
+    sum. Such words are refused — callers that need them must take the
+    per-word sum of :func:`word_occurrences`, whose contract they do
+    satisfy."""
     if not words:
         return F.lit(0).cast("bigint")
     if len(set(words)) != len(words):
@@ -122,12 +132,13 @@ def word_set_occurrences(col: Column, words: list[str]) -> Column:
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
     )
     for word in words:
-        if "\\E" in word:
-            raise ValueError(r"word must not contain the \E quote terminator")
-        if not word or word[0] not in wordchar or word[-1] not in wordchar:
+        if not word or any(c not in wordchar for c in word):
             raise ValueError(
-                f"word {word!r} starts or ends with a character outside "
-                r"the regex \b word class [A-Za-z0-9_]"
+                f"word {word!r} is empty or contains a character outside "
+                r"the regex \b word class [A-Za-z0-9_]: the one-pass "
+                "alternation is only count-equivalent to the per-word sum "
+                "for pure word-char words — use word_occurrences per word "
+                "instead"
             )
     alt = "|".join(rf"\Q{w}\E" for w in words)
     return F.regexp_count(col, F.lit(rf"\b(?:{alt})\b")).cast("bigint")

@@ -157,6 +157,16 @@ def minhash_signatures(
     )
 
 
+# Persisted band_sig encoding version (optimization r16, VERDICT r15 #8):
+# 'bin64-v2' = each min-hash as its 8-byte big-endian two's-complement
+# image, concatenated (fixed-width ⇒ injective). Pre-r16 checkpoints
+# ('csv-v1', comma-joined decimals — stamped implicitly when the sidecar
+# lacks the field) are refused with a re-seed instruction by
+# _validate_band_params: signatures from the two encodings can never
+# band-match, in either direction.
+_SIG_ENCODING = "bin64-v2"
+
+
 def lsh_bands(
     signatures: DataFrame,
     id_col: str,
@@ -171,19 +181,44 @@ def lsh_bands(
     (review r14, the simhash_band_layout rule applied here): without it
     those hashes were computed and paid for in the signature aggregate
     but belonged to no band — pairs agreeing only there were never
-    candidates, a silent recall loss."""
+    candidates, a silent recall loss.
+
+    ``band_sig`` encoding (optimization r16, VERDICT r15 #8 / guide
+    §2.3 "narrower types"): fixed-width BINARY — each min-hash as its
+    8-byte big-endian two's-complement image, concatenated — instead of
+    the comma-joined decimal string (~60 B for 3 bigints). 24 B per sig
+    ≈ 2.5× fewer key bytes through the hottest dedup shuffle
+    (groupBy(band, band_sig) in every LSH family member) and through
+    the persisted band-checkpoint state. The encoding is INJECTIVE
+    (fixed width ⇒ concatenation decodes uniquely), so sig equality ≡
+    min-hash tuple equality — unlike the 8-byte lossy hash considered
+    and REJECTED in OPTIMIZATION_r16.md: a hash collision would merge
+    two different buckets and alter candidate pairs at scale, a silent
+    semantics change no test scale would catch. Sig comparisons only
+    ever happen within one band, so the remainder band's narrower width
+    is immaterial. Persisted checkpoints record the encoding in their
+    parameter sidecar (``sig_encoding``) and refuse a mismatched reuse
+    — see write_band_checkpoint."""
     n_bands = num_hashes // band_rows
     slices = [
         range(b * band_rows, (b + 1) * band_rows) for b in range(n_bands)
     ]
     if num_hashes % band_rows:
         slices.append(range(n_bands * band_rows, num_hashes))
+
+    def _be8(c: Column) -> Column:
+        # bigint -> 8-byte big-endian binary: hex() gives the 64-bit
+        # two's-complement image (16 chars for negatives, unpadded for
+        # small positives), lpad+unhex fixes the width. All three run
+        # inside whole-stage codegen.
+        return F.unhex(F.lpad(F.hex(c), 16, "0"))
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{j}") for j in sl]
+                F.concat(
+                    *[_be8(F.col(f"mh_{j}")) for j in sl]
                 ).alias("band_sig"),
             )
             for b, sl in enumerate(slices)
@@ -572,8 +607,9 @@ def write_band_checkpoint(
         # worker spawn per write job (r15, functions/localrel.py)
         local_frame(
             spark,
-            [(k, num_hashes, band_rows, n_sig_buckets)],
-            "k int, num_hashes int, band_rows int, n_sig_buckets int",
+            [(k, num_hashes, band_rows, n_sig_buckets, _SIG_ENCODING)],
+            "k int, num_hashes int, band_rows int, n_sig_buckets int, "
+            "sig_encoding string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
     if mode == "append" and batch_id >= 0:
         _mark_batch_committed(path, batch_id, batch_fp or "")
@@ -619,6 +655,9 @@ def read_band_params(spark, path: str) -> dict:
             spark.read.parquet(f"{path}/_band_params").collect()[0].asDict()
         )
         got["n_sig_buckets"] = int(got.get("n_sig_buckets", 0) or 0)
+        # pre-r16 sidecars predate the encoding field: they hold the
+        # comma-joined decimal band_sig (format migration, VERDICT r15 #8)
+        got["sig_encoding"] = got.get("sig_encoding") or "csv-v1"
         return got
 
     return _memoized_sidecar(spark, f"{path}/_band_params", _load)
@@ -629,13 +668,30 @@ def _validate_band_params(
 ) -> None:
     """Raise unless the caller's banding parameters match the sidecar's —
     shared by the reader and the append path of the writer so both fail
-    with the same message from ONE sidecar read."""
+    with the same message from ONE sidecar read. Also validated: the
+    band_sig ENCODING (optimization r16 format migration, VERDICT r15
+    #8) — a checkpoint persisted under the comma-joined decimal
+    encoding ('csv-v1', the pre-r16 default stamped onto any sidecar
+    missing the field) can never band-match signatures computed by this
+    code ('bin64-v2', fixed-width binary), in EITHER direction; the
+    refusal names the re-seed migration instead of silently admitting
+    every duplicate."""
     want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}
     stored = {kk: params[kk] for kk in want}
     if stored != want:
         raise ValueError(
             f"band checkpoint at {path} was written with {stored}, "
             f"caller expects {want}: signatures would never match"
+        )
+    enc = params.get("sig_encoding") or "csv-v1"
+    if enc != _SIG_ENCODING:
+        raise ValueError(
+            f"band checkpoint at {path} stores band_sig as {enc!r}, this "
+            f"engine computes {_SIG_ENCODING!r}: cross-side signatures "
+            "would never match and every batch would silently dedupe "
+            "against nothing. Migrate by re-seeding the checkpoint "
+            "(write_band_checkpoint(mode='overwrite') from the corpus) "
+            "at a clean batch boundary."
         )
 
 
@@ -1842,6 +1898,7 @@ def fuzzy_dedup_keep_best(
     num_hashes: int = 12,
     band_rows: int = 3,
     max_iterations: int = 20,
+    broadcast_max_members: int = 8_000_000,
 ) -> DataFrame:
     """The FUZZY counterpart of the d12 chain: MinHash-LSH candidate
     pairs → connected components → keep-best-per-cluster. One row per
@@ -1850,6 +1907,24 @@ def fuzzy_dedup_keep_best(
     how many it replaces. Singletons never enter the pair graph, so they
     are implicitly all keepers and excluded here (resolving them costs
     nothing: every doc outside this frame keeps itself).
+
+    ``score`` may reference ``text_col`` (and the join keys) ONLY: the
+    corpus side of the members join is projected to (id, text) so the
+    quality battery runs on members, not the whole corpus (ADVICE r15 —
+    documenting the restriction the r15 projection introduced; a score
+    over other metadata columns belongs in :func:`dedup_keep_best`,
+    whose input keeps the caller's full row).
+
+    ``broadcast_max_members`` (ADVICE r15): the members frame is only
+    broadcast when its exact row count — a cheap scan of the already-
+    localCheckpointed cluster frame — stays under this cap. 'Members ≪
+    corpus' is the common case, not a construction: on a heavily
+    duplicated corpus the members frame can approach the corpus size,
+    and an unconditional broadcast would hit the 8 GB / 512M-row
+    broadcast hard cap (driver OOM) where a shuffle join degrades
+    gracefully. 8M rows of (long, long) ≈ low hundreds of MB framed —
+    comfortably inside executor memory at real scale; above the cap the
+    planner picks the join strategy from its own estimates.
 
     Scale shape: the signature→bands→bucket-expansion pipeline is d02's
     single-shuffle form; clustering is d07's per-round (id, label) join
@@ -1870,12 +1945,18 @@ def fuzzy_dedup_keep_best(
     # projection above a join by itself; written this way the corpus
     # side of the (broadcast) join carries raw (id, text) and the regex
     # work runs on members only.
-    # broadcast the MEMBERS side explicitly: the checkpointed cluster
-    # frame has no stats (ExistingRDD), so the planner otherwise guesses
-    # — at sf0.1 it picked the corpus TEXT side as the build, exactly
-    # backwards for scale. Members ≪ corpus by construction (dup members
-    # only), so the corpus streams with no shuffle and no text broadcast.
-    j = F.broadcast(clusters).join(
+    # broadcast the MEMBERS side explicitly WHEN IT FITS: the
+    # checkpointed cluster frame has no stats (ExistingRDD), so the
+    # planner otherwise guesses — at sf0.1 it picked the corpus TEXT
+    # side as the build, exactly backwards for scale. The hint is gated
+    # on the frame's exact row count (ADVICE r15): the frame is already
+    # localCheckpoint-materialized, so the count is an in-memory scan,
+    # and a heavily duplicated corpus (members ≈ corpus) falls back to
+    # the planner's shuffle join instead of tripping the 8 GB broadcast
+    # hard cap.
+    if clusters.count() <= broadcast_max_members:
+        clusters = F.broadcast(clusters)
+    j = clusters.join(
         df.select(F.col(id_col).alias("__sid"), F.col(text_col)),
         clusters.doc_id == F.col("__sid"),
     ).select("cluster_id", "doc_id", pround(score, 4).alias("q"))
@@ -2526,9 +2607,10 @@ def _reassemble_chunks(
 
 
 def _lh_bucket(col: Column, n_buckets: int) -> Column:
-    """Stable bucket id in [0, n_buckets) for a chunk-hash column — the
-    partition key of a bucketed chunk checkpoint. xxhash64 over the hex
-    md5 string; pmod folds the signed hash non-negative."""
+    """Stable bucket id in [0, n_buckets) for a chunk-hash (hex md5
+    string) or band-sig (binary) column — the partition key of a
+    bucketed checkpoint. xxhash64 accepts both types; pmod folds the
+    signed hash non-negative."""
     return F.pmod(F.xxhash64(col), F.lit(int(n_buckets)))
 
 

@@ -38,6 +38,18 @@ from pyspark_bigdata_sars_cov_2_analysis_spark.operators.joins import (
 
 _OFFSET_RESERVED = ("__chunk", "__local_cum", "__total", "__before", "offset")
 
+# Scale-adaptive chunk grid (optimization r16, guide §2): n_chunks is the
+# CEILING of second-level parallelism, not a fixed split count — splitting
+# a small corpus 64 ways buys nothing and bills the per-row chunk
+# expression (a boundary filter linear in the boundary count) 64 boundary
+# comparisons per row in BOTH consuming branches. The effective chunk
+# count floors at one chunk per this many rows (offsets are invariant to
+# WHERE boundaries fall — module doc — so thinning the quantile grid can
+# never change a value, only task balance; measured at sf0.1: 63 -> 1-7
+# boundaries is ~0.82-0.92x the tail). At real scale n >> n_chunks*4096,
+# so the full n_chunks grid is always in effect where it matters.
+_MIN_CHUNK_ROWS = 4096
+
 
 def global_token_offsets(
     df: DataFrame,
@@ -49,6 +61,17 @@ def global_token_offsets(
     one by ``id_col`` (numeric). Two-level distributed prefix sum (see
     module doc); ``n_chunks`` bounds the second level's single-partition
     frame and should be ~the cluster's core count at real scale.
+
+    CACHE CONTRACT (ADVICE r15): the input frame is materialized in the
+    registry-tracked plan cache for the duration of the call's plan —
+    three consumers (probe, cumsum window, chunk totals) read one
+    materialization instead of re-running the caller's upstream (for
+    t10 that upstream is a full corpus tokenize). The cache holds ALL
+    input columns: pass a PROJECTED frame — ``df.select(id, tokens,
+    …carried columns…)`` — not a wide text-bearing corpus row, or the
+    whole corpus is pinned in executor storage until
+    ``release_plan_caches()``/``clearCache()``. (Every in-repo caller
+    passes a two-numeric-column projection.)
 
     Contract guards (review r15): an all-NULL order key refuses eagerly
     (the partial-NULL case already refused row-locally); a NULL or
@@ -108,6 +131,15 @@ def global_token_offsets(
     # the boundary positions themselves (associativity), so approximate
     # quantiles affect balance only, never values
     bounds = sorted(set(stats["bounds"] or [])) if qs else []
+    # thin the grid to the EFFECTIVE chunk count for this input size
+    # (see _MIN_CHUNK_ROWS): evenly spaced quantile subset, so balance
+    # is preserved and small inputs skip the 63-comparison-per-row bill
+    eff = min(n_chunks, max(1, -(-int(stats["n"]) // _MIN_CHUNK_ROWS)))
+    if bounds and eff <= len(bounds):
+        bounds = [
+            bounds[round((i + 1) * len(bounds) / eff) - 1]
+            for i in range(eff - 1)
+        ]
     # a NULL order key has no position in the packed layout — and worse,
     # it would yield __chunk NULL, silently vanish through the inner
     # join below, and the packed output would simply be missing the doc

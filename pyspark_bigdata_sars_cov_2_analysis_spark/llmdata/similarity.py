@@ -266,11 +266,38 @@ def _scored_cells(v: Column, nv: Column, assign_decimals: int) -> Column:
     )
 
 
+def _best_cell_cid(scored: Column) -> Column:
+    """ARGMAX of a ``(d, cid)`` struct array under (d DESC NULLS LAST,
+    cid ASC) — the cell-assignment tiebreak order — as ONE native
+    ``array_max`` pass instead of a full ``array_sort`` with a lambda
+    comparator (optimization r16, guide §4.1: the comparator is an
+    interpreted expression tree invoked O(n log n) times per row on the
+    ALL-VECTORS side; array_max's struct ordering is a single native
+    scan). Mapping: max over ``(d, -cid)`` structs picks greatest d
+    first — Spark's struct ordering puts a NULL field below any value
+    (= NULLS LAST under the DESC read) and NaN above every double,
+    matching the comparator's eqNullSafe/NaN branches — then greatest
+    ``-cid``, i.e. the SMALLEST cid, on ties (including the all-NULL-d
+    row, where the comparator also fell through to cid ASC).
+    Equivalence pinned by test on NULL/NaN/tie adversarial arrays.
+    Returns the winning cid (NULL only for an empty array — callers
+    guard on codebook size)."""
+    return -F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(s["d"].alias("d"), (-s["cid"]).alias("negcid")),
+        )
+    )["negcid"]
+
+
 def _cell_cmp(a: Column, b: Column) -> Column:
     """array_sort comparator for (d DESC NULLS LAST, cid ASC) — the exact
     total order the former ``row_number`` window used, including Spark's
     NaN-greatest double semantics (``>`` agrees with DESC sort order on
-    NaN) and NULLS-LAST-under-DESC for a NULL cosine (zero-norm vector)."""
+    NaN) and NULLS-LAST-under-DESC for a NULL cosine (zero-norm vector).
+    Still used on the PROBE side, where top-``nprobe`` needs the full
+    sorted order over |probes| rows; the all-vectors argmax goes through
+    :func:`_best_cell_cid`."""
     return (
         F.when(
             a["d"].eqNullSafe(b["d"]),
@@ -314,12 +341,10 @@ def ivf_assign_cells(
         vec.alias("v"),
         _norm(vec).alias("nv"),
     )
-    best = F.element_at(
-        F.array_sort(
-            _scored_cells(F.col("v"), F.col("nv"), assign_decimals),
-            _cell_cmp,
-        ),
-        1,
+    # argmax via array_max, not comparator-sort (optimization r16): this
+    # expression runs once per CORPUS vector — see _best_cell_cid
+    best_cid = _best_cell_cid(
+        _scored_cells(F.col("v"), F.col("nv"), assign_decimals)
     )
     return (
         base.join(
@@ -331,7 +356,7 @@ def ivf_assign_cells(
         # and re-evaluate the whole scoring per row — the measured trap
         # from the d18 profile); non-empty cents ⇒ cell is non-NULL
         .where(F.size(F.col("cents")) > 0)
-        .select(F.col("__vid").alias(id_col), best["cid"].alias("cell"))
+        .select(F.col("__vid").alias(id_col), best_cid.alias("cell"))
     )
 
 
@@ -415,13 +440,11 @@ def ivf_topk(
     # assign_decimals is a PARAMETER, not the hardcoded 6 (review r15):
     # a layout written via ivf_assign_cells(assign_decimals=4) must be
     # queried on the same rounding grid or boundary vectors assign to
-    # different cells at write vs query time — silent recall loss
-    best = F.element_at(
-        F.array_sort(
-            _scored_cells(F.col("v"), F.col("nv"), assign_decimals),
-            _cell_cmp,
-        ),
-        1,
+    # different cells at write vs query time — silent recall loss.
+    # argmax via array_max, not comparator-sort (optimization r16): this
+    # runs once per CORPUS vector — see _best_cell_cid
+    best_cid = _best_cell_cid(
+        _scored_cells(F.col("v"), F.col("nv"), assign_decimals)
     )
     base = (
         spread_compute(df, _SPREAD_MIN_BYTES, key=id_col)
@@ -431,14 +454,11 @@ def ivf_topk(
             _norm(vec).alias("nv"),
         )
         .join(codebook, how="cross")
-        # empty-codebook guard on size(cents), same as ivf_assign_cells:
-        # under Spark 4's default ANSI mode element_at(<empty>, 1) THROWS
-        # (it only returns NULL with ANSI off), so the guard is load-
-        # bearing, not just contract hygiene. It must test cents, never
-        # the derived cell — a filter referencing the interpreted HOF
-        # chain re-inlines and re-evaluates the whole scoring per row
+        # empty-codebook guard on size(cents): a filter referencing the
+        # interpreted HOF chain would re-inline and re-evaluate the whole
+        # scoring per row; non-empty cents ⇒ cell is non-NULL
         .where(F.size(F.col("cents")) > 0)
-        .select("neighbor_id", "v", "nv", best["cid"].alias("cell"))
+        .select("neighbor_id", "v", "nv", best_cid.alias("cell"))
     )
     # probes carry their nprobe cells directly (same row-local derivation
     # and NULL contract as ivf_probe_cells, inlined so the probe vectors

@@ -2692,10 +2692,25 @@ def d18_curation_pipeline(spark, sf_dir, scorer="auto", n_docs=None):
     kept = scored.where(_curation_gate()).select(
         "doc_id", "fp", F.greatest(F.col("q"), F.lit(0.0)).alias("weight")
     )
-    keepers = (
-        kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # keep-first as ONE window over fp (optimization r16, guide §2.4):
+    # the former groupBy(fp)→min(doc_id) frame joined back on doc_id
+    # cost an fp agg exchange PLUS a doc_id exchange of EACH join side —
+    # at scale the keeper set is ~distinct-contents-sized (never
+    # broadcastable), so that was two extra full shuffles of the kept
+    # corpus; the window needs exactly one exchange of `kept` on fp,
+    # with per-partition sort bounded by duplicate-cluster size. Value-
+    # identical under d18's documented unique-doc_id seam contract
+    # (d21's keeper flag already uses this same window shape), oracle-
+    # verified at sf0.001/0.01/0.1.
+    from pyspark.sql.window import Window as _W
+
+    survivors = (
+        kept.withColumn(
+            "__keep_min", F.min("doc_id").over(_W.partitionBy("fp"))
+        )
+        .where(F.col("doc_id") == F.col("__keep_min"))
+        .select("doc_id", "weight")
     )
-    survivors = kept.join(keepers, "doc_id").select("doc_id", "weight")
     return weighted_hash_sample(
         survivors, "doc_id", F.col("weight"), salt=_CURATION_SALT
     ).select("doc_id", "weight")

@@ -36,6 +36,19 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # don't let tiny local runs create 200 empty shuffle files
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # let AQE finalize CACHED plans too (optimization r16, guide §2.2):
+    # default-off, this pins every persisted frame at the raw
+    # spark.sql.shuffle.partitions count — a tiny cached frame (d18's
+    # score frame, d11/d06's banded frames, t09's tf) then bills every
+    # cache-READING stage one task per empty partition, while at real
+    # scale the same advisory-size coalescing simply keeps cached
+    # partitions in the 100 MB-1 GB band. Size-adaptive by construction
+    # (advisoryPartitionSizeInBytes), not a local-mode constant. The
+    # trade (documented upstream): a consumer counting on the cached
+    # plan's exact output partitioning may re-shuffle — our cached
+    # frames feed aggregates/joins whose distributions AQE re-plans
+    # anyway (suite + plan-budget tests pin this).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

@@ -496,6 +496,26 @@ def test_two_level_prefix_sum_equals_naive(spark):
             )
         )
         assert got == want, f"n_chunks={n_chunks}"
+    # optimization r16: the chunk grid adapts to input size (one chunk
+    # per _MIN_CHUNK_ROWS rows, capped at n_chunks). Force a tiny floor
+    # so the MULTI-chunk path — thinned, evenly spaced quantile subset —
+    # stays exercised at test scale, and values must still equal naive
+    # for every effective grid.
+    orig = packing._MIN_CHUNK_ROWS
+    try:
+        for floor in (1, 7, 10**9):
+            packing._MIN_CHUNK_ROWS = floor
+            got = sorted(
+                map(
+                    tuple,
+                    packing.global_token_offsets(d, "doc_id", "n_tokens", 64)
+                    .select("doc_id", "offset")
+                    .collect(),
+                )
+            )
+            assert got == want, f"_MIN_CHUNK_ROWS={floor}"
+    finally:
+        packing._MIN_CHUNK_ROWS = orig
 
 
 def test_chunk_udtf_equals_native(spark):
@@ -842,6 +862,18 @@ def test_fuzzy_dedup_keep_best_planted(spark):
         ).collect()
     }
     assert got == {1: (1, 3), 10: (10, 2)}, got
+    # ADVICE r15: the members-side broadcast hint is gated on the actual
+    # member count — above the cap the join degrades to the planner's
+    # choice instead of risking the 8 GB broadcast hard cap. Forcing the
+    # cap to 0 exercises the no-hint path; results must be identical.
+    got_nobc = {
+        r.cluster_id: (r.keeper, r.n_members)
+        for r in dedup.fuzzy_dedup_keep_best(
+            df, "doc_id", "text", quality_score(F.col("text")),
+            broadcast_max_members=0,
+        ).collect()
+    }
+    assert got_nobc == got, got_nobc
 
 
 def test_incremental_neardup_persisted_bands_equivalent(spark, tmp_path):
@@ -1924,6 +1956,17 @@ def test_word_set_occurrences_equals_per_word_sum(spark):
     for bad in (["c++"], ["ok", "x+"], [""]):
         with pytest.raises(ValueError, match="word class|quote"):
             word_set_occurrences(F.col("text"), bad)
+    # ADVICE r15: INTERIOR non-word chars break the partition argument
+    # even though word_occurrences accepts them (its \b anchors only
+    # constrain the EDGES): "don" + "don't" in one alternation consumes
+    # one or the other and silently undercounts vs the per-word sum.
+    # Every character is checked, so such words are refused here.
+    for bad in (["don't"], ["new york"], ["U.S"], ["a", "a-b"]):
+        with pytest.raises(ValueError, match="word class"):
+            word_set_occurrences(F.col("text"), bad)
+    # ... while the per-word form still accepts them (edge guard only),
+    # so the documented fallback — per-word sum — remains available
+    assert word_occurrences(F.col("text"), "don't") is not None
 
 
 def test_udaf_and_arrow_null_semantics(spark):
@@ -2148,6 +2191,40 @@ def test_approx_top_k_exact_below_budget_degrades_above(spark):
     assert len(run(4, 4)) < 1000
 
 
+def test_ivf_argmax_equals_comparator_sort(spark):
+    """Optimization r16: the all-vectors cell argmax is one native
+    array_max over (d, -cid) structs instead of a comparator-lambda
+    array_sort. The two must agree under the documented total order
+    (d DESC NULLS LAST, cid ASC) on every adversarial shape: exact
+    ties (-> min cid), partial NULL d, ALL-NULL d (-> min cid), NaN
+    (greatest, incl. NaN ties), singleton."""
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import similarity
+
+    nan = float("nan")
+    rows = [
+        (1, [(0.5, 1), (0.5, 0), (0.3, 2)]),
+        (2, [(None, 0), (0.1, 7), (None, 3)]),
+        (3, [(None, 5), (None, 2), (None, 9)]),
+        (4, [(nan, 4), (0.99, 1)]),
+        (5, [(0.2, 3)]),
+        (6, [(nan, 8), (nan, 2)]),
+        (7, [(0.1, 2), (0.5, 9), (0.5, 4), (None, 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, arr array<struct<d:double,cid:bigint>>"
+    )
+    old = F.element_at(
+        F.array_sort(F.col("arr"), similarity._cell_cmp), 1
+    )["cid"]
+    new = similarity._best_cell_cid(F.col("arr"))
+    bad = (
+        df.select("id", old.alias("old"), new.alias("new"))
+        .where(~F.col("old").eqNullSafe(F.col("new")))
+        .collect()
+    )
+    assert bad == [], bad
+
+
 def test_ivf_empty_codebook_returns_empty_not_ansi_error(spark):
     """Review r9: under Spark 4's default ANSI mode element_at(<empty
     array>, 1) THROWS, so a corpus with no ids below n_centroids (empty
@@ -2324,10 +2401,63 @@ def test_lsh_bands_remainder_band_covers_trailing_hashes(spark):
     assert all(r["count"] == 3 for r in per_doc), (
         "12 hashes / band_rows=5 must yield 2 full bands + 1 remainder"
     )
-    rem = banded.where("band = 2").select("band_sig").first()[0]
-    assert rem.count(",") == 1, (
-        f"remainder band must hold the 2 trailing hashes, got {rem!r}"
+    # band_sig is fixed-width binary (8 bytes per hash, optimization r16):
+    # a full 5-hash band is 40 bytes, the 2-hash remainder band 16
+    full = banded.where("band = 0").select("band_sig").first()[0]
+    assert len(bytes(full)) == 40, (
+        f"full band must hold 5 fixed-width hashes, got {len(bytes(full))}B"
     )
+    rem = banded.where("band = 2").select("band_sig").first()[0]
+    assert len(bytes(rem)) == 16, (
+        f"remainder band must hold the 2 trailing hashes, got "
+        f"{len(bytes(rem))}B"
+    )
+
+
+def test_band_checkpoint_sig_encoding_migration(spark, tmp_path):
+    """Optimization r16 (VERDICT r15 #8): band_sig moved from the
+    comma-joined decimal string to fixed-width binary, recorded in the
+    parameter sidecar as sig_encoding='bin64-v2'. A pre-r16 checkpoint
+    (sidecar without the field == implicit 'csv-v1') must be REFUSED —
+    on read AND on append — with the re-seed migration named, and a
+    sidecar claiming any OTHER encoding refuses the same way (validated
+    both directions); a same-version checkpoint round-trips."""
+    import pytest
+
+    from pyspark_bigdata_sars_cov_2_analysis_spark.functions.localrel import (
+        local_frame,
+    )
+    from pyspark_bigdata_sars_cov_2_analysis_spark.llmdata import dedup
+
+    corpus = spark.createDataFrame(
+        [(d, f"alpha beta gamma delta w{d} epsilon zeta") for d in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bands")
+    dedup.write_band_checkpoint(corpus, path, "doc_id", "text")
+    # same-version round-trip works
+    assert dedup.read_band_checkpoint(spark, path, "doc_id").count() > 0
+    # simulate a pre-r16 sidecar: same params, no sig_encoding column
+    local_frame(
+        spark, [(3, 12, 3, 16)],
+        "k int, num_hashes int, band_rows int, n_sig_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
+    dedup._PARAMS_MEMO.clear()
+    with pytest.raises(ValueError, match="csv-v1.*Migrate|Migrate.*csv-v1"):
+        dedup.read_band_checkpoint(spark, path, "doc_id")
+    with pytest.raises(ValueError, match="Migrate"):
+        dedup.write_band_checkpoint(
+            corpus, path, "doc_id", "text", mode="append", batch_id=0
+        )
+    # ...and the other direction: a FUTURE encoding is refused too
+    local_frame(
+        spark, [(3, 12, 3, 16, "hash8-v3")],
+        "k int, num_hashes int, band_rows int, n_sig_buckets int, "
+        "sig_encoding string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_band_params")
+    dedup._PARAMS_MEMO.clear()
+    with pytest.raises(ValueError, match="hash8-v3"):
+        dedup.read_band_checkpoint(spark, path, "doc_id")
 
 
 def test_checkpoint_writers_refuse_foreign_modes(spark, tmp_path):

@@ -1,10 +1,11 @@
 """Capture .explain("formatted") output for named registry queries.
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
-Writes plans/r15/<query>_<suffix>.txt for each query (default: the bench
-HEADLINE list + the expensive extras shelf). The driver cannot run Spark,
-so these committed files are the auditable record of plan-shape claims in
-OPTIMIZATION_r15.md.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default round
+r16) for each query (default names: the bench HEADLINE list + the
+expensive extras shelf). The driver cannot run Spark, so these committed
+files are the auditable record of plan-shape claims in the round's
+OPTIMIZATION log.
 """
 
 from __future__ import annotations
@@ -61,7 +62,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = start_session("capture-plans")
