@@ -158,13 +158,13 @@ def minhash_signatures(
 
 
 # Persisted band_sig encoding version (optimization r16, VERDICT r15 #8):
-# 'bin64-v2' = each min-hash as its 8-byte big-endian two's-complement
-# image, concatenated (fixed-width ⇒ injective). Pre-r16 checkpoints
+# 'bin32-v2' = each min-hash (u32 by the in-repo hash family) as its
+# 4-byte big-endian image, concatenated (fixed-width ⇒ injective). Pre-r16 checkpoints
 # ('csv-v1', comma-joined decimals — stamped implicitly when the sidecar
 # lacks the field) are refused with a re-seed instruction by
 # _validate_band_params: signatures from the two encodings can never
 # band-match, in either direction.
-_SIG_ENCODING = "bin64-v2"
+_SIG_ENCODING = "bin32-v2"
 
 
 def lsh_bands(
@@ -185,20 +185,24 @@ def lsh_bands(
 
     ``band_sig`` encoding (optimization r16, VERDICT r15 #8 / guide
     §2.3 "narrower types"): fixed-width BINARY — each min-hash as its
-    8-byte big-endian two's-complement image, concatenated — instead of
-    the comma-joined decimal string (~60 B for 3 bigints). 24 B per sig
-    ≈ 2.5× fewer key bytes through the hottest dedup shuffle
-    (groupBy(band, band_sig) in every LSH family member) and through
-    the persisted band-checkpoint state. The encoding is INJECTIVE
-    (fixed width ⇒ concatenation decodes uniquely), so sig equality ≡
-    min-hash tuple equality — unlike the 8-byte lossy hash considered
-    and REJECTED in OPTIMIZATION_r16.md: a hash collision would merge
-    two different buckets and alter candidate pairs at scale, a silent
-    semantics change no test scale would catch. Sig comparisons only
-    ever happen within one band, so the remainder band's narrower width
-    is immaterial. Persisted checkpoints record the encoding in their
-    parameter sidecar (``sig_encoding``) and refuse a mismatched reuse
-    — see write_band_checkpoint."""
+    4-byte big-endian image, concatenated — instead of the comma-joined
+    decimal string (~27 B measured for 3 hashes at sf0.1). 12 B per sig
+    through the hottest dedup shuffle key (groupBy(band, band_sig) in
+    every LSH family member) and through the persisted band-checkpoint
+    state. 4 bytes suffice BY CONSTRUCTION of the in-repo hash family:
+    :func:`minhash_signatures` parses 8 hex chars, so every mh value is
+    an unsigned 32-bit int — that precondition is part of this
+    function's contract (it already shares the family's seed layout).
+    The encoding is INJECTIVE (fixed width ⇒ concatenation decodes
+    uniquely), so sig equality ≡ min-hash tuple equality — unlike the
+    8-byte lossy hash considered and REJECTED in OPTIMIZATION_r16.md: a
+    hash collision would merge two different buckets and alter
+    candidate pairs at scale, a silent semantics change no test scale
+    would catch. Sig comparisons only ever happen within one band, so
+    the remainder band's narrower width is immaterial. Persisted
+    checkpoints record the encoding in their parameter sidecar
+    (``sig_encoding``) and refuse a mismatched reuse — see
+    write_band_checkpoint."""
     n_bands = num_hashes // band_rows
     slices = [
         range(b * band_rows, (b + 1) * band_rows) for b in range(n_bands)
@@ -206,19 +210,18 @@ def lsh_bands(
     if num_hashes % band_rows:
         slices.append(range(n_bands * band_rows, num_hashes))
 
-    def _be8(c: Column) -> Column:
-        # bigint -> 8-byte big-endian binary: hex() gives the 64-bit
-        # two's-complement image (16 chars for negatives, unpadded for
-        # small positives), lpad+unhex fixes the width. All three run
-        # inside whole-stage codegen.
-        return F.unhex(F.lpad(F.hex(c), 16, "0"))
+    def _be4(c: Column) -> Column:
+        # u32 bigint -> 4-byte big-endian binary: hex() of a value in
+        # [0, 2^32) is at most 8 chars, lpad+unhex fixes the width.
+        # All three run inside whole-stage codegen.
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
 
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat(
-                    *[_be8(F.col(f"mh_{j}")) for j in sl]
+                    *[_be4(F.col(f"mh_{j}")) for j in sl]
                 ).alias("band_sig"),
             )
             for b, sl in enumerate(slices)
@@ -673,7 +676,7 @@ def _validate_band_params(
     #8) — a checkpoint persisted under the comma-joined decimal
     encoding ('csv-v1', the pre-r16 default stamped onto any sidecar
     missing the field) can never band-match signatures computed by this
-    code ('bin64-v2', fixed-width binary), in EITHER direction; the
+    code ('bin32-v2', fixed-width binary), in EITHER direction; the
     refusal names the re-seed migration instead of silently admitting
     every duplicate."""
     want = {"k": k, "num_hashes": num_hashes, "band_rows": band_rows}

@@ -1920,7 +1920,7 @@ def e18_snapshot_stream_source(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="spark_graft_e18_")
     tbl, out, ckpt = f"{tmp}/tbl", f"{tmp}/out", f"{tmp}/ckpt"
 
-    def drain():
+    def drain(count=True):
         q = (
             spark.readStream.format("snapshot_stream")
             .load(tbl)
@@ -1931,7 +1931,11 @@ def e18_snapshot_stream_source(spark, sf_dir):
             .start()
         )
         assert q.awaitTermination(300), "snapshot_stream drain timed out"
-        return spark.read.parquet(out).count()
+        # the cumulative count feeds the after_drain metrics; the LAST
+        # drain's count fed nothing and was a full re-scan of the sink
+        # for nothing (optimization r16, guide §1.2 "don't compute
+        # things you throw away") — the final agg below reads `out` once
+        return spark.read.parquet(out).count() if count else None
 
     write_parquet_snapshot(d.where(F.col("doc_id") % 4 == 0), tbl)
     write_parquet_snapshot(
@@ -1946,7 +1950,7 @@ def e18_snapshot_stream_source(spark, sf_dir):
     write_parquet_snapshot(
         d.where(F.col("doc_id") % 4 == 3), tbl, mode="append"
     )
-    drain()  # v5, diffed against the COMPACTED file set
+    drain(count=False)  # v5, diffed against the COMPACTED file set
     final = spark.read.parquet(out)
     n_cols = len(final.columns)
     agg = final.agg(
@@ -2514,14 +2518,17 @@ def m07_audio_decimate(spark, sf_dir):
     return audio_decimate(wav, "doc_id", "payload", factor=4)
 
 
-# d18 scorer auto-dispatch cut. Measured (local[8], best-of-2, cache
-# cleared between runs): sf0.01/500 docs local 2.06s vs agg 1.08s;
-# sf0.1/5000 docs local 12.53s vs agg 1.41s — codegen already wins at
-# the smallest shipped corpus, so the crossover sits BELOW 500 docs.
-# The cut is the fixed-cost arithmetic (two extra exchanges ≈ 0.6s vs
-# ~2.6 ms/doc interpreted ⇒ ~250 docs); it only moves further toward
-# 'agg' as per-executor doc counts grow at 100 TB.
-_D18_AGG_MIN_DOCS = 250
+# d18 scorer auto-dispatch cut. RE-MEASURED r16 (the r15 battery/HOF
+# text-fn wins made the interpreted local path ~16× cheaper per doc
+# than the r7 numbers this cut was derived from): cold end-to-end at
+# sf0.1 local[32], clearCache between runs, corpus scaled by explode —
+# n=5000 local 1.45s / agg 0.98s; 20k 3.88/1.49; 80k 13.5/3.19 ⇒
+# marginal ≈160 µs/doc interpreted vs ≈29 µs/doc codegen, fixed-cost
+# gap (the agg path's two extra exchanges + join) ≈ 0.45s ⇒ cold
+# crossover ≈ 1.4k docs. Above it the per-doc interpreter bill only
+# grows more lopsided at 100 TB; below it the shuffle fixed cost
+# dominates and row-local wins.
+_D18_AGG_MIN_DOCS = 1500
 
 # The curation chain's shared contract (review r9): d18 (the pipeline)
 # and d21 (its funnel report) gate, weigh, and sample through ONE set of

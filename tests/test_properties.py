@@ -1323,8 +1323,10 @@ def test_repetition_agg_form_equals_row_local(spark):
 def test_d18_scorer_seam_paths_identical(spark):
     """VERDICT r7 #3: d18's scorer seam — 'local' (row-local interpreted)
     and 'agg' (codegen aggregate) must produce the IDENTICAL survivor
-    set + weights, 'auto' must dispatch to 'agg' at the shipped corpus
-    sizes (500 docs >= the 250-doc cut), and a bogus scorer fails fast."""
+    set + weights whatever 'auto' dispatches to (the r16 re-measured cut
+    sits between the shipped 500-doc and 5000-doc corpora, so BOTH
+    dispatch outcomes are exercised across the SFs), and a bogus scorer
+    fails fast."""
     import pytest as _pytest
 
     from pyspark_bigdata_sars_cov_2_analysis_spark.plans.llmdata import (
@@ -1345,8 +1347,11 @@ def test_d18_scorer_seam_paths_identical(spark):
         run(scorer="local"), run(scorer="agg"), run()
     )
     assert local == agg and len(local) > 0
-    assert auto == agg  # 500 docs at SF_TEST >= the dispatch cut
-    assert _D18_AGG_MIN_DOCS <= 500
+    assert auto == agg  # dispatch choice can never change values
+    # r16 measured crossover (~1.4k docs cold): the cut must sit between
+    # the shipped 500-doc (sf0.01 → local) and 5000-doc (sf0.1 → agg)
+    # corpora so both dispatch outcomes stay exercised
+    assert 500 < _D18_AGG_MIN_DOCS <= 5000
     # the n_docs hint steers the dispatch without changing values
     assert run(n_docs=10**6) == agg and run(n_docs=1) == agg
     with _pytest.raises(ValueError, match="scorer"):
@@ -2401,14 +2406,14 @@ def test_lsh_bands_remainder_band_covers_trailing_hashes(spark):
     assert all(r["count"] == 3 for r in per_doc), (
         "12 hashes / band_rows=5 must yield 2 full bands + 1 remainder"
     )
-    # band_sig is fixed-width binary (8 bytes per hash, optimization r16):
-    # a full 5-hash band is 40 bytes, the 2-hash remainder band 16
+    # band_sig is fixed-width binary (4 bytes per u32 hash, optimization
+    # r16): a full 5-hash band is 20 bytes, the 2-hash remainder band 8
     full = banded.where("band = 0").select("band_sig").first()[0]
-    assert len(bytes(full)) == 40, (
+    assert len(bytes(full)) == 20, (
         f"full band must hold 5 fixed-width hashes, got {len(bytes(full))}B"
     )
     rem = banded.where("band = 2").select("band_sig").first()[0]
-    assert len(bytes(rem)) == 16, (
+    assert len(bytes(rem)) == 8, (
         f"remainder band must hold the 2 trailing hashes, got "
         f"{len(bytes(rem))}B"
     )
@@ -2417,7 +2422,7 @@ def test_lsh_bands_remainder_band_covers_trailing_hashes(spark):
 def test_band_checkpoint_sig_encoding_migration(spark, tmp_path):
     """Optimization r16 (VERDICT r15 #8): band_sig moved from the
     comma-joined decimal string to fixed-width binary, recorded in the
-    parameter sidecar as sig_encoding='bin64-v2'. A pre-r16 checkpoint
+    parameter sidecar as sig_encoding='bin32-v2'. A pre-r16 checkpoint
     (sidecar without the field == implicit 'csv-v1') must be REFUSED —
     on read AND on append — with the re-seed migration named, and a
     sidecar claiming any OTHER encoding refuses the same way (validated

@@ -1454,8 +1454,15 @@ def test_stamp_migration_on_legacy_and_mixed_checkpoints(spark, tmp_path):
         dedup.minhash_signatures(corpus, "doc_id", "text", 3, 12),
         "doc_id", 12, 3,
     ).write.partitionBy("band").parquet(path)
+    # hand-rolled sidecar mimics a pre-STAMP writer; the sig_encoding is
+    # the CURRENT one because the band rows above came from the current
+    # lsh_bands — this test exercises stamp-lessness only. A real
+    # pre-r16 checkpoint (csv-v1 data + sidecar) is refused at
+    # read/append with a re-seed instruction, which re-stamps anyway
+    # (pinned by test_band_checkpoint_sig_encoding_migration).
     spark.createDataFrame(
-        [(3, 12, 3)], "k int, num_hashes int, band_rows int"
+        [(3, 12, 3, dedup._SIG_ENCODING)],
+        "k int, num_hashes int, band_rows int, sig_encoding string",
     ).coalesce(1).write.parquet(f"{path}/_band_params")
     before = spark.read.parquet(path).count()
 
